@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface Q1–Q15 (SURVEY.md §2.3) — declarative DataFrame
+  * plans so Catalyst gets pushdown/pruning/join-reorder for free.
+  * Every output column is aliased identically in the Spark plan and the
+  * DuckDB oracle; every query ends in a total ORDER BY; floats are
+  * ROUNDed; int widths are harmonized (Spark int fns cast to long where
+  * DuckDB yields BIGINT).
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - dims that stay tiny at any SF (region, nation) are broadcast
+  *    explicitly; SF-scaling sides are left to AQE (auto-broadcast /
+  *    skew-join) rather than hard-coded.
+  *  - filters sit directly on scan columns so they reach the parquet
+  *    reader (PushedFilters), and projections prune columns at the scan.
+  *  - Q13's interval join is an equi-join on user_id with a range
+  *    residual — hash/sort-merge on the key, never a nested loop.
+  *  - Q15 semi-joins lineitem down to the brand's partkeys *before* the
+  *    per-part average, so the heavy aggregate runs on 1/brand-count of
+  *    the fact table (standard TPC-H Q17 rewrite).
+  */
+object Relational {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_filter_project",
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1995-01-01") &&
+          col("l_shipdate") < ts("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    },
+
+    QueryDef("q02_hash_agg",
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice),2) AS sum_base,
+        |       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+        |       ROUND(AVG(l_quantity),4) AS avg_qty, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QueryDef("q03_join_agg",
+      """SELECT c.c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o.o_totalprice),2) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    QueryDef("q04_multi_join",
+      """SELECT r.r_name, n.n_name, ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS rev
+        |FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+        |JOIN customer c ON o.o_custkey=c.c_custkey
+        |JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |JOIN region r ON n.n_regionkey=r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+        .orderBy("r_name", "n_name")
+    },
+
+    QueryDef("q05_semi_anti",
+      """SELECT (SELECT COUNT(*) FROM orders o WHERE EXISTS
+        |         (SELECT 1 FROM lineitem l WHERE l.l_orderkey=o.o_orderkey AND l.l_quantity>45)) AS a,
+        |       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |         (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)) AS b""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("a"))
+      val b = Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("b"))
+      a.crossJoin(b)
+    },
+
+    QueryDef("q06_window",
+      """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run
+        |  FROM orders) t WHERE rn<=3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val wSeq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(wSeq).cast("long").as("rn"),
+          rank().over(wPrice).cast("long").as("rk"),
+          round(sum("o_totalprice")
+            .over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    QueryDef("q07_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    QueryDef("q08_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    QueryDef("q09_set_intersect",
+      """SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |                             INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier) t""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct())
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    QueryDef("q10_string_math",
+      """SELECT UPPER(SUBSTR(p_name,1,8)) AS u, CAST(LENGTH(p_type) AS BIGINT) AS lt,
+        |       ROUND(ABS(p_retailprice-1000.0),2) AS m, p_partkey % 7 AS k
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%a%"))
+        .orderBy("p_partkey")
+        .limit(500)
+        .select(upper(substring(col("p_name"), 1, 8)).as("u"),
+          length(col("p_type")).cast("long").as("lt"),
+          round(abs(col("p_retailprice") - 1000.0), 2).as("m"),
+          (col("p_partkey") % 7).as("k"))
+    },
+
+    QueryDef("q11_date_scalars",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, COUNT(*) AS c
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("y", "m")
+    },
+
+    QueryDef("q12_json",
+      """SELECT CAST(JSON_EXTRACT(props,'$.k') AS INT)%10 AS kb, COUNT(*) AS c,
+        |       ROUND(SUM(value),2) AS sv
+        |FROM events GROUP BY kb ORDER BY kb""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("kb"))
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderBy("kb")
+    },
+
+    QueryDef("q13_range_join",
+      """SELECT COUNT(*) AS c FROM
+        |  (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e1 JOIN
+        |  (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e2
+        |ON e1.user_id=e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |WHERE e1.event_type='signup' AND e2.event_type='purchase'""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val e1 = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("u1"), col("ts").as("t1"))
+      val e2 = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("ts").as("t2"))
+      // equi-join on user_id; the time range is a residual predicate, so
+      // this stays a hash/sort-merge join (never BroadcastNestedLoop).
+      e1.join(e2, col("u1") === col("u2") &&
+          col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .agg(count(lit(1)).as("c"))
+    },
+
+    QueryDef("q14_percentiles",
+      """SELECT event_type, ROUND(QUANTILE_CONT(value,0.5),3) AS p50,
+        |       ROUND(QUANTILE_CONT(value,0.95),3) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 3).as("p50"),
+          round(expr("percentile(value, 0.95D)"), 3).as("p95"))
+        .orderBy("event_type")
+    },
+
+    QueryDef("q15_corr_subquery",
+      """SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS v
+        |FROM lineitem l JOIN part p ON p.p_partkey=l.l_partkey
+        |WHERE p.p_brand='Brand#1'
+        |  AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p.p_partkey)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      // Restrict the fact table to the brand's partkeys *before* the
+      // per-part average: the heavy aggregate then runs over a small
+      // slice instead of all of lineitem (TPC-H Q17 rewrite).
+      val liBrand = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val thr = liBrand.groupBy(col("l_partkey").as("ak"))
+        .agg((lit(0.2) * avg("l_quantity")).as("thr"))
+      liBrand.join(thr, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("v"))
+    }
+  )
+}
