@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch equivalents of the streaming surface S1–S3/S5 (SURVEY.md
+  * §2.3) over the `events` table. The true streaming forms (readStream
+  * + watermark + window/session_window/dropDuplicates) live in
+  * `graft.streaming` and are asserted batch-equivalent in ScalaTest;
+  * these batch plans are the oracle-checked contract.
+  *
+  * `events.ts` is nanosecond parquet; both sides truncate to µs
+  * (Tables.events / CAST(ts AS TIMESTAMP)) so bucket edges agree.
+  */
+object EventOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("s1_tumbling_window",
+      """SELECT TIME_BUCKET(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w, event_type,
+        |       COUNT(*) AS c, ROUND(SUM(value),2) AS sv
+        |FROM events GROUP BY w, event_type ORDER BY w, event_type""".stripMargin) { (s, d) =>
+      // window($"ts","1 hour").start ≡ date_trunc: hour-aligned tumble.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour")("start").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderBy("w", "event_type")
+    },
+
+    QueryDef("s2_sliding_window",
+      """SELECT b AS w_start, event_type, COUNT(*) AS c FROM (
+        |  SELECT UNNEST(GENERATE_SERIES(
+        |           TIME_BUCKET(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 45 MINUTE,
+        |           TIME_BUCKET(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)), INTERVAL 15 MINUTE)) AS b,
+        |         event_type FROM events) t
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin) { (s, d) =>
+      // Native sliding window: each row lands in the 4 overlapping
+      // 1h/15min windows — exactly the generate_series batch oracle.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("w_start", "event_type")
+    },
+
+    QueryDef("s3_session_windows",
+      """SELECT user_id, COUNT(DISTINCT sid) AS sessions FROM (
+        |  SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM (
+        |    SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e) t1) t2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Gaps-and-islands: a session break is a >30 min silence.
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev", lag("ts", 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(byUser))
+        .groupBy("user_id")
+        .agg(countDistinct("sid").as("sessions"))
+        .orderBy("user_id")
+    },
+
+    QueryDef("s5_dedup",
+      """SELECT COUNT(*) AS c FROM (SELECT DISTINCT event_id FROM events) t""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select("event_id").distinct()
+        .agg(count(lit(1)).as("c"))
+    }
+  )
+}

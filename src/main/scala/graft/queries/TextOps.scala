@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text surface L1–L5 (SURVEY.md §2.3) over `documents`
+  * and `embeddings`. These are the *exact* paths (oracle-checked at
+  * sf0.01); the approximate scale paths (MinHash-LSH, SimHash,
+  * LSH-bucketed ANN) live in `DedupOps`/`SimilarityOps`.
+  */
+object TextOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("l1_exact_dedup",
+      """SELECT COUNT(*) AS total, COUNT(DISTINCT MD5(text)) AS uniq FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("total"), countDistinct(md5(col("text"))).as("uniq"))
+    },
+
+    QueryDef("l2_jaccard_pairs",
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
+        |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM shx),
+        |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT ia, ib, ROUND(i*1.0/(ca.c + cb.c - i), 4) AS j
+        |FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
+        |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
+        |ORDER BY ia, ib""".stripMargin) { (s, d) =>
+      // Exact 3-token-shingle Jaccard ≥ 0.8. The shingle self-join is
+      // the exact baseline; at 100 TB the candidate step is MinHash-LSH
+      // (DedupOps.minhash) — this stays the small-SF ground truth.
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("shingle"))
+        .distinct()
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = sh.select(col("doc_id").as("ia"), col("shingle"))
+        .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("i"))
+      inter
+        .join(card.select(col("doc_id").as("ia"), col("c").as("ca")), Seq("ia"))
+        .join(card.select(col("doc_id").as("ib"), col("c").as("cb")), Seq("ib"))
+        .withColumn("jac", col("i") * lit(1.0) / (col("ca") + col("cb") - col("i")))
+        .filter(col("jac") >= 0.8)
+        .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
+        .orderBy("ia", "ib")
+    },
+
+    QueryDef("l3_cosine_topk",
+      """WITH pairs AS (SELECT a.vec_id ia, b.vec_id ib,
+        |  LIST_COSINE_SIMILARITY(a.embedding, b.embedding) sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT ia, ib, ROUND(CAST(sim AS DOUBLE),5) AS sim FROM pairs ORDER BY sim DESC, ia, ib LIMIT 20""".stripMargin) { (s, d) =>
+      // Brute-force exact cosine top-k: norms precomputed per vector so
+      // the O(n²) pair stage only does the dot product. Scale path =
+      // SimilarityOps LSH bucketing; this is the ground-truth baseline.
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+      val a = emb.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("ia") < col("ib"))
+        .withColumn("sim_raw",
+          expr("aggregate(zip_with(va, vb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+            / (col("na") * col("nb")))
+        .orderBy(col("sim_raw").desc, col("ia"), col("ib"))
+        .limit(20)
+        .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
+    },
+
+    QueryDef("l4_text_stats",
+      """SELECT lang, COUNT(*) AS c, ROUND(AVG(n_chars),2) AS avg_chars,
+        |       ROUND(AVG(LENGTH(STRING_SPLIT(text,' '))),2) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("c"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          round(avg(size(split(col("text"), " ")).cast("double")), 2).as("avg_tokens"))
+        .orderBy("lang")
+    },
+
+    QueryDef("l5_tfidf_top3",
+      """WITH tok AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(text,' ')) term FROM documents),
+        |tf AS (SELECT source, term, COUNT(*) tf FROM tok GROUP BY 1,2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) n FROM documents),
+        |scored AS (SELECT source, term, ROUND(tf * LN((SELECT n FROM n)*1.0/df), 6) s
+        |           FROM tf JOIN df USING(term))
+        |SELECT source, term, s FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY s DESC, term) rn FROM scored) t
+        |WHERE rn<=3 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val tok = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // Ranking happens on the ROUNDed score (both sides) so float
+      // last-ulp noise can't reorder the top-3.
+      val scored = tf.join(dfq, Seq("term")).crossJoin(broadcast(nDf))
+        .withColumn("s", round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6))
+      val w = Window.partitionBy("source").orderBy(col("s").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("source", "rn")
+        .select("source", "term", "s")
+    }
+  )
+}
