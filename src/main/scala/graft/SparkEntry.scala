@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventOps, Relational, TextOps}
+import graft.queries.{CdcQueries, EventOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-surface modules in
@@ -11,7 +11,7 @@ import graft.queries.{EventOps, Relational, TextOps}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ EventOps.defs ++ TextOps.defs
+    Relational.defs ++ EventOps.defs ++ TextOps.defs ++ CdcQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,150 @@
+package graft.cdc
+
+import scala.collection.mutable
+
+/** Line-at-a-time finite-state machine over `mysqlbinlog
+  * --base64-output=decode-rows -vv` text: `Iterator[String] →
+  * Iterator[RawChange]`. Pure Scala (no Spark) so it unit-tests
+  * directly; `CdcJob` wraps it in a per-file `mapPartitions`.
+  *
+  * Re-expresses the reference's single pass (/root/reference/
+  * log2sql.py:66-108 event assembly, 6-63 image building) with two
+  * documented fixes: the UPDATE before/after split keys on the
+  * `### WHERE` / `### SET` section markers instead of
+  * occurrence-counting (quirk Q10), and `@N=v` parsing splits on the
+  * *first* `=` so literals containing `=` survive (log2sql.py:48
+  * splits on every `=`).
+  *
+  * Total: malformed/truncated input never throws — partial trailing
+  * events are discarded, unknown lines ignored (SURVEY.md §5.2
+  * property b).
+  */
+object BinlogFsm {
+
+  private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
+
+  def parse(file: String, lines: Iterator[String],
+      includeDdl: Boolean = false): Iterator[RawChange] = {
+    val out = mutable.ListBuffer.empty[RawChange]
+    var seq = 0L // emission order within the file (stream order)
+
+    // ≤3-line lookbehind over non-### lines; the reference keeps the
+    // same ring so slot 0 is the `# at N` line and slot 1 the event
+    // header when a row event starts (log2sql.py:67,93-94,106-107).
+    val ring = mutable.Queue.empty[String]
+
+    // current row-statement being assembled
+    var op: String = null
+    var db: String = ""
+    var table: String = ""
+    var startPosRaw, stopPosRaw, dtRaw = ""
+    var startPos, stopPos = 0L
+    var section: Int = 0 // 0 none, 1 before, 2 after
+    val before = mutable.ListBuffer.empty[ColVal]
+    val after = mutable.ListBuffer.empty[ColVal]
+
+    // DDL accumulation (log2sql.py:74-92)
+    var useDb = ""
+    var inDdl = false
+    val ddlParts = mutable.ListBuffer.empty[String]
+
+    def flushDml(): Unit = {
+      if (op != null) {
+        out += RawChange(file, seq, startPos, stopPos, startPosRaw,
+          stopPosRaw, dtRaw, db, table, op, before.toList, after.toList, null)
+        seq += 1
+        before.clear(); after.clear()
+        op = null; section = 0
+      }
+    }
+
+    def longOf(s: String): Long =
+      try s.trim.takeWhile(c => c.isDigit || c == '-').toLong
+      catch { case _: Exception => 0L }
+
+    for (line0 <- lines) {
+      val line = line0.stripLineEnd
+      if (line.startsWith("###")) {
+        // Row-image pseudo-SQL. Strip the marker and the trailing
+        // `/* TYPE meta … */` annotation (first `/*`, as the reference
+        // does — log2sql.py:96).
+        val body = line.replace("###", "").split("/\\*", 2)(0)
+        val trimmed = body.trim
+        val lower = trimmed.toLowerCase
+        if (trimmed.nonEmpty && trimmed.charAt(0) == '@') {
+          val eq = trimmed.indexOf('=')
+          if (eq > 1) {
+            val ord = longOf(trimmed.substring(1, eq)).toInt
+            val v = trimmed.substring(eq + 1)
+            if (op != null) section match {
+              case 1 => before += ColVal(ord, v)
+              case _ => after += ColVal(ord, v) // SET image / insert values
+            }
+          }
+        } else if (lower.startsWith("insert") || lower.startsWith("update") ||
+            lower.startsWith("delete")) {
+          flushDml() // a new `### <DML> db.t` header closes the previous row
+          op = lower.split(" ")(0)
+          val token = trimmed.split("\\s+").last // "`db`.`t`" (log2sql.py:21-24)
+          val parts = token.split("\\.", 2)
+          db = parts(0).stripPrefix("`").stripSuffix("`")
+          table = if (parts.length > 1) parts(1).stripPrefix("`").stripSuffix("`") else ""
+          // position/datetime from the lookbehind, raw substrings kept
+          // verbatim (log2sql.py:101-103)
+          if (ring.size >= 2) {
+            val atLine = ring(0)
+            val header = ring(1)
+            startPosRaw = atLine.split("at", 2).lift(1).getOrElse("")
+            stopPosRaw = header.split("end_log_pos", 2).lift(1)
+              .map(_.split("CRC32", 2)(0)).getOrElse("")
+            dtRaw = header.split("server id", 2)(0)
+              .dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
+            startPos = longOf(startPosRaw)
+            stopPos = longOf(stopPosRaw)
+          }
+          // DELETE rows open with `### WHERE`, INSERT with `### SET`;
+          // initialize so values land in `before`/`after` respectively
+          // even if a marker line were missing.
+          section = if (op == "delete") 1 else 2
+        } else if (lower == "where") {
+          section = 1
+        } else if (lower == "set") {
+          section = 2
+        }
+        // anything else inside an event (unknown marker) is ignored
+      } else {
+        // non-### line: ends any in-flight row statement
+        flushDml()
+        if (includeDdl) {
+          val stripped = line.trim
+          // `use `db`/*!*/;` context tracking (log2sql.py:78-79)
+          if (stripped.take(3).toLowerCase == "use")
+            useDb = stripped.replace("/*!*/;", ";")
+          val firstWord = stripped.toLowerCase.split(" ")(0)
+          if (DdlFirstWords.contains(firstWord) || inDdl) {
+            inDdl = true
+            if (!stripped.startsWith("--")) ddlParts += stripped
+            if (stripped == "/*!*/;") {
+              // The reference joins statement lines with NO separator
+              // and appends ';' (log2sql.py:13-14, quirk Q29 mangles
+              // multi-line DDL); the engine default joins with newline.
+              val stmt = ddlParts.dropRight(1) // drop the `/*!*/;`
+              val text = (Seq(useDb) ++ stmt).filter(_.nonEmpty)
+                .mkString("\n") + ";"
+              out += RawChange(file, seq, 0L, 0L, "", "", "", "", "", "ddl",
+                Nil, Nil, text)
+              seq += 1
+              useDb = ""
+              inDdl = false
+              ddlParts.clear()
+            }
+          }
+        }
+        ring += line
+        if (ring.size == 3) ring.dequeue()
+      }
+    }
+    flushDml() // EOF closes a trailing row statement (total on truncation)
+    out.iterator
+  }
+}

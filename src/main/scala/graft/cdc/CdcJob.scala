@@ -1,0 +1,100 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch CDC pipeline (SURVEY.md §3.4): binlog text files →
+  * per-file FSM parse → filters → broadcast catalog join → SQL render
+  * → ordered output.
+  *
+  * Scale design: one binlog file = one parse task (binlogs rotate at a
+  * fixed size, so files ARE the parallelism unit at 100 TB; order
+  * within a file is the semantic invariant, order across files comes
+  * from the final sort on (file, start_pos)). `wholetext` gives the
+  * FSM its whole-file line order; the catalog is a tiny dimension and
+  * is broadcast, so the only shuffle in the whole job is the final
+  * ordering — which unordered sinks can drop.
+  */
+object CdcJob {
+
+  /** Parse binlog text files into a change-event DataFrame.
+    * Columns: file, start_pos, stop_pos, pos_comment, db, table, op,
+    * before/after ARRAY<STRUCT<ord,v>>, ddl. */
+  def parse(spark: SparkSession, path: String,
+      includeDdl: Boolean = false): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, text) =>
+        BinlogFsm.parse(file, text.linesIterator, includeDdl)
+      }
+      .toDF()
+      .withColumn("pos_comment",
+        concat(lit("# start-pos:"), col("startPosRaw"),
+          lit("; stop-pos:"), col("stopPosRaw"),
+          lit("; datetime: "), col("dtRaw")))
+      .select(col("file"), col("seq"), col("startPos").as("start_pos"),
+        col("stopPos").as("stop_pos"), col("pos_comment"),
+        col("db"), col("table"), col("op"), col("before"), col("after"),
+        col("ddl"))
+  }
+
+  /** O16–O18 + O3 filters — plain Catalyst predicates, pushed before
+    * the join automatically (undoing reference quirk Q8). DDL events
+    * bypass the db/table/type filters like the reference's marker-0
+    * branch (log2sql.py:13-14, no filters applied to DDL). */
+  def applyFilters(events: DataFrame, cfg: CdcConfig): DataFrame = {
+    val isDdl = col("op") === "ddl"
+    var dml = col("op").isin(cfg.sqlTypes: _*)
+    if (cfg.database.nonEmpty) dml = dml && col("db") === cfg.database
+    if (cfg.tables.nonEmpty) dml = dml && col("table").isin(cfg.tables: _*)
+    cfg.startPos.foreach(p => dml = dml && col("start_pos") >= p)
+    cfg.stopPos.foreach(p => dml = dml && col("stop_pos") <= p)
+    events.filter(isDdl || dml)
+  }
+
+  /** Broadcast-join the resolved catalog and render SQL text.
+    * Output: file, start_pos, op, sql (pos-comment + statement for DML,
+    * bare statement for DDL), ordered (file, start_pos) — descending
+    * start_pos in flashback (Q6 fix; `bugCompatible` keeps the
+    * reference's unreversed order). Rendering runs as a typed map (a
+    * scalar string build — the one genuinely imperative step, like the
+    * reference's generate_sql_pattern, log2sql.py:135-185). */
+  def render(events: DataFrame, catalog: DataFrame, cfg: CdcConfig): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val joined = events.join(
+      broadcast(catalog.withColumnRenamed("db", "cat_db")
+        .withColumnRenamed("table", "cat_table")),
+      events("db") === col("cat_db") && events("table") === col("cat_table"),
+      "left")
+      .select(col("file"), col("seq"), col("start_pos"), col("pos_comment"),
+        col("db"), col("table"), col("op"), col("before"), col("after"),
+        col("ddl"), col("cols"), col("key_cols"))
+
+    val flashback = cfg.flashback
+    val bugCompat = cfg.bugCompatible
+    val rendered = joined.as[RenderIn].flatMap { r =>
+      val stmt = SqlRender.render(r.op, r.db, r.table,
+        r.before, r.after, r.ddl.orNull,
+        r.cols.getOrElse(Nil).map(c => (c.ord, c.name)),
+        r.key_cols.getOrElse(Nil), flashback, bugCompat)
+      if (stmt == null) None
+      else Some(RenderOut(r.file, r.seq, r.start_pos, r.op,
+        if (r.op == "ddl") stmt else r.pos_comment + "\n" + stmt))
+    }.toDF()
+
+    // stream order = per-file emission sequence (DDL has no binlog
+    // position; start_pos alone would missort it)
+    if (flashback && !bugCompat)
+      rendered.orderBy(col("file"), col("seq").desc)
+    else rendered.orderBy(col("file"), col("seq"))
+  }
+
+  /** Full pipeline: parse → filter → render. */
+  def run(spark: SparkSession, path: String, catalog: DataFrame,
+      cfg: CdcConfig = CdcConfig()): DataFrame =
+    render(applyFilters(parse(spark, path, cfg.includeDdl), cfg), catalog, cfg)
+}

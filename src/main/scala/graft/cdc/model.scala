@@ -1,0 +1,86 @@
+package graft.cdc
+
+/** One column image value as printed by `mysqlbinlog -vv`: the ordinal
+  * from `@N=` and the raw SQL-literal string (quotes kept, `NULL` bare)
+  * — reference carries values verbatim (/root/reference/log2sql.py:48,
+  * SURVEY.md §1.2), and so do we: lossless, no re-quoting bugs.
+  */
+final case class ColVal(ord: Int, v: String)
+
+/** A parsed change event (SURVEY.md §1.1 #2). One record per row-image
+  * statement (a multi-row Write_rows yields several events sharing one
+  * position comment, like the reference's per-`### INSERT` grouping,
+  * /root/reference/log2sql.py:97-105).
+  *
+  * For `op=insert` only `after` is set; `op=delete` only `before`;
+  * `op=update` both (WHERE image → before, SET image → after — split on
+  * the `### WHERE`/`### SET` section markers, fixing reference quirk
+  * Q10 which counted occurrences). `op=ddl` carries the statement in
+  * `ddl` and has no images.
+  *
+  * `startPosRaw`/`stopPosRaw`/`dtRaw` keep the reference's verbatim
+  * substring spacing so the emitted position comment is byte-identical
+  * (/root/reference/log2sql.py:101-104); `startPos`/`stopPos` are the
+  * parsed values used for filtering and ordering.
+  */
+final case class RawChange(
+    file: String,
+    seq: Long,
+    startPos: Long,
+    stopPos: Long,
+    startPosRaw: String,
+    stopPosRaw: String,
+    dtRaw: String,
+    db: String,
+    table: String,
+    op: String,
+    before: Seq[ColVal],
+    after: Seq[ColVal],
+    ddl: String) {
+
+  /** The reference's per-event metadata comment, byte-for-byte
+    * (/root/reference/log2sql.py:101-103). */
+  def posComment: String =
+    s"# start-pos:$startPosRaw; stop-pos:$stopPosRaw; datetime: $dtRaw"
+}
+
+/** Resolved per-table catalog entry (SURVEY.md O11/O12): ordinal→name
+  * for every column, plus the key column set — primary key, else the
+  * first unique index, else empty (keyless ⇒ WHERE lists all columns,
+  * quirk Q1).
+  */
+final case class CatalogEntry(
+    db: String,
+    table: String,
+    cols: Seq[(Int, String)],
+    keyCols: Seq[String])
+
+/** Catalog column as carried through the render join. */
+final case class OrdName(ord: Int, name: String)
+
+/** Typed row into SqlRender (post catalog join; catalog side nullable
+  * for unknown tables). */
+final case class RenderIn(
+    file: String, seq: Long, start_pos: Long, pos_comment: String,
+    db: String, table: String, op: String,
+    before: Seq[ColVal], after: Seq[ColVal], ddl: Option[String],
+    cols: Option[Seq[OrdName]], key_cols: Option[Seq[String]])
+
+/** Rendered output row. */
+final case class RenderOut(file: String, seq: Long, start_pos: Long, op: String, sql: String)
+
+/** Engine configuration mirroring the reference CLI surface (O1,
+  * /root/reference/main.py:17-39) plus the engine's fixed options
+  * (SURVEY.md §2.2): `bugCompatible` reproduces reference quirks Q3
+  * (after-image key in forward updates) and Q29 (DDL lines joined with
+  * no separator); `includeDdl` is the real switch Q4 never had.
+  */
+final case class CdcConfig(
+    sqlTypes: Seq[String] = Seq("insert", "update", "delete"),
+    database: String = "",
+    tables: Seq[String] = Nil,
+    startPos: Option[Long] = None,
+    stopPos: Option[Long] = None,
+    flashback: Boolean = false,
+    includeDdl: Boolean = false,
+    bugCompatible: Boolean = false)

@@ -1,0 +1,105 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CDC pipeline over Spark: text file → FSM → catalog join
+  * → render → ordered sink. Goldens from FIXTURES.md §4. */
+class CdcJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def write(name: String, text: String): String = {
+    val p = java.nio.file.Files.createTempDirectory("cdcspec").resolve(name)
+    java.nio.file.Files.writeString(p, text)
+    p.toString
+  }
+
+  private def sqls(df: org.apache.spark.sql.DataFrame): List[String] =
+    df.select("sql").collect().map(_.getString(0)).toList
+
+  test("forward golden (FIXTURES.md §4)") {
+    val path = write("repr.txt", BinlogFixture.representative)
+    val got = sqls(CdcJob.run(spark, path, Catalog.fixture(spark)))
+    assert(got == List(
+      "# start-pos: 100; stop-pos: 200 ; datetime: 260812  5:00:00 \n" +
+        "INSERT INTO `testdb`.`t_pk`(`id`, `name`, `score`) VALUES (7, 'name_7', NULL);",
+      "# start-pos: 200; stop-pos: 320 ; datetime: 260812  5:00:01 \n" +
+        "UPDATE `testdb`.`t_pk` SET `id`=7, `name`='renamed_7', `score`=3.5 WHERE `id`=7 LIMIT 1;",
+      "# start-pos: 320; stop-pos: 400 ; datetime: 260812  5:00:02 \n" +
+        "DELETE FROM `testdb`.`t_pk` WHERE `id`=7 LIMIT 1;"))
+  }
+
+  test("flashback renders inverses and reverses order (Q6 fix)") {
+    val path = write("repr_fb.txt", BinlogFixture.representative)
+    val got = sqls(CdcJob.run(spark, path, Catalog.fixture(spark),
+      CdcConfig(flashback = true)))
+    assert(got.size == 3)
+    // newest first: the DELETE (start_pos 320) is undone first
+    assert(got.head.contains("INSERT INTO `testdb`.`t_pk`(`id`, `name`, `score`) VALUES (7, 'renamed_7', 3.5);"))
+    assert(got(1).contains("UPDATE `testdb`.`t_pk` SET `id`=7, `name`='name_7', `score`=NULL WHERE `id`=7 LIMIT 1;"))
+    assert(got(2).contains("DELETE FROM `testdb`.`t_pk` WHERE `id`=7 LIMIT 1;"))
+  }
+
+  test("bug-compatible flashback keeps reference (unreversed) order") {
+    val path = write("repr_fbc.txt", BinlogFixture.representative)
+    val got = sqls(CdcJob.run(spark, path, Catalog.fixture(spark),
+      CdcConfig(flashback = true, bugCompatible = true)))
+    assert(got.head.contains("DELETE FROM"))
+    assert(got(2).contains("INSERT INTO"))
+  }
+
+  test("DDL passthrough with use-context (C6)") {
+    val path = write("ddl.txt", BinlogFixture.representative)
+    val got = sqls(CdcJob.run(spark, path, Catalog.fixture(spark),
+      CdcConfig(includeDdl = true)))
+    assert(got.size == 4)
+    assert(got.last == "use `testdb`;\nalter table t_pk add column extra int;")
+  }
+
+  test("key matrix: unique fallback and keyless via the catalog join (C4)") {
+    val text =
+      """# at 100
+        |#260812  5:00:00 server id 1  end_log_pos 200 CRC32 0x1 	Delete_rows: table id 1 flags: STMT_END_F
+        |### DELETE FROM `testdb`.`t_uniq`
+        |### WHERE
+        |###   @1=1 /* INT */
+        |###   @2='c1' /* VARSTRING */
+        |###   @3=10 /* INT */
+        |# at 200
+        |#260812  5:00:01 server id 1  end_log_pos 300 CRC32 0x2 	Delete_rows: table id 2 flags: STMT_END_F
+        |### DELETE FROM `testdb`.`t_keyless`
+        |### WHERE
+        |###   @1=5 /* INT */
+        |###   @2=NULL /* INT */
+        |""".stripMargin
+    val got = sqls(CdcJob.run(spark, write("matrix.txt", text),
+      Catalog.fixture(spark)))
+    assert(got.head.endsWith("DELETE FROM `testdb`.`t_uniq` WHERE `code`='c1' LIMIT 1;"))
+    assert(got(1).endsWith("DELETE FROM `testdb`.`t_keyless` WHERE `a`=5 AND `b` IS NULL LIMIT 1;"))
+  }
+
+  test("filters: sql-type, database, tables, position range (C5)") {
+    val path = write("dml.txt", BinlogFixture.dmlStream(90))
+    def count(cfg: CdcConfig): Long =
+      CdcJob.run(spark, path, Catalog.fixture(spark), cfg).count()
+    assert(count(CdcConfig()) == 90)
+    assert(count(CdcConfig(sqlTypes = Seq("insert"))) == 30)
+    assert(count(CdcConfig(database = "nosuch")) == 0)
+    assert(count(CdcConfig(database = "testdb", tables = Seq("t_pk"))) == 90)
+    assert(count(CdcConfig(tables = Seq("t_other"))) == 0)
+    val all = CdcJob.parse(spark, path).selectExpr("max(start_pos)")
+      .collect()(0).getLong(0)
+    assert(count(CdcConfig(startPos = Some(all))) == 1)
+  }
+
+  test("c-series driver entries return rows") {
+    for (qd <- graft.queries.CdcQueries.defs)
+      assert(qd.fn(spark, "/root/testdata/sf0.001").count() > 0, qd.name)
+  }
+}
