@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.cdc.{BinlogFsm, CdcConfig, CdcJob}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming CDC (SURVEY.md §3.4 streaming variant): watch a binlog
+  * drop directory, parse each arriving file with the same FSM as the
+  * batch path, render, and hand ordered micro-batches to a sink
+  * callback (`foreachBatch` — e.g. apply to a target DB, append to a
+  * log). One file = one complete ordered unit, matching binlog
+  * rotation, so per-file parse needs no cross-batch state.
+  */
+object CdcStream {
+
+  /** Streaming change-event frame from a drop directory. */
+  def events(spark: SparkSession, dir: String,
+      includeDdl: Boolean = false): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "32")
+      .text(dir)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, text) =>
+        BinlogFsm.parse(file, text.linesIterator, includeDdl)
+      }
+      .toDF()
+      .withColumn("pos_comment",
+        concat(lit("# start-pos:"), col("startPosRaw"),
+          lit("; stop-pos:"), col("stopPosRaw"),
+          lit("; datetime: "), col("dtRaw")))
+      .select(col("file"), col("seq"), col("startPos").as("start_pos"),
+        col("stopPos").as("stop_pos"), col("pos_comment"),
+        col("db"), col("table"), col("op"), col("before"), col("after"),
+        col("ddl"))
+  }
+
+  /** Start the pipeline; each micro-batch arrives at `sink` rendered
+    * and ordered (file, seq). */
+  def start(spark: SparkSession, dir: String, catalog: DataFrame,
+      cfg: CdcConfig = CdcConfig(), checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val evs = CdcJob.applyFilters(events(spark, dir, cfg.includeDdl), cfg)
+    evs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(CdcJob.render(batch, catalog, cfg), id)
+      }
+      .start()
+  }
+}
