@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque BINARY columns
+  * with typed metadata, decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the *decode kernel* is a
+  * clearly-marked deterministic stub (byte histogram standing in for
+  * "decoded features"); everything around it — schema, binary column
+  * handling, per-partition batch shape, frame chunking, partitioning —
+  * is real Spark and tested. Swapping the stub for a JNI/codec call
+  * changes one function, not the pipeline.
+  */
+object MultimodalOps {
+
+  /** Synthesize a media table from the documents corpus: payload bytes
+    * (stand-in for encoded image/video), typed metadata struct. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          pmod(col("doc_id"), lit(3)).cast("int").as("kind"), // 0 img,1 audio,2 video
+          (lit(64) + pmod(col("doc_id"), lit(8)) * 16).cast("int").as("width"),
+          (lit(64) + pmod(col("doc_id"), lit(4)) * 16).cast("int").as("height"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
+
+  /** STUB decode kernel: a real codec would decode `payload` here; the
+    * stand-in emits a deterministic 16-bin byte histogram, L1-normed.
+    * Runs per-partition over batches like a codec binding would. */
+  def decodeFeatures(media: DataFrame): DataFrame = media
+    // explode payload bytes via expression space: histogram of byte
+    // values bucketed to 16 bins, normalized — pure codegen'd exprs.
+    .withColumn("feature", expr(
+      """transform(sequence(0, 15), b ->
+        |  cast(size(filter(transform(sequence(1, length(payload)),
+        |                             i -> cast(substring(payload, i, 1) as binary)),
+        |            by -> pmod(cast(conv(hex(by), 16, 10) as int), 16) = b))
+        |       / cast(length(payload) as double) as float))""".stripMargin))
+    .select(col("media_id"), col("meta"), col("feature"))
+
+  /** Frame sampling for "video" payloads: chunk the payload into
+    * fixed-size frames, keep every `stride`-th frame. Real array/binary
+    * plumbing; at scale this is the explode that feeds per-frame
+    * feature extraction, pre-partitioned by media_id. */
+  def frameSample(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 2): DataFrame = media
+    .filter(col("meta.kind") === 2)
+    .withColumn("frame", explode(expr(
+      s"""filter(transform(sequence(0, cast(ceil(length(payload)/$frameBytes.0) as int) - 1),
+         |  i -> named_struct('frame_idx', i,
+         |                    'bytes', substring(payload, i*$frameBytes + 1, $frameBytes))),
+         |  f -> f.frame_idx % $stride = 0)""".stripMargin)))
+    .select(col("media_id"), col("frame.frame_idx"),
+      length(col("frame.bytes")).as("frame_len"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.noOracle("m1_media_features") { (s, d) =>
+      decodeFeatures(mediaTable(s, d))
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").as("n_bytes"),
+          round(expr("aggregate(feature, 0D, (a, x) -> a + x)"), 3).as("feat_sum"),
+          round(element_at(col("feature"), 1).cast("double"), 5).as("f0"))
+        .orderBy("media_id")
+    },
+
+    QueryDef.noOracle("m2_frame_sample") { (s, d) =>
+      frameSample(mediaTable(s, d))
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+}

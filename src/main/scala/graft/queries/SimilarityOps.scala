@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (ARRAY<FLOAT>, 64-d).
+  * a1 is the exact brute-force baseline (oracle-checked); a2 is the
+  * random-hyperplane LSH scale path — signatures are per-row
+  * expressions, candidates come from bucket equi-joins, and exact
+  * cosine re-ranks only the candidates. Recall vs a1 is asserted in
+  * SimilarityOpsSpec.
+  */
+object SimilarityOps {
+
+  /** vectors with double-cast embedding and precomputed norm. */
+  private def normed(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+
+  private val dot =
+    "aggregate(zip_with(qv, cv, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
+
+  /** Exact top-k neighbors for each query vector (brute force). */
+  def annExact(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val vecs = normed(emb)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = vecs.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("sim_raw", expr(dot) / (col("qn") * col("cn")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        round(col("sim_raw"), 5).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Deterministic random-hyperplane signature: bit p = sign of
+    * <v, plane_p>, plane components pseudo-random from xxhash64(p,i).
+    * All expression-level — codegen'd, no UDF. */
+  def withSignature(vecs: DataFrame, nBits: Int = 16): DataFrame = vecs
+    .withColumn("sig", expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, p) ->
+         |  acc * 2L + if(
+         |    aggregate(zip_with(v,
+         |        transform(sequence(0, size(v)-1), i ->
+         |          cast(xxhash64(concat(cast(p as string), '_', cast(i as string))) % 1000L as double) / 1000.0D),
+         |      (x, w) -> x * w), 0D, (acc2, x) -> acc2 + x) >= 0D, 1L, 0L))""".stripMargin))
+
+  /** LSH ANN: candidates share one of `nBands` signature slices of
+    * `bandBits` bits; exact cosine re-ranks candidates only.
+    *
+    * Band width trades candidate-set size against recall at the target
+    * similarity: near-dup workloads (cos ≥ 0.9, bits agree w.p. ~0.9)
+    * take wide bands (8 bits); moderate-similarity top-1 search
+    * (cos ≈ 0.5 → bits agree w.p. ~2/3) needs narrow bands — 8×2 bits
+    * here — because P(8-bit slice matches) ≈ (2/3)^8 ≈ 4%. */
+  def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 8, bandBits: Int = 2): DataFrame = {
+    val vecs = withSignature(normed(emb), nBits = nBands * bandBits)
+    val mask = (1L << bandBits) - 1
+    val banded = vecs.withColumn("band", explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"named_struct('b', b, 'h', shiftright(sig, b*$bandBits) & ${mask}L))")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("band.b"), col("band.h"))
+    val q = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("b"), col("h"))
+    val c = banded.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("b"), col("h"))
+    val cand = q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "qn", "cid", "cv", "cn").distinct()
+    cand
+      .withColumn("sim_raw", expr(dot) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        round(col("sim_raw"), 5).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("a1_ann_exact",
+      """WITH scored AS (
+        |  SELECT a.vec_id qid, b.vec_id cid,
+        |         CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE) sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+        |  FROM scored)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, ROUND(sim,5) AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      annExact(Tables.embeddings(s, d))
+    },
+
+    QueryDef.noOracle("a2_ann_lsh") { (s, d) =>
+      annLsh(Tables.embeddings(s, d))
+    }
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting (whitespace + regex), quality scoring, char-n-gram
+  * language ID, and rolling-hash document fingerprints. All stay in
+  * whole-stage codegen (higher-order functions, no UDFs) so they
+  * vectorize over a 100 TB corpus; the only shuffles are the final
+  * aggregations/joins.
+  */
+object TextAnalysis {
+
+  /** BPE-ish word/number/symbol splitter shared by both engines. */
+  private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Char-trigram profile classifier: top-`profileSize` trigrams per
+    * language from a labeled sample, classify by overlap count.
+    * Deterministic (ties: lexicographic trigram cut, lexicographic
+    * language win). Returns (doc_id, lang, predicted). */
+  def langId(labeled: DataFrame, toScore: DataFrame,
+      profileSize: Int = 50): DataFrame = {
+    def trigrams(df: DataFrame): DataFrame = df
+      .withColumn("tg", explode(expr(
+        "transform(sequence(1, greatest(length(text)-2, 0)), i -> substring(text, i, 3))")))
+    val profiles = trigrams(labeled)
+      .groupBy("lang", "tg").agg(count(lit(1)).as("f"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("f").desc, col("tg"))))
+      .filter(col("rn") <= profileSize)
+      .select("lang", "tg")
+    val scores = trigrams(toScore.select("doc_id", "text")).distinct()
+      .join(broadcast(profiles.withColumnRenamed("lang", "cand")), Seq("tg"))
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("overlap"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("predicted"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("t1_token_counts",
+      s"""SELECT doc_id, CAST(LENGTH(STRING_SPLIT(text,' ')) AS BIGINT) AS ws_tokens,
+         |       CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '$TokRe')) AS BIGINT) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(TokRe), lit(0)))
+            .cast("long").as("re_tokens"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("t2_quality_score",
+      """WITH q AS (
+        |  SELECT doc_id, STRING_SPLIT(text,' ') toks, n_chars FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(toks) AS BIGINT) AS n_tok,
+        |  ROUND(LEN(LIST_DISTINCT(toks))*1.0/LEN(toks), 4) AS ttr,
+        |  ROUND(LEN(LIST_FILTER(toks, t -> t IN ('a','the')))*1.0/LEN(toks), 4) AS stop_ratio,
+        |  ROUND(n_chars*1.0/LEN(toks), 4) AS avg_tok_len
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          round(size(array_distinct(col("toks"))) * lit(1.0) / size(col("toks")), 4).as("ttr"),
+          round(size(expr("filter(toks, t -> t IN ('a','the'))")) * lit(1.0)
+            / size(col("toks")), 4).as("stop_ratio"),
+          round(col("n_chars") * lit(1.0) / size(col("toks")), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.noOracle("t3_langid_confusion") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      langId(docs, docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("c"))
+        .orderBy("lang", "predicted")
+    },
+
+    QueryDef.noOracle("t4_fingerprint") { (s, d) =>
+      // Rolling 4-token window hashes → min-8 sketch → one 64-bit doc
+      // fingerprint. Shuffle-free: per-row expressions only.
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 4)
+        .withColumn("win_hashes", expr(
+          "transform(sequence(0, size(toks)-4), i -> " +
+            "xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"))
+        .withColumn("sketch", expr("slice(array_sort(array_distinct(win_hashes)), 1, 8)"))
+        .withColumn("fingerprint", expr("xxhash64(cast(sketch as string))"))
+        .select("doc_id", "fingerprint", "sketch")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the approximate / non-SQL-expressible pipeline ops:
+  * recall vs their exact ground truths, determinism, classifier
+  * behavior on genuinely separable corpora, multimodal plumbing. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("d1 MinHash-LSH recall >= 0.9 vs exact Jaccard pairs; no false positives") {
+    val exact = TextOps.defs.find(_.name == "l2_jaccard_pairs").get
+      .fn(spark, sf).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.defs.find(_.name == "d1_minhash_neardup").get
+      .fn(spark, sf).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // candidates are verified with exact Jaccard → no false positives
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("d2 SimHash: planted near-identical docs collide at distance<=3") {
+    import spark.implicits._
+    // 1-token edit in a 400-token doc: bit-flip count stays small
+    // because per-bit majorities have ~sqrt(n) margins
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok30 ", "tok30x ")), // tiny edit
+      (3L, (200 to 600).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(docs)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("a2 ANN-LSH: top-1 neighbor recall >= 0.7 vs exact brute force") {
+    val exact = SimilarityOps.annExact(graft.Tables.embeddings(spark, sf))
+      .filter(col("rnk") === 1).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.annLsh(graft.Tables.embeddings(spark, sf))
+      .filter(col("rnk") === 1).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = exact.count(lsh.contains)
+    assert(exact.size == 10)
+    assert(hits >= 7, s"top-1 recall $hits/10")
+  }
+
+  test("t3 langid classifies genuinely separable corpora correctly") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog and runs away with them"
+    val fr = "le renard brun saute par dessus le chien paresseux et court avec eux"
+    val de = "der schnelle braune fuchs springt ueber den faulen hund und rennt weg"
+    def noisy(s: String, salt: Int) = s.split(" ").map(w =>
+      if (w.hashCode % 7 == salt % 7) w + "x" else w).mkString(" ")
+    val labeled = (0 until 30).flatMap(i => Seq(
+      (i * 3 + 0L, noisy(en, i), "en"),
+      (i * 3 + 1L, noisy(fr, i), "fr"),
+      (i * 3 + 2L, noisy(de, i), "de")))
+      .toDF("doc_id", "text", "lang")
+    val pred = TextAnalysis.langId(labeled, labeled)
+      .join(labeled.select("doc_id", "lang"), Seq("doc_id"))
+    val acc = pred.filter(col("predicted") === col("lang")).count().toDouble /
+      pred.count()
+    assert(acc >= 0.95, s"accuracy=$acc")
+  }
+
+  test("t4 fingerprints are deterministic and edit-sensitive") {
+    val fp = TextAnalysis.defs.find(_.name == "t4_fingerprint").get
+    val a = fp.fn(spark, sf).select("doc_id", "fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = fp.fn(spark, sf).select("doc_id", "fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.size > a.size / 2) // not all collapsing
+  }
+
+  test("m1/m2 multimodal plumbing: schema, determinism, frame stride") {
+    val m1 = MultimodalOps.defs.find(_.name == "m1_media_features").get
+      .fn(spark, sf)
+    val rows = m1.collect()
+    assert(rows.length == 500)
+    // histogram is L1-normalized → sums to ~1
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 1.0) < 0.01))
+    val feats = MultimodalOps.decodeFeatures(
+      MultimodalOps.mediaTable(spark, sf))
+    assert(feats.schema("feature").dataType.simpleString == "array<float>")
+    val m2 = MultimodalOps.defs.find(_.name == "m2_frame_sample").get
+      .fn(spark, sf)
+    import spark.implicits._
+    val idx = m2.select("frame_idx").as[Int].collect()
+    assert(idx.nonEmpty && idx.forall(_ % 2 == 0)) // stride 2 keeps even frames
+  }
+
+  test("t1/t2 run at sf0.001 and return one row per document") {
+    for (name <- Seq("t1_token_counts", "t2_quality_score")) {
+      val df = TextAnalysis.defs.find(_.name == name).get
+        .fn(spark, "/root/testdata/sf0.001")
+      assert(df.count() == 500, name)
+    }
+  }
+}
