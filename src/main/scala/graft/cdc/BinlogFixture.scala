@@ -96,6 +96,23 @@ object BinlogFixture {
       |###   @3=9.0 /* DOUBLE */
       |""".stripMargin
 
+  /** Write a rotated-binlog directory: `parts` files of `perFile`
+    * events each (binlogs rotate at fixed size — files are the CDC
+    * parallelism unit at any scale). Returns the directory path. */
+  def materializeDir(name: String, parts: Int, perFile: Int): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_binlogdir_$name")
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binlogdir")
+      for (i <- 0 until parts)
+        java.nio.file.Files.writeString(
+          tmp.resolve(f"binlog.$i%06d.txt"), dmlStream(perFile))
+      try java.nio.file.Files.move(tmp, dir)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    dir.toString
+  }
+
   /** Write a fixture to a temp file once per (name,n); returns path.
     * Used by the c-series query entries so Verify/Bench can run the
     * CDC pipeline without external input. */

@@ -51,7 +51,9 @@ object BinlogFsm {
     def flushDml(): Unit = {
       if (op != null) {
         out += RawChange(file, seq, startPos, stopPos, startPosRaw,
-          stopPosRaw, dtRaw, db, table, op, before.toList, after.toList, null)
+          stopPosRaw, dtRaw, db, table, op,
+          before.map(_.ord).toArray, before.map(_.v).toArray,
+          after.map(_.ord).toArray, after.map(_.v).toArray, null)
         seq += 1
         before.clear(); after.clear()
         op = null; section = 0
@@ -68,7 +70,11 @@ object BinlogFsm {
         // Row-image pseudo-SQL. Strip the marker and the trailing
         // `/* TYPE meta … */` annotation (first `/*`, as the reference
         // does — log2sql.py:96).
-        val body = line.replace("###", "").split("/\\*", 2)(0)
+        // hot loop: indexOf, not regex — String.split compiles a
+        // Pattern per call and dominated parse throughput
+        val noMark = line.replace("###", "")
+        val cut = noMark.indexOf("/*")
+        val body = if (cut >= 0) noMark.substring(0, cut) else noMark
         val trimmed = body.trim
         val lower = trimmed.toLowerCase
         if (trimmed.nonEmpty && trimmed.charAt(0) == '@') {
@@ -84,21 +90,33 @@ object BinlogFsm {
         } else if (lower.startsWith("insert") || lower.startsWith("update") ||
             lower.startsWith("delete")) {
           flushDml() // a new `### <DML> db.t` header closes the previous row
-          op = lower.split(" ")(0)
-          val token = trimmed.split("\\s+").last // "`db`.`t`" (log2sql.py:21-24)
-          val parts = token.split("\\.", 2)
-          db = parts(0).stripPrefix("`").stripSuffix("`")
-          table = if (parts.length > 1) parts(1).stripPrefix("`").stripSuffix("`") else ""
+          val sp0 = lower.indexOf(' ')
+          op = if (sp0 > 0) lower.substring(0, sp0) else lower
+          // last whitespace token = "`db`.`t`" (log2sql.py:21-24)
+          val lastSp = trimmed.lastIndexWhere(Character.isWhitespace)
+          val token = trimmed.substring(lastSp + 1)
+          val dotAt = token.indexOf('.')
+          def unquote(x: String) = x.stripPrefix("`").stripSuffix("`")
+          if (dotAt >= 0) {
+            db = unquote(token.substring(0, dotAt))
+            table = unquote(token.substring(dotAt + 1))
+          } else { db = unquote(token); table = "" }
           // position/datetime from the lookbehind, raw substrings kept
           // verbatim (log2sql.py:101-103)
           if (ring.size >= 2) {
             val atLine = ring(0)
             val header = ring(1)
-            startPosRaw = atLine.split("at", 2).lift(1).getOrElse("")
-            stopPosRaw = header.split("end_log_pos", 2).lift(1)
-              .map(_.split("CRC32", 2)(0)).getOrElse("")
-            dtRaw = header.split("server id", 2)(0)
-              .dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
+            val atIdx = atLine.indexOf("at")
+            startPosRaw = if (atIdx >= 0) atLine.substring(atIdx + 2) else ""
+            val elp = header.indexOf("end_log_pos")
+            stopPosRaw = if (elp >= 0) {
+              val rest = header.substring(elp + 11)
+              val crc = rest.indexOf("CRC32")
+              if (crc >= 0) rest.substring(0, crc) else rest
+            } else ""
+            val sid = header.indexOf("server id")
+            val dtPart = if (sid >= 0) header.substring(0, sid) else ""
+            dtRaw = dtPart.dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
             startPos = longOf(startPosRaw)
             stopPos = longOf(stopPosRaw)
           }
@@ -120,7 +138,9 @@ object BinlogFsm {
           // `use `db`/*!*/;` context tracking (log2sql.py:78-79)
           if (stripped.take(3).toLowerCase == "use")
             useDb = stripped.replace("/*!*/;", ";")
-          val firstWord = stripped.toLowerCase.split(" ")(0)
+          val fsp = stripped.indexOf(' ')
+          val firstWord =
+            (if (fsp > 0) stripped.substring(0, fsp) else stripped).toLowerCase
           if (DdlFirstWords.contains(firstWord) || inDdl) {
             inDdl = true
             if (!stripped.startsWith("--")) ddlParts += stripped
@@ -132,7 +152,8 @@ object BinlogFsm {
               val text = (Seq(useDb) ++ stmt).filter(_.nonEmpty)
                 .mkString("\n") + ";"
               out += RawChange(file, seq, 0L, 0L, "", "", "", "", "", "ddl",
-                Nil, Nil, text)
+                Array.emptyIntArray, Array.empty[String],
+                Array.emptyIntArray, Array.empty[String], text)
               seq += 1
               useDb = ""
               inDdl = false

@@ -36,8 +36,9 @@ object CdcJob {
           lit("; datetime: "), col("dtRaw")))
       .select(col("file"), col("seq"), col("startPos").as("start_pos"),
         col("stopPos").as("stop_pos"), col("pos_comment"),
-        col("db"), col("table"), col("op"), col("before"), col("after"),
-        col("ddl"))
+        col("db"), col("table"), col("op"),
+        col("beforeOrds"), col("beforeVals"),
+        col("afterOrds"), col("afterVals"), col("ddl"))
   }
 
   /** O16–O18 + O3 filters — plain Catalyst predicates, pushed before
@@ -71,7 +72,9 @@ object CdcJob {
       events("db") === col("cat_db") && events("table") === col("cat_table"),
       "left")
       .select(col("file"), col("seq"), col("start_pos"), col("pos_comment"),
-        col("db"), col("table"), col("op"), col("before"), col("after"),
+        col("db"), col("table"), col("op"),
+        col("beforeOrds"), col("beforeVals"),
+        col("afterOrds"), col("afterVals"),
         col("ddl"), col("cols"), col("key_cols"))
 
     val flashback = cfg.flashback
@@ -85,6 +88,9 @@ object CdcJob {
       else Some(RenderOut(r.file, r.seq, r.start_pos, r.op,
         if (r.op == "ddl") stmt else r.pos_comment + "\n" + stmt))
     }.toDF()
+      // the global sort's range-partitioner samples its input, then
+      // scans it again — cache so parse+render run once, not twice
+      .cache()
 
     // stream order = per-file emission sequence (DDL has no binlog
     // position; start_pos alone would missort it)

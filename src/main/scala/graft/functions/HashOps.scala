@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/** Primitive-loop hashing kernels for the sketch operators. Catalyst
+  * higher-order functions interpret their lambda bodies per element —
+  * fine for one lambda per row, ~50× too slow for the O(tokens × bits)
+  * inner loops of MinHash/SimHash/hyperplane signatures. These run the
+  * same math in JIT'd loops inside typed maps. XXH64 is Spark's own
+  * xxhash64 implementation, so determinism matches the SQL surface.
+  */
+object HashOps {
+
+  def hash(s: String, seed: Long): Long = {
+    val b = s.getBytes(UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** MinHash signature: sig(s) = min over shingles of xxh64(shingle, s). */
+  def minhashSig(shingles: Array[String], n: Int): Array[Long] = {
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val b = shingles(i).getBytes(UTF_8)
+      var s = 0
+      while (s < n) {
+        val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, s.toLong)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band hashes over a MinHash signature. */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9747b28cL
+      var r = 0
+      while (r < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + r), h); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over unweighted tokens (majority vote per bit). */
+  def simhash64(tokens: Array[String]): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = hash(tokens(i), 0L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (counts(k) >= 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  /** Random-hyperplane signature: bit p = sign of <v, plane_p>, plane
+    * components pseudo-random in [-0.5, 0.5) from xxh64(p*dim+i). */
+  def hyperplaneSig(v: Array[Double], nBits: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = XXH64.hashLong(p.toLong * 4099L + i, 13L)
+        s += v(i) * (((h % 1000L) + 1000L) % 1000L / 1000.0 - 0.5)
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Char trigrams of a string (distinct). */
+  def trigrams(text: String): Array[String] = {
+    if (text.length < 3) return Array.empty
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 3 <= text.length) { set.add(text.substring(i, i + 3)); i += 1 }
+    set.toArray(new Array[String](set.size))
+  }
+}

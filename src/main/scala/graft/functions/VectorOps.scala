@@ -1,0 +1,113 @@
+package graft.functions
+
+import graft.QueryDef.SmallOrdered
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense-vector similarity kernels. The exact all-pairs/top-k paths
+  * broadcast the (small) vector set and scan with primitive-array
+  * loops inside `mapPartitions` — the broadcast-dimension pattern: the
+  * scan side stays distributed and partition-parallel while the probe
+  * side rides the broadcast. Catalyst higher-order functions are ~50×
+  * slower here because lambda bodies are interpreted per element;
+  * a 64-d dot product belongs in a JIT'd loop.
+  *
+  * These exact kernels are ground-truth baselines: at 100 TB the
+  * vector set no longer broadcasts and the LSH paths
+  * (SimilarityOps.annLsh / DedupOps) take over.
+  */
+object VectorOps {
+
+  final case class ScoredPair(ia: Long, ib: Long, sim_raw: Double)
+
+  private[graft] def normOf(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private[graft] def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** All-pairs cosine top-k (ia < ib), exact. Emits each partition's
+    * local top-k (same comparator), then takes the global top-k —
+    * only partitions×k rows ever shuffle. */
+  def cosineTopKPairs(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Array[Double])]
+    val all = spark.sparkContext.broadcast(
+      vecs.collect().sortBy(_._1) // small dim by contract; LSH at scale
+        .map { case (id, v) => (id, v, normOf(v)) })
+    // best-first ordering; PriorityQueue(ord) keeps head = max = WORST
+    val ord = Ordering.by((p: ScoredPair) => (-p.sim_raw, p.ia, p.ib))
+    val localTop = vecs.mapPartitions { it =>
+      val arr = all.value
+      val topk = scala.collection.mutable.PriorityQueue.empty[ScoredPair](ord)
+      for ((ia, va) <- it) {
+        val na = normOf(va)
+        var j = 0
+        while (j < arr.length) {
+          val (ib, vb, nb) = arr(j)
+          if (ia < ib) {
+            val sim = dot(va, vb) / (na * nb)
+            if (topk.size < k) topk.enqueue(ScoredPair(ia, ib, sim))
+            else if (ord.lt(ScoredPair(ia, ib, sim), topk.head)) {
+              topk.dequeue(); topk.enqueue(ScoredPair(ia, ib, sim))
+            }
+          }
+          j += 1
+        }
+      }
+      topk.iterator
+    }
+    localTop.toDF()
+      .orderBy(col("sim_raw").desc, col("ia"), col("ib")).limit(k)
+      .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
+  }
+
+  /** Exact top-k neighbors for each of the first `nQueries` vec_ids:
+    * queries broadcast, candidates scanned partition-parallel. */
+  def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Array[Double])]
+    val queries = spark.sparkContext.broadcast(
+      vecs.filter(_._1 < nQueries).collect().map {
+        case (id, v) => (id, v, normOf(v))
+      })
+    val scored = vecs.mapPartitions { it =>
+      val qs = queries.value
+      // per-partition top-k per query; global rank prunes the rest
+      val tops = qs.map(q => q._1 ->
+        scala.collection.mutable.PriorityQueue.empty[ScoredPair](
+          Ordering.by((p: ScoredPair) => (-p.sim_raw, p.ib)))).toMap
+      for ((cid, cv) <- it; (qid, qv, qn) <- qs if qid != cid) {
+        val sim = dot(qv, cv) / (qn * normOf(cv))
+        val pq = tops(qid)
+        val cand = ScoredPair(qid, cid, sim)
+        if (pq.size < k) pq.enqueue(cand)
+        else if (sim > pq.head.sim_raw ||
+          (sim == pq.head.sim_raw && cid < pq.head.ib)) {
+          pq.dequeue(); pq.enqueue(cand)
+        }
+      }
+      tops.valuesIterator.flatMap(_.iterator)
+    }
+    scored.toDF()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("ia").orderBy(col("sim_raw").desc, col("ib"))))
+      .filter(col("rnk") <= k)
+      .select(col("ia").as("qid"), col("rnk").cast("long").as("rnk"),
+        col("ib").as("cid"), round(col("sim_raw"), 5).as("sim"))
+      .orderedSmall(col("qid"), col("rnk"))
+  }
+}

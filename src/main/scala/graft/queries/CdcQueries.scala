@@ -16,13 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object CdcQueries {
 
-  private def eventsFor(dir: String): Int =
-    if (dir.contains("0.1")) 100000 else 10000
-
-  private def fixturePath(dir: String): String = {
-    val n = eventsFor(dir)
-    BinlogFixture.materialize(s"dml_$n", BinlogFixture.dmlStream(n))
-  }
+  /** Rotated-binlog fixture: bench (sf0.1) = 100k events over 8 files
+    * (8 parse tasks — files are the parallelism unit); t-gates = 10k
+    * over 4. */
+  private def fixturePath(dir: String): String =
+    if (dir.contains("0.1")) BinlogFixture.materializeDir("dml_100k", 8, 12500)
+    else BinlogFixture.materializeDir("dml_10k", 4, 2500)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -1,18 +1,21 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
+import graft.functions.HashOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Approximate dedup — the 100 TB scale paths whose ground truths are
   * the exact operators in TextOps (l1/l2) and SimilarityOps.
   *
-  * All signature computation is per-row expression work (codegen'd
-  * higher-order functions over token arrays — no UDFs, no shuffle);
-  * the only shuffles are the band-bucket groupBys, which touch
-  * signature-sized rows, never all pairs. Candidate verification runs
-  * exact similarity on the candidate set only — the defining property
-  * that keeps near-dup detection sub-quadratic at scale.
+  * Signatures are computed in typed maps with primitive loops
+  * (graft.functions.HashOps — interpreted HOF lambdas are ~50× slower
+  * for O(tokens × bits) inner loops); everything after the signature is
+  * declarative Catalyst. The only shuffles touch signature-sized rows
+  * (never all pairs), and candidate verification runs exact similarity
+  * on the candidate set only — the property that keeps near-dup
+  * detection sub-quadratic at scale.
   */
 object DedupOps {
 
@@ -23,58 +26,56 @@ object DedupOps {
     .withColumn("shingles", expr(
       "array_distinct(transform(sequence(0, size(toks)-3), " +
         "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+    .select(col("doc_id"), col("shingles"))
 
-  /** MinHash signatures (nSeeds hashes) + LSH banding (bands × rowsPerBand
-    * = nSeeds). Returns candidate pairs with their *exact* Jaccard.
+  /** MinHash signatures (bands × rowsPerBand hashes) + LSH banding.
+    * Returns candidate pairs with their *exact* Jaccard ≥ tau.
     * P(candidate | j=0.8) with 8×4 ≈ 98.5%; recall vs the exact l2
-    * output is asserted in DedupOpsSpec. */
+    * output is asserted in PipelineOpsSpec. */
   def minhashPairs(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
       tau: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val n = bands * rowsPerBand
-    val sig = shingled(docs)
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${n - 1}), s -> " +
-          "array_min(transform(shingles, sh -> xxhash64(concat(cast(s as string), '|', sh)))))"))
-      .select(col("doc_id"), col("shingles"), col("sig"))
-    val banded = sig
-      .withColumn("band", explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"named_struct('b', b, 'h', xxhash64(cast(slice(sig, b*$rowsPerBand+1, $rowsPerBand) as string))))")))
-      .select(col("doc_id"), col("shingles"), col("band.b"), col("band.h"))
+    val sets = shingled(docs).as[(Long, Array[String])].cache()
+    val banded = sets.map { case (id, sh) =>
+      (id, HashOps.bandHashes(HashOps.minhashSig(sh, n), bands, rowsPerBand))
+    }.toDF("doc_id", "bh")
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("b", "h")))
+      .cache()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
-        col("x.shingles").as("sa"), col("y.shingles").as("sb"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
+    // exact Jaccard verification on candidates only
     cand
+      .join(sets.toDF("ia", "sa"), Seq("ia"))
+      .join(sets.toDF("ib", "sb"), Seq("ib"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("j", col("inter") * lit(1.0) /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("j") >= tau)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))
-      .orderBy("ia", "ib")
+      .orderedSmall(col("ia"), col("ib"))
   }
 
   /** 64-bit SimHash per doc + banded near-dup pairs (Hamming ≤ maxDist
     * requires an exact match on one of 4 16-bit chunks when maxDist ≤ 3).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = docs
-      .withColumn("toks", split(col("text"), " "))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 1)
-      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
-      // bit k of the simhash = sign of sum over tokens of ±1 for bit k
-      // bitwise OR fold (no arithmetic → no ANSI overflow on bit 63)
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, k) ->
-          |  acc | shiftleft(if(size(filter(hashes, h -> (shiftright(h, k) & 1L) = 1L)) * 2
-          |                     >= size(hashes), 1L, 0L), k))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .as[(Long, Array[String])]
+      .map { case (id, toks) => (id, HashOps.simhash64(toks)) }
+      .toDF("doc_id", "simhash")
     val chunked = sh.withColumn("chunk", explode(expr(
         "transform(sequence(0, 3), c -> " +
           "named_struct('c', c, 'v', shiftright(simhash, c*16) & 65535L))")))
       .select(col("doc_id"), col("simhash"), col("chunk.c"), col("chunk.v"))
+      .cache()
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -84,7 +85,7 @@ object DedupOps {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxDist)
       .select("ia", "ib", "hamming")
-      .orderBy("ia", "ib")
+      .orderedSmall(col("ia"), col("ib"))
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,7 +26,7 @@ object EventOps {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour")("start").as("w"), col("event_type"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
-        .orderBy("w", "event_type")
+        .orderedSmall(col("w"), col("event_type"))
     },
 
     QueryDef("s2_sliding_window",
@@ -41,7 +42,7 @@ object EventOps {
         .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("w_start"),
           col("event_type"))
         .agg(count(lit(1)).as("c"))
-        .orderBy("w_start", "event_type")
+        .orderedSmall(col("w_start"), col("event_type"))
     },
 
     QueryDef("s3_session_windows",
@@ -63,7 +64,7 @@ object EventOps {
         .withColumn("sid", sum("new_s").over(byUser))
         .groupBy("user_id")
         .agg(countDistinct("sid").as("sessions"))
-        .orderBy("user_id")
+        .orderedSmall(col("user_id"))
     },
 
     QueryDef("s5_dedup",

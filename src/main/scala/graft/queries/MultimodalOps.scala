@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,12 +66,12 @@ object MultimodalOps {
           col("meta.n_bytes").as("n_bytes"),
           round(expr("aggregate(feature, 0D, (a, x) -> a + x)"), 3).as("feat_sum"),
           round(element_at(col("feature"), 1).cast("double"), 5).as("f0"))
-        .orderBy("media_id")
+        .orderedSmall(col("media_id"))
     },
 
     QueryDef.noOracle("m2_frame_sample") { (s, d) =>
       frameSample(mediaTable(s, d))
-        .orderBy("media_id", "frame_idx")
+        .orderedSmall(col("media_id"), col("frame_idx"))
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,35 +24,25 @@ object SimilarityOps {
   private val dot =
     "aggregate(zip_with(qv, cv, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
 
-  /** Exact top-k neighbors for each query vector (brute force). */
-  def annExact(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val vecs = normed(emb)
-    val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = vecs.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("nrm").as("cn"))
-    val scored = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("sim_raw", expr(dot) / (col("qn") * col("cn")))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
-        round(col("sim_raw"), 5).as("sim"))
-      .orderBy("qid", "rnk")
-  }
+  /** Exact top-k neighbors for each query vector — broadcast-and-scan
+    * kernel (graft.functions.VectorOps), queries broadcast, candidate
+    * scan partition-parallel in primitive loops. */
+  def annExact(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    graft.functions.VectorOps.annTopK(emb, nQueries, k)
 
   /** Deterministic random-hyperplane signature: bit p = sign of
-    * <v, plane_p>, plane components pseudo-random from xxhash64(p,i).
-    * All expression-level — codegen'd, no UDF. */
-  def withSignature(vecs: DataFrame, nBits: Int = 16): DataFrame = vecs
-    .withColumn("sig", expr(
-      s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, p) ->
-         |  acc * 2L + if(
-         |    aggregate(zip_with(v,
-         |        transform(sequence(0, size(v)-1), i ->
-         |          cast(xxhash64(concat(cast(p as string), '_', cast(i as string))) % 1000L as double) / 1000.0D),
-         |      (x, w) -> x * w), 0D, (acc2, x) -> acc2 + x) >= 0D, 1L, 0L))""".stripMargin))
+    * <v, plane_p>, planes pseudo-random from xxh64 (typed map with a
+    * primitive loop — see graft.functions.HashOps). */
+  def withSignature(vecs: DataFrame, nBits: Int = 16): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .map { case (id, v, nrm) =>
+        (id, v, nrm, graft.functions.HashOps.hyperplaneSig(v, nBits))
+      }
+      .toDF("vec_id", "v", "nrm", "sig")
+  }
 
   /** LSH ANN: candidates share one of `nBands` signature slices of
     * `bandBits` bits; exact cosine re-ranks candidates only.
@@ -69,6 +60,7 @@ object SimilarityOps {
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"named_struct('b', b, 'h', shiftright(sig, b*$bandBits) & ${mask}L))")))
       .select(col("vec_id"), col("v"), col("nrm"), col("band.b"), col("band.h"))
+      .cache() // self-joined below; avoid recomputing signatures twice
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("b"), col("h"))
@@ -83,7 +75,7 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
         round(col("sim_raw"), 5).as("sim"))
-      .orderBy("qid", "rnk")
+      .orderedSmall(col("qid"), col("rnk"))
   }
 
   val defs: Seq[QueryDef] = Seq(

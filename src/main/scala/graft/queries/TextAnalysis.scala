@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,16 +24,26 @@ object TextAnalysis {
     * language win). Returns (doc_id, lang, predicted). */
   def langId(labeled: DataFrame, toScore: DataFrame,
       profileSize: Int = 50): DataFrame = {
-    def trigrams(df: DataFrame): DataFrame = df
-      .withColumn("tg", explode(expr(
-        "transform(sequence(1, greatest(length(text)-2, 0)), i -> substring(text, i, 3))")))
-    val profiles = trigrams(labeled)
+    // distinct char trigrams per row via a primitive loop (typed
+    // flatMap) — the O(chars) inner loop is too hot for interpreted
+    // HOF lambdas at corpus scale
+    def triOf(df: DataFrame, key: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(key), col("text")).as[(String, String)]
+        .flatMap { case (k, t) =>
+          graft.functions.HashOps.trigrams(t).map(tg => (k, tg))
+        }.toDF(key, "tg")
+    }
+    val profiles = triOf(labeled.selectExpr("lang", "text"), "lang")
       .groupBy("lang", "tg").agg(count(lit(1)).as("f"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("f").desc, col("tg"))))
       .filter(col("rn") <= profileSize)
       .select("lang", "tg")
-    val scores = trigrams(toScore.select("doc_id", "text")).distinct()
+    // HashOps.trigrams is already distinct-per-doc — no extra shuffle
+    val scores = triOf(toScore
+        .selectExpr("cast(doc_id as string) as doc_id", "text"), "doc_id")
       .join(broadcast(profiles.withColumnRenamed("lang", "cand")), Seq("tg"))
       .groupBy("doc_id", "cand").agg(count(lit(1)).as("overlap"))
     scores
@@ -53,7 +64,7 @@ object TextAnalysis {
           size(split(col("text"), " ")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit(TokRe), lit(0)))
             .cast("long").as("re_tokens"))
-        .orderBy("doc_id")
+        .orderedSmall(col("doc_id"))
     },
 
     QueryDef("t2_quality_score",
@@ -73,15 +84,35 @@ object TextAnalysis {
           round(size(expr("filter(toks, t -> t IN ('a','the'))")) * lit(1.0)
             / size(col("toks")), 4).as("stop_ratio"),
           round(col("n_chars") * lit(1.0) / size(col("toks")), 4).as("avg_tok_len"))
-        .orderBy("doc_id")
+        .orderedSmall(col("doc_id"))
     },
 
     QueryDef.noOracle("t3_langid_confusion") { (s, d) =>
+      import s.implicits._
       val docs = Tables.documents(s, d)
-      langId(docs, docs)
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      // self-classification: one trigram pass serves both profile
+      // building and scoring (langId's two-DF form would explode the
+      // corpus twice)
+      val tri = docs.select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, lang, t) =>
+          graft.functions.HashOps.trigrams(t).map(tg => (id, lang, tg))
+        }.toDF("doc_id", "lang", "tg")
+        .cache()
+      val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("f"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("f").desc, col("tg"))))
+        .filter(col("rn") <= 50)
+        .select(col("lang").as("cand"), col("tg"))
+      val pred = tri.join(broadcast(profiles), Seq("tg"))
+        .groupBy("doc_id", "cand").agg(count(lit(1)).as("overlap"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand").as("predicted"))
+      pred.join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("c"))
-        .orderBy("lang", "predicted")
+        .orderedSmall(col("lang"), col("predicted"))
     },
 
     QueryDef.noOracle("t4_fingerprint") { (s, d) =>
@@ -96,7 +127,7 @@ object TextAnalysis {
         .withColumn("sketch", expr("slice(array_sort(array_distinct(win_hashes)), 1, 8)"))
         .withColumn("fingerprint", expr("xxhash64(cast(sketch as string))"))
         .select("doc_id", "fingerprint", "sketch")
-        .orderBy("doc_id")
+        .orderedSmall(col("doc_id"))
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,8 @@ object TextOps {
       // Exact 3-token-shingle Jaccard ≥ 0.8. The shingle self-join is
       // the exact baseline; at 100 TB the candidate step is MinHash-LSH
       // (DedupOps.minhash) — this stays the small-SF ground truth.
+      // Cached: the shingle set feeds three downstream plans (card +
+      // both join sides); without it Spark re-explodes the corpus 3×.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -41,6 +44,7 @@ object TextOps {
           "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
           .as("shingle"))
         .distinct()
+        .cache()
       val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = sh.select(col("doc_id").as("ia"), col("shingle"))
         .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
@@ -52,7 +56,7 @@ object TextOps {
         .withColumn("jac", col("i") * lit(1.0) / (col("ca") + col("cb") - col("i")))
         .filter(col("jac") >= 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
-        .orderBy("ia", "ib")
+        .orderedSmall(col("ia"), col("ib"))
     },
 
     QueryDef("l3_cosine_topk",
@@ -60,22 +64,10 @@ object TextOps {
         |  LIST_COSINE_SIMILARITY(a.embedding, b.embedding) sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, ROUND(CAST(sim AS DOUBLE),5) AS sim FROM pairs ORDER BY sim DESC, ia, ib LIMIT 20""".stripMargin) { (s, d) =>
-      // Brute-force exact cosine top-k: norms precomputed per vector so
-      // the O(n²) pair stage only does the dot product. Scale path =
+      // Brute-force exact cosine top-k via the broadcast-and-scan
+      // kernel (primitive loops; see VectorOps). Scale path =
       // SimilarityOps LSH bucketing; this is the ground-truth baseline.
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
-      val a = emb.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
-      val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("ia") < col("ib"))
-        .withColumn("sim_raw",
-          expr("aggregate(zip_with(va, vb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
-            / (col("na") * col("nb")))
-        .orderBy(col("sim_raw").desc, col("ia"), col("ib"))
-        .limit(20)
-        .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
+      graft.functions.VectorOps.cosineTopKPairs(Tables.embeddings(s, d), 20)
     },
 
     QueryDef("l4_text_stats",
@@ -87,7 +79,7 @@ object TextOps {
         .agg(count(lit(1)).as("c"),
           round(avg("n_chars"), 2).as("avg_chars"),
           round(avg(size(split(col("text"), " ")).cast("double")), 2).as("avg_tokens"))
-        .orderBy("lang")
+        .orderedSmall(col("lang"))
     },
 
     QueryDef("l5_tfidf_top3",
@@ -113,7 +105,7 @@ object TextOps {
       val w = Window.partitionBy("source").orderBy(col("s").desc, col("term"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .orderBy("source", "rn")
+        .orderedSmall(col("source"), col("rn"))
         .select("source", "term", "s")
     }
   )

@@ -34,8 +34,9 @@ object CdcStream {
           lit("; datetime: "), col("dtRaw")))
       .select(col("file"), col("seq"), col("startPos").as("start_pos"),
         col("stopPos").as("stop_pos"), col("pos_comment"),
-        col("db"), col("table"), col("op"), col("before"), col("after"),
-        col("ddl"))
+        col("db"), col("table"), col("op"),
+        col("beforeOrds"), col("beforeVals"),
+        col("afterOrds"), col("afterVals"), col("ddl"))
   }
 
   /** Start the pipeline; each micro-batch arrives at `sink` rendered
