@@ -72,6 +72,30 @@ object VectorOps {
       .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
   }
 
+  /** ALL pairs with cosine ≥ tau, exact (broadcast scan). Ground truth
+    * for the LSH near-dup path. */
+  def cosinePairsAbove(emb: DataFrame, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Array[Double])]
+    val all = spark.sparkContext.broadcast(
+      vecs.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) })
+    vecs.mapPartitions { it =>
+      val arr = all.value
+      it.flatMap { case (ia, va) =>
+        val na = normOf(va)
+        arr.iterator.collect {
+          case (ib, vb, nb) if ia < ib && dot(va, vb) / (na * nb) >= tau =>
+            ScoredPair(ia, ib, dot(va, vb) / (na * nb))
+        }
+      }
+    }.toDF()
+      .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
+      .orderedSmall(col("ia"), col("ib"))
+  }
+
   /** Exact top-k neighbors for each of the first `nQueries` vec_ids:
     * queries broadcast, candidates scanned partition-parallel. */
   def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -88,12 +88,39 @@ object DedupOps {
       .orderedSmall(col("ia"), col("ib"))
   }
 
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH banding with
+    * exact verification of candidates. The corpus plants no ≥0.9
+    * pairs, so the default tau targets the moderate-similarity regime
+    * (narrow 2-bit bands — see SimilarityOps.annLsh scaling note). */
+  def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
+      nBands: Int = 8, bandBits: Int = 2): DataFrame = {
+    import graft.QueryDef.SmallOrdered
+    val vecs = SimilarityOps.withBands(emb, nBands, bandBits).cache()
+    val cand = vecs.as("x").join(vecs.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"),
+        col("x.v").as("va"), col("x.nrm").as("na"),
+        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .distinct()
+    cand
+      .withColumn("sim", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+          / (col("na") * col("nb")), 5))
+      .filter(col("sim") >= tau)
+      .select("ia", "ib", "sim")
+      .orderedSmall(col("ia"), col("ib"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.noOracle("d1_minhash_neardup") { (s, d) =>
       minhashPairs(Tables.documents(s, d))
     },
     QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>
       simhashPairs(Tables.documents(s, d))
+    },
+    QueryDef.noOracle("d3_embedding_neardup") { (s, d) =>
+      embeddingNearDup(Tables.embeddings(s, d))
     }
   )
 }

@@ -52,14 +52,20 @@ object SimilarityOps {
     * take wide bands (8 bits); moderate-similarity top-1 search
     * (cos ≈ 0.5 → bits agree w.p. ~2/3) needs narrow bands — 8×2 bits
     * here — because P(8-bit slice matches) ≈ (2/3)^8 ≈ 4%. */
-  def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nBands: Int = 8, bandBits: Int = 2): DataFrame = {
+  /** Banded signature frame (vec_id, v, nrm, b, h) — shared by the
+    * ANN search and the embedding near-dup join (DedupOps). */
+  def withBands(emb: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
     val vecs = withSignature(normed(emb), nBits = nBands * bandBits)
     val mask = (1L << bandBits) - 1
-    val banded = vecs.withColumn("band", explode(expr(
+    vecs.withColumn("band", explode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"named_struct('b', b, 'h', shiftright(sig, b*$bandBits) & ${mask}L))")))
       .select(col("vec_id"), col("v"), col("nrm"), col("band.b"), col("band.h"))
+  }
+
+  def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 8, bandBits: Int = 2): DataFrame = {
+    val banded = withBands(emb, nBands, bandBits)
       .cache() // self-joined below; avoid recomputing signatures twice
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),

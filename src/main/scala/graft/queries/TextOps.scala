@@ -37,11 +37,15 @@ object TextOps {
       // (DedupOps.minhash) — this stays the small-SF ground truth.
       // Cached: the shingle set feeds three downstream plans (card +
       // both join sides); without it Spark re-explodes the corpus 3×.
+      // Shingles join on their 64-bit hash, not the ~20-byte string —
+      // smaller shuffle, long-key hash join. (2^-64 collision odds;
+      // the oracle hash-compare would surface one instantly.)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          "transform(sequence(0, size(toks)-3), " +
+            "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
           .as("shingle"))
         .distinct()
         .cache()

@@ -61,6 +61,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits >= 7, s"top-1 recall $hits/10")
   }
 
+  test("d3 embedding near-dup: LSH pairs vs exact threshold pairs") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = graft.functions.VectorOps.cosinePairsAbove(emb, 0.45)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.embeddingNearDup(emb)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold should catch some pairs at sf0.01")
+    assert(lsh.subsetOf(exact)) // exact verification -> no false positives
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
   test("t3 langid classifies genuinely separable corpora correctly") {
     import spark.implicits._
     val en = "the quick brown fox jumps over the lazy dog and runs away with them"
