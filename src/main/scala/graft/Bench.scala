@@ -59,7 +59,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results
       .collect { case (k, v) if BaselineSet(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // CDC throughput vs BASELINE.md §1 (c2 = forward render of the
+    // 100k-event fixture at sf0.1, 10k at smaller SFs)
+    val cdcEvents = if (sfDir.contains("0.1")) 100000 else 10000
+    val cdcRate = results.toMap.get("c2_forward_sql")
+      .filter(_ > 0).map(t => (cdcEvents / t).round).getOrElse(-1L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
     spark.stop()
   }
 }

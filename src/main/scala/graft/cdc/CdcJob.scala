@@ -79,11 +79,12 @@ object CdcJob {
 
     val flashback = cfg.flashback
     val bugCompat = cfg.bugCompatible
+    val noPk = cfg.noPk
     val rendered = joined.as[RenderIn].flatMap { r =>
       val stmt = SqlRender.render(r.op, r.db, r.table,
         r.before, r.after, r.ddl.orNull,
         r.cols.getOrElse(Nil).map(c => (c.ord, c.name)),
-        r.key_cols.getOrElse(Nil), flashback, bugCompat)
+        r.key_cols.getOrElse(Nil), flashback, bugCompat, noPk)
       if (stmt == null) None
       else Some(RenderOut(r.file, r.seq, r.start_pos, r.op,
         if (r.op == "ddl") stmt else r.pos_comment + "\n" + stmt))

@@ -37,9 +37,12 @@ object SqlRender {
     image.map(cv => s"`${name(cols, cv)}`=${cv.v}").mkString(", ")
 
   private def insertSql(schema: String, cols: Map[Int, String],
-      image: Seq[ColVal]): String = {
-    val names = image.map(cv => s"`${name(cols, cv)}`").mkString(", ")
-    val vals = image.map(_.v).mkString(", ")
+      image: Seq[ColVal], dropCols: Set[String] = Set.empty): String = {
+    val kept =
+      if (dropCols.isEmpty) image
+      else image.filterNot(cv => dropCols.contains(name(cols, cv)))
+    val names = kept.map(cv => s"`${name(cols, cv)}`").mkString(", ")
+    val vals = kept.map(_.v).mkString(", ")
     s"INSERT INTO $schema($names) VALUES ($vals);"
   }
 
@@ -48,19 +51,23 @@ object SqlRender {
   def render(op: String, db: String, table: String,
       before: Seq[ColVal], after: Seq[ColVal], ddl: String,
       catalogCols: Seq[(Int, String)], keyColsSeq: Seq[String],
-      flashback: Boolean, bugCompatible: Boolean): String = {
+      flashback: Boolean, bugCompatible: Boolean,
+      noPk: Boolean = false): String = {
     if (op == "ddl") return if (ddl == null) null else ddl
     val schema = s"`$db`.`$table`"
     val cols = catalogCols.toMap
     val keyCols = keyColsSeq.toSet
+    // -K semantics: INSERTs omit the key columns (auto-increment
+    // re-assignment on replay); WHERE clauses keep them.
+    val insDrop = if (noPk) keyCols else Set.empty[String]
     (op, flashback) match {
-      case ("insert", false) => insertSql(schema, cols, after)
+      case ("insert", false) => insertSql(schema, cols, after, insDrop)
       case ("insert", true) => // undo: delete the inserted row
         s"DELETE FROM $schema WHERE ${predicate(cols, after, keyCols)} LIMIT 1;"
       case ("delete", false) =>
         s"DELETE FROM $schema WHERE ${predicate(cols, before, keyCols)} LIMIT 1;"
       case ("delete", true) => // undo: re-insert the deleted row
-        insertSql(schema, cols, before)
+        insertSql(schema, cols, before, insDrop)
       case ("update", false) =>
         // Q3 only bites keyed tables: with no key the reference falls
         // back to the full *before* image (log2sql.py:180).

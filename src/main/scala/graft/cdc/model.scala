@@ -99,4 +99,8 @@ final case class CdcConfig(
     stopPos: Option[Long] = None,
     flashback: Boolean = false,
     includeDdl: Boolean = false,
-    bugCompatible: Boolean = false)
+    bugCompatible: Boolean = false,
+    /** `-K/--no-primary-key`: strip PK columns from generated INSERTs
+      * (the binlog2sql semantic; the reference parses the flag but
+      * never reads it — quirk Q5, /root/reference/main.py:79-81). */
+    noPk: Boolean = false)

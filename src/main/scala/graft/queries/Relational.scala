@@ -144,12 +144,35 @@ object Relational {
         .orderedSmall(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    QueryDef("q08b_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderedSmall(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     QueryDef("q09_set_intersect",
       """SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
         |                             INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier) t""".stripMargin) { (s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
         .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct())
         .agg(count(lit(1)).as("cnt"))
+    },
+
+    QueryDef("q09b_union_except",
+      """SELECT
+        | (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |                        UNION SELECT DISTINCT s_nationkey AS nk FROM supplier) t) AS u,
+        | (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |                        EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier) t2) AS e""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+      val u = c.union(sup).distinct().agg(count(lit(1)).as("u"))
+      val e = c.except(sup).agg(count(lit(1)).as("e"))
+      u.crossJoin(e)
     },
 
     QueryDef("q10_string_math",

@@ -83,6 +83,16 @@ class SqlRenderSpec extends AnyFunSuite {
       "UPDATE `testdb`.`t_pk` SET `id`=1, `name`='one', `score`=1.0 WHERE `id`=9 LIMIT 1;")
   }
 
+  test("noPk strips key columns from INSERTs only (Q5 implemented)") {
+    val got = SqlRender.render("insert", "testdb", "t_pk", Nil, insAfter,
+      null, cols, pk, flashback = false, bugCompatible = false, noPk = true)
+    assert(got == "INSERT INTO `testdb`.`t_pk`(`name`, `score`) VALUES ('name_7', NULL);")
+    // WHERE clauses keep the key
+    val del = SqlRender.render("delete", "testdb", "t_pk", updAfter, Nil,
+      null, cols, pk, flashback = false, bugCompatible = false, noPk = true)
+    assert(del == "DELETE FROM `testdb`.`t_pk` WHERE `id`=7 LIMIT 1;")
+  }
+
   test("unknown table (no catalog row): ordinals as @N names, keyless") {
     val got = SqlRender.render("insert", "x", "y", Nil,
       Seq(ColVal(1, "1")), null, Nil, Nil, flashback = false, bugCompatible = false)
