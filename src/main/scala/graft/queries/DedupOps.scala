@@ -103,10 +103,12 @@ object DedupOps {
         col("x.v").as("va"), col("x.nrm").as("na"),
         col("y.v").as("vb"), col("y.nrm").as("nb"))
       .distinct()
+    graft.functions.CosineSim.register(emb.sparkSession)
     cand
+      // native Expression (fused codegen loop) instead of interpreted
+      // aggregate(zip_with(...)) lambda chains
       .withColumn("sim", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
-          / (col("na") * col("nb")), 5))
+        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")), 5))
       .filter(col("sim") >= tau)
       .select("ia", "ib", "sim")
       .orderedSmall(col("ia"), col("ib"))

@@ -74,8 +74,10 @@ object SimilarityOps {
       col("nrm").as("cn"), col("b"), col("h"))
     val cand = q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "qn", "cid", "cv", "cn").distinct()
+    graft.functions.CosineSim.register(emb.sparkSession)
     cand
-      .withColumn("sim_raw", expr(dot) / (col("qn") * col("cn")))
+      .withColumn("sim_raw",
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
       .filter(col("rnk") <= k)

@@ -119,6 +119,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0)) // stride 2 keeps even frames
   }
 
+  test("cosine_sim Expression: SQL + Column paths match double math on floats") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("cs_t")
+    val sql = spark.sql("SELECT cosine_sim(a, b) c FROM cs_t").head().getDouble(0)
+    val expect = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(sql - expect) < 1e-12)
+    // on the real embeddings: Expression equals the HOF double math
+    val emb = graft.Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val both = emb.as("x").crossJoin(emb.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id")).limit(200)
+      .select(
+        graft.functions.CosineSim.cosine_sim(col("x.v"), col("y.v")).as("c1"),
+        (expr("aggregate(zip_with(x.v, y.v, (p, q) -> p*q), 0D, (acc, z) -> acc + z)") /
+          (expr("sqrt(aggregate(x.v, 0D, (acc, z) -> acc + z*z))") *
+            expr("sqrt(aggregate(y.v, 0D, (acc, z) -> acc + z*z))"))).as("c2"))
+      .collect()
+    assert(both.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("MinHash UDAF over exploded shingles equals the per-row kernel") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(split(text,' '))-3), " +
+          "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))"))
+        .as("shingle"))
+    val viaUdaf = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(16)(col("shingle")).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    val viaKernel = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val toks = t.split(" ")
+      val shingles = toks.sliding(3).map(_.mkString(" ")).toArray
+      id -> graft.functions.HashOps.minhashSig(shingles, 16)
+    }.toMap
+    for ((id, sig) <- viaKernel)
+      assert(viaUdaf(id).sameElements(sig), s"doc $id")
+  }
+
   test("t1/t2 run at sf0.001 and return one row per document") {
     for (name <- Seq("t1_token_counts", "t2_quality_score")) {
       val df = TextAnalysis.defs.find(_.name == name).get
