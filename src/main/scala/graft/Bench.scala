@@ -24,9 +24,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // At bench SF every shuffle is small: 8 post-shuffle partitions
+    // beat cpus-many tiny tasks (measured 13.0 vs 14.7 s suite). A
+    // real cluster sizes this to data volume; AQE coalesces either way.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)

@@ -96,15 +96,19 @@ object DedupOps {
       nBands: Int = 8, bandBits: Int = 2): DataFrame = {
     import graft.QueryDef.SmallOrdered
     val vecs = SimilarityOps.withBands(emb, nBands, bandBits).cache()
-    val cand = vecs.as("x").join(vecs.as("y"),
+    // band-join carries IDs ONLY — shuffling 64-d arrays for every
+    // candidate pair dominated runtime; vectors re-attach after the
+    // pair dedup via (auto-broadcast) joins against the small frame
+    val ids = vecs.select(col("vec_id"), col("b"), col("h"))
+    val cand = ids.as("x").join(ids.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"),
-        col("x.v").as("va"), col("x.nrm").as("na"),
-        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
       .distinct()
+    val va = vecs.select(col("vec_id").as("ia"), col("v").as("va")).distinct()
+    val vb = vecs.select(col("vec_id").as("ib"), col("v").as("vb")).distinct()
     graft.functions.CosineSim.register(emb.sparkSession)
-    cand
+    cand.join(va, Seq("ia")).join(vb, Seq("ib"))
       // native Expression (fused codegen loop) instead of interpreted
       // aggregate(zip_with(...)) lambda chains
       .withColumn("sim", round(
