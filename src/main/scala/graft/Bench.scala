@@ -43,11 +43,12 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { qd.fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9 // before cache teardown
       // intra-query caches (shingle sets, band frames, CDC renders)
       // must not pile up across the suite — they'd distort later
       // queries via GC/storage pressure
       spark.catalog.clearCache()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) dt else -1.0
     }
     // BASELINE.md method = min of 3 after warm-up. The host VM shows
     // multi-second contention bursts; whole-suite passes put a query's

@@ -4,8 +4,11 @@ import scala.collection.mutable
 
 /** Line-at-a-time finite-state machine over `mysqlbinlog
   * --base64-output=decode-rows -vv` text: `Iterator[String] →
-  * Iterator[RawChange]`. Pure Scala (no Spark) so it unit-tests
-  * directly; `CdcJob` wraps it in a per-file `mapPartitions`.
+  * Iterator[RawChange]`, truly incremental — events are emitted as
+  * their closing line is consumed (≤2 per line: a flushed DML row and
+  * a terminated DDL), so a task holds the file text but never a
+  * materialized event list on top of it. Pure Scala (no Spark);
+  * `CdcJob` wraps it in a per-file flatMap.
   *
   * Re-expresses the reference's single pass (/root/reference/
   * log2sql.py:66-108 event assembly, 6-63 image building) with two
@@ -14,6 +17,9 @@ import scala.collection.mutable
   * occurrence-counting (quirk Q10), and `@N=v` parsing splits on the
   * *first* `=` so literals containing `=` survive (log2sql.py:48
   * splits on every `=`).
+  *
+  * Hot loop is regex-free (indexOf parsing): String.split compiles a
+  * Pattern per call and dominated throughput.
   *
   * Total: malformed/truncated input never throws — partial trailing
   * events are discarded, unknown lines ignored (SURVEY.md §5.2
@@ -24,54 +30,54 @@ object BinlogFsm {
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
 
   def parse(file: String, lines: Iterator[String],
-      includeDdl: Boolean = false): Iterator[RawChange] = {
-    val out = mutable.ListBuffer.empty[RawChange]
-    var seq = 0L // emission order within the file (stream order)
+      includeDdl: Boolean = false): Iterator[RawChange] = new Iterator[RawChange] {
+
+    private val pending = mutable.Queue.empty[RawChange]
+    private var seqNo = 0L // emission order within the file (stream order)
+    private var drainedTail = false
 
     // ≤3-line lookbehind over non-### lines; the reference keeps the
     // same ring so slot 0 is the `# at N` line and slot 1 the event
     // header when a row event starts (log2sql.py:67,93-94,106-107).
-    val ring = mutable.Queue.empty[String]
+    private val ring = mutable.Queue.empty[String]
 
     // current row-statement being assembled
-    var op: String = null
-    var db: String = ""
-    var table: String = ""
-    var startPosRaw, stopPosRaw, dtRaw = ""
-    var startPos, stopPos = 0L
-    var section: Int = 0 // 0 none, 1 before, 2 after
-    val before = mutable.ListBuffer.empty[ColVal]
-    val after = mutable.ListBuffer.empty[ColVal]
+    private var op: String = null
+    private var db: String = ""
+    private var table: String = ""
+    private var startPosRaw, stopPosRaw, dtRaw = ""
+    private var startPos, stopPos = 0L
+    private var section: Int = 0 // 0 none, 1 before, 2 after
+    private val before = mutable.ListBuffer.empty[ColVal]
+    private val after = mutable.ListBuffer.empty[ColVal]
 
     // DDL accumulation (log2sql.py:74-92)
-    var useDb = ""
-    var inDdl = false
-    val ddlParts = mutable.ListBuffer.empty[String]
+    private var useDb = ""
+    private var inDdl = false
+    private val ddlParts = mutable.ListBuffer.empty[String]
 
-    def flushDml(): Unit = {
+    private def flushDml(): Unit = {
       if (op != null) {
-        out += RawChange(file, seq, startPos, stopPos, startPosRaw,
+        pending.enqueue(RawChange(file, seqNo, startPos, stopPos, startPosRaw,
           stopPosRaw, dtRaw, db, table, op,
           before.map(_.ord).toArray, before.map(_.v).toArray,
-          after.map(_.ord).toArray, after.map(_.v).toArray, null)
-        seq += 1
+          after.map(_.ord).toArray, after.map(_.v).toArray, null))
+        seqNo += 1
         before.clear(); after.clear()
         op = null; section = 0
       }
     }
 
-    def longOf(s: String): Long =
+    private def longOf(s: String): Long =
       try s.trim.takeWhile(c => c.isDigit || c == '-').toLong
       catch { case _: Exception => 0L }
 
-    for (line0 <- lines) {
+    private def processLine(line0: String): Unit = {
       val line = line0.stripLineEnd
       if (line.startsWith("###")) {
         // Row-image pseudo-SQL. Strip the marker and the trailing
         // `/* TYPE meta … */` annotation (first `/*`, as the reference
         // does — log2sql.py:96).
-        // hot loop: indexOf, not regex — String.split compiles a
-        // Pattern per call and dominated parse throughput
         val noMark = line.replace("###", "")
         val cut = noMark.indexOf("/*")
         val body = if (cut >= 0) noMark.substring(0, cut) else noMark
@@ -151,10 +157,10 @@ object BinlogFsm {
               val stmt = ddlParts.dropRight(1) // drop the `/*!*/;`
               val text = (Seq(useDb) ++ stmt).filter(_.nonEmpty)
                 .mkString("\n") + ";"
-              out += RawChange(file, seq, 0L, 0L, "", "", "", "", "", "ddl",
-                Array.emptyIntArray, Array.empty[String],
-                Array.emptyIntArray, Array.empty[String], text)
-              seq += 1
+              pending.enqueue(RawChange(file, seqNo, 0L, 0L, "", "", "", "", "",
+                "ddl", Array.emptyIntArray, Array.empty[String],
+                Array.emptyIntArray, Array.empty[String], text))
+              seqNo += 1
               useDb = ""
               inDdl = false
               ddlParts.clear()
@@ -165,7 +171,19 @@ object BinlogFsm {
         if (ring.size == 3) ring.dequeue()
       }
     }
-    flushDml() // EOF closes a trailing row statement (total on truncation)
-    out.iterator
+
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && lines.hasNext) processLine(lines.next())
+      if (pending.isEmpty && !drainedTail) {
+        drainedTail = true
+        flushDml() // EOF closes a trailing row statement (total on truncation)
+      }
+      pending.nonEmpty
+    }
+
+    override def next(): RawChange = {
+      if (!hasNext) throw new NoSuchElementException("BinlogFsm")
+      pending.dequeue()
+    }
   }
 }

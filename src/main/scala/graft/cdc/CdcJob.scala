@@ -17,28 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object CdcJob {
 
-  /** Parse binlog text files into a change-event DataFrame.
-    * Columns: file, start_pos, stop_pos, pos_comment, db, table, op,
-    * before/after ARRAY<STRUCT<ord,v>>, ddl. */
+  /** Post-FSM projection shared by the batch and streaming paths —
+    * one place defines the change-event schema (columns: file, seq,
+    * start_pos, stop_pos, pos_comment, ts, db, table, op, image
+    * arrays, ddl), so the two cannot drift. */
+  private[graft] def projectEvents(parsed: DataFrame): DataFrame = parsed
+    .withColumn("pos_comment",
+      concat(lit("# start-pos:"), col("startPosRaw"),
+        lit("; stop-pos:"), col("stopPosRaw"),
+        lit("; datetime: "), col("dtRaw")))
+    // header datetime "260812  5:00:00" (yyMMdd H:mm:ss) -> TIMESTAMP
+    .withColumn("ts", to_timestamp(
+      regexp_replace(trim(col("dtRaw")), "\\s+", " "), "yyMMdd H:mm:ss"))
+    .select(col("file"), col("seq"), col("startPos").as("start_pos"),
+      col("stopPos").as("stop_pos"), col("pos_comment"), col("ts"),
+      col("db"), col("table"), col("op"),
+      col("beforeOrds"), col("beforeVals"),
+      col("afterOrds"), col("afterVals"), col("ddl"))
+
+  /** Parse binlog text files into a change-event DataFrame. */
   def parse(spark: SparkSession, path: String,
       includeDdl: Boolean = false): DataFrame = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("file"), col("value"))
-      .as[(String, String)]
-      .flatMap { case (file, text) =>
-        BinlogFsm.parse(file, text.linesIterator, includeDdl)
-      }
-      .toDF()
-      .withColumn("pos_comment",
-        concat(lit("# start-pos:"), col("startPosRaw"),
-          lit("; stop-pos:"), col("stopPosRaw"),
-          lit("; datetime: "), col("dtRaw")))
-      .select(col("file"), col("seq"), col("startPos").as("start_pos"),
-        col("stopPos").as("stop_pos"), col("pos_comment"),
-        col("db"), col("table"), col("op"),
-        col("beforeOrds"), col("beforeVals"),
-        col("afterOrds"), col("afterVals"), col("ddl"))
+    projectEvents(
+      spark.read.option("wholetext", "true").text(path)
+        .select(input_file_name().as("file"), col("value"))
+        .as[(String, String)]
+        .flatMap { case (file, text) =>
+          BinlogFsm.parse(file, text.linesIterator, includeDdl)
+        }
+        .toDF())
   }
 
   /** O16–O18 + O3 filters — plain Catalyst predicates, pushed before
@@ -50,8 +58,13 @@ object CdcJob {
     var dml = col("op").isin(cfg.sqlTypes: _*)
     if (cfg.database.nonEmpty) dml = dml && col("db") === cfg.database
     if (cfg.tables.nonEmpty) dml = dml && col("table").isin(cfg.tables: _*)
+    // mysqlbinlog bound semantics (the reference delegates, main.py:92-101):
+    // start bounds are inclusive, stop bounds exclusive, both tested
+    // against the event START (position / header timestamp)
     cfg.startPos.foreach(p => dml = dml && col("start_pos") >= p)
-    cfg.stopPos.foreach(p => dml = dml && col("stop_pos") <= p)
+    cfg.stopPos.foreach(p => dml = dml && col("start_pos") < p)
+    cfg.startDatetime.foreach(t => dml = dml && col("ts") >= to_timestamp(lit(t)))
+    cfg.stopDatetime.foreach(t => dml = dml && col("ts") < to_timestamp(lit(t)))
     events.filter(isDdl || dml)
   }
 
@@ -62,7 +75,8 @@ object CdcJob {
     * reference's unreversed order). Rendering runs as a typed map (a
     * scalar string build — the one genuinely imperative step, like the
     * reference's generate_sql_pattern, log2sql.py:135-185). */
-  def render(events: DataFrame, catalog: DataFrame, cfg: CdcConfig): DataFrame = {
+  def render(events: DataFrame, catalog: DataFrame, cfg: CdcConfig,
+      cacheBeforeSort: Boolean = true): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -80,7 +94,7 @@ object CdcJob {
     val flashback = cfg.flashback
     val bugCompat = cfg.bugCompatible
     val noPk = cfg.noPk
-    val rendered = joined.as[RenderIn].flatMap { r =>
+    val rendered0 = joined.as[RenderIn].flatMap { r =>
       val stmt = SqlRender.render(r.op, r.db, r.table,
         r.before, r.after, r.ddl.orNull,
         r.cols.getOrElse(Nil).map(c => (c.ord, c.name)),
@@ -89,15 +103,17 @@ object CdcJob {
       else Some(RenderOut(r.file, r.seq, r.start_pos, r.op,
         if (r.op == "ddl") stmt else r.pos_comment + "\n" + stmt))
     }.toDF()
-      // the global sort's range-partitioner samples its input, then
-      // scans it again — cache so parse+render run once, not twice
-      .cache()
+    // the global sort's range-partitioner samples its input, then scans
+    // it again — batch callers cache so parse+render run once (JVM exit
+    // reclaims it); streaming foreachBatch must NOT cache, a per-batch
+    // cache entry would leak every micro-batch
+    val sortInput = if (cacheBeforeSort) rendered0.cache() else rendered0
 
     // stream order = per-file emission sequence (DDL has no binlog
     // position; start_pos alone would missort it)
     if (flashback && !bugCompat)
-      rendered.orderBy(col("file"), col("seq").desc)
-    else rendered.orderBy(col("file"), col("seq"))
+      sortInput.orderBy(col("file"), col("seq").desc)
+    else sortInput.orderBy(col("file"), col("seq"))
   }
 
   /** Full pipeline: parse → filter → render. */

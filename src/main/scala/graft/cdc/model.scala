@@ -97,6 +97,11 @@ final case class CdcConfig(
     tables: Seq[String] = Nil,
     startPos: Option[Long] = None,
     stopPos: Option[Long] = None,
+    /** O4 time-range: "yyyy-MM-dd HH:mm:ss" bounds compared against the
+      * event-header datetime (reference delegates to mysqlbinlog flags,
+      * main.py:60-63; the engine filters parsed event timestamps). */
+    startDatetime: Option[String] = None,
+    stopDatetime: Option[String] = None,
     flashback: Boolean = false,
     includeDdl: Boolean = false,
     bugCompatible: Boolean = false,

@@ -86,9 +86,12 @@ object VectorOps {
       val arr = all.value
       it.flatMap { case (ia, va) =>
         val na = normOf(va)
-        arr.iterator.collect {
-          case (ib, vb, nb) if ia < ib && dot(va, vb) / (na * nb) >= tau =>
-            ScoredPair(ia, ib, dot(va, vb) / (na * nb))
+        arr.iterator.flatMap { case (ib, vb, nb) =>
+          if (ia >= ib) None
+          else {
+            val sim = dot(va, vb) / (na * nb)
+            if (sim >= tau) Some(ScoredPair(ia, ib, sim)) else None
+          }
         }
       }
     }.toDF()

@@ -49,7 +49,7 @@ object MultimodalOps {
     * feature extraction, pre-partitioned by media_id. */
   def frameSample(media: DataFrame, frameBytes: Int = 64,
       stride: Int = 2): DataFrame = media
-    .filter(col("meta.kind") === 2)
+    .filter(col("meta.kind") === 2 && length(col("payload")) > 0)
     .withColumn("frame", explode(expr(
       s"""filter(transform(sequence(0, cast(ceil(length(payload)/$frameBytes.0) as int) - 1),
          |  i -> named_struct('frame_idx', i,

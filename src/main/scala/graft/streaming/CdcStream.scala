@@ -18,25 +18,17 @@ object CdcStream {
   def events(spark: SparkSession, dir: String,
       includeDdl: Boolean = false): DataFrame = {
     import spark.implicits._
-    spark.readStream
-      .option("wholetext", "true")
-      .option("maxFilesPerTrigger", "32")
-      .text(dir)
-      .select(input_file_name().as("file"), col("value"))
-      .as[(String, String)]
-      .flatMap { case (file, text) =>
-        BinlogFsm.parse(file, text.linesIterator, includeDdl)
-      }
-      .toDF()
-      .withColumn("pos_comment",
-        concat(lit("# start-pos:"), col("startPosRaw"),
-          lit("; stop-pos:"), col("stopPosRaw"),
-          lit("; datetime: "), col("dtRaw")))
-      .select(col("file"), col("seq"), col("startPos").as("start_pos"),
-        col("stopPos").as("stop_pos"), col("pos_comment"),
-        col("db"), col("table"), col("op"),
-        col("beforeOrds"), col("beforeVals"),
-        col("afterOrds"), col("afterVals"), col("ddl"))
+    CdcJob.projectEvents(
+      spark.readStream
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", "32")
+        .text(dir)
+        .select(input_file_name().as("file"), col("value"))
+        .as[(String, String)]
+        .flatMap { case (file, text) =>
+          BinlogFsm.parse(file, text.linesIterator, includeDdl)
+        }
+        .toDF())
   }
 
   /** Start the pipeline; each micro-batch arrives at `sink` rendered
@@ -49,7 +41,9 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(CdcJob.render(batch, catalog, cfg), id)
+        // cacheBeforeSort=false: a cache entry per micro-batch would
+        // never be unpersisted and leak for the stream's lifetime
+        sink(CdcJob.render(batch, catalog, cfg, cacheBeforeSort = false), id)
       }
       .start()
   }

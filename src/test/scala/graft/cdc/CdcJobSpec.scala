@@ -96,6 +96,49 @@ class CdcJobSpec extends AnyFunSuite {
     val all = CdcJob.parse(spark, path).selectExpr("max(start_pos)")
       .collect()(0).getLong(0)
     assert(count(CdcConfig(startPos = Some(all))) == 1)
+    // stop-position is exclusive on the event start (mysqlbinlog)
+    assert(count(CdcConfig(stopPos = Some(all))) == 89)
+    // streaming path accepts datetime bounds too (shared projection)
+    val dir2 = java.nio.file.Files.createTempDirectory("cdcdt")
+    val cp2 = java.nio.file.Files.createTempDirectory("cdcdtcp")
+    var n = 0L
+    val q2 = graft.streaming.CdcStream.start(spark, dir2.toString,
+      Catalog.fixture(spark),
+      CdcConfig(startDatetime = Some("2026-08-12 05:00:01")),
+      cp2.toString) { (b, _) => n += b.count() }
+    java.nio.file.Files.writeString(dir2.resolve("b.txt"),
+      BinlogFixture.representative)
+    q2.processAllAvailable(); q2.stop()
+    assert(n == 2)
+  }
+
+  test("datetime-range filter keeps only in-window events (O4)") {
+    val path = write("dt.txt", BinlogFixture.representative)
+    def count(cfg: CdcConfig): Long =
+      CdcJob.run(spark, path, Catalog.fixture(spark), cfg).count()
+    // events at 2026-08-12 05:00:00/01/02; stop bounds are EXCLUSIVE
+    // (mysqlbinlog stops at the first event at/after the bound)
+    assert(count(CdcConfig(startDatetime = Some("2026-08-12 05:00:01"))) == 2)
+    assert(count(CdcConfig(stopDatetime = Some("2026-08-12 05:00:01"))) == 1)
+    assert(count(CdcConfig(startDatetime = Some("2026-08-12 05:00:01"),
+      stopDatetime = Some("2026-08-12 05:00:02"))) == 1)
+  }
+
+  test("CdcMain CLI parses the reference's flag surface") {
+    val (binlog, cat, cfg, out) = CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "-d", "testdb", "-t", "t_pk,t_uniq",
+      "--start-position", "100", "--stop-position", "900",
+      "--start-datetime", "2026-08-12 05:00:00",
+      "--sql-type", "insert,delete", "-B", "-K", "--bug-compatible",
+      "-o", "/tmp/out.sql"))
+    assert(binlog == "/x/b.txt" && cat.isEmpty && out.contains("/tmp/out.sql"))
+    assert(cfg == CdcConfig(sqlTypes = Seq("insert", "delete"),
+      database = "testdb", tables = Seq("t_pk", "t_uniq"),
+      startPos = Some(100L), stopPos = Some(900L),
+      startDatetime = Some("2026-08-12 05:00:00"),
+      flashback = true, bugCompatible = true, noPk = true))
+    intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
+    intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
   }
 
   test("c-series driver entries return rows") {
