@@ -17,15 +17,25 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Legacy conf is runtime-settable; Verify/Bench also set it at
-    // session build time, this covers ad-hoc sessions (tests, shells).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  // One DataFrame per (session, dir, table): spark.read.parquet reads
+  // footers for schema on every call, a measurable per-query tax when
+  // the suite loads the same ten tables repeatedly. The logical plan
+  // is immutable and safely shared; file listing stays fresh via
+  // Spark's own FileStatusCache.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir, name), _ => {
+      // Legacy conf is runtime-settable; Verify/Bench also set it at
+      // session build time, this covers ad-hoc sessions (tests, shells).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
