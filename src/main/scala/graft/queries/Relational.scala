@@ -243,6 +243,35 @@ object Relational {
         .orderedSmall(col("event_type"))
     },
 
+    QueryDef("q16_asof_join",
+      """SELECT p.event_id AS pid, CAST(s.ts AS TIMESTAMP) AS signup_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type='purchase') p
+        |ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type='signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY pid""".stripMargin) { (s, d) =>
+      // As-of join via the union+window trick (SURVEY.md §4.2): tag
+      // both sides, union, and carry the latest right-side timestamp
+      // forward per key — ONE shuffle on (user_id), no range join, no
+      // custom Strategy needed. Ties (purchase at the signup instant)
+      // order the signup first (r asc) so ts >= s.ts matches DuckDB.
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("r"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), lit(0).as("r"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(signups)
+        .withColumn("signup_ts",
+          last(when(col("r") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("r") === 1 && col("signup_ts").isNotNull)
+        .select(col("event_id").as("pid"), col("signup_ts"))
+        .orderedSmall(col("pid"))
+    },
+
     QueryDef("q15_corr_subquery",
       """SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS v
         |FROM lineitem l JOIN part p ON p.p_partkey=l.l_partkey
