@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark (BASELINE.md §3 method): one untimed warm-up
-  * run per query (JIT/codegen/broadcast warm), then one timed run.
-  * Prints ONE JSON line; `value` is the suite total over the 24
+  * pass over the whole suite (JIT/codegen/broadcast warm), then three
+  * timed whole-suite passes; each query reports the min of its three
+  * timings (passes are interleaved so a host contention burst cannot
+  * poison one query's min). Prints ONE JSON line; `value` is the
+  * suite total over the 24
   * BASELINE-comparable queries (Q1–Q15, S1–S3, S5, L1–L5) so the 2×
   * rule compares like for like; every query's timing is still in
   * `queries` (CDC throughput fixture = c2 at 100k events on sf0.1).

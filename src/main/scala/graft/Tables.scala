@@ -21,13 +21,19 @@ object Tables {
   // footers for schema on every call, a measurable per-query tax when
   // the suite loads the same ten tables repeatedly. The logical plan
   // is immutable and safely shared; file listing stays fresh via
-  // Spark's own FileStatusCache.
+  // Spark's own FileStatusCache. Keyed on the session REFERENCE
+  // (identity equality — unlike identityHashCode strings, references
+  // cannot collide between live sessions or be confused with a GC'd
+  // one); stopped sessions' entries are purged on the next load, so
+  // the map cannot grow past the set of live sessions × tables.
   private val loaded =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // purge entries bound to stopped sessions (cheap: map stays small)
+    loaded.values.removeIf(df => df.sparkSession.sparkContext.isStopped)
     loaded.computeIfAbsent(
-      (System.identityHashCode(spark).toString, dir, name), _ => {
+      (spark, dir, name), _ => {
       // Legacy conf is runtime-settable; Verify/Bench also set it at
       // session build time, this covers ad-hoc sessions (tests, shells).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,6 +42,7 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

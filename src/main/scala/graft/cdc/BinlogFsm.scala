@@ -55,6 +55,13 @@ object BinlogFsm {
     private var useDb = ""
     private var inDdl = false
     private val ddlParts = mutable.ListBuffer.empty[String]
+    // last seen `# at N` / event-header fields, tracked continuously so
+    // DDL events carry a position and header datetime too (mysqlbinlog,
+    // which the reference delegates bound-filtering to, bounds ALL
+    // events incl. Query/DDL); the ring alone can be overwritten by the
+    // `use`/`SET TIMESTAMP` lines between the header and the statement.
+    private var lastAtRaw, lastStopRaw, lastDtRaw = ""
+    private var lastAtPos, lastStopPos = 0L
 
     private def flushDml(): Unit = {
       if (op != null) {
@@ -139,6 +146,23 @@ object BinlogFsm {
       } else {
         // non-### line: ends any in-flight row statement
         flushDml()
+        // track position/header fields for the DDL path (DML reads the
+        // ring exactly as the reference does, log2sql.py:101-104)
+        if (line.startsWith("# at ")) {
+          lastAtRaw = line.substring(line.indexOf("at") + 2)
+          lastAtPos = longOf(lastAtRaw)
+        } else {
+          val elp = line.indexOf("end_log_pos")
+          if (elp >= 0 && line.startsWith("#")) {
+            val rest = line.substring(elp + 11)
+            val crc = rest.indexOf("CRC32")
+            lastStopRaw = if (crc >= 0) rest.substring(0, crc) else rest
+            lastStopPos = longOf(lastStopRaw)
+            val sid = line.indexOf("server id")
+            val dtPart = if (sid >= 0) line.substring(0, sid) else ""
+            lastDtRaw = dtPart.dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
+          }
+        }
         if (includeDdl) {
           val stripped = line.trim
           // `use `db`/*!*/;` context tracking (log2sql.py:78-79)
@@ -157,7 +181,8 @@ object BinlogFsm {
               val stmt = ddlParts.dropRight(1) // drop the `/*!*/;`
               val text = (Seq(useDb) ++ stmt).filter(_.nonEmpty)
                 .mkString("\n") + ";"
-              pending.enqueue(RawChange(file, seqNo, 0L, 0L, "", "", "", "", "",
+              pending.enqueue(RawChange(file, seqNo, lastAtPos, lastStopPos,
+                lastAtRaw, lastStopRaw, lastDtRaw, "", "",
                 "ddl", Array.emptyIntArray, Array.empty[String],
                 Array.emptyIntArray, Array.empty[String], text))
               seqNo += 1

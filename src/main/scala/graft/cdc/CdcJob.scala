@@ -52,20 +52,24 @@ object CdcJob {
   /** O16–O18 + O3 filters — plain Catalyst predicates, pushed before
     * the join automatically (undoing reference quirk Q8). DDL events
     * bypass the db/table/type filters like the reference's marker-0
-    * branch (log2sql.py:13-14, no filters applied to DDL). */
+    * branch (log2sql.py:13-14, no filters applied to DDL), but ARE
+    * subject to position/datetime bounds — the reference delegates
+    * bound-filtering to mysqlbinlog, which bounds every event
+    * including Query/DDL (main.py:92-101). */
   def applyFilters(events: DataFrame, cfg: CdcConfig): DataFrame = {
     val isDdl = col("op") === "ddl"
     var dml = col("op").isin(cfg.sqlTypes: _*)
     if (cfg.database.nonEmpty) dml = dml && col("db") === cfg.database
     if (cfg.tables.nonEmpty) dml = dml && col("table").isin(cfg.tables: _*)
-    // mysqlbinlog bound semantics (the reference delegates, main.py:92-101):
-    // start bounds are inclusive, stop bounds exclusive, both tested
-    // against the event START (position / header timestamp)
-    cfg.startPos.foreach(p => dml = dml && col("start_pos") >= p)
-    cfg.stopPos.foreach(p => dml = dml && col("start_pos") < p)
-    cfg.startDatetime.foreach(t => dml = dml && col("ts") >= to_timestamp(lit(t)))
-    cfg.stopDatetime.foreach(t => dml = dml && col("ts") < to_timestamp(lit(t)))
-    events.filter(isDdl || dml)
+    // mysqlbinlog bound semantics: start bounds are inclusive, stop
+    // bounds exclusive, both tested against the event START
+    // (position / header timestamp); applies to DML and DDL alike
+    var bounds = lit(true)
+    cfg.startPos.foreach(p => bounds = bounds && col("start_pos") >= p)
+    cfg.stopPos.foreach(p => bounds = bounds && col("start_pos") < p)
+    cfg.startDatetime.foreach(t => bounds = bounds && col("ts") >= to_timestamp(lit(t)))
+    cfg.stopDatetime.foreach(t => bounds = bounds && col("ts") < to_timestamp(lit(t)))
+    events.filter((isDdl || dml) && bounds)
   }
 
   /** Broadcast-join the resolved catalog and render SQL text.
@@ -110,9 +114,12 @@ object CdcJob {
     val sortInput = if (cacheBeforeSort) rendered0.cache() else rendered0
 
     // stream order = per-file emission sequence (DDL has no binlog
-    // position; start_pos alone would missort it)
+    // position; start_pos alone would missort it). Flashback reverses
+    // the WHOLE stream — newest file first, newest event within it
+    // first — so replaying the script top-to-bottom undoes changes in
+    // exact reverse order across a rotated-binlog directory.
     if (flashback && !bugCompat)
-      sortInput.orderBy(col("file"), col("seq").desc)
+      sortInput.orderBy(col("file").desc, col("seq").desc)
     else sortInput.orderBy(col("file"), col("seq"))
   }
 

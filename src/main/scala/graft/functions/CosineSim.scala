@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,6 +19,20 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  // analysis-time validation: non-array / wrong-element-type arguments
+  // become an AnalysisException instead of a ClassCastException during
+  // planning or codegen
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cosine_sim expects two ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -69,7 +84,14 @@ object CosineSim {
     * `cosine_sim(a, b)` (call_function) or SQL `cosine_sim(v1, v2)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", exprs => {
+        if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> "cosine_sim",
+            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSim(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column API via the registered name (register(spark) first). */
   def cosine_sim(a: Column, b: Column): Column =

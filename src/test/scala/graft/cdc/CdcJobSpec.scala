@@ -46,6 +46,41 @@ class CdcJobSpec extends AnyFunSuite {
     assert(got(2).contains("DELETE FROM `testdb`.`t_pk` WHERE `id`=7 LIMIT 1;"))
   }
 
+  test("multi-file flashback undoes the newest file first") {
+    val dir = java.nio.file.Files.createTempDirectory("fbdir")
+    java.nio.file.Files.writeString(dir.resolve("binlog.000001.txt"),
+      BinlogFixture.representative)
+    java.nio.file.Files.writeString(dir.resolve("binlog.000002.txt"),
+      BinlogFixture.pkChangingUpdate)
+    val rows = CdcJob.run(spark, dir.toString, Catalog.fixture(spark),
+      CdcConfig(flashback = true))
+      .select("file", "seq", "sql").collect()
+    assert(rows.length == 4)
+    // rollback order: newest file first, newest event within it first
+    assert(rows.head.getString(0).contains("binlog.000002"))
+    assert(rows.head.getString(2).contains(
+      "UPDATE `testdb`.`t_pk` SET `id`=1, `name`='one', `score`=1.0"))
+    assert(rows.tail.forall(_.getString(0).contains("binlog.000001")))
+    assert(rows.tail.map(_.getLong(1)).toList == List(2L, 1L, 0L))
+    // ...so replaying top-to-bottom restores the oldest state last
+    assert(rows.last.getString(2).contains("DELETE FROM `testdb`.`t_pk`"))
+  }
+
+  test("DDL events carry position/datetime and respect bounds (O3/O4)") {
+    val path = write("ddlb.txt", BinlogFixture.representative)
+    def count(cfg: CdcConfig): Long =
+      CdcJob.run(spark, path, Catalog.fixture(spark), cfg).count()
+    // DDL event starts at pos 400 / 05:00:03; stop bounds are exclusive
+    assert(count(CdcConfig(includeDdl = true, stopPos = Some(400L))) == 3)
+    assert(count(CdcConfig(includeDdl = true, startPos = Some(400L))) == 1)
+    assert(count(CdcConfig(includeDdl = true,
+      stopDatetime = Some("2026-08-12 05:00:03"))) == 3)
+    assert(count(CdcConfig(includeDdl = true,
+      startDatetime = Some("2026-08-12 05:00:03"))) == 1)
+    // db/table/sql-type filters still bypass DDL (log2sql.py:13-14)
+    assert(count(CdcConfig(includeDdl = true, database = "nosuch")) == 1)
+  }
+
   test("bug-compatible flashback keeps reference (unreversed) order") {
     val path = write("repr_fbc.txt", BinlogFixture.representative)
     val got = sqls(CdcJob.run(spark, path, Catalog.fixture(spark),

@@ -141,6 +141,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(both.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("cosine_sim rejects wrong arity and non-array args at analysis") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    Seq((1, "x")).toDF("n", "s").createOrReplaceTempView("cs_bad")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(n) FROM cs_bad").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("cosine_sim"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(n, s) FROM cs_bad").collect()
+    }
+    assert(e2.getMessage.contains("ARRAY<FLOAT>") ||
+      e2.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("MinHash UDAF over exploded shingles equals the per-row kernel") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
