@@ -23,14 +23,22 @@ object QueryDef {
 
   /** Total ordering for SMALL result sets in one pass. A global
     * `orderBy` range-samples its input — the whole upstream plan runs
-    * twice. Oracle/report outputs are at most tens of thousands of
-    * rows, so shuffling them to one partition and sorting there gives
-    * the same total order with a single upstream pass. Not for large
-    * outputs — those keep `orderBy` (parallel range sort).
+    * twice. Oracle/report outputs that are BOUNDED (per-group aggregates
+    * over low-cardinality keys, top-k) are at most thousands of rows, so
+    * shuffling them to one partition and sorting there gives the same
+    * total order with a single upstream pass.
+    *
+    * `orderedRows` is for outputs whose row count SCALES with the corpus
+    * (per-row projections, per-pair dedup results): a parallel range
+    * sort — at 100× the data, funneling every result row through one
+    * task would be the bottleneck, while range partitions keep the sort
+    * distributed.
     */
   implicit final class SmallOrdered(private val df: org.apache.spark.sql.DataFrame)
       extends AnyVal {
     def orderedSmall(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
+    def orderedRows(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+      df.orderBy(cols: _*)
   }
 }

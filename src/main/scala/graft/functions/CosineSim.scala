@@ -81,17 +81,26 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** SQL + Column registration: after register(spark), use
-    * `cosine_sim(a, b)` (call_function) or SQL `cosine_sim(v1, v2)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    * `cosine_sim(a, b)` (call_function) or SQL `cosine_sim(v1, v2)`.
+    * Idempotent per session — query builders call it freely without
+    * re-registration (or the "replaced a previously registered
+    * function" log spam a bench suite would otherwise emit). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
+        // plain-message form: arity failure must not depend on Spark's
+        // internal error-class registry (names/params change across
+        // releases and would turn this into a missing-error-class crash)
         if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map("functionName" -> "cosine_sim",
-            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
+          s"cosine_sim expects exactly 2 arguments, got ${exprs.length}",
+          None, None, None, None, Map.empty,
+          Array.empty[org.apache.spark.QueryContext])
         CosineSim(exprs(0), exprs(1))
       }, "built-in")
+  }
 
   /** Column API via the registered name (register(spark) first). */
   def cosine_sim(a: Column, b: Column): Column =

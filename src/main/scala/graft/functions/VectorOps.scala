@@ -96,7 +96,7 @@ object VectorOps {
       }
     }.toDF()
       .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
-      .orderedSmall(col("ia"), col("ib"))
+      .orderedRows(col("ia"), col("ib")) // qualifying pairs scale with corpus
   }
 
   /** Exact top-k neighbors for each of the first `nQueries` vec_ids:

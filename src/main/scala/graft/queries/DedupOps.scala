@@ -57,7 +57,7 @@ object DedupOps {
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("j") >= tau)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))
-      .orderedSmall(col("ia"), col("ib"))
+      .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
   /** 64-bit SimHash per doc + banded near-dup pairs (Hamming ≤ maxDist
@@ -85,7 +85,7 @@ object DedupOps {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxDist)
       .select("ia", "ib", "hamming")
-      .orderedSmall(col("ia"), col("ib"))
+      .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH banding with
@@ -115,7 +115,7 @@ object DedupOps {
         graft.functions.CosineSim.cosine_sim(col("va"), col("vb")), 5))
       .filter(col("sim") >= tau)
       .select("ia", "ib", "sim")
-      .orderedSmall(col("ia"), col("ib"))
+      .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -26,7 +26,7 @@ object EventOps {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour")("start").as("w"), col("event_type"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
-        .orderedSmall(col("w"), col("event_type"))
+        .orderedRows(col("w"), col("event_type")) // rows scale with time range
     },
 
     QueryDef("s2_sliding_window",
@@ -42,7 +42,7 @@ object EventOps {
         .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("w_start"),
           col("event_type"))
         .agg(count(lit(1)).as("c"))
-        .orderedSmall(col("w_start"), col("event_type"))
+        .orderedRows(col("w_start"), col("event_type")) // rows scale with time range
     },
 
     QueryDef("s3_session_windows",
@@ -64,7 +64,7 @@ object EventOps {
         .withColumn("sid", sum("new_s").over(byUser))
         .groupBy("user_id")
         .agg(countDistinct("sid").as("sessions"))
-        .orderedSmall(col("user_id"))
+        .orderedRows(col("user_id")) // one row per user: scales
     },
 
     QueryDef("s5_dedup",

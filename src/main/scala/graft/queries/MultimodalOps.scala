@@ -66,12 +66,12 @@ object MultimodalOps {
           col("meta.n_bytes").as("n_bytes"),
           round(expr("aggregate(feature, 0D, (a, x) -> a + x)"), 3).as("feat_sum"),
           round(element_at(col("feature"), 1).cast("double"), 5).as("f0"))
-        .orderedSmall(col("media_id"))
+        .orderedRows(col("media_id")) // one row per media item: scales
     },
 
     QueryDef.noOracle("m2_frame_sample") { (s, d) =>
       frameSample(mediaTable(s, d))
-        .orderedSmall(col("media_id"), col("frame_idx"))
+        .orderedRows(col("media_id"), col("frame_idx")) // frames scale with corpus
     }
   )
 }

@@ -39,7 +39,9 @@ object Relational {
         .filter(col("l_shipdate") >= ts("1995-01-01") &&
           col("l_shipdate") < ts("1996-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .orderedSmall(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+        // per-row output scales with the corpus → parallel range sort,
+        // never a single-task funnel
+        .orderedRows(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     },
 
@@ -122,7 +124,7 @@ object Relational {
           round(sum("o_totalprice")
             .over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run"))
         .filter(col("rn") <= 3)
-        .orderedSmall(col("o_custkey"), col("rn"))
+        .orderedRows(col("o_custkey"), col("rn")) // ~3 rows/customer: scales
     },
 
     QueryDef("q07_topk",
@@ -269,7 +271,7 @@ object Relational {
           last(when(col("r") === 0, col("ts")), ignoreNulls = true).over(w))
         .filter(col("r") === 1 && col("signup_ts").isNotNull)
         .select(col("event_id").as("pid"), col("signup_ts"))
-        .orderedSmall(col("pid"))
+        .orderedRows(col("pid")) // one row per purchase: scales
     },
 
     QueryDef("q15_corr_subquery",
@@ -282,12 +284,15 @@ object Relational {
         .filter(col("p_brand") === "Brand#1").select("p_partkey")
       // Restrict the fact table to the brand's partkeys *before* the
       // per-part average: the heavy aggregate then runs over a small
-      // slice instead of all of lineitem (TPC-H Q17 rewrite).
+      // slice instead of all of lineitem (TPC-H Q17 rewrite). The
+      // per-part threshold is a window over the same slice — ONE
+      // shuffle on l_partkey and ONE pass over the slice, vs the
+      // groupBy+self-join form that scans it twice.
       val liBrand = li.join(broadcast(brandParts),
         col("l_partkey") === col("p_partkey"), "left_semi")
-      val thr = liBrand.groupBy(col("l_partkey").as("ak"))
-        .agg((lit(0.2) * avg("l_quantity")).as("thr"))
-      liBrand.join(thr, col("l_partkey") === col("ak"))
+      liBrand
+        .withColumn("thr", lit(0.2) *
+          avg("l_quantity").over(Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < col("thr"))
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("v"))
     }

@@ -64,7 +64,7 @@ object TextAnalysis {
           size(split(col("text"), " ")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit(TokRe), lit(0)))
             .cast("long").as("re_tokens"))
-        .orderedSmall(col("doc_id"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     },
 
     QueryDef("t2_quality_score",
@@ -84,7 +84,7 @@ object TextAnalysis {
           round(size(expr("filter(toks, t -> t IN ('a','the'))")) * lit(1.0)
             / size(col("toks")), 4).as("stop_ratio"),
           round(col("n_chars") * lit(1.0) / size(col("toks")), 4).as("avg_tok_len"))
-        .orderedSmall(col("doc_id"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     },
 
     QueryDef.noOracle("t3_langid_confusion") { (s, d) =>
@@ -126,8 +126,12 @@ object TextAnalysis {
             "xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"))
         .withColumn("sketch", expr("slice(array_sort(array_distinct(win_hashes)), 1, 8)"))
         .withColumn("fingerprint", expr("xxhash64(cast(sketch as string))"))
-        .select("doc_id", "fingerprint", "sketch")
-        .orderedSmall(col("doc_id"))
+        // sketch as CSV text: array columns break order-canonicalizing
+        // result harnesses (pandas can't sort ndarray cells), and the
+        // string form carries the same information
+        .select(col("doc_id"), col("fingerprint"),
+          concat_ws(",", col("sketch")).as("sketch"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
 }

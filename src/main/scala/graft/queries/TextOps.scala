@@ -32,35 +32,46 @@ object TextOps {
         |FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
         |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
         |ORDER BY ia, ib""".stripMargin) { (s, d) =>
-      // Exact 3-token-shingle Jaccard ≥ 0.8. The shingle self-join is
-      // the exact baseline; at 100 TB the candidate step is MinHash-LSH
-      // (DedupOps.minhash) — this stays the small-SF ground truth.
-      // Cached: the shingle set feeds three downstream plans (card +
-      // both join sides); without it Spark re-explodes the corpus 3×.
-      // Shingles join on their 64-bit hash, not the ~20-byte string —
-      // smaller shuffle, long-key hash join. (2^-64 collision odds;
-      // the oracle hash-compare would surface one instantly.)
-      val sh = Tables.documents(s, d)
+      // Exact 3-token-shingle Jaccard ≥ τ=0.8 via prefix filtering
+      // (the AllPairs/PPJoin family of exact set-similarity joins):
+      // J(A,B) ≥ τ ⟹ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ·|A|⌉, and the
+      // smallest common shingle under a global total order must then
+      // sit within each side's first |S| − ⌈τ|S|⌉ + 1 shingles. So the
+      // inverted index holds only that ~20% prefix (hash order = the
+      // global order), the self-join emits a small candidate set, and
+      // exact verification (array_intersect on the full sorted sets)
+      // touches candidates only. Same shape at 100 TB: prefix rows and
+      // candidate IDs shuffle, never all shingle pairs. ⌈0.8c⌉ is
+      // computed in integers — double ceil(0.8*35)=29 would silently
+      // shorten the prefix and drop pairs.
+      // Shingles live as their 64-bit hash, not the ~20-byte string —
+      // smaller shuffle (2^-64 collision odds; the oracle hash-compare
+      // would surface one instantly).
+      val sets = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-3), " +
-            "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-          .as("shingle"))
-        .distinct()
+        .select(col("doc_id"), expr(
+          "array_sort(array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))")
+          .as("sh"))
+        .withColumn("c", size(col("sh")))
         .cache()
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val inter = sh.select(col("doc_id").as("ia"), col("shingle"))
-        .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
-        .filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("i"))
-      inter
-        .join(card.select(col("doc_id").as("ia"), col("c").as("ca")), Seq("ia"))
-        .join(card.select(col("doc_id").as("ib"), col("c").as("cb")), Seq("ib"))
-        .withColumn("jac", col("i") * lit(1.0) / (col("ca") + col("cb") - col("i")))
+      val pref = sets.select(col("doc_id"), col("c"),
+        explode(expr("slice(sh, 1, size(sh) - ((4 * size(sh) + 4) div 5) + 1)")).as("p"))
+      val cand = pref.select(col("doc_id").as("ia"), col("c").as("ca"), col("p"))
+        .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p")), Seq("p"))
+        .filter(col("ia") < col("ib") &&
+          expr("least(ca, cb) >= (4 * greatest(ca, cb) + 4) div 5"))
+        .select("ia", "ib").distinct()
+      cand
+        .join(sets.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
+        .join(sets.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac", col("i") * lit(1.0) /
+          (size(col("sa")) + size(col("sb")) - col("i")))
         .filter(col("jac") >= 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
-        .orderedSmall(col("ia"), col("ib"))
+        .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
     },
 
     QueryDef("l3_cosine_topk",
@@ -98,10 +109,19 @@ object TextOps {
         |WHERE rn<=3 ORDER BY source, rn""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val nDf = docs.agg(count(lit(1)).as("n"))
-      val tok = docs.select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("term"))
-      val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // ONE pass over the corpus: the raw token stream aggregates to a
+      // (term, doc) index (map-side combine shrinks the explode before
+      // it shuffles); tf and df are then cheap re-aggregations of the
+      // cached index instead of two independent corpus explodes.
+      val byDoc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id", "source").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val tf = byDoc.groupBy("source", "term").agg(sum("cnt").as("tf"))
+      // (term, doc_id) is unique in byDoc, so a row count IS the
+      // distinct-doc count
+      val dfq = byDoc.groupBy("term").agg(count(lit(1)).as("df"))
       // Ranking happens on the ROUNDed score (both sides) so float
       // last-ulp noise can't reorder the top-3.
       val scored = tf.join(dfq, Seq("term")).crossJoin(broadcast(nDf))
