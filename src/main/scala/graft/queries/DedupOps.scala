@@ -19,44 +19,54 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** 3-token shingle set per doc (distinct), as array. */
-  private def shingled(docs: DataFrame): DataFrame = docs
-    .withColumn("toks", split(col("text"), " "))
-    .filter(size(col("toks")) >= 3)
-    .withColumn("shingles", expr(
-      "array_distinct(transform(sequence(0, size(toks)-3), " +
-        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-    .select(col("doc_id"), col("shingles"))
-
   /** MinHash signatures (bands × rowsPerBand hashes) + LSH banding.
     * Returns candidate pairs with their *exact* Jaccard ≥ tau.
     * P(candidate | j=0.8) with 8×4 ≈ 98.5%; recall vs the exact l2
-    * output is asserted in PipelineOpsSpec. */
+    * output is asserted in PipelineOpsSpec, and at the default τ=0.8
+    * the output equals l2's exact pairs (100% recall, exact verify ⇒
+    * no false positives), which is what lets d1 share l2's oracle.
+    *
+    * Layout: ONE typed flatMap emits the 8 band rows per doc, each
+    * carrying the doc's sorted shingle-hash set; exact Jaccard runs
+    * in-stream on the band-join output (array_intersect on long
+    * arrays), and the final distinct dedupes multi-band collisions on
+    * finished (ia, ib, j) triples. Shuffle volume is bands × the
+    * signature corpus — versus IDs-only banding + two re-attach
+    * joins, this trades ~4× on one shuffle for two fewer joins and no
+    * cache; at higher band counts the IDs-only form wins back.
+    * Shingles are MinHashed from their 64-bit hashes (one string hash
+    * per shingle, not one per shingle × seed), and the verify
+    * intersects the same hashes — identical Jaccard to the string
+    * form absent 2^-64 collisions. */
   def minhashPairs(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
       tau: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = bands * rowsPerBand
-    val sets = shingled(docs).as[(Long, Array[String])].cache()
-    val banded = sets.map { case (id, sh) =>
-      (id, HashOps.bandHashes(HashOps.minhashSig(sh, n), bands, rowsPerBand))
-    }.toDF("doc_id", "bh")
-      .select(col("doc_id"), posexplode(col("bh")).as(Seq("b", "h")))
-      .cache()
-    val cand = banded.as("x").join(banded.as("y"),
+    val banded = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = HashOps.shingleHashes(text, 3)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val bh = HashOps.bandHashes(
+            HashOps.minhashSigFromHashes(sh, n), bands, rowsPerBand)
+          Iterator.tabulate(bands)(b => (id, sh, b, bh(b)))
+        }
+      }.toDF("doc_id", "sh", "b", "h")
+    // shuffle_hash self-join: canonically identical sides share one
+    // exchange (ReuseExchange) — the MinHash flatMap runs once — and
+    // the Jaccard verify runs partition-parallel rather than inside
+    // the single scan task a broadcast join would pipeline into.
+    banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .distinct()
-    // exact Jaccard verification on candidates only
-    cand
-      .join(sets.toDF("ia", "sa"), Seq("ia"))
-      .join(sets.toDF("ib", "sb"), Seq("ib"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("j", col("inter") * lit(1.0) /
-        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+        (size(col("x.sh")) + size(col("y.sh"))).as("csum"))
+      .withColumn("j", col("inter") * lit(1.0) / (col("csum") - col("inter")))
       .filter(col("j") >= tau)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))
+      .distinct()
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
@@ -95,31 +105,43 @@ object DedupOps {
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
       nBands: Int = 8, bandBits: Int = 2): DataFrame = {
     import graft.QueryDef.SmallOrdered
-    val vecs = SimilarityOps.withBands(emb, nBands, bandBits).cache()
-    // band-join carries IDs ONLY — shuffling 64-d arrays for every
-    // candidate pair dominated runtime; vectors re-attach after the
-    // pair dedup via (auto-broadcast) joins against the small frame
-    val ids = vecs.select(col("vec_id"), col("b"), col("h"))
-    val cand = ids.as("x").join(ids.as("y"),
-        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
-      .distinct()
-    val va = vecs.select(col("vec_id").as("ia"), col("v").as("va")).distinct()
-    val vb = vecs.select(col("vec_id").as("ib"), col("v").as("vb")).distinct()
+    // Vectors ride THROUGH the band join and cosine runs in-stream on
+    // the join output (native CosineSim Expression, fused codegen
+    // loop) — the pairs that flow between stages are (ia, ib, sim)
+    // triples, never vectors. The earlier IDs-only form deduped pairs
+    // first and re-attached vectors with two more joins; that is one
+    // shuffle of pair IDs plus two joins per query, and it lost badly
+    // to simply recomputing the cheap dot product for the few pairs
+    // that collide in more than one band. The final distinct dedupes
+    // multi-band collisions on the already-filtered survivors (sim is
+    // deterministic, so duplicate rows are identical).
+    val vecs = SimilarityOps.withBands(emb, nBands, bandBits)
+    val rows = vecs.select(col("vec_id"), col("v"), col("b"), col("h"))
     graft.functions.CosineSim.register(emb.sparkSession)
-    cand.join(va, Seq("ia")).join(vb, Seq("ib"))
-      // native Expression (fused codegen loop) instead of interpreted
-      // aggregate(zip_with(...)) lambda chains
-      .withColumn("sim", round(
-        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")), 5))
-      .filter(col("sim") >= tau)
-      .select("ia", "ib", "sim")
+    // shuffle_hash self-join, not broadcast: canonically identical
+    // sides share ONE exchange (ReuseExchange), so signatures are
+    // computed once, and the probe runs partition-parallel instead of
+    // inside the single scan task a broadcast join would pipeline
+    // into (the parquet files are single-row-group, so a scan stage
+    // is one task). The id inequality sits BEFORE the cosine in the
+    // join condition so the cheap predicate halves the candidate set
+    // ahead of the dot product; survivors recompute the fused-codegen
+    // cosine once more in the projection — a few hundred rows.
+    val sim = round(graft.functions.CosineSim.cosine_sim(
+      col("x.v"), col("y.v")), 5)
+    rows.as("x").join(rows.as("y").hint("shuffle_hash"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.vec_id") < col("y.vec_id") && sim >= tau)
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"), sim.as("sim"))
+      .distinct()
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.noOracle("d1_minhash_neardup") { (s, d) =>
+    // d1 shares the exact operator's oracle: 100% recall at τ=0.8
+    // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
+    // output to l2 — this hash-proves the flagship scale-path dedup.
+    QueryDef("d1_minhash_neardup", TextOps.JaccardPairsSql) { (s, d) =>
       minhashPairs(Tables.documents(s, d))
     },
     QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>

@@ -60,7 +60,23 @@ object MultimodalOps {
 
   val defs: Seq[QueryDef] = Seq(
 
-    QueryDef.noOracle("m1_media_features") { (s, d) =>
+    // The stub decode kernel is deterministic byte math, so it has a
+    // real DuckDB oracle: the low hex nibble of each payload byte IS
+    // the 16-bin histogram bucket (regexp strips high nibbles from
+    // hex(blob); replace-and-count gives per-bin frequencies).
+    QueryDef("m1_media_features",
+      """WITH h AS (
+        |  SELECT doc_id, regexp_replace(hex(encode(text)), '(.)(.)', '\2', 'g') AS nib,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |         [CAST((length(nib) - length(replace(nib, substr('0123456789ABCDEF', x+1, 1), ''))) * 1.0 / n AS FLOAT) for x in range(16)] AS f
+        |  FROM h)
+        |SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kind, CAST(n AS INT) AS n_bytes,
+        |       ROUND(list_sum([CAST(y AS DOUBLE) for y in f]), 3) AS feat_sum,
+        |       ROUND(CAST(f[1] AS DOUBLE), 5) AS f0
+        |FROM b ORDER BY media_id""".stripMargin) { (s, d) =>
       decodeFeatures(mediaTable(s, d))
         .select(col("media_id"), col("meta.kind").as("kind"),
           col("meta.n_bytes").as("n_bytes"),
@@ -69,7 +85,14 @@ object MultimodalOps {
         .orderedRows(col("media_id")) // one row per media item: scales
     },
 
-    QueryDef.noOracle("m2_frame_sample") { (s, d) =>
+    QueryDef("m2_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(LEAST(64, n - i*64) AS INT) AS frame_len
+        |FROM v, UNNEST(range(0, CAST(ceil(n/64.0) AS BIGINT), 2)) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
       frameSample(mediaTable(s, d))
         .orderedRows(col("media_id"), col("frame_idx")) // frames scale with corpus
     }

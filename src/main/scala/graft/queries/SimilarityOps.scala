@@ -65,19 +65,23 @@ object SimilarityOps {
 
   def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nBands: Int = 8, bandBits: Int = 2): DataFrame = {
+    // Cosine runs in-stream on the band-join output and the multi-band
+    // dedupe happens on (qid, cid, sim) triples — never on rows that
+    // carry the vectors (a distinct over array columns hashes every
+    // 64-d vector per row; recomputing the fused-codegen dot product
+    // for multi-band collisions is far cheaper). No cache: the
+    // signature pass is a JIT'd typed map over the embeddings scan,
+    // cheaper to recompute per side than to materialize.
     val banded = withBands(emb, nBands, bandBits)
-      .cache() // self-joined below; avoid recomputing signatures twice
     val q = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("b"), col("h"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("b"), col("h"))
     val c = banded.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("nrm").as("cn"), col("b"), col("h"))
-    val cand = q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
-      .select("qid", "qv", "qn", "cid", "cv", "cn").distinct()
+      col("b"), col("h"))
     graft.functions.CosineSim.register(emb.sparkSession)
-    cand
-      .withColumn("sim_raw",
-        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")))
+    q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
+      .distinct()
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
       .filter(col("rnk") <= k)

@@ -90,15 +90,18 @@ object TextAnalysis {
     QueryDef.noOracle("t3_langid_confusion") { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // self-classification: one trigram pass serves both profile
-      // building and scoring (langId's two-DF form would explode the
-      // corpus twice)
-      val tri = docs.select(col("doc_id"), col("lang"), col("text"))
+      // Two independent streamed passes over the corpus trigrams —
+      // NOT one cached pass: materializing the ~2k-trigrams-per-doc
+      // explode costs more than recomputing the JIT'd flatMap, and
+      // each pass pipelines into its aggregation with no corpus-sized
+      // shuffle (profile pass shrinks map-side to lang × trigram
+      // partials; scoring pass is a broadcast-hash probe whose output
+      // aggregates map-side to doc × candidate-lang).
+      def tri = docs.select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)]
         .flatMap { case (id, lang, t) =>
           graft.functions.HashOps.trigrams(t).map(tg => (id, lang, tg))
         }.toDF("doc_id", "lang", "tg")
-        .cache()
       val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("f"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("lang").orderBy(col("f").desc, col("tg"))))

@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Exact shingle-Jaccard ≥ 0.8 pair SQL — the oracle for BOTH the
+    * exact l2 operator and the MinHash-LSH scale path d1: at τ=0.8
+    * d1's banding has (asserted) 100% recall and its verify step is
+    * the exact Jaccard, so its output equals the exact pairs. */
+  val JaccardPairsSql: String =
+    """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
+      |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+      |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM shx),
+      |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT ia, ib, ROUND(i*1.0/(ca.c + cb.c - i), 4) AS j
+      |FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
+      |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
+      |ORDER BY ia, ib""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("l1_exact_dedup",
@@ -20,18 +37,7 @@ object TextOps {
         .agg(count(lit(1)).as("total"), countDistinct(md5(col("text"))).as("uniq"))
     },
 
-    QueryDef("l2_jaccard_pairs",
-      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
-        |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
-        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM shx),
-        |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
-        |          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
-        |SELECT ia, ib, ROUND(i*1.0/(ca.c + cb.c - i), 4) AS j
-        |FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
-        |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
-        |ORDER BY ia, ib""".stripMargin) { (s, d) =>
+    QueryDef("l2_jaccard_pairs", JaccardPairsSql) { (s, d) =>
       // Exact 3-token-shingle Jaccard ≥ τ=0.8 via prefix filtering
       // (the AllPairs/PPJoin family of exact set-similarity joins):
       // J(A,B) ≥ τ ⟹ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ·|A|⌉, and the
@@ -41,23 +47,34 @@ object TextOps {
       // global order), the self-join emits a small candidate set, and
       // exact verification (array_intersect on the full sorted sets)
       // touches candidates only. Same shape at 100 TB: prefix rows and
-      // candidate IDs shuffle, never all shingle pairs. ⌈0.8c⌉ is
-      // computed in integers — double ceil(0.8*35)=29 would silently
-      // shorten the prefix and drop pairs.
+      // candidate IDs shuffle, never all shingle pairs.
+      // Shingling runs in a typed map (JIT'd primitive loops): the
+      // Catalyst HOF form interprets its lambda per element — measured
+      // ~8× slower over the corpus (see graft.functions.HashOps). Not
+      // cached: recompute is cheaper than array-column materialization,
+      // and the self-join sides reuse one shuffle via ReuseExchange.
       // Shingles live as their 64-bit hash, not the ~20-byte string —
       // smaller shuffle (2^-64 collision odds; the oracle hash-compare
       // would surface one instantly).
+      import s.implicits._
+      import graft.functions.HashOps
       val sets = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(
-          "array_sort(array_distinct(transform(sequence(0, size(toks)-3), " +
-            "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))")
-          .as("sh"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, HashOps.shingleHashes(text, 3)) }
+        .toDF("doc_id", "sh")
+        .filter(size(col("sh")) >= 1)
         .withColumn("c", size(col("sh")))
-        .cache()
-      val pref = sets.select(col("doc_id"), col("c"),
-        explode(expr("slice(sh, 1, size(sh) - ((4 * size(sh) + 4) div 5) + 1)")).as("p"))
+      // Prefix rows emitted straight from a typed flatMap as primitive
+      // tuples — no array-column serialization, no per-element HOF.
+      // Prefix length |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic —
+      // double ceil(0.8*35)=29 would silently shorten the prefix.
+      val pref = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val sh = HashOps.shingleHashes(text, 3)
+          val pl = HashOps.prefixLen08(sh.length)
+          Iterator.tabulate(math.min(pl, sh.length))(i => (id, sh.length, sh(i)))
+        }.toDF("doc_id", "c", "p")
       val cand = pref.select(col("doc_id").as("ia"), col("c").as("ca"), col("p"))
         .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p")), Seq("p"))
         .filter(col("ia") < col("ib") &&
@@ -109,19 +126,20 @@ object TextOps {
         |WHERE rn<=3 ORDER BY source, rn""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val nDf = docs.agg(count(lit(1)).as("n"))
-      // ONE pass over the corpus: the raw token stream aggregates to a
-      // (term, doc) index (map-side combine shrinks the explode before
-      // it shuffles); tf and df are then cheap re-aggregations of the
-      // cached index instead of two independent corpus explodes.
-      val byDoc = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("term"))
-        .groupBy("term", "doc_id", "source").agg(count(lit(1)).as("cnt"))
-        .cache()
-      val tf = byDoc.groupBy("source", "term").agg(sum("cnt").as("tf"))
-      // (term, doc_id) is unique in byDoc, so a row count IS the
-      // distinct-doc count
-      val dfq = byDoc.groupBy("term").agg(count(lit(1)).as("df"))
+      // ONE shuffle for the whole query: the token stream is hash-
+      // partitioned by term once; tf (group by source+term), df
+      // (distinct docs per term), and the tf⋈df join are then all
+      // exchange-free, because partitioning by `term` satisfies every
+      // downstream clustering (subset rule) and co-partitions the
+      // join. The alternative (independent map-side-combined tf and
+      // df aggs) shuffles less per agg but needs a shuffle join of
+      // the two aggregates afterwards — more barriers, and df's
+      // partial-distinct pass shuffles ~the token stream anyway.
+      val tok = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+        .repartition(col("term"))
+      val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
       // Ranking happens on the ROUNDed score (both sides) so float
       // last-ulp noise can't reorder the top-3.
       val scored = tf.join(dfq, Seq("term")).crossJoin(broadcast(nDf))
