@@ -24,8 +24,13 @@ object Tables {
   // Spark's own FileStatusCache. Keyed on the session REFERENCE
   // (identity equality — unlike identityHashCode strings, references
   // cannot collide between live sessions or be confused with a GC'd
-  // one); stopped sessions' entries are purged on the next load, so
-  // the map cannot grow past the set of live sessions × tables.
+  // one); entries whose session's CONTEXT is stopped are purged on the
+  // next load. Known limitation: sessions created via newSession()/
+  // cloneSession() share a live context, so many short-lived child
+  // sessions on one context are never purged (and are strongly held)
+  // until the context stops — fine for the one-session-per-JVM usage
+  // here; a long-lived multi-tenant driver should key a WeakHashMap
+  // per session instead.
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

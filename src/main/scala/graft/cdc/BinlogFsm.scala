@@ -79,6 +79,31 @@ object BinlogFsm {
       try s.trim.takeWhile(c => c.isDigit || c == '-').toLong
       catch { case _: Exception => 0L }
 
+    /** `# at N` line → raw position substring after "at" (verbatim,
+      * as the reference slices it — log2sql.py:101). Shared by the
+      * DML ring lookbehind and the DDL lastAt* tracking. */
+    private def atRawOf(line: String): String = {
+      val i = line.indexOf("at")
+      if (i >= 0) line.substring(i + 2) else ""
+    }
+
+    /** Event header line (`#<dt> server id N end_log_pos M [CRC32]`) →
+      * (stopPosRaw, datetimeRaw) — raw substrings cut exactly like the
+      * reference (log2sql.py:102-104): end_log_pos up to CRC32, the
+      * datetime is everything before "server id" with `#` trimmed. */
+    private def headerRawOf(line: String): (String, String) = {
+      val elp = line.indexOf("end_log_pos")
+      val stop = if (elp >= 0) {
+        val rest = line.substring(elp + 11)
+        val crc = rest.indexOf("CRC32")
+        if (crc >= 0) rest.substring(0, crc) else rest
+      } else ""
+      val sid = line.indexOf("server id")
+      val dtPart = if (sid >= 0) line.substring(0, sid) else ""
+      val dt = dtPart.dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
+      (stop, dt)
+    }
+
     private def processLine(line0: String): Unit = {
       val line = line0.stripLineEnd
       if (line.startsWith("###")) {
@@ -117,19 +142,10 @@ object BinlogFsm {
           // position/datetime from the lookbehind, raw substrings kept
           // verbatim (log2sql.py:101-103)
           if (ring.size >= 2) {
-            val atLine = ring(0)
-            val header = ring(1)
-            val atIdx = atLine.indexOf("at")
-            startPosRaw = if (atIdx >= 0) atLine.substring(atIdx + 2) else ""
-            val elp = header.indexOf("end_log_pos")
-            stopPosRaw = if (elp >= 0) {
-              val rest = header.substring(elp + 11)
-              val crc = rest.indexOf("CRC32")
-              if (crc >= 0) rest.substring(0, crc) else rest
-            } else ""
-            val sid = header.indexOf("server id")
-            val dtPart = if (sid >= 0) header.substring(0, sid) else ""
-            dtRaw = dtPart.dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
+            startPosRaw = atRawOf(ring(0))
+            val (stopRaw, dtR) = headerRawOf(ring(1))
+            stopPosRaw = stopRaw
+            dtRaw = dtR
             startPos = longOf(startPosRaw)
             stopPos = longOf(stopPosRaw)
           }
@@ -149,19 +165,13 @@ object BinlogFsm {
         // track position/header fields for the DDL path (DML reads the
         // ring exactly as the reference does, log2sql.py:101-104)
         if (line.startsWith("# at ")) {
-          lastAtRaw = line.substring(line.indexOf("at") + 2)
+          lastAtRaw = atRawOf(line)
           lastAtPos = longOf(lastAtRaw)
-        } else {
-          val elp = line.indexOf("end_log_pos")
-          if (elp >= 0 && line.startsWith("#")) {
-            val rest = line.substring(elp + 11)
-            val crc = rest.indexOf("CRC32")
-            lastStopRaw = if (crc >= 0) rest.substring(0, crc) else rest
-            lastStopPos = longOf(lastStopRaw)
-            val sid = line.indexOf("server id")
-            val dtPart = if (sid >= 0) line.substring(0, sid) else ""
-            lastDtRaw = dtPart.dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
-          }
+        } else if (line.startsWith("#") && line.contains("end_log_pos")) {
+          val (stopRaw, dtR) = headerRawOf(line)
+          lastStopRaw = stopRaw
+          lastStopPos = longOf(lastStopRaw)
+          lastDtRaw = dtR
         }
         if (includeDdl) {
           val stripped = line.trim

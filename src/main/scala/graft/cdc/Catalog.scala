@@ -55,6 +55,37 @@ object Catalog {
       .select("db", "table", "cols", "key_cols")
   }
 
+  /** MySQL `information_schema` projections the reference fires per
+    * event (/root/reference/log2sql.py:29 columns,
+    * log2sql.py:40-42 unique-index statistics) — here issued ONCE for
+    * the whole catalog. */
+  val DefaultColumnsQuery: String =
+    "SELECT table_schema, table_name, column_name, ordinal_position, " +
+      "column_key FROM information_schema.columns"
+  val DefaultStatisticsQuery: String =
+    "SELECT table_schema, table_name, index_name, non_unique, " +
+      "column_name FROM information_schema.statistics"
+
+  /** Live-catalog path: read the two information_schema projections
+    * over JDBC (one round-trip each, broadcast downstream) instead of
+    * snapshot CSVs. Default queries target MySQL — the system the
+    * reference connects to (/root/reference/main.py:112); the query
+    * strings are injectable so tests (and other dialects) can point
+    * at equivalently-shaped tables. Column-name case from the driver
+    * does not matter: Spark resolves case-insensitively by default. */
+  def fromJdbc(spark: SparkSession, url: String,
+      user: Option[String] = None, password: Option[String] = None,
+      columnsQuery: String = DefaultColumnsQuery,
+      statisticsQuery: String = DefaultStatisticsQuery): DataFrame = {
+    def read(q: String): DataFrame = {
+      var r = spark.read.format("jdbc").option("url", url).option("query", q)
+      user.foreach(u => r = r.option("user", u))
+      password.foreach(p => r = r.option("password", p))
+      r.load()
+    }
+    resolve(read(columnsQuery), read(statisticsQuery))
+  }
+
   /** The FIXTURES.md §3 snapshot: t_pk (PK), t_uniq (unique index
     * fallback), t_keyless (full-row WHERE). */
   def fixture(spark: SparkSession): DataFrame = {

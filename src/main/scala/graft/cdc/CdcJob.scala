@@ -63,12 +63,17 @@ object CdcJob {
     if (cfg.tables.nonEmpty) dml = dml && col("table").isin(cfg.tables: _*)
     // mysqlbinlog bound semantics: start bounds are inclusive, stop
     // bounds exclusive, both tested against the event START
-    // (position / header timestamp); applies to DML and DDL alike
+    // (position / header timestamp); applies to DML and DDL alike.
+    // An event whose header datetime fails to parse (null ts) PASSES
+    // the datetime bounds — mysqlbinlog still emits events it cannot
+    // date, and silently dropping them would lose writes.
     var bounds = lit(true)
     cfg.startPos.foreach(p => bounds = bounds && col("start_pos") >= p)
     cfg.stopPos.foreach(p => bounds = bounds && col("start_pos") < p)
-    cfg.startDatetime.foreach(t => bounds = bounds && col("ts") >= to_timestamp(lit(t)))
-    cfg.stopDatetime.foreach(t => bounds = bounds && col("ts") < to_timestamp(lit(t)))
+    cfg.startDatetime.foreach(t => bounds = bounds &&
+      (col("ts").isNull || col("ts") >= to_timestamp(lit(t))))
+    cfg.stopDatetime.foreach(t => bounds = bounds &&
+      (col("ts").isNull || col("ts") < to_timestamp(lit(t))))
     events.filter((isDdl || dml) && bounds)
   }
 

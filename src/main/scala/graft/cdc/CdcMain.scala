@@ -8,10 +8,16 @@ import org.apache.spark.sql.SparkSession
   * replaced by `--binlog <path-or-dir>` (decoded `mysqlbinlog -vv`
   * text, same contract as the reference which shells out for the
   * decode, main.py:90) and `--catalog columns.csv,statistics.csv`
-  * (an information_schema snapshot; omitted → built-in fixture).
+  * (an information_schema snapshot), or `--catalog-jdbc <url>` (the
+  * live path: the same two information_schema projections the
+  * reference queries per event, read once over JDBC —
+  * /root/reference/log2sql.py:29,40-42). Omitted → built-in fixture.
   *
   *   --binlog PATH          binlog text file or rotated-file directory
   *   --catalog COLS,STATS   information_schema snapshot CSVs
+  *   --catalog-jdbc URL     live catalog over JDBC (MySQL dialect);
+  *                          credentials via --catalog-user/--catalog-password
+  *                          or embedded in the URL
   *   -d, --database DB      database filter (O17)
   *   -t, --tables T1,T2     table filter (O18)
   *   --start-position N     (O3)        --stop-position N
@@ -25,10 +31,16 @@ import org.apache.spark.sql.SparkSession
   */
 object CdcMain {
 
-  def parseArgs(args: Array[String]): (String, Option[(String, String)],
+  final case class CatalogSource(
+      csvs: Option[(String, String)] = None,
+      jdbcUrl: Option[String] = None,
+      jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None)
+
+  def parseArgs(args: Array[String]): (String, CatalogSource,
       CdcConfig, Option[String]) = {
     var binlog: String = null
-    var catalog: Option[(String, String)] = None
+    var catalog = CatalogSource()
     var out: Option[String] = None
     var cfg = CdcConfig()
     var i = 0
@@ -46,7 +58,13 @@ object CdcMain {
           if (parts.length != 2)
             throw new IllegalArgumentException(
               "--catalog needs columns.csv,statistics.csv")
-          catalog = Some((parts(0), parts(1)))
+          catalog = catalog.copy(csvs = Some((parts(0), parts(1))))
+        case f @ "--catalog-jdbc" =>
+          catalog = catalog.copy(jdbcUrl = Some(operand(f)))
+        case f @ "--catalog-user" =>
+          catalog = catalog.copy(jdbcUser = Some(operand(f)))
+        case f @ "--catalog-password" =>
+          catalog = catalog.copy(jdbcPassword = Some(operand(f)))
         case f @ ("-d" | "--database") => cfg = cfg.copy(database = operand(f))
         case f @ ("-t" | "--tables") =>
           cfg = cfg.copy(tables = operand(f).split(",").toSeq)
@@ -74,7 +92,7 @@ object CdcMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val (binlog, catalogCsvs, cfg, out) = parseArgs(args)
+    val (binlog, catalogSrc, cfg, out) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("log2sqlspark-cdc")
@@ -82,12 +100,14 @@ object CdcMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val catalog = catalogCsvs match {
-      case Some((cols, stats)) =>
+    val catalog = (catalogSrc.csvs, catalogSrc.jdbcUrl) match {
+      case (Some((cols, stats)), _) =>
         Catalog.resolve(
           spark.read.option("header", "true").option("inferSchema", "true").csv(cols),
           spark.read.option("header", "true").option("inferSchema", "true").csv(stats))
-      case None => Catalog.fixture(spark)
+      case (None, Some(url)) =>
+        Catalog.fromJdbc(spark, url, catalogSrc.jdbcUser, catalogSrc.jdbcPassword)
+      case (None, None) => Catalog.fixture(spark)
     }
     val sql = CdcJob.run(spark, binlog, catalog, cfg)
       .select("sql")

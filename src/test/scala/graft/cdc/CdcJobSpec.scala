@@ -166,7 +166,8 @@ class CdcJobSpec extends AnyFunSuite {
       "--start-datetime", "2026-08-12 05:00:00",
       "--sql-type", "insert,delete", "-B", "-K", "--bug-compatible",
       "-o", "/tmp/out.sql"))
-    assert(binlog == "/x/b.txt" && cat.isEmpty && out.contains("/tmp/out.sql"))
+    assert(binlog == "/x/b.txt" && cat == CdcMain.CatalogSource() &&
+      out.contains("/tmp/out.sql"))
     assert(cfg == CdcConfig(sqlTypes = Seq("insert", "delete"),
       database = "testdb", tables = Seq("t_pk", "t_uniq"),
       startPos = Some(100L), stopPos = Some(900L),
@@ -174,6 +175,61 @@ class CdcJobSpec extends AnyFunSuite {
       flashback = true, bugCompatible = true, noPk = true))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
+  }
+
+  test("JDBC catalog source resolves keys like the snapshot path (O11/O12)") {
+    // Embedded Derby stands in for the MySQL information_schema: same
+    // projection shapes, real spark.read.jdbc path. The query strings
+    // are the injectable seam — production defaults target MySQL.
+    val url = "jdbc:derby:memory:catspec;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE cat_columns(table_schema VARCHAR(64), " +
+        "table_name VARCHAR(64), column_name VARCHAR(64), " +
+        "ordinal_position INT, column_key VARCHAR(8))")
+      st.execute("CREATE TABLE cat_statistics(table_schema VARCHAR(64), " +
+        "table_name VARCHAR(64), index_name VARCHAR(64), " +
+        "non_unique INT, column_name VARCHAR(64))")
+      val insC = conn.prepareStatement(
+        "INSERT INTO cat_columns VALUES (?,?,?,?,?)")
+      for ((db, t, c, o, k) <- Seq(
+          ("testdb", "t_pk", "id", 1, "PRI"), ("testdb", "t_pk", "name", 2, ""),
+          ("testdb", "t_pk", "score", 3, ""),
+          ("testdb", "t_uniq", "id", 1, ""), ("testdb", "t_uniq", "code", 2, ""),
+          ("testdb", "t_uniq", "val", 3, ""),
+          ("testdb", "t_keyless", "a", 1, ""), ("testdb", "t_keyless", "b", 2, ""))) {
+        insC.setString(1, db); insC.setString(2, t); insC.setString(3, c)
+        insC.setInt(4, o); insC.setString(5, k); insC.executeUpdate()
+      }
+      val insS = conn.prepareStatement(
+        "INSERT INTO cat_statistics VALUES (?,?,?,?,?)")
+      for ((db, t, ix, nu, c) <- Seq(
+          ("testdb", "t_pk", "PRIMARY", 0, "id"),
+          ("testdb", "t_uniq", "ux_code", 0, "code"))) {
+        insS.setString(1, db); insS.setString(2, t); insS.setString(3, ix)
+        insS.setInt(4, nu); insS.setString(5, c); insS.executeUpdate()
+      }
+    } finally conn.close()
+
+    val resolved = Catalog.fromJdbc(spark, url,
+      columnsQuery = "SELECT * FROM cat_columns",
+      statisticsQuery = "SELECT * FROM cat_statistics")
+    val byTable = resolved.collect()
+      .map(r => r.getString(1) -> r.getSeq[String](3)).toMap
+    assert(byTable("t_pk") == Seq("id"))        // PK wins
+    assert(byTable("t_uniq") == Seq("code"))    // unique-index fallback
+    assert(byTable("t_keyless").isEmpty)        // keyless
+    // end-to-end: the JDBC-resolved catalog drives a render identically
+    // to the fixture catalog
+    val path = write("jdbc_cat.txt", BinlogFixture.representative)
+    val viaJdbc = CdcJob.run(spark, path, resolved, CdcConfig())
+      .select("sql").collect().map(_.getString(0)).toSeq
+    val viaFixture = CdcJob.run(spark, path, Catalog.fixture(spark), CdcConfig())
+      .select("sql").collect().map(_.getString(0)).toSeq
+    // fixture also carries otherdb rows the Derby catalog omits; the
+    // representative stream only touches testdb tables, so renders match
+    assert(viaJdbc == viaFixture)
   }
 
   test("c-series driver entries return rows") {
