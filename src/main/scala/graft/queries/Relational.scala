@@ -68,10 +68,16 @@ object Relational {
       """SELECT c.c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o.o_totalprice),2) AS sum_price
         |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      // Eager aggregation: per-customer partials shrink orders to
+      // |customer| rows before the join (the join then carries keys,
+      // not orders); hintless join broadcasts at bench SF, shuffles
+      // at scale.
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt0"), sum("o_totalprice").as("sum0"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .agg(sum("cnt0").as("cnt"), round(sum("sum0"), 2).as("sum_price"))
         .orderedSmall(col("c_mktsegment"))
     },
 
@@ -82,13 +88,35 @@ object Relational {
         |JOIN nation n ON c.c_nationkey=n.n_nationkey
         |JOIN region r ON n.n_regionkey=r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      // Eager aggregation: revenue partial-aggregates by l_orderkey
+      // BEFORE any join, shrinking the fact stream to |orders| rows —
+      // every downstream join and re-aggregation then works on keys,
+      // not line items. The orders join is hinted shuffle_hash: the
+      // build side (aggregated lineitem) has unique keys so per-
+      // partition hash builds are skew-free at any scale, and at bench
+      // SF it avoids a single-task broadcast-probe pipeline (the
+      // 1-row-group parquet scan is one task). The customer-side join
+      // is deliberately hintless: the static planner broadcasts the
+      // small dim chain at bench SF and falls back to a shuffle join
+      // when customer is fact-sized at 100×.
+      val liAgg = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
+      val custNation = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+      liAgg
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev0").as("rev1"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+        .agg(round(sum("rev1"), 2).as("rev"))
         .orderedSmall(col("r_name"), col("n_name"))
     },
 
