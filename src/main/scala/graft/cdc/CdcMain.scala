@@ -23,8 +23,11 @@ import org.apache.spark.sql.SparkSession
   *   --start-position N     (O3)        --stop-position N
   *   --start-datetime "yyyy-MM-dd HH:mm:ss"  (O4)  --stop-datetime ...
   *   --sql-type insert,update,delete    (O16)
-  *   -B, --flashback        inverse SQL, newest first (Q6 fixed)
+  *   -B, --flashback        inverse SQL, newest first (Q6 fixed);
+  *                          mutually exclusive with -K (main.py:28)
   *   -K, --no-primary-key   strip PK cols from INSERTs (Q5 implemented)
+  *   --back-interval F      parsed-and-ignored (reference dead code,
+  *                          main.py:83-84)
   *   --include-ddl          real DDL switch (Q4 fixed)
   *   --bug-compatible       byte-parity with the reference
   *   -o, --output PATH      write SQL there instead of stdout
@@ -80,6 +83,12 @@ object CdcMain {
           cfg = cfg.copy(sqlTypes = operand(f).split(",").toSeq)
         case "-B" | "--flashback" => cfg = cfg.copy(flashback = true); i += 1
         case "-K" | "--no-primary-key" => cfg = cfg.copy(noPk = true); i += 1
+        case f @ "--back-interval" =>
+          // parsed-and-ignored for CLI parity: the reference declares a
+          // sleep between rollback chunks (main.py:83-84) but never
+          // reads it (dead code, SURVEY quirk Q5); validate the float
+          // so typos still fail loudly
+          operand(f).toDouble; ()
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
         case f @ ("-o" | "--output") => out = Some(operand(f))
@@ -88,6 +97,10 @@ object CdcMain {
     }
     if (binlog == null)
       throw new IllegalArgumentException("--binlog is required")
+    // the reference rejects the combination too (main.py:28-29)
+    if (cfg.flashback && cfg.noPk)
+      throw new IllegalArgumentException(
+        "Only one of flashback or no_pk can be True")
     (binlog, catalog, cfg, out)
   }
 

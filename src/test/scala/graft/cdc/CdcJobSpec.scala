@@ -164,7 +164,8 @@ class CdcJobSpec extends AnyFunSuite {
       "--binlog", "/x/b.txt", "-d", "testdb", "-t", "t_pk,t_uniq",
       "--start-position", "100", "--stop-position", "900",
       "--start-datetime", "2026-08-12 05:00:00",
-      "--sql-type", "insert,delete", "-B", "-K", "--bug-compatible",
+      "--sql-type", "insert,delete", "-B", "--bug-compatible",
+      "--back-interval", "0.5", // parsed-and-ignored (reference dead code)
       "-o", "/tmp/out.sql"))
     assert(binlog == "/x/b.txt" && cat == CdcMain.CatalogSource() &&
       out.contains("/tmp/out.sql"))
@@ -172,9 +173,15 @@ class CdcJobSpec extends AnyFunSuite {
       database = "testdb", tables = Seq("t_pk", "t_uniq"),
       startPos = Some(100L), stopPos = Some(900L),
       startDatetime = Some("2026-08-12 05:00:00"),
-      flashback = true, bugCompatible = true, noPk = true))
+      flashback = true, bugCompatible = true))
+    val (_, _, cfgK, _) = CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "-K"))
+    assert(cfgK == CdcConfig(noPk = true))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
+    // the reference rejects -B with -K (main.py:28-29)
+    intercept[IllegalArgumentException](CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "-B", "-K")))
   }
 
   test("JDBC catalog source resolves keys like the snapshot path (O11/O12)") {
