@@ -75,8 +75,13 @@ object TextOps {
           val pl = HashOps.prefixLen08(sh.length)
           Iterator.tabulate(math.min(pl, sh.length))(i => (id, sh.length, sh(i)))
         }.toDF("doc_id", "c", "p")
+      // shuffle_hash self-join: canonically identical sides share one
+      // exchange (ReuseExchange), so the prefix flatMap runs once and
+      // the candidate probe parallelizes across shuffle partitions
+      // instead of pipelining into the single-task scan.
       val cand = pref.select(col("doc_id").as("ia"), col("c").as("ca"), col("p"))
-        .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p")), Seq("p"))
+        .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p"))
+          .hint("shuffle_hash"), Seq("p"))
         .filter(col("ia") < col("ib") &&
           expr("least(ca, cb) >= (4 * greatest(ca, cb) + 4) div 5"))
         .select("ia", "ib").distinct()

@@ -175,6 +175,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(viaUdaf(id).sameElements(sig), s"doc $id")
   }
 
+  test("shingleHashes: sorted distinct, equals SQL xxhash64 of shingles") {
+    import spark.implicits._
+    val text = "a b c d a b c x y"
+    val hs = graft.functions.HashOps.shingleHashes(text, 3)
+    // sorted + distinct
+    assert(hs.toSeq == hs.toSeq.sorted && hs.toSeq.distinct == hs.toSeq)
+    // matches the Catalyst form hash-for-hash (same xxhash64 seed 42)
+    val sqlHashes = Seq(text).toDF("text")
+      .selectExpr("explode(transform(sequence(0, size(split(text,' '))-3), " +
+        "i -> xxhash64(concat_ws(' ', split(text,' ')[i], " +
+        "split(text,' ')[i+1], split(text,' ')[i+2])))) AS h")
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(hs.toSeq == sqlHashes)
+    // degenerate inputs
+    assert(graft.functions.HashOps.shingleHashes("a b", 3).isEmpty)
+    assert(graft.functions.HashOps.shingleHashes("", 3).isEmpty)
+  }
+
+  test("prefixLen08 matches the set-similarity bound c - ceil(0.8c) + 1") {
+    for (c <- 1 to 500)
+      assert(graft.functions.HashOps.prefixLen08(c) ==
+        c - math.ceil(0.8 * c).toInt + 1, s"c=$c")
+  }
+
+  test("minhashSigFromHashes: permutation-min property and stability") {
+    val a = Array(1L, 5L, 9L, 13L)
+    val sig = graft.functions.HashOps.minhashSigFromHashes(a, 8)
+    // signature of a superset is elementwise <= (min over more items)
+    val sup = graft.functions.HashOps.minhashSigFromHashes(a :+ 21L, 8)
+    assert(sig.zip(sup).forall { case (s, t) => t <= s })
+    // order-independent
+    val shuf = graft.functions.HashOps.minhashSigFromHashes(
+      Array(13L, 1L, 9L, 5L), 8)
+    assert(sig.toSeq == shuf.toSeq)
+  }
+
   test("t1/t2 run at sf0.001 and return one row per document") {
     for (name <- Seq("t1_token_counts", "t2_quality_score")) {
       val df = TextAnalysis.defs.find(_.name == name).get
