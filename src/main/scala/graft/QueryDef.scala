@@ -40,5 +40,20 @@ object QueryDef {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def orderedRows(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
       df.orderBy(cols: _*)
+
+    /** Redistribute a frame whose plan yields far fewer input slices
+      * than the session has cores, so heavy per-row kernels (shingling,
+      * MinHash, trigram explosion) downstream run partition-parallel.
+      * Single-row-group parquet — the bench corpus layout — decodes as
+      * ONE task and would otherwise serialize everything pipelined onto
+      * it. At real scale scans already split by row group/file and this
+      * is a no-op decision; the guard (4× headroom) keeps it from
+      * inserting a shuffle into an already-parallel plan. */
+    def fanOut: org.apache.spark.sql.DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (df.rdd.getNumPartitions * 4 <= sc.defaultParallelism)
+        df.repartition(sc.defaultParallelism)
+      else df
+    }
   }
 }

@@ -43,7 +43,9 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = bands * rowsPerBand
-    val banded = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val banded = docs.select(col("doc_id"), col("text"))
+      .fanOut // single-row-group scan: spread the MinHash kernel
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = HashOps.shingleHashes(text, 3)
         if (sh.isEmpty) Iterator.empty
@@ -78,6 +80,7 @@ object DedupOps {
     import spark.implicits._
     val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 1)
+      .fanOut // single-row-group scan: spread the SimHash kernel
       .as[(Long, Array[String])]
       .map { case (id, toks) => (id, HashOps.simhash64(toks)) }
       .toDF("doc_id", "simhash")

@@ -37,6 +37,7 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs.select(col("vec_id"), col("v"), col("nrm"))
+      .fanOut // single-row-group scan: spread the hyperplane kernel
       .as[(Long, Array[Double], Double)]
       .map { case (id, v, nrm) =>
         (id, v, nrm, graft.functions.HashOps.hyperplaneSig(v, nBits))

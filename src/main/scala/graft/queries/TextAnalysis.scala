@@ -98,6 +98,7 @@ object TextAnalysis {
       // partials; scoring pass is a broadcast-hash probe whose output
       // aggregates map-side to doc × candidate-lang).
       def tri = docs.select(col("doc_id"), col("lang"), col("text"))
+        .fanOut // single-row-group scan: spread the trigram kernel
         .as[(Long, String, String)]
         .flatMap { case (id, lang, t) =>
           graft.functions.HashOps.trigrams(t).map(tg => (id, lang, tg))

@@ -59,7 +59,9 @@ object TextOps {
       import s.implicits._
       import graft.functions.HashOps
       val sets = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .fanOut // single-row-group scan: spread the shingle kernel
+        .as[(Long, String)]
         .map { case (id, text) => (id, HashOps.shingleHashes(text, 3)) }
         .toDF("doc_id", "sh")
         .filter(size(col("sh")) >= 1)
@@ -69,7 +71,9 @@ object TextOps {
       // Prefix length |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic —
       // double ceil(0.8*35)=29 would silently shorten the prefix.
       val pref = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .fanOut // single-row-group scan: spread the shingle kernel
+        .as[(Long, String)]
         .flatMap { case (id, text) =>
           val sh = HashOps.shingleHashes(text, 3)
           val pl = HashOps.prefixLen08(sh.length)
