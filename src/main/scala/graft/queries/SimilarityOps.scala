@@ -54,14 +54,25 @@ object SimilarityOps {
     * (cos ≈ 0.5 → bits agree w.p. ~2/3) needs narrow bands — 8×2 bits
     * here — because P(8-bit slice matches) ≈ (2/3)^8 ≈ 4%. */
   /** Banded signature frame (vec_id, v, nrm, b, h) — shared by the
-    * ANN search and the embedding near-dup join (DedupOps). */
+    * ANN search and the embedding near-dup join (DedupOps). Band rows
+    * come straight out of the typed flatMap as primitive tuples (one
+    * JIT'd pass computes the signature AND slices the bands); the
+    * earlier HOF explode interpreted a struct constructor per band and
+    * re-copied the 64-d vector through the expression evaluator. */
   def withBands(emb: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
-    val vecs = withSignature(normed(emb), nBits = nBands * bandBits)
+    val spark = emb.sparkSession
+    import spark.implicits._
     val mask = (1L << bandBits) - 1
-    vecs.withColumn("band", explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), b -> " +
-          s"named_struct('b', b, 'h', shiftright(sig, b*$bandBits) & ${mask}L))")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("band.b"), col("band.h"))
+    val nBits = nBands * bandBits
+    normed(emb).select(col("vec_id"), col("v"), col("nrm"))
+      .fanOut // single-row-group scan: spread the hyperplane kernel
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, nrm) =>
+        val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
+        Iterator.tabulate(nBands)(b =>
+          (id, v, nrm, b, (sig >>> (b * bandBits)) & mask))
+      }
+      .toDF("vec_id", "v", "nrm", "b", "h")
   }
 
   def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
