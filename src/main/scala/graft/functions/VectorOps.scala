@@ -99,6 +99,51 @@ object VectorOps {
       .orderedRows(col("ia"), col("ib")) // qualifying pairs scale with corpus
   }
 
+  /** Seeded Lloyd's k-means over a bounded in-memory sample — the IVF
+    * coarse-quantizer trainer. Training on a driver-side sample is the
+    * standard IVF construction (the quantizer needs only a sketch of
+    * the density, and k × dim centroids must be broadcast-sized
+    * anyway); assignment and probing stay distributed. Deterministic:
+    * evenly-spaced initial centers, fixed iteration count, empty cells
+    * keep their previous centroid. */
+  def kmeansFit(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty && k > 0)
+    val n = sample.length
+    val dim = sample(0).length
+    val kk = math.min(k, n)
+    var centers = Array.tabulate(kk)(c => sample((c.toLong * n / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          val ctr = centers(c)
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centers(c)
+        else { val s = sums(c); val m = new Array[Double](dim)
+          var j = 0; while (j < dim) { m(j) = s(j) / counts(c); j += 1 }; m }
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Exact top-k neighbors for each of the first `nQueries` vec_ids:
     * queries broadcast, candidates scanned partition-parallel. */
   def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {

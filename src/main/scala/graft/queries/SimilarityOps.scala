@@ -15,35 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** vectors with double-cast embedding and precomputed norm. */
-  private def normed(emb: DataFrame): DataFrame = emb
-    .select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
-    .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
-
-  private val dot =
-    "aggregate(zip_with(qv, cv, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
-
   /** Exact top-k neighbors for each query vector — broadcast-and-scan
     * kernel (graft.functions.VectorOps), queries broadcast, candidate
     * scan partition-parallel in primitive loops. */
   def annExact(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
     graft.functions.VectorOps.annTopK(emb, nQueries, k)
-
-  /** Deterministic random-hyperplane signature: bit p = sign of
-    * <v, plane_p>, planes pseudo-random from xxh64 (typed map with a
-    * primitive loop — see graft.functions.HashOps). */
-  def withSignature(vecs: DataFrame, nBits: Int = 16): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    vecs.select(col("vec_id"), col("v"), col("nrm"))
-      .fanOut // single-row-group scan: spread the hyperplane kernel
-      .as[(Long, Array[Double], Double)]
-      .map { case (id, v, nrm) =>
-        (id, v, nrm, graft.functions.HashOps.hyperplaneSig(v, nBits))
-      }
-      .toDF("vec_id", "v", "nrm", "sig")
-  }
 
   /** LSH ANN: candidates share one of `nBands` signature slices of
     * `bandBits` bits; exact cosine re-ranks candidates only.
@@ -64,15 +40,20 @@ object SimilarityOps {
     import spark.implicits._
     val mask = (1L << bandBits) - 1
     val nBits = nBands * bandBits
-    normed(emb).select(col("vec_id"), col("v"), col("nrm"))
+    emb.select(col("vec_id"), col("embedding"))
       .fanOut // single-row-group scan: spread the hyperplane kernel
-      .as[(Long, Array[Double], Double)]
-      .flatMap { case (id, v, nrm) =>
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        // float→double widening in the same JIT'd loop (the Catalyst
+        // transform(...cast...) HOF form interprets per element)
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
         val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
         Iterator.tabulate(nBands)(b =>
-          (id, v, nrm, b, (sig >>> (b * bandBits)) & mask))
+          (id, v, b, (sig >>> (b * bandBits)) & mask))
       }
-      .toDF("vec_id", "v", "nrm", "b", "h")
+      .toDF("vec_id", "v", "b", "h")
   }
 
   def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
@@ -102,6 +83,76 @@ object SimilarityOps {
       .orderedSmall(col("qid"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the
+    * corpus into `nList` cells; every vector is indexed under its
+    * nearest centroid and a query probes only its `nProbe` nearest
+    * cells, with exact cosine re-ranking inside them. Complements the
+    * LSH path: IVF gives a tunable touched-fraction (nProbe/nList of
+    * the corpus per query) independent of a similarity threshold.
+    * Vectors are L2-normalized before training and assignment so the
+    * quantizer's euclidean geometry matches cosine ranking. The
+    * quantizer trains on a BOUNDED sample collected to the driver
+    * (standard IVF construction — the quantizer needs a sketch of the
+    * density, and the nList × dim centroid table must be
+    * broadcast-sized anyway; at 100 TB you sample ~100k vectors, train
+    * once, and reuse), while assignment and probing stay fully
+    * distributed. The default probes half the cells: the synthetic
+    * embeddings are near-uniform in cosine space, where top-1 recall
+    * tracks the probed fraction; real clustered embeddings reach the
+    * same recall at much smaller nProbe/nList. */
+  def annIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 8, maxTrain: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = emb.select(col("vec_id"), col("embedding"))
+      .fanOut // single-row-group scan: spread the normalize kernel
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val u = new Array[Double](e.length)
+        var s = 0.0
+        var i = 0
+        while (i < e.length) { u(i) = e(i); s += u(i) * u(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { i = 0; while (i < e.length) { u(i) /= n; i += 1 } }
+        (id, u)
+      }.toDF("vec_id", "u")
+    // coarse quantizer: seeded local Lloyd's on a bounded sample
+    val sample = unit.limit(maxTrain).as[(Long, Array[Double])]
+      .collect().map(_._2)
+    val centers = graft.functions.VectorOps.kmeansFit(sample, nList, iters = 10)
+    val bc = spark.sparkContext.broadcast(centers)
+    def nearestCells(u: Array[Double], n: Int): Array[Int] = {
+      val cs = bc.value
+      val d2 = Array.tabulate(cs.length) { ci =>
+        var s = 0.0; var i = 0
+        val c = cs(ci)
+        while (i < u.length) { val t = u(i) - c(i); s += t * t; i += 1 }
+        (s, ci)
+      }
+      d2.sortBy(x => (x._1, x._2)).take(n).map(_._2)
+    }
+    val indexed = unit.as[(Long, Array[Double])]
+      .map { case (id, u) => (id, u, nearestCells(u, 1)(0)) }
+      .toDF("cid", "cv", "cell")
+    val probes = unit.as[(Long, Array[Double])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, u) => nearestCells(u, nProbe).map(c => (id, u, c)) }
+      .toDF("qid", "qv", "cell")
+    graft.functions.CosineSim.register(spark)
+    probes.join(indexed.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
+      // no dedupe needed: each cid lives in exactly one cell, so a
+      // (qid, cid) pair meets at most once across the probed cells
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        round(col("sim_raw"), 5).as("sim"))
+      .orderedSmall(col("qid"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("a1_ann_exact",
@@ -120,6 +171,10 @@ object SimilarityOps {
 
     QueryDef.noOracle("a2_ann_lsh") { (s, d) =>
       annLsh(Tables.embeddings(s, d))
+    },
+
+    QueryDef.noOracle("a3_ann_ivf") { (s, d) =>
+      annIvf(Tables.embeddings(s, d))
     }
   )
 }

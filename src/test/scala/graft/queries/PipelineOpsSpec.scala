@@ -175,6 +175,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(viaUdaf(id).sameElements(sig), s"doc $id")
   }
 
+  test("a3 ANN-IVF: top-1 neighbor recall >= 0.7 vs exact brute force") {
+    val d = "/root/testdata/sf0.01"
+    val exact = SimilarityOps.defs.find(_.name == "a1_ann_exact").get
+      .fn(spark, d).filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = SimilarityOps.defs.find(_.name == "a3_ann_ivf").get
+      .fn(spark, d).filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivf.size == exact.size)
+    val hits = exact.count { case (q, c) => ivf.get(q).contains(c) }
+    assert(hits >= (exact.size * 0.7).ceil.toInt,
+      s"IVF top-1 recall $hits/${exact.size}")
+  }
+
   test("shingleHashes: sorted distinct, equals SQL xxhash64 of shingles") {
     import spark.implicits._
     val text = "a b c d a b c x y"
