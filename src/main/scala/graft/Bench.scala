@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark (BASELINE.md §3 method): one untimed warm-up
-  * pass over the whole suite (JIT/codegen/broadcast warm), then three
-  * timed whole-suite passes; each query reports the min of its three
+  * pass over the whole suite (JIT/codegen/broadcast warm), then five
+  * timed whole-suite passes; each query reports the min of its
   * timings (passes are interleaved so a host contention burst cannot
   * poison one query's min). Prints ONE JSON line; `value` is the
   * suite total over the 24
@@ -62,12 +62,12 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) dt else -1.0
     }
-    // BASELINE.md method = min of N after warm-up (N=4 here, ≥ the
+    // BASELINE.md method = min of N after warm-up (N=5 here, ≥ the
     // method's 3). The host VM shows multi-second contention bursts;
     // whole-suite passes put a query's samples minutes apart so one
-    // burst can't poison its min, and the extra pass tightens the min
+    // burst can't poison its min, and the extra passes tighten the min
     // against burst-heavy runs.
-    val passes = (0 to 4).map { p =>
+    val passes = (0 to 5).map { p =>
       SparkEntry.allDefs.map(qd => qd.name -> once(qd)).toMap
     }
     val results = SparkEntry.allDefs.map { qd =>

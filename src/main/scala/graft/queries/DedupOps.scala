@@ -84,12 +84,14 @@ object DedupOps {
       .as[(Long, Array[String])]
       .map { case (id, toks) => (id, HashOps.simhash64(toks)) }
       .toDF("doc_id", "simhash")
+    // no cache: the SimHash map is cheap to recompute, and the
+    // shuffle_hash self-join's canonically identical sides share one
+    // exchange (ReuseExchange) anyway — the kernel runs once
     val chunked = sh.withColumn("chunk", explode(expr(
         "transform(sequence(0, 3), c -> " +
           "named_struct('c', c, 'v', shiftright(simhash, c*16) & 65535L))")))
       .select(col("doc_id"), col("simhash"), col("chunk.c"), col("chunk.v"))
-      .cache()
-    chunked.as("x").join(chunked.as("y"),
+    chunked.as("x").join(chunked.as("y").hint("shuffle_hash"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
