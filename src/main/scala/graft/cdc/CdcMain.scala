@@ -28,11 +28,45 @@ import org.apache.spark.sql.SparkSession
   *   -K, --no-primary-key   strip PK cols from INSERTs (Q5 implemented)
   *   --back-interval F      parsed-and-ignored (reference dead code,
   *                          main.py:83-84)
+  *   --only-dml             parsed-and-ignored (reference quirk: a
+  *                          store_true flag DEFAULTING to true — it can
+  *                          never be disabled, main.py:74-75; the real
+  *                          switch here is --include-ddl)
   *   --include-ddl          real DDL switch (Q4 fixed)
   *   --bug-compatible       byte-parity with the reference
   *   -o, --output PATH      write SQL there instead of stdout
+  *   --help                 print this flag surface and exit
+  *
+  * `--start-file` is accepted as an alias of `--binlog` (the
+  * reference's name for the input, main.py:56).
   */
 object CdcMain {
+
+  /** Raised by `--help`; main prints the usage block and exits 1 like
+    * the reference (main.py:21-23). */
+  final class HelpRequested extends RuntimeException
+
+  /** The flag surface, printed for --help / empty args. */
+  val Usage: String =
+    """usage: CdcMain --binlog PATH [options]
+      |  --binlog PATH / --start-file PATH   binlog text file or rotated-file dir
+      |  --catalog COLS,STATS                information_schema snapshot CSVs
+      |  --catalog-jdbc URL                  live catalog over JDBC
+      |  --catalog-user U --catalog-password P
+      |  -d, --database DB                   database filter
+      |  -t, --tables T1,T2                  table filter
+      |  --start-position N  --stop-position N
+      |  --start-datetime "yyyy-MM-dd HH:mm:ss"  --stop-datetime ...
+      |  --sql-type insert,update,delete
+      |  -B, --flashback                     inverse SQL, newest first
+      |  -K, --no-primary-key                strip PK cols from INSERTs
+      |  --only-dml                          accepted (always-on in the reference)
+      |  --back-interval F                   accepted-and-ignored (reference dead code)
+      |  --include-ddl                       emit DDL statements too
+      |  --bug-compatible                    byte-parity with the reference
+      |  -o, --output PATH                   write SQL to a file
+      |  --help                              this message
+      |""".stripMargin
 
   final case class CatalogSource(
       csvs: Option[(String, String)] = None,
@@ -55,7 +89,7 @@ object CdcMain {
     }
     while (i < args.length) {
       args(i) match {
-        case f @ "--binlog" => binlog = operand(f)
+        case f @ ("--binlog" | "--start-file") => binlog = operand(f)
         case f @ "--catalog" =>
           val parts = operand(f).split(",", 2)
           if (parts.length != 2)
@@ -89,9 +123,11 @@ object CdcMain {
           // reads it (dead code, SURVEY quirk Q5); validate the float
           // so typos still fail loudly
           operand(f).toDouble; ()
+        case "--only-dml" => i += 1 // reference quirk: always-true no-op
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
         case f @ ("-o" | "--output") => out = Some(operand(f))
+        case "--help" => throw new HelpRequested
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -105,7 +141,15 @@ object CdcMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val (binlog, catalogSrc, cfg, out) = parseArgs(args)
+    // like the reference: empty args or --help → usage, exit 1
+    // (main.py:18-23)
+    val (binlog, catalogSrc, cfg, out) =
+      try {
+        if (args.isEmpty) throw new HelpRequested
+        parseArgs(args)
+      } catch {
+        case _: HelpRequested => System.err.println(Usage); sys.exit(1)
+      }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("log2sqlspark-cdc")

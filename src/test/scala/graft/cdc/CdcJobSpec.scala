@@ -179,6 +179,11 @@ class CdcJobSpec extends AnyFunSuite {
     assert(cfgK == CdcConfig(noPk = true))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
+    // reference-name alias and always-true quirk flag
+    val (b2, _, cfg2, _) = CdcMain.parseArgs(Array(
+      "--start-file", "/x/c.txt", "--only-dml"))
+    assert(b2 == "/x/c.txt" && cfg2 == CdcConfig())
+    intercept[CdcMain.HelpRequested](CdcMain.parseArgs(Array("--help")))
     // the reference rejects -B with -K (main.py:28-29)
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-B", "-K")))
