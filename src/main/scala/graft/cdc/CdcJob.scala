@@ -86,6 +86,29 @@ object CdcJob {
     * reference's generate_sql_pattern, log2sql.py:135-185). */
   def render(events: DataFrame, catalog: DataFrame, cfg: CdcConfig,
       cacheBeforeSort: Boolean = true): DataFrame = {
+    val rendered0 = renderUnordered(events, catalog, cfg)
+    // the global sort's range-partitioner samples its input, then scans
+    // it again — batch callers cache so parse+render run once (JVM exit
+    // reclaims it)
+    val sortInput = if (cacheBeforeSort) rendered0.cache() else rendered0
+
+    // stream order = per-file emission sequence (DDL has no binlog
+    // position; start_pos alone would missort it). Flashback reverses
+    // the WHOLE stream — newest file first, newest event within it
+    // first — so replaying the script top-to-bottom undoes changes in
+    // exact reverse order across a rotated-binlog directory.
+    if (cfg.flashback && !cfg.bugCompatible)
+      sortInput.orderBy(col("file").desc, col("seq").desc)
+    else sortInput.orderBy(col("file"), col("seq"))
+  }
+
+  /** Catalog join + SQL text render WITHOUT the final global sort —
+    * the kernel shared by the batch path (which appends the sort
+    * above) and the streaming path (where a global sort is undefined
+    * on an unbounded input; rows carry (file, seq) so sinks can
+    * order). Also the right entry for unordered batch sinks. */
+  def renderUnordered(events: DataFrame, catalog: DataFrame,
+      cfg: CdcConfig): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -112,20 +135,7 @@ object CdcJob {
       else Some(RenderOut(r.file, r.seq, r.start_pos, r.op,
         if (r.op == "ddl") stmt else r.pos_comment + "\n" + stmt))
     }.toDF()
-    // the global sort's range-partitioner samples its input, then scans
-    // it again — batch callers cache so parse+render run once (JVM exit
-    // reclaims it); streaming foreachBatch must NOT cache, a per-batch
-    // cache entry would leak every micro-batch
-    val sortInput = if (cacheBeforeSort) rendered0.cache() else rendered0
-
-    // stream order = per-file emission sequence (DDL has no binlog
-    // position; start_pos alone would missort it). Flashback reverses
-    // the WHOLE stream — newest file first, newest event within it
-    // first — so replaying the script top-to-bottom undoes changes in
-    // exact reverse order across a rotated-binlog directory.
-    if (flashback && !bugCompat)
-      sortInput.orderBy(col("file").desc, col("seq").desc)
-    else sortInput.orderBy(col("file"), col("seq"))
+    rendered0
   }
 
   /** Full pipeline: parse → filter → render. */
