@@ -29,15 +29,14 @@ object TextOps {
       |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
       |ORDER BY ia, ib""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
-
-    QueryDef("l1_exact_dedup",
-      """SELECT COUNT(*) AS total, COUNT(DISTINCT MD5(text)) AS uniq FROM documents""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .agg(count(lit(1)).as("total"), countDistinct(md5(col("text"))).as("uniq"))
-    },
-
-    QueryDef("l2_jaccard_pairs", JaccardPairsSql) { (s, d) =>
+  /** Exact 3-token-shingle Jaccard ≥ τ pair join over any frame with
+    * (doc_id LONG, text STRING) — the l2 operator's engine, exposed so
+    * callers (and the randomized exactness spec) can run it on
+    * arbitrary corpora. τ is fixed at 0.8: the integer prefix/length
+    * bounds below are specialized to 4/5 (see prefixLen08).
+    */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
       // Exact 3-token-shingle Jaccard ≥ τ=0.8 via prefix filtering
       // (the AllPairs/PPJoin family of exact set-similarity joins):
       // J(A,B) ≥ τ ⟹ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ·|A|⌉, and the
@@ -58,7 +57,7 @@ object TextOps {
       // would surface one instantly).
       import s.implicits._
       import graft.functions.HashOps
-      val sets = Tables.documents(s, d)
+      val sets = docs
         .select(col("doc_id"), col("text"))
         .fanOut // single-row-group scan: spread the shingle kernel
         .as[(Long, String)]
@@ -70,7 +69,7 @@ object TextOps {
       // tuples — no array-column serialization, no per-element HOF.
       // Prefix length |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic —
       // double ceil(0.8*35)=29 would silently shorten the prefix.
-      val pref = Tables.documents(s, d)
+      val pref = docs
         .select(col("doc_id"), col("text"))
         .fanOut // single-row-group scan: spread the shingle kernel
         .as[(Long, String)]
@@ -98,6 +97,18 @@ object TextOps {
         .filter(col("jac") >= 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
         .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("l1_exact_dedup",
+      """SELECT COUNT(*) AS total, COUNT(DISTINCT MD5(text)) AS uniq FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("total"), countDistinct(md5(col("text"))).as("uniq"))
+    },
+
+    QueryDef("l2_jaccard_pairs", JaccardPairsSql) { (s, d) =>
+      jaccardPairs(Tables.documents(s, d))
     },
 
     QueryDef("l3_cosine_topk",

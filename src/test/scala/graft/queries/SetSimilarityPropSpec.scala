@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized exactness check for the prefix-filtered set-similarity
+  * join: on generated corpora (near-dup clusters by token mutation,
+  * unrelated docs, sub-shingle shorts), `TextOps.jaccardPairs` must
+  * equal a naive all-pairs Jaccard computed in plain Scala — every
+  * pair, every value. Seeds are fixed so runs are deterministic, but
+  * the corpora exercise shapes the parquet fixture never hits
+  * (singleton shingle sets, j exactly at the 0.8 boundary, duplicate
+  * docs).
+  */
+class SetSimilarityPropSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Naive ground truth over whitespace token streams. */
+  private def naivePairs(docs: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+    def shingles(t: String): Set[String] =
+      t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.8
+    } yield (ia, ib, math.rint(j * 10000) / 10000)).toSet
+  }
+
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    def doc(n: Int): String =
+      Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val out = Seq.newBuilder[(Long, String)]
+    var id = 0L
+    // near-dup clusters: a base doc plus mutations of 0..3 tokens
+    for (_ <- 1 to 8) {
+      val toks = doc(12 + rnd.nextInt(20)).split(' ')
+      out += ((id, toks.mkString(" "))); id += 1
+      for (m <- 0 to rnd.nextInt(3)) {
+        val t2 = toks.clone()
+        for (_ <- 0 to m)
+          t2(rnd.nextInt(t2.length)) = vocab(rnd.nextInt(vocab.length))
+        out += ((id, t2.mkString(" "))); id += 1
+      }
+    }
+    // exact duplicates (j = 1.0) and unrelated/short docs
+    val dup = doc(15)
+    out += ((id, dup)); id += 1
+    out += ((id, dup)); id += 1
+    for (_ <- 1 to 10) { out += ((id, doc(1 + rnd.nextInt(4)))); id += 1 }
+    for (_ <- 1 to 10) { out += ((id, doc(25))); id += 1 }
+    out.result()
+  }
+
+  test("jaccardPairs equals naive all-pairs Jaccard on generated corpora") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 42L, 20260812L)) {
+      val docs = corpus(seed)
+      val got = TextOps.jaccardPairs(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = naivePairs(docs)
+      assert(got == want,
+        s"seed=$seed missing=${want -- got} extra=${got -- want}")
+      assert(want.exists(_._3 == 1.0), s"seed=$seed generator lost its dup pair")
+    }
+  }
+
+  test("minhashPairs finds no false positives and >=90% of exact pairs") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 42L)) {
+      val docs = corpus(seed)
+      val got = DedupOps.minhashPairs(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = naivePairs(docs)
+      assert((got -- want).isEmpty, s"seed=$seed false positives: ${got -- want}")
+      assert(got.size >= (want.size * 0.9).ceil.toInt,
+        s"seed=$seed recall ${got.size}/${want.size}")
+    }
+  }
+}
