@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point — the idiomatic way to install the
+  * engine's native functions into EVERY session of an application:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * Injected at extension level the functions are part of the session's
+  * catalog from birth (SQL, views, thrift-server clients all see them);
+  * `CosineSim.register` remains as the runtime/per-session fallback the
+  * query builders use when the session was built without extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            s"cosine_sim expects exactly 2 arguments, got ${exprs.length}",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
+        graft.functions.CosineSim(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -189,6 +189,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"IVF top-1 recall $hits/${exact.size}")
   }
 
+  test("GraftExtensions injects cosine_sim at session build time") {
+    // force a genuinely NEW session (getOrCreate would return the
+    // suite's session and skip extension application); the context is
+    // shared, so the extra session is abandoned, never stopped
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      // built WITH extensions: SQL sees the function without any
+      // runtime register() call
+      val r = s2.sql(
+        "SELECT round(cosine_sim(array(1D,0D), array(1D,0D)), 5) AS s")
+        .collect()(0).getDouble(0)
+      assert(r == 1.0)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("shingleHashes: sorted distinct, equals SQL xxhash64 of shingles") {
     import spark.implicits._
     val text = "a b c d a b c x y"
