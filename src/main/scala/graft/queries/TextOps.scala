@@ -36,67 +36,66 @@ object TextOps {
     * bounds below are specialized to 4/5 (see prefixLen08).
     */
   def jaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Exact 3-token-shingle Jaccard ≥ τ=0.8 via prefix filtering
+    // (the AllPairs/PPJoin family of exact set-similarity joins):
+    // J(A,B) ≥ τ ⟹ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ·|A|⌉, and the
+    // smallest common shingle under a global total order must then
+    // sit within each side's first |S| − ⌈τ|S|⌉ + 1 shingles. So the
+    // inverted index holds only that ~20% prefix (hash order = the
+    // global order), the self-join emits a small candidate set, and
+    // exact verification (array_intersect on the full sorted sets)
+    // touches candidates only. Same shape at 100 TB: prefix rows and
+    // candidate IDs shuffle, never all shingle pairs.
+    // Shingling runs in a typed map (JIT'd primitive loops): the
+    // Catalyst HOF form interprets its lambda per element — measured
+    // ~8× slower over the corpus (see graft.functions.HashOps). Not
+    // cached: recompute is cheaper than array-column materialization,
+    // and the self-join sides reuse one shuffle via ReuseExchange.
+    // Shingles live as their 64-bit hash, not the ~20-byte string —
+    // smaller shuffle (2^-64 collision odds; the oracle hash-compare
+    // would surface one instantly).
     val s = docs.sparkSession
-      // Exact 3-token-shingle Jaccard ≥ τ=0.8 via prefix filtering
-      // (the AllPairs/PPJoin family of exact set-similarity joins):
-      // J(A,B) ≥ τ ⟹ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ·|A|⌉, and the
-      // smallest common shingle under a global total order must then
-      // sit within each side's first |S| − ⌈τ|S|⌉ + 1 shingles. So the
-      // inverted index holds only that ~20% prefix (hash order = the
-      // global order), the self-join emits a small candidate set, and
-      // exact verification (array_intersect on the full sorted sets)
-      // touches candidates only. Same shape at 100 TB: prefix rows and
-      // candidate IDs shuffle, never all shingle pairs.
-      // Shingling runs in a typed map (JIT'd primitive loops): the
-      // Catalyst HOF form interprets its lambda per element — measured
-      // ~8× slower over the corpus (see graft.functions.HashOps). Not
-      // cached: recompute is cheaper than array-column materialization,
-      // and the self-join sides reuse one shuffle via ReuseExchange.
-      // Shingles live as their 64-bit hash, not the ~20-byte string —
-      // smaller shuffle (2^-64 collision odds; the oracle hash-compare
-      // would surface one instantly).
-      import s.implicits._
-      import graft.functions.HashOps
-      val sets = docs
-        .select(col("doc_id"), col("text"))
-        .fanOut // single-row-group scan: spread the shingle kernel
-        .as[(Long, String)]
-        .map { case (id, text) => (id, HashOps.shingleHashes(text, 3)) }
-        .toDF("doc_id", "sh")
-        .filter(size(col("sh")) >= 1)
-        .withColumn("c", size(col("sh")))
-      // Prefix rows emitted straight from a typed flatMap as primitive
-      // tuples — no array-column serialization, no per-element HOF.
-      // Prefix length |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic —
-      // double ceil(0.8*35)=29 would silently shorten the prefix.
-      val pref = docs
-        .select(col("doc_id"), col("text"))
-        .fanOut // single-row-group scan: spread the shingle kernel
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val sh = HashOps.shingleHashes(text, 3)
-          val pl = HashOps.prefixLen08(sh.length)
-          Iterator.tabulate(math.min(pl, sh.length))(i => (id, sh.length, sh(i)))
-        }.toDF("doc_id", "c", "p")
-      // shuffle_hash self-join: canonically identical sides share one
-      // exchange (ReuseExchange), so the prefix flatMap runs once and
-      // the candidate probe parallelizes across shuffle partitions
-      // instead of pipelining into the single-task scan.
-      val cand = pref.select(col("doc_id").as("ia"), col("c").as("ca"), col("p"))
-        .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p"))
-          .hint("shuffle_hash"), Seq("p"))
-        .filter(col("ia") < col("ib") &&
-          expr("least(ca, cb) >= (4 * greatest(ca, cb) + 4) div 5"))
-        .select("ia", "ib").distinct()
-      cand
-        .join(sets.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
-        .join(sets.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jac", col("i") * lit(1.0) /
-          (size(col("sa")) + size(col("sb")) - col("i")))
-        .filter(col("jac") >= 0.8)
-        .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
-        .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+    import s.implicits._
+    import graft.functions.HashOps
+    val sets = docs
+      .select(col("doc_id"), col("text"))
+      .fanOut // single-row-group scan: spread the shingle kernel
+      .as[(Long, String)]
+      .map { case (id, text) => (id, HashOps.shingleHashes(text, 3)) }
+      .toDF("doc_id", "sh")
+      .filter(size(col("sh")) >= 1)
+    // Prefix rows emitted straight from a typed flatMap as primitive
+    // tuples — no array-column serialization, no per-element HOF.
+    // Prefix length |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic —
+    // double ceil(0.8*35)=29 would silently shorten the prefix.
+    val pref = docs
+      .select(col("doc_id"), col("text"))
+      .fanOut // single-row-group scan: spread the shingle kernel
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = HashOps.shingleHashes(text, 3)
+        val pl = HashOps.prefixLen08(sh.length)
+        Iterator.tabulate(math.min(pl, sh.length))(i => (id, sh.length, sh(i)))
+      }.toDF("doc_id", "c", "p")
+    // shuffle_hash self-join: canonically identical sides share one
+    // exchange (ReuseExchange), so the prefix flatMap runs once and
+    // the candidate probe parallelizes across shuffle partitions
+    // instead of pipelining into the single-task scan.
+    val cand = pref.select(col("doc_id").as("ia"), col("c").as("ca"), col("p"))
+      .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p"))
+        .hint("shuffle_hash"), Seq("p"))
+      .filter(col("ia") < col("ib") &&
+        expr("least(ca, cb) >= (4 * greatest(ca, cb) + 4) div 5"))
+      .select("ia", "ib").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
+      .join(sets.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("i") * lit(1.0) /
+        (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jac") >= 0.8)
+      .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
+      .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
   val defs: Seq[QueryDef] = Seq(
