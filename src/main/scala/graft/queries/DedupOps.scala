@@ -106,9 +106,13 @@ object DedupOps {
   /** Embedding-cosine near-dup pairs via hyperplane-LSH banding with
     * exact verification of candidates. The corpus plants no ≥0.9
     * pairs, so the default tau targets the moderate-similarity regime
-    * (narrow 2-bit bands — see SimilarityOps.annLsh scaling note). */
+    * (narrow 2-bit bands — see SimilarityOps.annLsh scaling note).
+    * 16 bands: at cos ≈ 0.45 a 2-bit band matches w.p. ~0.42, so the
+    * per-pair miss rate is (1−0.42)^16 ≈ 1.6e-4 — low enough that the
+    * (deterministic) banding recalls every ≥τ pair at all test SFs,
+    * which is what lets d3 carry the exact-pair oracle. */
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
-      nBands: Int = 8, bandBits: Int = 2): DataFrame = {
+      nBands: Int = 16, bandBits: Int = 2): DataFrame = {
     import graft.QueryDef.SmallOrdered
     // Vectors ride THROUGH the band join and cosine runs in-stream on
     // the join output (native CosineSim Expression, fused codegen
@@ -152,7 +156,23 @@ object DedupOps {
     QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>
       simhashPairs(Tables.documents(s, d))
     },
-    QueryDef.noOracle("d3_embedding_neardup") { (s, d) =>
+    // d3 gets the EXACT cosine-pair SQL as its oracle: the hyperplane
+    // signatures are deterministic, 16-band banding recalls every ≥τ
+    // pair at the test SFs, and exact in-stream cosine admits no false
+    // positives — so the LSH output equals the exact pairs, hash-proven
+    // per round. The SQL computes the dot product in DOUBLE with the
+    // same ascending accumulation order as the CosineSim loop (DuckDB's
+    // LIST_COSINE_SIMILARITY runs in float32 and disagrees in the 5th
+    // decimal), and rounds before comparing like the Spark side.
+    QueryDef("d3_embedding_neardup",
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id ia, b.vec_id ib,
+        |         list_sum([a.e[i+1]*b.e[i+1] for i in range(len(a.e))]) /
+        |         (sqrt(list_sum([x*x for x in a.e])) * sqrt(list_sum([x*x for x in b.e]))) AS sim0
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT ia, ib, ROUND(sim0, 5) AS sim FROM p
+        |WHERE ROUND(sim0, 5) >= 0.45 ORDER BY ia, ib""".stripMargin) { (s, d) =>
       embeddingNearDup(Tables.embeddings(s, d))
     }
   )
