@@ -39,15 +39,25 @@ object VectorOps {
   def cosineTopKPairs(emb: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .as[(Long, Array[Double])]
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        // float→double widening in a JIT'd loop (the Catalyst
+        // transform(...cast...) HOF interprets per element)
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
+        (id, v)
+      }
     val all = spark.sparkContext.broadcast(
       vecs.collect().sortBy(_._1) // small dim by contract; LSH at scale
         .map { case (id, v) => (id, v, normOf(v)) })
     // best-first ordering; PriorityQueue(ord) keeps head = max = WORST
     val ord = Ordering.by((p: ScoredPair) => (-p.sim_raw, p.ia, p.ib))
-    val localTop = vecs.mapPartitions { it =>
+    // fanOut: the N²/2 scan is the heavy kernel — without it the whole
+    // pair scan pipelines into the single-row-group scan's one task
+    val localTop = vecs.toDF("vec_id", "v").fanOut
+      .as[(Long, Array[Double])].mapPartitions { it =>
       val arr = all.value
       val topk = scala.collection.mutable.PriorityQueue.empty[ScoredPair](ord)
       for ((ia, va) <- it) {
@@ -77,9 +87,16 @@ object VectorOps {
   def cosinePairsAbove(emb: DataFrame, tau: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .as[(Long, Array[Double])]
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        // float→double widening in a JIT'd loop (the Catalyst
+        // transform(...cast...) HOF interprets per element)
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
+        (id, v)
+      }
     val all = spark.sparkContext.broadcast(
       vecs.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) })
     vecs.mapPartitions { it =>
@@ -149,9 +166,16 @@ object VectorOps {
   def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .as[(Long, Array[Double])]
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        // float→double widening in a JIT'd loop (the Catalyst
+        // transform(...cast...) HOF interprets per element)
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
+        (id, v)
+      }
     val queries = spark.sparkContext.broadcast(
       vecs.filter(_._1 < nQueries).collect().map {
         case (id, v) => (id, v, normOf(v))
