@@ -87,7 +87,35 @@ object TextAnalysis {
         .orderedRows(col("doc_id")) // one row per doc: scales
     },
 
-    QueryDef.noOracle("t3_langid_confusion") { (s, d) =>
+    // The whole classifier is deterministic (distinct char trigrams,
+    // doc-frequency profiles with lexicographic tie-breaks, argmax
+    // with candidate-name tie-break), so the confusion matrix has a
+    // full SQL oracle — verified equal at sf0.001/0.01/0.1.
+    QueryDef("t3_langid_confusion",
+      """WITH tri AS (
+        |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tg
+        |  FROM documents, UNNEST(range(1, greatest(length(text)-1, 1))) AS t(i)
+        |  WHERE length(text) >= 3
+        |),
+        |prof AS (
+        |  SELECT lang AS cand, tg FROM (
+        |    SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tg) rn
+        |    FROM tri GROUP BY lang, tg) x
+        |  WHERE rn <= 50
+        |),
+        |ov AS (
+        |  SELECT t.doc_id, p.cand, count(*) AS overlap
+        |  FROM tri t JOIN prof p USING (tg)
+        |  GROUP BY 1, 2
+        |),
+        |pred AS (
+        |  SELECT doc_id, cand AS predicted FROM (
+        |    SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, cand) rn
+        |    FROM ov) x WHERE rn = 1
+        |)
+        |SELECT d.lang, p.predicted, count(*) AS c
+        |FROM pred p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
       // Two independent streamed passes over the corpus trigrams —
