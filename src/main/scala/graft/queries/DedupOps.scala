@@ -78,19 +78,20 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // One typed flatMap computes the SimHash AND emits its four 16-bit
+    // chunk rows as primitive tuples (the HOF explode form interpreted
+    // a struct constructor per chunk). No cache: the kernel is cheap
+    // to recompute, and the shuffle_hash self-join's canonically
+    // identical sides share one exchange (ReuseExchange) anyway.
+    val chunked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 1)
       .fanOut // single-row-group scan: spread the SimHash kernel
       .as[(Long, Array[String])]
-      .map { case (id, toks) => (id, HashOps.simhash64(toks)) }
-      .toDF("doc_id", "simhash")
-    // no cache: the SimHash map is cheap to recompute, and the
-    // shuffle_hash self-join's canonically identical sides share one
-    // exchange (ReuseExchange) anyway — the kernel runs once
-    val chunked = sh.withColumn("chunk", explode(expr(
-        "transform(sequence(0, 3), c -> " +
-          "named_struct('c', c, 'v', shiftright(simhash, c*16) & 65535L))")))
-      .select(col("doc_id"), col("simhash"), col("chunk.c"), col("chunk.v"))
+      .flatMap { case (id, toks) =>
+        val h = HashOps.simhash64(toks)
+        Iterator.tabulate(4)(c => (id, h, c, (h >>> (c * 16)) & 0xFFFFL))
+      }
+      .toDF("doc_id", "simhash", "c", "v")
     chunked.as("x").join(chunked.as("y").hint("shuffle_hash"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -29,19 +29,39 @@ object MultimodalOps {
           (lit(64) + pmod(col("doc_id"), lit(4)) * 16).cast("int").as("height"),
           length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
 
+  /** Typed media metadata — mirrors mediaTable's meta struct. */
+  final case class MediaMeta(kind: Int, width: Int, height: Int, n_bytes: Int)
+
   /** STUB decode kernel: a real codec would decode `payload` here; the
     * stand-in emits a deterministic 16-bin byte histogram, L1-normed.
-    * Runs per-partition over batches like a codec binding would. */
-  def decodeFeatures(media: DataFrame): DataFrame = media
-    // explode payload bytes via expression space: histogram of byte
-    // values bucketed to 16 bins, normalized — pure codegen'd exprs.
-    .withColumn("feature", expr(
-      """transform(sequence(0, 15), b ->
-        |  cast(size(filter(transform(sequence(1, length(payload)),
-        |                             i -> cast(substring(payload, i, 1) as binary)),
-        |            by -> pmod(cast(conv(hex(by), 16, 10) as int), 16) = b))
-        |       / cast(length(payload) as double) as float))""".stripMargin))
-    .select(col("media_id"), col("meta"), col("feature"))
+    * Runs as a typed map over raw payload bytes — the exact shape a
+    * JNI/codec binding takes (bytes in, feature vector out, one call
+    * per row inside a JIT'd partition loop); swapping the histogram
+    * for a decoder changes only the loop body. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta"))
+      .as[(Long, Array[Byte], MediaMeta)]
+      .map { case (id, payload, meta) =>
+        val counts = new Array[Int](16)
+        var i = 0
+        while (i < payload.length) {
+          counts(payload(i) & 0x0F) += 1
+          i += 1
+        }
+        val feature = new Array[Float](16)
+        if (payload.length > 0) {
+          i = 0
+          while (i < 16) {
+            feature(i) = (counts(i) / payload.length.toDouble).toFloat
+            i += 1
+          }
+        }
+        (id, meta, feature)
+      }
+      .toDF("media_id", "meta", "feature")
+  }
 
   /** Frame sampling for "video" payloads: chunk the payload into
     * fixed-size frames, keep every `stride`-th frame. Real array/binary

@@ -148,21 +148,36 @@ object TextAnalysis {
     },
 
     QueryDef.noOracle("t4_fingerprint") { (s, d) =>
+      import s.implicits._
       // Rolling 4-token window hashes → min-8 sketch → one 64-bit doc
-      // fingerprint. Shuffle-free: per-row expressions only.
+      // fingerprint, all in one typed map (shingleHashes already
+      // returns the windows sorted + distinct, so the sketch is its
+      // first 8; the fingerprint chains XXH64 over the sketch values).
+      // Shuffle-free, JIT'd — the HOF form interpreted one xxhash64
+      // per window per element.
+      // Sketch emitted as CSV text: array columns break order-
+      // canonicalizing result harnesses (pandas can't sort ndarray
+      // cells), and the string form carries the same information.
       Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 4)
-        .withColumn("win_hashes", expr(
-          "transform(sequence(0, size(toks)-4), i -> " +
-            "xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"))
-        .withColumn("sketch", expr("slice(array_sort(array_distinct(win_hashes)), 1, 8)"))
-        .withColumn("fingerprint", expr("xxhash64(cast(sketch as string))"))
-        // sketch as CSV text: array columns break order-canonicalizing
-        // result harnesses (pandas can't sort ndarray cells), and the
-        // string form carries the same information
-        .select(col("doc_id"), col("fingerprint"),
-          concat_ws(",", col("sketch")).as("sketch"))
+        .select(col("doc_id"), col("text"))
+        .fanOut // single-row-group scan: spread the window-hash kernel
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val wins = graft.functions.HashOps.shingleHashes(text, 4)
+          if (wins.isEmpty) Iterator.empty
+          else {
+            val sketch = wins.take(8)
+            var fp = 0x9747b28cL
+            var i = 0
+            while (i < sketch.length) {
+              fp = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(sketch(i), fp)
+              i += 1
+            }
+            Iterator.single((id, fp, sketch.mkString(",")))
+          }
+        }
+        .toDF("doc_id", "fingerprint", "sketch")
         .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
