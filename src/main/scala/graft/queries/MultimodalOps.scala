@@ -64,19 +64,26 @@ object MultimodalOps {
   }
 
   /** Frame sampling for "video" payloads: chunk the payload into
-    * fixed-size frames, keep every `stride`-th frame. Real array/binary
-    * plumbing; at scale this is the explode that feeds per-frame
-    * feature extraction, pre-partitioned by media_id. */
+    * fixed-size frames, keep every `stride`-th frame — the flatMap
+    * that feeds per-frame feature extraction at scale, emitting
+    * primitive rows from a typed kernel (the HOF form interpreted a
+    * struct constructor plus a binary substring per frame). */
   def frameSample(media: DataFrame, frameBytes: Int = 64,
-      stride: Int = 2): DataFrame = media
-    .filter(col("meta.kind") === 2 && length(col("payload")) > 0)
-    .withColumn("frame", explode(expr(
-      s"""filter(transform(sequence(0, cast(ceil(length(payload)/$frameBytes.0) as int) - 1),
-         |  i -> named_struct('frame_idx', i,
-         |                    'bytes', substring(payload, i*$frameBytes + 1, $frameBytes))),
-         |  f -> f.frame_idx % $stride = 0)""".stripMargin)))
-    .select(col("media_id"), col("frame.frame_idx"),
-      length(col("frame.bytes")).as("frame_len"))
+      stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("meta.kind") === 2 && length(col("payload")) > 0)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val n = payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, stride).map { i =>
+          (id, i, math.min(frameBytes, n - i * frameBytes))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_len")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
