@@ -63,6 +63,32 @@ object MultimodalOps {
       .toDF("media_id", "meta", "feature")
   }
 
+  /** STUB resize kernel for "image" payloads: nearest-neighbor index
+    * resample of the payload viewed as a meta.width × meta.height
+    * byte grid down to outW × outH (source index out of range → 0).
+    * A real image resize swaps the per-pixel lookup for a decoded-
+    * pixel interpolation; the plumbing — binary in, typed dims,
+    * binary out, one JIT'd kernel call per row — is identical. */
+  def resizeMedia(media: DataFrame, outW: Int = 32, outH: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("meta.kind") === 0 && length(col("payload")) > 0)
+      .select(col("media_id"), col("payload"), col("meta"))
+      .as[(Long, Array[Byte], MediaMeta)]
+      .map { case (id, payload, meta) =>
+        val out = new Array[Byte](outW * outH)
+        var i = 0
+        while (i < out.length) {
+          val srcIdx = (i / outW) * meta.height / outH * meta.width +
+            (i % outW) * meta.width / outW
+          out(i) = if (srcIdx < payload.length) payload(srcIdx) else 0
+          i += 1
+        }
+        (id, outW, outH, out)
+      }
+      .toDF("media_id", "out_w", "out_h", "out_payload")
+  }
+
   /** Frame sampling for "video" payloads: chunk the payload into
     * fixed-size frames, keep every `stride`-th frame — the flatMap
     * that feeds per-frame feature extraction at scale, emitting
@@ -122,6 +148,39 @@ object MultimodalOps {
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
       frameSample(mediaTable(s, d))
         .orderedRows(col("media_id"), col("frame_idx")) // frames scale with corpus
+    },
+
+    // Driver-facing projection keeps scalars only (binary columns, like
+    // arrays, break order-canonicalizing result harnesses): the resized
+    // payload is verified through its length and byte sum, both
+    // reproduced exactly by the hex-arithmetic oracle.
+    QueryDef("m3_resize",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w,
+        |         CAST(64 + (doc_id % 4) * 16 AS BIGINT) AS h,
+        |         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0)
+        |SELECT media_id, CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+        |       CAST(1024 AS INT) AS out_len,
+        |  CAST(list_sum([
+        |    CASE WHEN ((i//32)*h//32)*w + ((i%32)*w//32) < n THEN
+        |      CAST(strpos('0123456789ABCDEF', substr(hx, CAST((((i//32)*h//32)*w + ((i%32)*w//32))*2+1 AS INT), 1)) - 1 AS BIGINT) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, CAST((((i//32)*h//32)*w + ((i%32)*w//32))*2+2 AS INT), 1)) - 1)
+        |    ELSE 0 END
+        |    for i in range(1024)]) AS BIGINT) AS byte_sum
+        |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      resizeMedia(mediaTable(s, d))
+        .as[(Long, Int, Int, Array[Byte])]
+        .map { case (id, w, h, p) =>
+          var sum = 0L
+          var i = 0
+          while (i < p.length) { sum += (p(i) & 0xFF); i += 1 }
+          (id, w, h, p.length, sum)
+        }
+        .toDF("media_id", "out_w", "out_h", "out_len", "byte_sum")
+        .orderedRows(col("media_id")) // one row per image: scales
     }
   )
 }
