@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque BINARY columns
-  * with typed metadata, decode / feature-extract / frame-sample stages.
+  * with typed metadata, decode / feature-extract / resize /
+  * frame-sample stages.
   *
   * The container has no image/audio codecs, so the *decode kernel* is a
   * clearly-marked deterministic stub (byte histogram standing in for
