@@ -147,6 +147,47 @@ object DedupOps {
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
+  /** Connected components over a near-dup pair graph: (doc_id,
+    * cluster_id = min doc_id in its component) — the step a dedup
+    * pipeline runs after candidate pairing to pick one survivor per
+    * cluster. Iterative min-label propagation, driver-coordinated
+    * rounds like any Pregel-style algorithm on Spark: each round is
+    * one join + one aggregation (labels flow along edges), with a
+    * convergence check on changed labels. Near-dup graphs have tiny
+    * cluster diameters (pairs come from banding over shared content),
+    * so rounds ≈ a small constant; a graph with adversarially long
+    * chains would want the large-star/small-star contraction instead.
+    * Per-round results are cached and the previous round unpersisted,
+    * so lineage stays one round deep. */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
+      .union(pairs.select(col("ib").as("u"), col("ia").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // probed every round
+    var labels = edges.select("u").distinct().withColumn("m", col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(
+        labels.select(col("u").as("v"), col("m")), Seq("v"))
+        .select("u", "m")
+      val next = labels.select("u", "m").union(prop)
+        .groupBy("u").agg(min("m").as("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("u"), col("m").as("m0")), Seq("u"))
+        .filter(col("m") =!= col("m0")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as("doc_id"), col("m").as("cluster_id"))
+      .orderedRows(col("doc_id")) // clustered docs scale with corpus
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // d1 shares the exact operator's oracle: 100% recall at τ=0.8
     // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
@@ -157,6 +198,30 @@ object DedupOps {
     QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>
       simhashPairs(Tables.documents(s, d))
     },
+    // Clusters over the MinHash-LSH pairs (== exact pairs, see d1), so
+    // the recursive-CTE oracle over the exact pair graph is an exact
+    // check of the whole chain: banding → verify → components.
+    QueryDef("d4_neardup_clusters",
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
+        |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM shx),
+        |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT ia, ib FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
+        |          WHERE i*1.0/(ca.c + cb.c - i) >= 0.8),
+        |edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+        |walk(u, m) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+        |)
+        |SELECT u AS doc_id, MIN(m) AS cluster_id FROM walk GROUP BY u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clusterPairs(minhashPairs(Tables.documents(s, d)).select("ia", "ib"))
+    },
+
     // d3 gets the EXACT cosine-pair SQL as its oracle: the hyperplane
     // signatures are deterministic, 16-band banding recalls every ≥τ
     // pair at the test SFs, and exact in-stream cosine admits no false

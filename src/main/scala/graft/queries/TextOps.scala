@@ -106,6 +106,19 @@ object TextOps {
         .agg(count(lit(1)).as("total"), countDistinct(md5(col("text"))).as("uniq"))
     },
 
+    // The dedup MATERIALIZATION (not just the count): one surviving
+    // doc_id per distinct content, keep-first policy. One hash-groupBy
+    // — the same shape at any scale.
+    QueryDef("l1b_dedup_keep_first",
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+        |GROUP BY MD5(text) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+        .orderedRows(col("doc_id")) // survivors scale with corpus
+    },
+
     QueryDef("l2_jaccard_pairs", JaccardPairsSql) { (s, d) =>
       jaccardPairs(Tables.documents(s, d))
     },

@@ -75,6 +75,19 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairs: components of chains, cliques, and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("ia", "ib")
+    val got = DedupOps.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("minhashPairs finds no false positives and >=90% of exact pairs") {
     import spark.implicits._
     for (seed <- Seq(1L, 42L)) {
