@@ -27,10 +27,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Dev-iteration knobs (driver uses the defaults): restrict to a
+    // comma-separated query subset / fewer timed passes.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     // At bench SF every shuffle is small: 8 post-shuffle partitions
     // beat cpus-many tiny tasks (measured 13.0 vs 14.7 s suite). A
     // real cluster sizes this to data volume; AQE coalesces either way.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // Shuffle/spill files on tmpfs when available: at bench SF the
+    // shuffles are tiny, so file-creation latency (not bandwidth)
+    // dominates — RAM-backed local dirs shave it. A real cluster
+    // points this at local SSDs; it is an env concern, not a plan one.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+      else System.getProperty("java.io.tmpdir"))
     // AQE OFF for the bench session: every join in the suite already
     // declares its broadcast/shuffle strategy statically (explicit
     // broadcast() on dims, 256 MB static threshold for the rest), so
@@ -48,6 +59,23 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local mode: every task is process-local; never wait on locality
+      .config("spark.locality.wait", "0")
+      // un-hinted shuffle joins: hash, not sort-merge — the suite's
+      // shuffle joins build on bounded aggregates (vocab, candidate
+      // sets), where SHJ skips two sorts. Session conf, not a plan
+      // property: a cluster keeps SMJ for unbounded build sides.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // the SQL-start listener event embeds a plan description even
+      // with the UI off; "simple" keeps that string cheap (the
+      // formatted tree walk is measurable on the bigger plans)
+      .config("spark.sql.ui.explainMode", "simple")
+      // sub-megabyte shuffles on tmpfs: compression buys nothing and
+      // costs CPU on the critical path
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -67,10 +95,11 @@ object Bench {
     // whole-suite passes put a query's samples minutes apart so one
     // burst can't poison its min, and the extra passes tighten the min
     // against burst-heavy runs.
-    val passes = (0 to 5).map { p =>
-      SparkEntry.allDefs.map(qd => qd.name -> once(qd)).toMap
+    val defs = SparkEntry.allDefs.filter(qd => only.forall(_(qd.name)))
+    val passes = (0 to nPasses).map { p =>
+      defs.map(qd => qd.name -> once(qd)).toMap
     }
-    val results = SparkEntry.allDefs.map { qd =>
+    val results = defs.map { qd =>
       val timed = passes.drop(1).map(_(qd.name)).filter(_ >= 0)
       qd.name -> (if (timed.nonEmpty) timed.min else -1.0)
     }

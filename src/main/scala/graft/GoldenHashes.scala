@@ -1,0 +1,54 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Driver-visible golden hashes for deterministic queries whose output
+  * DuckDB cannot re-express in SQL (XXH64 sketches: a2's hyperplane
+  * bands, d2's SimHash, t4's fingerprint sketch). The canonical form
+  * mirrors the driver's oracle compare — columns sorted by name, rows
+  * sorted — so a golden here carries the same evidential weight as a
+  * hash_match, pinned at sf0.01 (the correctness-gate SF).
+  *
+  * `Verify` recomputes each hash from the parquet it just wrote and
+  * emits `golden_hashes.json` next to `oracle_sql.json`; ScalaTest
+  * (`GoldenHashSpec`) asserts the same equality in-build, so a change
+  * to any kernel shows up in BOTH the test run and the round artifact.
+  */
+object GoldenHashes {
+
+  /** name → sha256 of canonical(result at sf0.01). */
+  val expected: Map[String, String] = Map(
+    "a2_ann_lsh" -> "6fa051dc8379180130f7d64d50f43ed709ec9f1bd041ff381b9475ff00148237",
+    "d2_simhash_neardup" -> "9015cca605744505da026aa9349f99673d2d36c6c3c04cc583d1cf8d2309bc35",
+    "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274")
+
+  private def cell(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.lang.Double => java.lang.Double.toString(d)
+    case f: java.lang.Float => java.lang.Float.toString(f)
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toString
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => cell(k) + ":" + cell(v) }.toSeq.sorted.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => cell(r.get(i))).mkString("(", ",", ")")
+    case other => other.toString
+  }
+
+  /** sha256 hex of the sorted-columns / sorted-rows canonical form.
+    * collect() is by contract: golden-hashed outputs are bounded
+    * (≤ thousands of rows). */
+  def hashOf(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(col): _*).collect()
+      .map(r => (0 until r.length).map(i => cell(r.get(i))).mkString(""))
+      .sorted
+    val md = MessageDigest.getInstance("SHA-256")
+    rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update('\n'.toByte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+}

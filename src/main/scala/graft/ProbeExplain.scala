@@ -14,9 +14,13 @@ object ProbeExplain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
+    // PROBE_COUNT=1: show the plan the bench actually executes
+    // (count() over the query), not the bare query plan.
+    val asCount = sys.env.get("PROBE_COUNT").contains("1")
     for (n <- args) {
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, d).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, d)
+      (if (asCount) df.groupBy().count() else df).explain("formatted")
     }
     spark.stop()
   }

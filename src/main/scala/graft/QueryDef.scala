@@ -36,8 +36,13 @@ object QueryDef {
     */
   implicit final class SmallOrdered(private val df: org.apache.spark.sql.DataFrame)
       extends AnyVal {
+    // coalesce(1), not repartition(1): a narrow merge of the (tiny)
+    // final-aggregate partitions costs no extra exchange/stage, while
+    // repartition(1) adds a whole shuffle round just to order rows.
+    // The final stage runs single-task either way — fine, the input is
+    // bounded by contract.
     def orderedSmall(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
-      df.repartition(1).sortWithinPartitions(cols: _*)
+      df.coalesce(1).sortWithinPartitions(cols: _*)
     def orderedRows(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
       df.orderBy(cols: _*)
 
@@ -48,12 +53,37 @@ object QueryDef {
       * ONE task and would otherwise serialize everything pipelined onto
       * it. At real scale scans already split by row group/file and this
       * is a no-op decision; the guard (4× headroom) keeps it from
-      * inserting a shuffle into an already-parallel plan. */
+      * inserting a shuffle into an already-parallel plan.
+      *
+      * The slice count is ESTIMATED from the analyzed plan's file
+      * sources (bytes / maxPartitionBytes, the scan-split formula sans
+      * open-cost padding — conservative in the same direction as
+      * Spark's packing): computing it from `df.rdd` would physically
+      * plan the frame a second time per call, a measured fixed tax on
+      * every query that fans out. Non-file leaves (test frames) fall
+      * back to the RDD path. */
     def fanOut: org.apache.spark.sql.DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (df.rdd.getNumPartitions * 4 <= sc.defaultParallelism)
+      val slices = QueryDef.estimatedScanSlices(df)
+      if (slices * 4 <= sc.defaultParallelism)
         df.repartition(sc.defaultParallelism)
       else df
     }
+  }
+
+  /** Estimated input-slice count of `df`'s scan(s): Σ over file-backed
+    * leaves of ceil(bytes / maxPartitionBytes). Falls back to physical
+    * partition count when any leaf is not a file relation. */
+  private[graft] def estimatedScanSlices(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes.max(1L)
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val fileLeaves = leaves.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+    }
+    if (fileLeaves.size == leaves.size)
+      fileLeaves.map(b => ((b + maxSplit - 1) / maxSplit).toInt.max(1)).sum
+    else df.rdd.getNumPartitions
   }
 }

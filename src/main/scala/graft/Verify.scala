@@ -18,7 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-iteration subset (driver leaves this unset → full dump)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,6 +44,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Golden hashes for deterministic non-SQL-expressible outputs
+    // (GoldenHashes doc): recomputed from the parquet just written, so
+    // the artifact records exactly what the driver's compare sees.
+    val goldens = GoldenHashes.expected.toSeq.sortBy(_._1).flatMap {
+      case (name, exp) =>
+        if (only.exists(f => !f(name))) None
+        else try {
+          val actual = GoldenHashes.hashOf(spark.read.parquet(s"$outDir/$name"))
+          Some(s"${q(name)}: {${q("expected")}: ${q(exp)}, ${q("actual")}: ${q(actual)}, ${q("match")}: ${actual == exp}}")
+        } catch { case e: Throwable =>
+          Some(s"${q(name)}: {${q("expected")}: ${q(exp)}, ${q("error")}: ${q(String.valueOf(e.getMessage))}}")
+        }
+    }
+    Files.writeString(Paths.get(s"$outDir/golden_hashes.json"),
+      goldens.mkString("{", ",", "}"))
     spark.stop()
   }
 }

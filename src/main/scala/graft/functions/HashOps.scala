@@ -130,19 +130,59 @@ object HashOps {
     out
   }
 
-  /** Random-hyperplane signature: bit p = sign of <v, plane_p>, plane
-    * components pseudo-random in [-0.5, 0.5) from xxh64(p*dim+i). */
+  /** Per-doc term counts of space-split `text` (Spark `split(text,' ')`
+    * semantics: regex split with limit -1, trailing empties kept).
+    * One (term, count) pair per DISTINCT term — emitting doc-grain
+    * partials lets TF sum them and DF count them from the same stream,
+    * so the raw token stream never shuffles. */
+  def termCounts(text: String): Iterator[(String, Int)] = {
+    val m = new java.util.LinkedHashMap[String, Int]()
+    val n = text.length
+    var start = 0
+    while (start <= n) {
+      var e = text.indexOf(' ', start)
+      if (e < 0) e = n
+      m.merge(text.substring(start, e), 1, Integer.sum(_, _))
+      start = e + 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.intValue()))
+  }
+
+  /** Hyperplane components for (nBits, dim), pseudo-random in
+    * [-0.5, 0.5) from xxh64(p*4099+i, 13) — precomputed ONCE per JVM:
+    * the matrix is static, and recomputing 2 048 hashes per row was
+    * ~10× the cost of the dot products they feed (VERDICT r3 #6). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def planes(nBits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((nBits, dim), { case (b, d) =>
+      val m = new Array[Double](b * d)
+      var p = 0
+      while (p < b) {
+        var i = 0
+        while (i < d) {
+          val h = XXH64.hashLong(p.toLong * 4099L + i, 13L)
+          m(p * d + i) = ((h % 1000L) + 1000L) % 1000L / 1000.0 - 0.5
+          i += 1
+        }
+        p += 1
+      }
+      m
+    })
+
+  /** Random-hyperplane signature: bit p = sign of <v, plane_p>; plane
+    * values identical to the original per-hash form (specs and goldens
+    * unchanged), but read from the per-JVM static matrix. */
   def hyperplaneSig(v: Array[Double], nBits: Int): Long = {
+    val m = planes(nBits, v.length)
     var sig = 0L
     var p = 0
     while (p < nBits) {
       var s = 0.0
+      val off = p * v.length
       var i = 0
-      while (i < v.length) {
-        val h = XXH64.hashLong(p.toLong * 4099L + i, 13L)
-        s += v(i) * (((h % 1000L) + 1000L) % 1000L / 1000.0 - 0.5)
-        i += 1
-      }
+      while (i < v.length) { s += v(i) * m(off + i); i += 1 }
       if (s >= 0) sig |= (1L << p)
       p += 1
     }

@@ -2,13 +2,20 @@ package graft.queries
 
 import graft.QueryDef
 import graft.cdc._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC surface C1–C6 (reference parity) as driver-contract entries.
   * Input is the deterministic synthetic binlog fixture (FIXTURES.md §2
-  * dialect) materialized to tmp — there is no SQL oracle for binlog
-  * parsing, so these record rows-only checks; byte-level goldens live
-  * in the ScalaTest specs (CdcJobSpec).
+  * dialect) materialized to tmp.
+  *
+  * C1/C5 carry real DuckDB oracles (SURVEY §2.3): the parse output's
+  * scalar columns are side-written to a parquet snapshot that the
+  * oracle SQL reads via read_parquet, so DuckDB independently
+  * re-aggregates the counts (c1) and re-expresses every engine filter
+  * as a SQL WHERE clause (c5). C2/C3/C6 render SQL *text* — no SQL
+  * oracle can re-render a binlog, so they stay rows-only here with
+  * byte-parity against the executed reference in ScalaTest/ref_parity.
   *
   * Fixture size scales with the requested SF dir so the bench run
   * (sf0.1) measures the BASELINE.md §1 workload: 100k events, 1:1:1
@@ -23,13 +30,87 @@ object CdcQueries {
     if (dir.contains("0.1")) BinlogFixture.materializeDir("dml_100k", 8, 12500)
     else BinlogFixture.materializeDir("dml_10k", 4, 2500)
 
+  /** Correctness (sf0.01) runs on the 10k fixture — the oracle SQL
+    * below hardcodes this path, so it must match fixturePath(sf0.01). */
+  private val OracleSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_events_10k"
+
+  private def snapshotPath(dir: String): String =
+    System.getProperty("java.io.tmpdir") +
+      (if (dir.contains("0.1")) "/graft_cdc_events_100k" else "/graft_cdc_events_10k")
+
+  // Written at most once per JVM: Verify rewrites it fresh before the
+  // driver's DuckDB pass reads it; Bench reuses the first pass's write.
+  private val snapshotWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Parse the fixture and side-write the scalar event columns for the
+    * DuckDB oracle; returns the live parsed frame. */
+  private def parsedWithSnapshot(s: SparkSession, d: String): DataFrame = {
+    val events = CdcJob.parse(s, fixturePath(d))
+    val out = snapshotPath(d)
+    if (snapshotWritten.add(out))
+      events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
+        .write.mode("overwrite").parquet(out)
+    events
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
-    QueryDef.noOracle("c1_parse_counts") { (s, d) =>
-      CdcJob.parse(s, fixturePath(d))
+    QueryDef("c1_parse_counts",
+      s"""SELECT db, "table", op, COUNT(*) AS c
+         |FROM read_parquet('$OracleSnapshot/*.parquet')
+         |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
+      parsedWithSnapshot(s, d)
         .groupBy("db", "table", "op")
         .agg(count(lit(1)).as("c"))
         .orderBy("db", "table", "op")
+    },
+
+    // C5 filter matrix: each engine CdcConfig filter re-expressed as a
+    // DuckDB WHERE clause over the same event snapshot — checks
+    // db/table/type membership, position bounds (start inclusive /
+    // stop exclusive on the event START) and datetime bounds
+    // (null-ts passes) against an independent evaluator.
+    QueryDef("c5_filter_counts",
+      s"""WITH ev AS (SELECT * FROM read_parquet('$OracleSnapshot/*.parquet')),
+         |dml AS (SELECT * FROM ev WHERE op IN ('insert','update','delete'))
+         |SELECT f, c FROM (
+         |  SELECT 'all_types' AS f, COUNT(*) AS c FROM dml
+         |  UNION ALL SELECT 'db_hit', COUNT(*) FROM dml WHERE db='testdb'
+         |  UNION ALL SELECT 'db_miss', COUNT(*) FROM dml WHERE db='otherdb'
+         |  UNION ALL SELECT 'table_hit', COUNT(*) FROM dml WHERE "table" IN ('t_pk')
+         |  UNION ALL SELECT 'insert_only', COUNT(*) FROM dml WHERE op IN ('insert')
+         |  UNION ALL SELECT 'pos_window', COUNT(*) FROM dml
+         |    WHERE start_pos >= 460 AND start_pos < 1300
+         |  UNION ALL SELECT 'dt_window', COUNT(*) FROM dml
+         |    WHERE (ts IS NULL OR ts >= TIMESTAMP '2026-08-12 05:10:00')
+         |      AND (ts IS NULL OR ts < TIMESTAMP '2026-08-12 05:30:00')
+         |  UNION ALL SELECT 'combined', COUNT(*) FROM dml
+         |    WHERE db='testdb' AND "table" IN ('t_pk') AND op IN ('update','delete')
+         |      AND start_pos >= 220
+         |      AND (ts IS NULL OR ts >= TIMESTAMP '2026-08-12 05:05:00')
+         |) t ORDER BY f""".stripMargin) { (s, d) =>
+      // Cache the scalar projection once: 8 filter branches over one
+      // parse, not 8 re-parses (Bench's per-query clearCache reclaims).
+      val events = parsedWithSnapshot(s, d)
+        .select("op", "db", "table", "start_pos", "ts").cache()
+      val cases: Seq[(String, CdcConfig)] = Seq(
+        "all_types" -> CdcConfig(),
+        "db_hit" -> CdcConfig(database = "testdb"),
+        "db_miss" -> CdcConfig(database = "otherdb"),
+        "table_hit" -> CdcConfig(tables = Seq("t_pk")),
+        "insert_only" -> CdcConfig(sqlTypes = Seq("insert")),
+        "pos_window" -> CdcConfig(startPos = Some(460L), stopPos = Some(1300L)),
+        "dt_window" -> CdcConfig(startDatetime = Some("2026-08-12 05:10:00"),
+          stopDatetime = Some("2026-08-12 05:30:00")),
+        "combined" -> CdcConfig(sqlTypes = Seq("update", "delete"),
+          database = "testdb", tables = Seq("t_pk"), startPos = Some(220L),
+          startDatetime = Some("2026-08-12 05:05:00")))
+      cases.map { case (name, cfg) =>
+        CdcJob.applyFilters(events, cfg)
+          .agg(count(lit(1)).as("c")).select(lit(name).as("f"), col("c"))
+      }.reduce(_.unionByName(_)).orderBy("f")
     },
 
     QueryDef.noOracle("c2_forward_sql") { (s, d) =>

@@ -68,16 +68,19 @@ object Relational {
       """SELECT c.c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o.o_totalprice),2) AS sum_price
         |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
-      // Eager aggregation: per-customer partials shrink orders to
-      // |customer| rows before the join (the join then carries keys,
-      // not orders); hintless join broadcasts at bench SF, shuffles
-      // at scale.
-      Tables.orders(s, d).groupBy("o_custkey")
-        .agg(count(lit(1)).as("cnt0"), sum("o_totalprice").as("sum0"))
+      // Straight dim join + one aggregation: customer(c_custkey →
+      // c_mktsegment) is a dimension — the hintless planner broadcasts
+      // it at bench SF, so orders never shuffles and the 5-segment
+      // aggregate combines map-side to a handful of partial rows. At
+      // 100× (customer too big to broadcast) the same plan degrades to
+      // a shuffle join on custkey; pre-aggregating orders by custkey
+      // first would then save only the ~1.5:1 orders:customer ratio —
+      // not worth the unconditional extra exchange it costs here.
+      Tables.orders(s, d).select("o_custkey", "o_totalprice")
         .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(sum("cnt0").as("cnt"), round(sum("sum0"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
         .orderedSmall(col("c_mktsegment"))
     },
 
@@ -88,21 +91,16 @@ object Relational {
         |JOIN nation n ON c.c_nationkey=n.n_nationkey
         |JOIN region r ON n.n_regionkey=r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
-      // Eager aggregation: revenue partial-aggregates by l_orderkey
-      // BEFORE any join, shrinking the fact stream to |orders| rows —
-      // every downstream join and re-aggregation then works on keys,
-      // not line items. The orders join is hinted shuffle_hash: the
-      // build side (aggregated lineitem) has unique keys so per-
-      // partition hash builds are skew-free at any scale, and at bench
-      // SF it avoids a single-task broadcast-probe pipeline (the
-      // 1-row-group parquet scan is one task). The customer-side join
-      // is deliberately hintless: the static planner broadcasts the
-      // small dim chain at bench SF and falls back to a shuffle join
-      // when customer is fact-sized at 100×.
-      val liAgg = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .groupBy("l_orderkey")
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
+      // Dim-chain joins + ONE aggregation, no fact-side shuffle: every
+      // non-fact side (orders' 2 key columns, customer→nation→region)
+      // is a hintless broadcast at bench SF, so lineitem streams
+      // through two hash probes and partial-aggregates to 25 groups
+      // inside its scan task. At 100× the planner turns the
+      // over-threshold joins into shuffle joins on unique (skew-free)
+      // keys; THAT plan benefits from eager pre-aggregation of
+      // lineitem by orderkey — measured here, the pre-agg exchange
+      // costs more than the whole broadcast pipeline, so it belongs
+      // behind AQE/stats, not hard-coded.
       val custNation = Tables.customer(s, d).select("c_custkey", "c_nationkey")
         .join(broadcast(Tables.nation(s, d)
           .select("n_nationkey", "n_name", "n_regionkey")),
@@ -110,13 +108,13 @@ object Relational {
         .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
           col("n_regionkey") === col("r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
-      liAgg
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
-          .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_custkey").agg(sum("rev0").as("rev1"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(custNation, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum("rev1"), 2).as("rev"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
         .orderedSmall(col("r_name"), col("n_name"))
     },
 
@@ -168,9 +166,16 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      // Aggregate to leaf grain FIRST, then rollup the handful of leaf
+      // rows: rollup's Expand otherwise triples the raw fact stream
+      // before the partial aggregate (3 grouping sets × 600k rows here,
+      // × the full fact table at 100×). Rolling up partials is exact
+      // for count/sum.
       Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt0"), sum("l_quantity").as("qty0"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .agg(sum("cnt0").as("cnt"), round(sum("qty0"), 2).as("sum_qty"))
         .orderedSmall(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
@@ -178,17 +183,31 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      // Same leaf-grain-first shape as q08 (cube = 4 grouping sets, so
+      // the raw-stream Expand it avoids is ×4).
       Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt0"), sum("l_quantity").as("qty0"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .agg(sum("cnt0").as("cnt"), round(sum("qty0"), 2).as("sum_qty"))
         .orderedSmall(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     QueryDef("q09_set_intersect",
       """SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
         |                             INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier) t""".stripMargin) { (s, d) =>
-      Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
-        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct())
+      // INTERSECT-as-aggregation: tag each side, union, and keep keys
+      // seen on both. One map-side-combined aggregate over the union —
+      // no distinct-then-semi-join chain (3 exchanges + a broadcast
+      // build) for what is a single grouped pass. NULL keys group
+      // together, matching INTERSECT's null-equal semantics. The
+      // native set operators remain first-class in q09b.
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"), lit(0).as("side"))
+        .unionByName(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nk"), lit(1).as("side")))
+        .groupBy("nk")
+        .agg(min("side").as("lo"), max("side").as("hi"))
+        .filter(col("lo") === 0 && col("hi") === 1)
         .agg(count(lit(1)).as("cnt"))
     },
 

@@ -156,25 +156,40 @@ object TextOps {
         |SELECT source, term, s FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY s DESC, term) rn FROM scored) t
         |WHERE rn<=3 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
       val docs = Tables.documents(s, d)
       val nDf = docs.agg(count(lit(1)).as("n"))
-      // ONE shuffle for the whole query: the token stream is hash-
-      // partitioned by term once; tf (group by source+term), df
-      // (distinct docs per term), and the tf⋈df join are then all
-      // exchange-free, because partitioning by `term` satisfies every
-      // downstream clustering (subset rule) and co-partitions the
-      // join. The alternative (independent map-side-combined tf and
-      // df aggs) shuffles less per agg but needs a shuffle join of
-      // the two aggregates afterwards — more barriers, and df's
-      // partial-distinct pass shuffles ~the token stream anyway.
-      val tok = docs.select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("term"))
-        .repartition(col("term"))
-      val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // DOC-GRAIN partials, not a token explode: one typed-kernel pass
+      // emits (source, term, in-doc count) per distinct term per doc —
+      // TF sums the counts by (source, term) and DF counts the rows by
+      // term, both from the SAME stream (ReuseExchange shares the
+      // fan-out shuffle), both map-side-combined down to vocabulary-
+      // sized partials. The raw token stream never shuffles, so a hot
+      // term ("the") costs nothing extra at 100× — the skew bomb of a
+      // repartition-by-term plan, and the 2×-token-stream shuffle of
+      // an explode + countDistinct plan, are both structurally gone.
+      // tf⋈df is hintless: vocabulary-sized aggregate sides, never a
+      // broadcast gamble on vocabulary growth.
+      val perDoc = docs.select(col("doc_id"), col("source"), col("text"))
+        .fanOut // single-task scan: spread the tokenize kernel
+        .as[(Long, String, String)]
+        .flatMap { case (_, src, text) =>
+          graft.functions.HashOps.termCounts(text).map { case (t, c) => (src, t, c) }
+        }
+        .toDF("source", "term", "cnt")
+      // One aggregation to (term, source) grain carries BOTH facts:
+      // tf = Σ in-doc counts, dfp = #docs for the (term, source) pair.
+      // Each doc has exactly one source, so df(term) = Σ_src dfp — a
+      // window over term, NOT a tf⋈df self-join (whose two consumer
+      // subtrees Catalyst prunes differently, defeating ReuseExchange
+      // and running the tokenize stage twice).
+      val g1 = perDoc.groupBy("term", "source")
+        .agg(sum("cnt").as("tf"), count(lit(1)).as("dfp"))
       // Ranking happens on the ROUNDed score (both sides) so float
       // last-ulp noise can't reorder the top-3.
-      val scored = tf.join(dfq, Seq("term")).crossJoin(broadcast(nDf))
+      val scored = g1
+        .withColumn("df", sum("dfp").over(Window.partitionBy("term")))
+        .crossJoin(broadcast(nDf))
         .withColumn("s", round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6))
       val w = Window.partitionBy("source").orderBy(col("s").desc, col("term"))
       scored.withColumn("rn", row_number().over(w))
