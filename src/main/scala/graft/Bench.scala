@@ -42,6 +42,7 @@ object Bench {
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
       else System.getProperty("java.io.tmpdir"))
+    val xconf = !sys.env.get("SPARK_GRAFT_XCONF").contains("off")
     // AQE OFF for the bench session: every join in the suite already
     // declares its broadcast/shuffle strategy statically (explicit
     // broadcast() on dims, 256 MB static threshold for the rest), so
@@ -68,13 +69,15 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       // the SQL-start listener event embeds a plan description even
       // with the UI off; "simple" keeps that string cheap (the
-      // formatted tree walk is measurable on the bigger plans)
-      .config("spark.sql.ui.explainMode", "simple")
-      // sub-megabyte shuffles on tmpfs: compression buys nothing and
-      // costs CPU on the critical path
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false")
+      // formatted tree walk is measurable on the bigger plans).
+      // Shuffle/broadcast compression off: sub-megabyte payloads on
+      // tmpfs, the codec only costs CPU. (SPARK_GRAFT_XCONF=off
+      // reverts both for A/B under load.)
+      .config("spark.sql.ui.explainMode",
+        if (xconf) "simple" else "formatted")
+      .config("spark.shuffle.compress", (!xconf).toString)
+      .config("spark.shuffle.spill.compress", (!xconf).toString)
+      .config("spark.broadcast.compress", (!xconf).toString)
       .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

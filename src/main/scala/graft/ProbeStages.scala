@@ -58,7 +58,8 @@ object ProbeStages {
       Thread.sleep(300) // drain listener bus
       val phases = qe.tracker.phases.map { case (p, s) =>
         s"$p=${s.endTimeMs - s.startTimeMs}ms" }.mkString(" ")
-      println(f"===== $n%s total=$dt%.0f ms plan=$tPlan%.0f ms rows=$got%d =====")
+      val jobSum = jobs.map(_._2).sum
+      println(f"===== $n%s total=$dt%.0f ms plan=$tPlan%.0f ms exec=${dt - tPlan}%.0f ms jobSum=$jobSum%d ms driverGap=${dt - tPlan - jobSum}%.0f ms rows=$got%d =====")
       println(s"  phases: $phases")
       println(s"  jobs: ${jobs.map { case (id, ms) => s"#$id=${ms}ms" }.mkString(" ")}")
       stages.sortBy(_.id).foreach(s =>

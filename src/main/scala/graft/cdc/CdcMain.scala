@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** CLI entry mirroring the reference's surface (O1,
   * /root/reference/main.py:17-39) so a log2sql user can switch
-  * invocation styles directly. Connection flags (-h -u -p -P) are
-  * replaced by `--binlog <path-or-dir>` (decoded `mysqlbinlog -vv`
-  * text, same contract as the reference which shells out for the
-  * decode, main.py:90) and `--catalog columns.csv,statistics.csv`
-  * (an information_schema snapshot), or `--catalog-jdbc <url>` (the
-  * live path: the same two information_schema projections the
-  * reference queries per event, read once over JDBC —
+  * invocation styles directly — including the reference's connection
+  * flags `-h -u -p -P` (main.py:46-53; argparse-style `--flag=value`,
+  * attached shorts like `-uroot`, and nargs='*' operands all parse),
+  * which build the live-catalog JDBC URL. Input is `--binlog
+  * <path-or-dir>` / `--start-file` (decoded `mysqlbinlog -vv` text,
+  * same contract as the reference which shells out for the decode,
+  * main.py:90); the catalog may instead come from `--catalog
+  * columns.csv,statistics.csv` (an information_schema snapshot) or an
+  * explicit `--catalog-jdbc <url>` (the same two information_schema
+  * projections the reference queries per event, read once over JDBC —
   * /root/reference/log2sql.py:29,40-42). Omitted → built-in fixture.
   *
   *   --binlog PATH          binlog text file or rotated-file directory
@@ -53,6 +56,8 @@ object CdcMain {
       |  --catalog COLS,STATS                information_schema snapshot CSVs
       |  --catalog-jdbc URL                  live catalog over JDBC
       |  --catalog-user U --catalog-password P
+      |  -h HOST -P PORT -u USER -p [PASS]   reference connection flags; build
+      |                                      the live-catalog JDBC URL
       |  -d, --database DB                   database filter
       |  -t, --tables T1,T2                  table filter
       |  --start-position N  --stop-position N
@@ -74,18 +79,42 @@ object CdcMain {
       jdbcUser: Option[String] = None,
       jdbcPassword: Option[String] = None)
 
-  def parseArgs(args: Array[String]): (String, CatalogSource,
+  def parseArgs(rawArgs: Array[String]): (String, CatalogSource,
       CdcConfig, Option[String]) = {
+    // argparse-compatible token forms so the reference README's exact
+    // invocations parse unchanged (main.py:41-53): `--flag=value`
+    // splits, and attached short options (`-uroot`, `-h127.0.0.1`)
+    // split for the value-taking short flags.
+    val AttachedShort = "^-([hupPdto])(.+)$".r
+    val args: Array[String] = rawArgs.flatMap {
+      case s if s.startsWith("--") && s.contains('=') =>
+        val Array(f, v) = s.split("=", 2); Seq(f, v)
+      case AttachedShort(f, v) => Seq(s"-$f", v)
+      case s => Seq(s)
+    }
     var binlog: String = null
     var catalog = CatalogSource()
     var out: Option[String] = None
     var cfg = CdcConfig()
+    // reference connection flags (-h -u -p -P, main.py:46-53): kept to
+    // build the --catalog-jdbc URL so log2sql invocations are drop-in
+    var host: Option[String] = None
+    var port: Option[String] = None
+    var user: Option[String] = None
+    var password: Option[String] = None
     var i = 0
     def operand(flag: String): String = {
       if (i + 1 >= args.length)
         throw new IllegalArgumentException(s"$flag requires a value")
       i += 2
       args(i - 1)
+    }
+    // argparse nargs='*': zero or more operands up to the next flag
+    def operands(): Seq[String] = {
+      i += 1
+      val start = i
+      while (i < args.length && !args(i).startsWith("-")) i += 1
+      args.slice(start, i).toSeq
     }
     while (i < args.length) {
       args(i) match {
@@ -102,9 +131,17 @@ object CdcMain {
           catalog = catalog.copy(jdbcUser = Some(operand(f)))
         case f @ "--catalog-password" =>
           catalog = catalog.copy(jdbcPassword = Some(operand(f)))
+        case f @ ("-h" | "--host") => host = Some(operand(f))
+        case f @ ("-u" | "--user") => user = Some(operand(f))
+        case "-p" | "--password" =>
+          // nargs='*' like the reference: bare -p = empty password
+          password = Some(operands().mkString(" "))
+        case f @ ("-P" | "--port") => port = Some(operand(f))
         case f @ ("-d" | "--database") => cfg = cfg.copy(database = operand(f))
-        case f @ ("-t" | "--tables") =>
-          cfg = cfg.copy(tables = operand(f).split(",").toSeq)
+        case "-t" | "--tables" =>
+          // nargs='*' (README passes several table operands) plus the
+          // engine's own comma form
+          cfg = cfg.copy(tables = operands().flatMap(_.split(",")).toSeq)
         case f @ "--start-position" =>
           cfg = cfg.copy(startPos = Some(operand(f).toLong))
         case f @ "--stop-position" =>
@@ -113,8 +150,8 @@ object CdcMain {
           cfg = cfg.copy(startDatetime = Some(operand(f)))
         case f @ "--stop-datetime" =>
           cfg = cfg.copy(stopDatetime = Some(operand(f)))
-        case f @ "--sql-type" =>
-          cfg = cfg.copy(sqlTypes = operand(f).split(",").toSeq)
+        case "--sql-type" =>
+          cfg = cfg.copy(sqlTypes = operands().flatMap(_.split(",")).toSeq)
         case "-B" | "--flashback" => cfg = cfg.copy(flashback = true); i += 1
         case "-K" | "--no-primary-key" => cfg = cfg.copy(noPk = true); i += 1
         case f @ "--back-interval" =>
@@ -137,6 +174,16 @@ object CdcMain {
     if (cfg.flashback && cfg.noPk)
       throw new IllegalArgumentException(
         "Only one of flashback or no_pk can be True")
+    // connection flags → live-catalog JDBC URL (reference defaults
+    // host=127.0.0.1 user=root password='' port=3306) unless an
+    // explicit catalog source was given
+    if (catalog.csvs.isEmpty && catalog.jdbcUrl.isEmpty &&
+        (host.orElse(port).orElse(user).orElse(password)).nonEmpty)
+      catalog = CatalogSource(
+        jdbcUrl = Some(s"jdbc:mysql://${host.getOrElse("127.0.0.1")}:" +
+          s"${port.getOrElse("3306")}/information_schema"),
+        jdbcUser = Some(user.getOrElse("root")),
+        jdbcPassword = Some(password.getOrElse("")))
     (binlog, catalog, cfg, out)
   }
 

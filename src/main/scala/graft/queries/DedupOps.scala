@@ -113,38 +113,65 @@ object DedupOps {
     * (deterministic) banding recalls every ≥τ pair at all test SFs,
     * which is what lets d3 carry the exact-pair oracle. */
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
-      nBands: Int = 16, bandBits: Int = 2): DataFrame = {
+      nBands: Int = 16, bandBits: Int = 2, dim: Int = 64,
+      carryVectors: Option[Boolean] = None): DataFrame = {
     import graft.QueryDef.SmallOrdered
-    // Vectors ride THROUGH the band join and cosine runs in-stream on
-    // the join output (native CosineSim Expression, fused codegen
-    // loop) — the pairs that flow between stages are (ia, ib, sim)
-    // triples, never vectors. The earlier IDs-only form deduped pairs
-    // first and re-attached vectors with two more joins; that is one
-    // shuffle of pair IDs plus two joins per query, and it lost badly
-    // to simply recomputing the cheap dot product for the few pairs
-    // that collide in more than one band. The final distinct dedupes
-    // multi-band collisions on the already-filtered survivors (sim is
-    // deterministic, so duplicate rows are identical).
-    val vecs = SimilarityOps.withBands(emb, nBands, bandBits)
-    val rows = vecs.select(col("vec_id"), col("v"), col("b"), col("h"))
     graft.functions.CosineSim.register(emb.sparkSession)
-    // shuffle_hash self-join, not broadcast: canonically identical
-    // sides share ONE exchange (ReuseExchange), so signatures are
-    // computed once, and the probe runs partition-parallel instead of
-    // inside the single scan task a broadcast join would pipeline
-    // into (the parquet files are single-row-group, so a scan stage
-    // is one task). The id inequality sits BEFORE the cosine in the
-    // join condition so the cheap predicate halves the candidate set
-    // ahead of the dot product; survivors recompute the fused-codegen
-    // cosine once more in the projection — a few hundred rows.
-    val sim = round(graft.functions.CosineSim.cosine_sim(
-      col("x.v"), col("y.v")), 5)
-    rows.as("x").join(rows.as("y").hint("shuffle_hash"),
-        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
-          col("x.vec_id") < col("y.vec_id") && sim >= tau)
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"), sim.as("sim"))
-      .distinct()
-      .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+    val carry = carryVectors.getOrElse(nBands.toLong * dim <=
+      SimilarityOps.CarryVectorsMaxAmplifiedDoubles)
+    if (carry) {
+      // Vectors ride THROUGH the band join and cosine runs in-stream
+      // on the join output (native CosineSim Expression, fused codegen
+      // loop) — the pairs that flow between stages are (ia, ib, sim)
+      // triples, never vectors; recomputing the cheap dot product for
+      // multi-band collisions beats deduping-then-re-attaching at this
+      // (bands × dim). The final distinct dedupes multi-band
+      // collisions on the already-filtered survivors (sim is
+      // deterministic, so duplicate rows are identical).
+      val rows = SimilarityOps.withBands(emb, nBands, bandBits)
+        .select(col("vec_id"), col("v"), col("b"), col("h"))
+      // shuffle_hash self-join, not broadcast: canonically identical
+      // sides share ONE exchange (ReuseExchange), so signatures are
+      // computed once, and the probe runs partition-parallel instead
+      // of inside the single scan task a broadcast join would pipeline
+      // into (the parquet files are single-row-group, so a scan stage
+      // is one task). The id inequality sits BEFORE the cosine in the
+      // join condition so the cheap predicate halves the candidate set
+      // ahead of the dot product; survivors recompute the fused-
+      // codegen cosine once more in the projection — a few hundred
+      // rows.
+      val sim = round(graft.functions.CosineSim.cosine_sim(
+        col("x.v"), col("y.v")), 5)
+      rows.as("x").join(rows.as("y").hint("shuffle_hash"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+            col("x.vec_id") < col("y.vec_id") && sim >= tau)
+        .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"), sim.as("sim"))
+        .distinct()
+        .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+    } else {
+      // IDs-only band join above the (bands × dim) crossover
+      // (SimilarityOps.CarryVectorsMaxAmplifiedDoubles): the band
+      // shuffle ships (id, b, h) rows only — ~bands× less data than
+      // amplifying a wide vector — candidate pairs dedupe as bare IDs,
+      // and vectors attach once per side for the exact verify.
+      // Identical output to the carrying form (same deterministic
+      // signatures and scores) — asserted in PipelineOpsSpec.
+      val ids = SimilarityOps.withBandIds(emb, nBands, bandBits)
+      val cand = ids.select(col("vec_id").as("ia"), col("b"), col("h"))
+        .join(ids.select(col("vec_id").as("ib"), col("b"), col("h"))
+          .hint("shuffle_hash"), Seq("b", "h"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val vv = SimilarityOps.unitWidened(emb)
+      cand
+        .join(vv.select(col("vec_id").as("ia"), col("v").as("va")), Seq("ia"))
+        .join(vv.select(col("vec_id").as("ib"), col("v").as("vb")), Seq("ib"))
+        .withColumn("sim", round(graft.functions.CosineSim.cosine_sim(
+          col("va"), col("vb")), 5))
+        .filter(col("sim") >= tau)
+        .select("ia", "ib", "sim")
+        .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+    }
   }
 
   /** Connected components over a near-dup pair graph: (doc_id,
@@ -173,11 +200,17 @@ object DedupOps {
       val prop = edges.join(
         labels.select(col("u").as("v"), col("m")), Seq("v"))
         .select("u", "m")
-      val next = labels.select("u", "m").union(prop)
-        .groupBy("u").agg(min("m").as("m"))
+      // Convergence folds into the round's ONE action: each u's
+      // previous label rides through the aggregation as m0 (label rows
+      // carry their own m, propagated rows +inf, min() recovers the
+      // old label), so the count below both fully materializes the
+      // cache and counts changed labels — no separate label join, and
+      // no limit(1) short-circuit leaving the cache partial.
+      val next = labels.select(col("u"), col("m"), col("m").as("m0"))
+        .union(prop.select(col("u"), col("m"), lit(Long.MaxValue).as("m0")))
+        .groupBy("u").agg(min("m").as("m"), min("m0").as("m0"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("u"), col("m").as("m0")), Seq("u"))
-        .filter(col("m") =!= col("m0")).limit(1).count()
+      val changed = next.filter(col("m") =!= col("m0")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0L

@@ -22,9 +22,13 @@ object EventOps {
       """SELECT TIME_BUCKET(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w, event_type,
         |       COUNT(*) AS c, ROUND(SUM(value),2) AS sv
         |FROM events GROUP BY w, event_type ORDER BY w, event_type""".stripMargin) { (s, d) =>
-      // window($"ts","1 hour").start ≡ date_trunc: hour-aligned tumble.
+      // date_trunc ≡ window($"ts","1 hour").start for an epoch-aligned
+      // hour tumble, at a fraction of the expression weight (TimeWindow
+      // expands to a per-row modular-arithmetic case chain; the
+      // streaming form in streaming/StreamingOps keeps the real
+      // window() operator where windows can slide or gap).
       Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour")("start").as("w"), col("event_type"))
+        .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedRows(col("w"), col("event_type")) // rows scale with time range
     },

@@ -101,6 +101,17 @@ object Relational {
       // lineitem by orderkey — measured here, the pre-agg exchange
       // costs more than the whole broadcast pipeline, so it belongs
       // behind AQE/stats, not hard-coded.
+      // Fact join = shuffle_hash on the unique (skew-free) orderkey:
+      // the two serial single-row-group scans then run as INDEPENDENT
+      // map stages in parallel, instead of the fact scan stalling
+      // behind a fat broadcast build (measured: a folded orders-dim
+      // broadcast serializes build + probe ≈ 0.61 s of critical path).
+      // Only the genuinely tiny dim chain (customer→nation→region)
+      // broadcasts; the single aggregation combines map-side to 25
+      // groups. At 100× the same plan holds — both fact sides shuffle,
+      // dims stay broadcast — with the orderkey pre-aggregation left
+      // to AQE/stats rather than hard-coded (its exchange costs more
+      // than it saves at every measured SF).
       val custNation = Tables.customer(s, d).select("c_custkey", "c_nationkey")
         .join(broadcast(Tables.nation(s, d)
           .select("n_nationkey", "n_name", "n_regionkey")),
@@ -110,8 +121,8 @@ object Relational {
         .select("c_custkey", "n_name", "r_name")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(custNation, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
@@ -123,11 +134,17 @@ object Relational {
         |         (SELECT 1 FROM lineitem l WHERE l.l_orderkey=o.o_orderkey AND l.l_quantity>45)) AS a,
         |       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
         |         (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)) AS b""".stripMargin) { (s, d) =>
-      val a = Tables.orders(s, d)
+      // Hintless: the filter sides broadcast at bench SF (semi/anti
+      // probes then pipeline into the scan tasks with no exchange) and
+      // fall back to shuffle joins at 100×. Semi/anti stay the real
+      // join operators (the aggregation shortcut — count distinct
+      // filtered keys — would assume referential integrity the
+      // operator must not).
+      val a = Tables.orders(s, d).select("o_orderkey")
         .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey"),
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .agg(count(lit(1)).as("a"))
-      val b = Tables.customer(s, d)
+      val b = Tables.customer(s, d).select("c_custkey")
         .join(Tables.orders(s, d).select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .agg(count(lit(1)).as("b"))

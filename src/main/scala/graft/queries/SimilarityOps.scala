@@ -56,25 +56,101 @@ object SimilarityOps {
       .toDF("vec_id", "v", "b", "h")
   }
 
+  /** IDs-only band rows (vec_id, b, h) — the scale form of `withBands`
+    * for wide vectors / high band counts, where amplifying the vector
+    * through the band shuffle dominates; pairs re-attach vectors via
+    * `unitWidened`. Same signatures, same candidate set. */
+  def withBandIds(emb: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val mask = (1L << bandBits) - 1
+    val nBits = nBands * bandBits
+    emb.select(col("vec_id"), col("embedding"))
+      .fanOut
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
+        val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
+        Iterator.tabulate(nBands)(b => (id, b, (sig >>> (b * bandBits)) & mask))
+      }
+      .toDF("vec_id", "b", "h")
+  }
+
+  /** (vec_id, v) with float→double widening — the re-attach side for
+    * the IDs-only band form. */
+  def unitWidened(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"), col("embedding"))
+      .fanOut
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
+        (id, v)
+      }
+      .toDF("vec_id", "v")
+  }
+
+  /** Band joins amplify every vector ×nBands through the shuffle; the
+    * IDs-only form ships (id, b, h) rows and re-attaches vectors with
+    * one join per pair side. Measured at bench SF (64-d): carrying
+    * vectors wins up to the current band counts — the re-attach joins
+    * cost two extra exchanges that dwarf the ~16× amplification of
+    * sub-KB vectors — and loses once bands × dim passes ~4096 doubles
+    * (e.g. 768-d embeddings × 16 bands), where amplified bytes
+    * dominate. The switch keys on that product; `dim` defaults to the
+    * test corpus width and callers with production widths pass theirs. */
+  private[queries] val CarryVectorsMaxAmplifiedDoubles = 4096
+
   def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nBands: Int = 8, bandBits: Int = 2): DataFrame = {
-    // Cosine runs in-stream on the band-join output and the multi-band
-    // dedupe happens on (qid, cid, sim) triples — never on rows that
-    // carry the vectors (a distinct over array columns hashes every
-    // 64-d vector per row; recomputing the fused-codegen dot product
-    // for multi-band collisions is far cheaper). No cache: the
-    // signature pass is a JIT'd typed map over the embeddings scan,
-    // cheaper to recompute per side than to materialize.
-    val banded = withBands(emb, nBands, bandBits)
-    val q = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("b"), col("h"))
-    val c = banded.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("b"), col("h"))
+      nBands: Int = 8, bandBits: Int = 2, dim: Int = 64,
+      carryVectors: Option[Boolean] = None): DataFrame = {
     graft.functions.CosineSim.register(emb.sparkSession)
-    q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
-      .distinct()
+    val carry = carryVectors.getOrElse(
+      nBands.toLong * dim <= CarryVectorsMaxAmplifiedDoubles)
+    val scored =
+      if (carry) {
+        // Cosine runs in-stream on the band-join output and the
+        // multi-band dedupe happens on (qid, cid, sim) triples — never
+        // on rows that carry the vectors (a distinct over array
+        // columns hashes every 64-d vector per row; recomputing the
+        // fused-codegen dot product for multi-band collisions is far
+        // cheaper). No cache: the signature pass is a JIT'd typed map
+        // over the embeddings scan, cheaper to recompute per side than
+        // to materialize.
+        val banded = withBands(emb, nBands, bandBits)
+        val q = banded.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("b"), col("h"))
+        val c = banded.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("b"), col("h"))
+        q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
+          .distinct()
+      } else {
+        // IDs-only banding (wide vectors / many bands): candidate
+        // (qid, cid) pairs dedupe as bare IDs, then vectors attach
+        // once per side. Identical candidates and scores — asserted in
+        // SimilarityOpsSpec against the carrying form.
+        val ids = withBandIds(emb, nBands, bandBits)
+        val cand = ids.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("b"), col("h"))
+          .join(ids.select(col("vec_id").as("cid"), col("b"), col("h"))
+            .hint("shuffle_hash"), Seq("b", "h"))
+          .filter(col("qid") =!= col("cid"))
+          .select("qid", "cid").distinct()
+        val vv = unitWidened(emb)
+        cand
+          .join(vv.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+          .join(vv.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
+          .select(col("qid"), col("cid"),
+            graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
+      }
+    scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
       .filter(col("rnk") <= k)

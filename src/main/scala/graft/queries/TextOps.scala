@@ -170,8 +170,12 @@ object TextOps {
       // an explode + countDistinct plan, are both structurally gone.
       // tf⋈df is hintless: vocabulary-sized aggregate sides, never a
       // broadcast gamble on vocabulary growth.
+      // No fanOut here: tokenizing 5k docs costs less than the two
+      // stages a redistribution adds — the partial aggregate collapses
+      // the kernel output to vocabulary-sized rows inside the scan
+      // task either way. (At real scale the scan splits by file/row
+      // group and the kernel is already parallel.)
       val perDoc = docs.select(col("doc_id"), col("source"), col("text"))
-        .fanOut // single-task scan: spread the tokenize kernel
         .as[(Long, String, String)]
         .flatMap { case (_, src, text) =>
           graft.functions.HashOps.termCounts(text).map { case (t, c) => (src, t, c) }

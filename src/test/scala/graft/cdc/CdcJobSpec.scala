@@ -189,6 +189,29 @@ class CdcJobSpec extends AnyFunSuite {
       "--binlog", "/x/b.txt", "-B", "-K")))
   }
 
+  test("CdcMain accepts the reference README invocation verbatim") {
+    // README: python3 main.py --start-position=4 --stop-position=1024
+    //   --start-file mysql-bin.000057 -h 127.0.0.1 --port 3306 -uroot -p
+    //   --database='log_test' -t 'a' 'd'
+    // (shell strips the quotes; -h/-u/-p/-P build the live-catalog URL)
+    val (binlog, cat, cfg, _) = CdcMain.parseArgs(Array(
+      "--start-position=4", "--stop-position=1024",
+      "--start-file", "mysql-bin.000057",
+      "-h", "127.0.0.1", "--port", "3306", "-uroot", "-p",
+      "--database=log_test", "-t", "a", "d"))
+    assert(binlog == "mysql-bin.000057")
+    assert(cat.jdbcUrl.contains(
+      "jdbc:mysql://127.0.0.1:3306/information_schema"))
+    assert(cat.jdbcUser.contains("root") && cat.jdbcPassword.contains(""))
+    assert(cfg == CdcConfig(database = "log_test", tables = Seq("a", "d"),
+      startPos = Some(4L), stopPos = Some(1024L)))
+    // an explicit catalog wins over connection flags
+    val (_, cat2, _, _) = CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "-h", "db.internal",
+      "--catalog-jdbc", "jdbc:mysql://other:3306/information_schema"))
+    assert(cat2.jdbcUrl.contains("jdbc:mysql://other:3306/information_schema"))
+  }
+
   test("JDBC catalog source resolves keys like the snapshot path (O11/O12)") {
     // Embedded Derby stands in for the MySQL information_schema: same
     // projection shapes, real spark.read.jdbc path. The query strings

@@ -73,6 +73,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("d3/a2 IDs-only band form equals the vector-carrying form") {
+    // The (bands × dim) scale switch must be a pure execution-strategy
+    // choice: same signatures, same candidates, same scores.
+    val emb = graft.Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(DedupOps.embeddingNearDup(emb, carryVectors = Some(true))) ==
+      rows(DedupOps.embeddingNearDup(emb, carryVectors = Some(false))))
+    assert(rows(SimilarityOps.annLsh(emb, carryVectors = Some(true))) ==
+      rows(SimilarityOps.annLsh(emb, carryVectors = Some(false))))
+  }
+
   test("t3 langid classifies genuinely separable corpora correctly") {
     import spark.implicits._
     val en = "the quick brown fox jumps over the lazy dog and runs away with them"
