@@ -55,6 +55,37 @@ object CdcQueries {
     events
   }
 
+  /** Rotated BINARY binlog fixture (format v4 + CRC32, written by
+    * BinlogBinaryFixture): 2 files × n events, 1:1:1 mix. */
+  private def binFixturePath(dir: String): String = {
+    val perFile = if (dir.contains("0.1")) 12500 else 2500
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_binbinlogdir_$perFile")
+    if (!java.nio.file.Files.isDirectory(p)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binbinlog")
+      import graft.sources.BinlogBinaryFixture._
+      for (f <- 0 until 2) {
+        val events: Seq[Ev] = (0 until perFile).map { i =>
+          i % 3 match {
+            case 0 => Insert(i, s"name_$i",
+              if (i % 7 == 0) None else Some(i % 100 + 0.5))
+            case 1 => Update((i, s"name_$i", Some(1.5)),
+              (i, s"renamed_$i", Some(2.5)))
+            case _ => Delete(i, s"renamed_$i", Some(2.5))
+          }
+        }
+        val (bytes, _) = render(events)
+        java.nio.file.Files.write(tmp.resolve(f"binlog.$f%06d"), bytes)
+      }
+      try java.nio.file.Files.move(tmp, p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    p.toString
+  }
+
+  private val BinOracleSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_binevents_10k"
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("c1_parse_counts",
@@ -111,6 +142,24 @@ object CdcQueries {
         CdcJob.applyFilters(events, cfg)
           .agg(count(lit(1)).as("c")).select(lit(name).as("f"), col("c"))
       }.reduce(_.unionByName(_)).orderBy("f")
+    },
+
+    // The BINARY-source twin of c1: decode format-v4 bytes (no
+    // mysqlbinlog dependency), snapshot, and let DuckDB re-aggregate.
+    QueryDef("c7_binary_parse_counts",
+      s"""SELECT db, "table", op, COUNT(*) AS c
+         |FROM read_parquet('$BinOracleSnapshot/*.parquet')
+         |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
+      val events = graft.sources.BinlogBinary.parse(s, binFixturePath(d))
+      if (snapshotWritten.add(BinOracleSnapshot + d.hashCode))
+        events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
+          .write.mode("overwrite").parquet(
+            if (d.contains("0.1"))
+              System.getProperty("java.io.tmpdir") + "/graft_cdc_binevents_100k"
+            else BinOracleSnapshot)
+      events.groupBy("db", "table", "op")
+        .agg(count(lit(1)).as("c"))
+        .orderBy("db", "table", "op")
     },
 
     QueryDef.noOracle("c2_forward_sql") { (s, d) =>

@@ -225,6 +225,10 @@ object Relational {
         .groupBy("nk")
         .agg(min("side").as("lo"), max("side").as("hi"))
         .filter(col("lo") === 0 && col("hi") === 1)
+        // nation-key grain is BOUNDED: collapsing the final aggregate
+        // to one task satisfies the count's SinglePartition requirement
+        // with no second exchange
+        .coalesce(1)
         .agg(count(lit(1)).as("cnt"))
     },
 

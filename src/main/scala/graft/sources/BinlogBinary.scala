@@ -1,0 +1,249 @@
+package graft.sources
+
+import graft.cdc.{CdcJob, RawChange}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Binary MySQL binlog reader (format v4) — removes the engine's one
+  * external dependency: the reference shells out to `mysqlbinlog -vv`
+  * for the decode (/root/reference/main.py:90,103) and parses its TEXT;
+  * this source decodes the row events straight from the `.binlog`
+  * bytes and emits the same `RawChange` stream as `cdc.BinlogFsm`
+  * (same positions, header datetimes, verbatim SQL-literal images), so
+  * everything downstream — filters, catalog join, SQL render,
+  * flashback — is shared.
+  *
+  * Wire format per the public MySQL replication protocol docs
+  * (binary-log-versions / rows-event pages):
+  *   magic 0xFE 'b' 'i' 'n'; 19-byte common header
+  *   (timestamp u32, type u8, server_id u32, event_size u32,
+  *   log_pos u32, flags u16); FORMAT_DESCRIPTION (15) carries a
+  *   trailing checksum-algorithm byte (5.6+) — when 1, every event
+  *   ends with CRC32 which is stripped before payload parsing;
+  *   TABLE_MAP (19) maps table_id → (db, table, column types + meta);
+  *   WRITE/UPDATE/DELETE_ROWS v2 (30/31/32) carry bitmapped row
+  *   images; QUERY (2) carries DDL with its schema context.
+  *
+  * Column-type subset (the fixture tables' types, extensible by one
+  * case per type code): LONG(3) i32, DOUBLE(5) f64,
+  * VARCHAR/VARSTRING(15) length-prefixed. Values render as
+  * `mysqlbinlog -vv` literals (ints bare, strings quoted, `NULL`
+  * bare, doubles shortest-decimal) so images are byte-identical to
+  * the text path's verbatim capture.
+  *
+  * Totality matches the text FSM: a truncated trailing event is
+  * discarded, unknown event types are skipped.
+  */
+object BinlogBinary {
+
+  private val QUERY = 2
+  private val FORMAT_DESC = 15
+  private val TABLE_MAP = 19
+  private val WRITE_V2 = 30
+  private val UPDATE_V2 = 31
+  private val DELETE_V2 = 32
+
+  private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
+
+  private final case class TableDef(db: String, table: String,
+      types: Array[Int], meta: Array[Int])
+
+  private final class Cursor(val b: Array[Byte], var off: Int) {
+    def u8(): Int = { val v = b(off) & 0xFF; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = (u16().toLong | (u16().toLong << 16)) & 0xFFFFFFFFL
+    def u48(): Long = u32() | (u16().toLong << 32)
+    def i32(): Int = u32().toInt
+    def f64(): Double = {
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= (b(off + i) & 0xFFL) << (8 * i); i += 1 }
+      off += 8
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val r = java.util.Arrays.copyOfRange(b, off, off + n); off += n; r
+    }
+    def lenenc(): Long = {
+      val first = u8()
+      if (first < 0xFB) first
+      else if (first == 0xFC) u16()
+      else if (first == 0xFD) u8() | (u8() << 8) | (u8() << 16)
+      else { val v = u32(); v | (u32() << 32) } // 0xFE: 8 bytes
+    }
+    def str(n: Int): String = new String(bytes(n), "UTF-8")
+  }
+
+  /** Decode one binlog file's bytes into change events. Eager per
+    * file (a rotated binlog file is bounded by rotate size — the
+    * task already holds the bytes). */
+  def parseBytes(file: String, bytes: Array[Byte],
+      includeDdl: Boolean = false): Seq[RawChange] = {
+    val out = mutable.ArrayBuffer.empty[RawChange]
+    if (bytes.length < 4 || bytes(0) != 0xFE.toByte || bytes(1) != 'b' ||
+        bytes(2) != 'i' || bytes(3) != 'n') return out.toSeq
+    var off = 4
+    var checksumLen = 0
+    var seq = 0L
+    val tables = mutable.Map.empty[Long, TableDef]
+
+    // `mysqlbinlog` header-comment datetime (yyMMdd %2d:%02d:%02d),
+    // UTC, with the raw spacing the text FSM captures verbatim.
+    def dtRawOf(epoch: Long): String = {
+      val t = java.time.LocalDateTime.ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC)
+      f"${t.getYear % 100}%02d${t.getMonthValue}%02d${t.getDayOfMonth}%02d " +
+        f"${t.getHour}%2d:${t.getMinute}%02d:${t.getSecond}%02d "
+    }
+
+    while (off + 19 <= bytes.length) {
+      val c = new Cursor(bytes, off)
+      val ts = c.u32()
+      val etype = c.u8()
+      c.u32() // server_id
+      val eventSize = c.u32().toInt
+      val logPos = c.u32()
+      c.u16() // flags
+      if (eventSize < 19 || off + eventSize > bytes.length) {
+        off = bytes.length // truncated tail: discard, stay total
+      } else {
+        if (etype == FORMAT_DESC) {
+          // checksum algorithm byte sits 5 bytes from the event end
+          // (alg + its own CRC32) when the server writes checksums
+          val alg = bytes(off + eventSize - 5) & 0xFF
+          checksumLen = if (alg == 1) 4 else 0
+        }
+        val bodyEnd = off + eventSize - (if (etype == FORMAT_DESC) 0 else checksumLen)
+        val startPos = off.toLong
+        val startPosRaw = s" $startPos"
+        val stopPosRaw = s" $logPos "
+        val dtRaw = dtRawOf(ts)
+
+        def literal(td: TableDef, ci: Int, cur: Cursor): String =
+          td.types(ci) match {
+            case 3 => cur.i32().toString
+            case 5 =>
+              // %.12g-style: integral doubles print bare (mysqlbinlog),
+              // fractional ones shortest-decimal
+              val d = cur.f64()
+              if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+            case 15 =>
+              val n = if (td.meta(ci) < 256) cur.u8() else cur.u16()
+              "'" + cur.str(n) + "'"
+            case t => throw new IllegalArgumentException(s"unsupported column type $t")
+          }
+
+        // one row image under an included-columns bitmap
+        def image(td: TableDef, included: Array[Boolean], cur: Cursor):
+            (Array[Int], Array[String]) = {
+          val idx = included.indices.filter(included).toArray
+          val nullBm = cur.bytes((idx.length + 7) / 8)
+          val ords = new Array[Int](idx.length)
+          val vals = new Array[String](idx.length)
+          var k = 0
+          while (k < idx.length) {
+            ords(k) = idx(k) + 1 // @N ordinals are 1-based
+            vals(k) =
+              if ((nullBm(k / 8) & (1 << (k % 8))) != 0) "NULL"
+              else literal(td, idx(k), cur)
+            k += 1
+          }
+          (ords, vals)
+        }
+
+        def bitmap(cur: Cursor, n: Int): Array[Boolean] = {
+          val bm = cur.bytes((n + 7) / 8)
+          Array.tabulate(n)(i => (bm(i / 8) & (1 << (i % 8))) != 0)
+        }
+
+        etype match {
+          case TABLE_MAP =>
+            val tid = c.u48(); c.u16()
+            val db = c.str(c.u8()); c.u8() // NUL
+            val tbl = c.str(c.u8()); c.u8() // NUL
+            val nCols = c.lenenc().toInt
+            val types = Array.fill(nCols)(c.u8())
+            c.lenenc() // metadata block length
+            val meta = types.map {
+              case 3 => 0
+              case 5 => c.u8() // size byte (8)
+              case 15 => c.u16() // max length
+              case t => throw new IllegalArgumentException(s"unsupported column type $t")
+            }
+            tables(tid) = TableDef(db, tbl, types, meta)
+          case WRITE_V2 | UPDATE_V2 | DELETE_V2 =>
+            val tid = c.u48(); c.u16()
+            val extraLen = c.u16(); if (extraLen > 2) c.bytes(extraLen - 2)
+            val td = tables.getOrElse(tid,
+              throw new IllegalArgumentException(s"rows event for unmapped table $tid"))
+            val nCols = c.lenenc().toInt
+            val (op, inc1, inc2) = etype match {
+              case WRITE_V2 => ("insert", bitmap(c, nCols), null)
+              case DELETE_V2 => ("delete", bitmap(c, nCols), null)
+              case _ => ("update", bitmap(c, nCols), bitmap(c, nCols))
+            }
+            while (c.off < bodyEnd) {
+              val (o1, v1) = image(td, inc1, c)
+              val (o2, v2) =
+                if (etype == UPDATE_V2) image(td, inc2, c)
+                else (Array.emptyIntArray, Array.empty[String])
+              val (bo, bv, ao, av) = etype match {
+                case WRITE_V2 => (Array.emptyIntArray, Array.empty[String], o1, v1)
+                case DELETE_V2 => (o1, v1, Array.emptyIntArray, Array.empty[String])
+                case _ => (o1, v1, o2, v2)
+              }
+              out += RawChange(file, seq, startPos, logPos, startPosRaw,
+                stopPosRaw, dtRaw, td.db, td.table, op, bo, bv, ao, av, null)
+              seq += 1
+            }
+          case QUERY if includeDdl =>
+            c.u32(); c.u32() // thread_id, exec_time
+            val schemaLen = c.u8()
+            c.u16() // error code
+            val statusLen = c.u16(); c.bytes(statusLen)
+            val schema = c.str(schemaLen); c.u8() // NUL
+            val query = new String(
+              java.util.Arrays.copyOfRange(bytes, c.off, bodyEnd), "UTF-8").trim
+            val firstWord = query.takeWhile(!_.isWhitespace).toLowerCase
+            if (DdlFirstWords.contains(firstWord)) {
+              // same shape as the text path: `use` context line + the
+              // statement, newline-joined, ';'-terminated
+              val useLine = if (schema.nonEmpty) s"use `$schema`;" else ""
+              val text = Seq(useLine, query).filter(_.nonEmpty).mkString("\n") + ";"
+              out += RawChange(file, seq, startPos, logPos, startPosRaw,
+                stopPosRaw, dtRaw, "", "", "ddl", Array.emptyIntArray,
+                Array.empty[String], Array.emptyIntArray, Array.empty[String], text)
+              seq += 1
+            }
+          case _ => () // FDE handled above; rotate/xid/etc skipped
+        }
+        off += eventSize
+      }
+    }
+    out.toSeq
+  }
+
+  /** Binary binlog files → change-event DataFrame with the same schema
+    * as `CdcJob.parse` (file/seq/positions/ts/db/table/op/images/ddl).
+    * `binaryFile` keeps the per-file-task parallelism contract: a
+    * rotated binlog file is the unit of work at any scale. */
+  def parse(spark: SparkSession, path: String,
+      includeDdl: Boolean = false): DataFrame = {
+    import spark.implicits._
+    CdcJob.projectEvents(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*")
+        .load(path)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (file, bytes) => parseBytes(file, bytes, includeDdl) }
+        .toDF())
+  }
+
+  /** Full binary-input pipeline: parse → filter → render — the
+    * binary-source twin of `CdcJob.run`. */
+  def run(spark: SparkSession, path: String,
+      catalog: DataFrame, cfg: graft.cdc.CdcConfig): DataFrame =
+    CdcJob.render(
+      CdcJob.applyFilters(parse(spark, path, cfg.includeDdl), cfg), catalog, cfg)
+}
