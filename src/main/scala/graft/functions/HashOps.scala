@@ -197,4 +197,29 @@ object HashOps {
     while (i + 3 <= text.length) { set.add(text.substring(i, i + 3)); i += 1 }
     set.toArray(new Array[String](set.size))
   }
+
+  /** Distinct char trigrams PACKED into longs — (c0<<32)|(c1<<16)|c2,
+    * injective for BMP chars, so equality and (signed) ordering match
+    * the string trigrams' code-unit semantics with zero allocation in
+    * the O(chars) hot loop. Sorted ascending (= lexicographic for the
+    * ASCII corpus), deduped in place like shingleHashes. */
+  def trigramHashes(text: String): Array[Long] = {
+    val n = text.length - 2
+    if (n <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = (text.charAt(i).toLong << 32) |
+        (text.charAt(i + 1).toLong << 16) | text.charAt(i + 2).toLong
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == n) hs else java.util.Arrays.copyOf(hs, w)
+  }
 }

@@ -107,13 +107,17 @@ object DedupOps {
   /** Embedding-cosine near-dup pairs via hyperplane-LSH banding with
     * exact verification of candidates. The corpus plants no ≥0.9
     * pairs, so the default tau targets the moderate-similarity regime
-    * (narrow 2-bit bands — see SimilarityOps.annLsh scaling note).
-    * 16 bands: at cos ≈ 0.45 a 2-bit band matches w.p. ~0.42, so the
-    * per-pair miss rate is (1−0.42)^16 ≈ 1.6e-4 — low enough that the
-    * (deterministic) banding recalls every ≥τ pair at all test SFs,
-    * which is what lets d3 carry the exact-pair oracle. */
+    * (narrow bands — see SimilarityOps.annLsh scaling note).
+    * Geometry: 20 bands × 3 bits. At cos ≈ 0.45 a bit agrees w.p.
+    * ~0.648, a 3-bit band matches w.p. ~0.27, so the per-pair miss
+    * rate is (1−0.27)^20 ≈ 0.2% at the threshold (lower above it) —
+    * and the deterministic banding in fact recalls every ≥τ pair at
+    * all test SFs (asserted; that is what lets d3 carry the exact-pair
+    * oracle). Versus 2-bit bands, 8 buckets per band cut bucket
+    * collisions ~8× — the candidate-pair count, not the signature
+    * pass, is the cost at any scale. */
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
-      nBands: Int = 16, bandBits: Int = 2, dim: Int = 64,
+      nBands: Int = 20, bandBits: Int = 3, dim: Int = 64,
       carryVectors: Option[Boolean] = None): DataFrame = {
     import graft.QueryDef.SmallOrdered
     graft.functions.CosineSim.register(emb.sparkSession)
@@ -188,12 +192,17 @@ object DedupOps {
     * so lineage stays one round deep. */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
-      .union(pairs.select(col("ib").as("u"), col("ia").as("v")))
+    // Cache the pair set BEFORE mirroring it into edges: the union's
+    // two branches are separate subtrees, so an uncached `pairs` would
+    // run its whole upstream (the LSH candidate join) twice.
+    val p0 = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p0.select(col("ia").as("u"), col("ib").as("v"))
+      .union(p0.select(col("ib").as("u"), col("ia").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK) // probed every round
     var labels = edges.select("u").distinct().withColumn("m", col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
+    p0.unpersist()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {

@@ -125,23 +125,59 @@ object TextAnalysis {
       // shuffle (profile pass shrinks map-side to lang × trigram
       // partials; scoring pass is a broadcast-hash probe whose output
       // aggregates map-side to doc × candidate-lang).
-      def tri = docs.select(col("doc_id"), col("lang"), col("text"))
+      // Trigrams ride as PACKED LONGS ((c0<<32)|(c1<<16)|c2 —
+      // injective, same equality/order as the strings for this
+      // corpus): the ~10M-row trigram stream allocates nothing, and
+      // the profile/overlap logic is representation-blind, so the
+      // string-trigram SQL oracle still matches exactly.
+      val tri = docs.select(col("doc_id"), col("lang"), col("text"))
         .fanOut // single-row-group scan: spread the trigram kernel
         .as[(Long, String, String)]
         .flatMap { case (id, lang, t) =>
-          graft.functions.HashOps.trigrams(t).map(tg => (id, lang, tg))
+          graft.functions.HashOps.trigramHashes(t).map(tg => (id, lang, tg))
         }.toDF("doc_id", "lang", "tg")
+      // Profile pass: corpus-sized stream, vocabulary-sized partials.
       val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("f"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("lang").orderBy(col("f").desc, col("tg"))))
         .filter(col("rn") <= 50)
         .select(col("lang").as("cand"), col("tg"))
-      val pred = tri.join(broadcast(profiles), Seq("tg"))
-        .groupBy("doc_id", "cand").agg(count(lit(1)).as("overlap"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("cand"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cand").as("predicted"))
+      // The resolved profile table is langs × 50 rows BY CONSTRUCTION —
+      // collect it and run the overlap argmax INSIDE the scoring
+      // kernel (two-pointer intersection over sorted longs per
+      // candidate), instead of streaming every (doc, trigram) row
+      // through a broadcast join + two aggregations + a rank window.
+      // Same classifier bit-for-bit: overlap count, argmax with
+      // overlap-DESC / candidate-ASC tie-break, docs with zero overlap
+      // or no trigrams predict nothing (the SQL join semantics).
+      val prof = profiles.collect()
+      val langs = prof.map(_.getString(0)).distinct.sorted
+      val profSets: Array[Array[Long]] = langs.map(l =>
+        prof.filter(_.getString(0) == l).map(_.getLong(1)).sorted)
+      val pred = docs.select(col("doc_id"), col("text"))
+        .fanOut
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val tgs = graft.functions.HashOps.trigramHashes(t) // sorted
+          var best = -1
+          var bestOv = 0
+          var li = 0
+          while (li < profSets.length) {
+            val p = profSets(li)
+            var ov = 0
+            var i = 0
+            var j = 0
+            while (i < tgs.length && j < p.length) {
+              if (tgs(i) < p(j)) i += 1
+              else if (tgs(i) > p(j)) j += 1
+              else { ov += 1; i += 1; j += 1 }
+            }
+            if (ov > bestOv) { best = li; bestOv = ov }
+            li += 1
+          }
+          if (best < 0) Iterator.empty
+          else Iterator.single((id, langs(best)))
+        }.toDF("doc_id", "predicted")
       pred.join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("c"))
         .orderedSmall(col("lang"), col("predicted"))

@@ -61,16 +61,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits >= 7, s"top-1 recall $hits/10")
   }
 
-  test("d3 embedding near-dup: LSH pairs vs exact threshold pairs") {
-    val emb = graft.Tables.embeddings(spark, sf)
-    val exact = graft.functions.VectorOps.cosinePairsAbove(emb, 0.45)
-      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = DedupOps.embeddingNearDup(emb)
-      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "threshold should catch some pairs at sf0.01")
-    assert(lsh.subsetOf(exact)) // exact verification -> no false positives
-    val recall = lsh.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  test("d3 embedding near-dup EQUALS exact threshold pairs (sf0.01 + sf0.1)") {
+    // The d3 oracle is the exact-pair SQL, so banding must recall
+    // every ≥τ pair (deterministic geometry — this asserts the claim
+    // at both the correctness SF and the bench SF).
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val exact = graft.functions.VectorOps.cosinePairsAbove(emb, 0.45)
+        .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = DedupOps.embeddingNearDup(emb)
+        .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"threshold should catch some pairs at $dir")
+      assert(lsh == exact,
+        s"$dir: lsh=${lsh.size} exact=${exact.size} missed=${(exact -- lsh).size}")
+    }
   }
 
   test("d3/a2 IDs-only band form equals the vector-carrying form") {
