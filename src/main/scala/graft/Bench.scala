@@ -31,11 +31,12 @@ object Bench {
     // comma-separated query subset / fewer timed passes.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
-    // At bench SF every shuffle is small: 4 post-shuffle partitions
-    // beat cpus-many tiny tasks (interleaved A/B: 4 beats 8 by ~3%,
-    // 8 beat 32 by ~12% in r2). A real cluster sizes this to data
-    // volume; AQE coalesces either way.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
+    // At bench SF most shuffles are small, but the heavy candidate
+    // joins (d1/d3/l2) need the reduce-side parallelism: interleaved
+    // A/Bs put 4 ≈ 8 on the small-query set (±3%, within host noise)
+    // and 8 ahead by 30-40% on the heavy set — so 8. A real cluster
+    // sizes this to data volume; AQE coalesces either way.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     // Shuffle/spill files on tmpfs when available: at bench SF the
     // shuffles are tiny, so file-creation latency (not bandwidth)
     // dominates — RAM-backed local dirs shave it. A real cluster

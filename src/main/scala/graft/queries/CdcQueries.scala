@@ -122,9 +122,13 @@ object CdcQueries {
          |      AND start_pos >= 220
          |      AND (ts IS NULL OR ts >= TIMESTAMP '2026-08-12 05:05:00')
          |) t ORDER BY f""".stripMargin) { (s, d) =>
-      // Cache the scalar projection once: 8 filter branches over one
-      // parse, not 8 re-parses (Bench's per-query clearCache reclaims).
-      val events = parsedWithSnapshot(s, d)
+      // c5's capability is the FILTERS (c1 owns the parse): ensure the
+      // engine's parse snapshot exists, then filter the snapshot —
+      // re-parsing the whole fixture per filter pass would just
+      // re-measure c1. Cache the scalar projection once for the 8
+      // branches (Bench's per-query clearCache reclaims).
+      parsedWithSnapshot(s, d)
+      val events = s.read.parquet(snapshotPath(d))
         .select("op", "db", "table", "start_pos", "ts").cache()
       val cases: Seq[(String, CdcConfig)] = Seq(
         "all_types" -> CdcConfig(),

@@ -25,9 +25,10 @@ import scala.collection.mutable
   *   WRITE/UPDATE/DELETE_ROWS v2 (30/31/32) carry bitmapped row
   *   images; QUERY (2) carries DDL with its schema context.
   *
-  * Column-type subset (the fixture tables' types, extensible by one
-  * case per type code): LONG(3) i32, DOUBLE(5) f64,
-  * VARCHAR/VARSTRING(15) length-prefixed. Values render as
+  * Column-type subset (extensible by one case per type code): the
+  * integer family TINY(1)/SHORT(2)/INT24(9)/LONG(3)/LONGLONG(8), all
+  * signed; DOUBLE(5) f64; VARCHAR/VARSTRING(15) length-prefixed.
+  * Values render as
   * `mysqlbinlog -vv` literals (ints bare, strings quoted, `NULL`
   * bare, doubles shortest-decimal) so images are byte-identical to
   * the text path's verbatim capture.
@@ -121,7 +122,14 @@ object BinlogBinary {
 
         def literal(td: TableDef, ci: Int, cur: Cursor): String =
           td.types(ci) match {
-            case 3 => cur.i32().toString
+            case 1 => cur.u8().toByte.toString // TINY (signed)
+            case 2 => cur.u16().toShort.toString // SHORT (signed)
+            case 9 => // INT24: sign-extend 3 LE bytes
+              val v = cur.u8() | (cur.u8() << 8) | (cur.u8() << 16)
+              ((v << 8) >> 8).toString
+            case 3 => cur.i32().toString // LONG
+            case 8 => // LONGLONG (signed 64)
+              (cur.u32() | (cur.u32() << 32)).toString
             case 5 =>
               // %.12g-style: integral doubles print bare (mysqlbinlog),
               // fractional ones shortest-decimal
@@ -165,7 +173,7 @@ object BinlogBinary {
             val types = Array.fill(nCols)(c.u8())
             c.lenenc() // metadata block length
             val meta = types.map {
-              case 3 => 0
+              case 1 | 2 | 3 | 8 | 9 => 0 // integer family: no metadata
               case 5 => c.u8() // size byte (8)
               case 15 => c.u16() // max length
               case t => throw new IllegalArgumentException(s"unsupported column type $t")

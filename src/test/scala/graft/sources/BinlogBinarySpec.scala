@@ -43,6 +43,37 @@ class BinlogBinarySpec extends AnyFunSuite {
       assert(canon(b) == canon(t), s"binary $b != text $t")
   }
 
+  test("integer type family decodes signed TINY/SHORT/INT24/LONGLONG") {
+    // hand-assembled stream: FDE(no checksum) + TABLE_MAP(4 int cols)
+    // + one WRITE_ROWS v2 with negative values in every width
+    val buf = collection.mutable.ArrayBuffer[Byte](0xFE.toByte, 'b', 'i', 'n')
+    def le(v: Long, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def event(etype: Int, payload: Seq[Byte]): Unit = {
+      val size = 19 + payload.length
+      buf ++= le(1786856400L, 4); buf += etype.toByte; buf ++= le(1, 4)
+      buf ++= le(size, 4); buf ++= le(buf.length - 4 + size, 4); buf ++= le(0, 2)
+      buf ++= payload
+    }
+    // FDE declaring checksum alg 0 (byte 5-from-end = 0)
+    event(15, le(4, 2) ++ Seq.fill(50)(' '.toByte) ++ le(0, 4) ++
+      Seq(19.toByte) ++ Seq.fill(40)(0.toByte) ++ Seq(0.toByte, 0, 0, 0, 0))
+    // TABLE_MAP: db d, table w, cols TINY SHORT INT24 LONGLONG (no meta)
+    event(19, le(108, 6) ++ le(1, 2) ++
+      Seq(1.toByte) ++ "d".getBytes.toSeq ++ Seq(0.toByte) ++
+      Seq(1.toByte) ++ "w".getBytes.toSeq ++ Seq(0.toByte) ++
+      Seq(4.toByte) ++ Seq[Byte](1, 2, 9, 8) ++ Seq(0.toByte) ++ Seq(0.toByte))
+    // WRITE_ROWS v2: all cols included, no nulls, values -5, -300,
+    // -70000, -5000000000
+    event(30, le(108, 6) ++ le(1, 2) ++ le(2, 2) ++
+      Seq(4.toByte, 0x0F.toByte, 0.toByte) ++
+      le(-5L, 1) ++ le(-300L, 2) ++ le(-70000L, 3) ++ le(-5000000000L, 8))
+    val out = BinlogBinary.parseBytes("f", buf.toArray)
+    assert(out.size == 1)
+    assert(out.head.afterVals.toSeq ==
+      Seq("-5", "-300", "-70000", "-5000000000"))
+    assert(out.head.db == "d" && out.head.table == "w" && out.head.op == "insert")
+  }
+
   test("truncated binary tail is discarded, not thrown (totality)") {
     val cut = java.util.Arrays.copyOfRange(bin, 0, bin.length - 7)
     val parsed = BinlogBinary.parseBytes("f", cut, includeDdl = true)
