@@ -230,6 +230,27 @@ object DedupOps {
       .orderedRows(col("doc_id")) // clustered docs scale with corpus
   }
 
+  /** Shared recursive-CTE prefix for the component oracles (d4/d5):
+    * exact shingle-Jaccard pairs → undirected edges → min-label
+    * reachability walk. */
+  private val ComponentsCte: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
+      |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+      |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM shx),
+      |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+      |pairs AS (SELECT ia, ib FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
+      |          WHERE i*1.0/(ca.c + cb.c - i) >= 0.8),
+      |edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+      |walk(u, m) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+      |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // d1 shares the exact operator's oracle: 100% recall at τ=0.8
     // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
@@ -244,24 +265,27 @@ object DedupOps {
     // the recursive-CTE oracle over the exact pair graph is an exact
     // check of the whole chain: banding → verify → components.
     QueryDef("d4_neardup_clusters",
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
-        |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
-        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM shx),
-        |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
-        |          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
-        |pairs AS (SELECT ia, ib FROM inter JOIN card ca ON ca.doc_id=ia JOIN card cb ON cb.doc_id=ib
-        |          WHERE i*1.0/(ca.c + cb.c - i) >= 0.8),
-        |edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
-        |walk(u, m) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-        |  UNION
-        |  SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
-        |)
-        |SELECT u AS doc_id, MIN(m) AS cluster_id FROM walk GROUP BY u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ComponentsCte +
+        "\nSELECT u AS doc_id, MIN(m) AS cluster_id FROM walk GROUP BY u ORDER BY doc_id") { (s, d) =>
       clusterPairs(minhashPairs(Tables.documents(s, d)).select("ia", "ib"))
+    },
+
+    // The dedup pipeline's END PRODUCT: the surviving corpus after
+    // near-dup collapse — every unclustered doc plus one
+    // representative (min doc_id) per cluster. pairs → components →
+    // anti-join is exactly what a 100 TB dedup job materializes.
+    QueryDef("d5_dedup_survivors",
+      ComponentsCte +
+        """,
+          |comp AS (SELECT u, MIN(m) AS m FROM walk GROUP BY u)
+          |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+          |WHERE c.u IS NULL OR c.m = d.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = clusterPairs(minhashPairs(docs).select("ia", "ib"))
+      docs.select("doc_id")
+        .join(clusters.filter(col("doc_id") =!= col("cluster_id")),
+          Seq("doc_id"), "left_anti")
+        .orderedRows(col("doc_id")) // survivors scale with corpus
     },
 
     // d3 gets the EXACT cosine-pair SQL as its oracle: the hyperplane

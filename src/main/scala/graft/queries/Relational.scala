@@ -120,12 +120,15 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
       Tables.lineitem(s, d)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
+        // fold the revenue arithmetic BEFORE the exchange: the fact
+        // shuffle then carries (key, rev) — 2 columns, not 3
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
           .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(custNation, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+        .agg(round(sum("rev0"), 2).as("rev"))
         .orderedSmall(col("r_name"), col("n_name"))
     },
 
@@ -280,7 +283,7 @@ object Relational {
       // single-task scan (no-op where the scan already splits).
       Tables.events(s, d)
         .select("props", "value")
-        .fanOut
+        .fanOut // measured: parallel parse beats the saved exchange
         .groupBy((from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k") % 10).as("kb"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
