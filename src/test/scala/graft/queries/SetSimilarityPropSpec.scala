@@ -61,6 +61,36 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     out.result()
   }
 
+  test("termCounts kernel matches Spark split(text,' ') semantics") {
+    // l5's tokenizer must agree with split(regex, -1): empties between
+    // consecutive separators and a trailing empty are real tokens.
+    val rnd = new scala.util.Random(7)
+    val cases = Seq("", " ", "a", "a b", "a  b", "a b ", " a", "a a a",
+      "the the the") ++
+      (1 to 200).map(_ => (0 to rnd.nextInt(12)).map(_ =>
+        Seq("", "a", "bb", "the", "x1")(rnd.nextInt(5))).mkString(" "))
+    for (s <- cases) {
+      val expected = s.split(" ", -1).toSeq
+        .groupBy(identity).map { case (t, g) => (t, g.size) }
+      val got = graft.functions.HashOps.termCounts(s).toMap
+      assert(got == expected, s"termCounts('$s')")
+    }
+  }
+
+  test("trigramHashes pack is injective and order-equivalent to string trigrams") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq("", "ab", "abc", "aaaa", "abcabc") ++
+      (1 to 100).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    for (s <- cases) {
+      val viaStrings = graft.functions.HashOps.trigrams(s)
+        .map(t => (t(0).toLong << 32) | (t(1).toLong << 16) | t(2).toLong)
+        .sorted.toSeq
+      val packed = graft.functions.HashOps.trigramHashes(s).toSeq
+      assert(packed == viaStrings, s"trigramHashes('$s')")
+      assert(packed == packed.sorted && packed.distinct == packed)
+    }
+  }
+
   test("jaccardPairs equals naive all-pairs Jaccard on generated corpora") {
     import spark.implicits._
     for (seed <- Seq(1L, 42L, 20260812L)) {
