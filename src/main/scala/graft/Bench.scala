@@ -61,6 +61,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_PQBATCH", "4096"))
       .config("spark.ui.enabled", "false")
       // local mode: every task is process-local; never wait on locality
       .config("spark.locality.wait", "0")
