@@ -45,4 +45,34 @@ object CdcStream {
         .toDF())
     CdcJob.renderUnordered(CdcJob.applyFilters(parsed, cfg), catalog, cfg)
   }
+
+  /** The BINARY-source twin of `changes`: tail a directory of raw
+    * `.binlog` files (no mysqlbinlog, no text step) — decode via
+    * `sources.BinlogBinary.parseBytes` per newly arrived file, then
+    * the same shared filter/catalog/render kernel. The `binaryFile`
+    * format is a regular file-stream source, so rotation semantics,
+    * statelessness, and per-file parallelism match the text path. */
+  def changesBinary(spark: SparkSession, dir: String, catalog: DataFrame,
+      cfg: CdcConfig = CdcConfig()): DataFrame = {
+    require(!cfg.flashback,
+      "flashback reverses the whole stream and needs its end: batch-only " +
+        "(sources.BinlogBinary.run)")
+    import spark.implicits._
+    // streaming file sources need the schema up front; binaryFile's
+    // is fixed by the format
+    val binarySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val parsed = CdcJob.projectEvents(
+      spark.readStream
+        .format("binaryFile")
+        .schema(binarySchema)
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (file, bytes) =>
+          graft.sources.BinlogBinary.parseBytes(file, bytes, cfg.includeDdl)
+        }
+        .toDF())
+    CdcJob.renderUnordered(CdcJob.applyFilters(parsed, cfg), catalog, cfg)
+  }
 }

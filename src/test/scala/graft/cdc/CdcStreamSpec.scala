@@ -54,6 +54,36 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("binary binlog stream renders identically to the binary batch path") {
+    val dir = Files.createTempDirectory("graft_cdcstream_bin")
+    import graft.sources.{BinlogBinary, BinlogBinaryFixture}
+    val events = Seq(
+      BinlogBinaryFixture.Insert(1, "a", Some(1.5)),
+      BinlogBinaryFixture.Update((1, "a", Some(1.5)), (1, "b", Some(2.5))),
+      BinlogBinaryFixture.Delete(1, "b", Some(2.5)))
+    val (bytes, _) = BinlogBinaryFixture.render(events)
+    Files.write(dir.resolve("binlog.000000"), bytes)
+    val q = CdcStream.changesBinary(spark, dir.toString, Catalog.fixture(spark))
+      .writeStream.format("memory").queryName("cdcsb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cdcsb").orderBy("file", "seq")
+        .select("sql").collect().map(_.getString(0)).toSeq
+      val batch = BinlogBinary.run(spark, dir.resolve("binlog.000000").toString,
+        Catalog.fixture(spark), CdcConfig())
+        .select("sql").collect().map(_.getString(0)).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+      // rotation with binary files too
+      Files.write(dir.resolve("binlog.000001"), bytes)
+      q.processAllAvailable()
+      assert(spark.table("cdcsb").count() == 2L * batch.size)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("cdcsb")
+    }
+  }
+
   test("flashback is rejected on streams (needs the stream's end)") {
     val e = intercept[IllegalArgumentException](
       CdcStream.changes(spark, "/tmp/nowhere", Catalog.fixture(spark),
