@@ -134,8 +134,10 @@ object CdcMain {
         case f @ ("-h" | "--host") => host = Some(operand(f))
         case f @ ("-u" | "--user") => user = Some(operand(f))
         case "-p" | "--password" =>
-          // nargs='*' like the reference: bare -p = empty password
-          password = Some(operands().mkString(" "))
+          // nargs='*' like the reference, which then takes only the
+          // FIRST element (main.py:38 `args.password[0]`): bare -p =
+          // empty password, extra operands are ignored
+          password = Some(operands().headOption.getOrElse(""))
         case f @ ("-P" | "--port") => port = Some(operand(f))
         case f @ ("-d" | "--database") => cfg = cfg.copy(database = operand(f))
         case "-t" | "--tables" =>

@@ -59,8 +59,11 @@ object CdcQueries {
     * BinlogBinaryFixture): 2 files × n events, 1:1:1 mix. */
   private def binFixturePath(dir: String): String = {
     val perFile = if (dir.contains("0.1")) 12500 else 2500
+    // v2: dir name versions with the fixture byte format (v2 = real
+    // 5.6.1+ server-version string) so a stale cached dir from an
+    // older writer never feeds the decoder
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_binbinlogdir_$perFile")
+      s"graft_binbinlogdir_v2_$perFile")
     if (!java.nio.file.Files.isDirectory(p)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_binbinlog")
       import graft.sources.BinlogBinaryFixture._

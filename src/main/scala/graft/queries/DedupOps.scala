@@ -289,8 +289,9 @@ object DedupOps {
     },
 
     // d3 gets the EXACT cosine-pair SQL as its oracle: the hyperplane
-    // signatures are deterministic, 16-band banding recalls every ≥τ
-    // pair at the test SFs, and exact in-stream cosine admits no false
+    // signatures are deterministic, the banding (geometry per
+    // `embeddingNearDup`'s doc) recalls every ≥τ pair at the test SFs,
+    // and exact in-stream cosine admits no false
     // positives — so the LSH output equals the exact pairs, hash-proven
     // per round. The SQL computes the dot product in DOUBLE with the
     // same ascending accumulation order as the CosineSim loop (DuckDB's

@@ -71,16 +71,29 @@ object BinlogBinary {
       if (first < 0xFB) first
       else if (first == 0xFC) u16()
       else if (first == 0xFD) u8() | (u8() << 8) | (u8() << 16)
-      else { val v = u32(); v | (u32() << 32) } // 0xFE: 8 bytes
+      else if (first == 0xFE) { val v = u32(); v | (u32() << 32) }
+      // 0xFB is the NULL marker and 0xFF the error byte in the
+      // length-encoded-integer scheme: neither is a valid length
+      // prefix here — fail fast instead of misdecoding the stream
+      else throw new IllegalArgumentException(
+        f"invalid length-encoded integer prefix 0x$first%02X")
     }
     def str(n: Int): String = new String(bytes(n), "UTF-8")
   }
 
   /** Decode one binlog file's bytes into change events. Eager per
     * file (a rotated binlog file is bounded by rotate size — the
-    * task already holds the bytes). */
+    * task already holds the bytes).
+    *
+    * `zone` is the zone used to render header datetimes (and thus what
+    * `--start/stop-datetime` filters compare against). Real
+    * `mysqlbinlog` prints the SERVER's local time; the text path
+    * captures that output verbatim, so to match it on a non-UTC server
+    * pass that server's zone here (the `parse` entry point wires the
+    * Spark session timezone, which defaults to UTC in this engine). */
   def parseBytes(file: String, bytes: Array[Byte],
-      includeDdl: Boolean = false): Seq[RawChange] = {
+      includeDdl: Boolean = false,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Seq[RawChange] = {
     val out = mutable.ArrayBuffer.empty[RawChange]
     if (bytes.length < 4 || bytes(0) != 0xFE.toByte || bytes(1) != 'b' ||
         bytes(2) != 'i' || bytes(3) != 'n') return out.toSeq
@@ -89,10 +102,11 @@ object BinlogBinary {
     var seq = 0L
     val tables = mutable.Map.empty[Long, TableDef]
 
-    // `mysqlbinlog` header-comment datetime (yyMMdd %2d:%02d:%02d),
-    // UTC, with the raw spacing the text FSM captures verbatim.
+    // `mysqlbinlog` header-comment datetime (yyMMdd %2d:%02d:%02d) in
+    // `zone`, with the raw spacing the text FSM captures verbatim.
     def dtRawOf(epoch: Long): String = {
-      val t = java.time.LocalDateTime.ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC)
+      val t = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(epoch), zone)
       f"${t.getYear % 100}%02d${t.getMonthValue}%02d${t.getDayOfMonth}%02d " +
         f"${t.getHour}%2d:${t.getMinute}%02d:${t.getSecond}%02d "
     }
@@ -109,10 +123,22 @@ object BinlogBinary {
         off = bytes.length // truncated tail: discard, stay total
       } else {
         if (etype == FORMAT_DESC) {
-          // checksum algorithm byte sits 5 bytes from the event end
-          // (alg + its own CRC32) when the server writes checksums
+          // The trailing checksum-algorithm byte (alg + the FDE's own
+          // CRC32, 5 bytes from the event end) only exists on 5.6.1+
+          // servers; on older binlogs the byte at end-5 is a
+          // post-header-length entry, so gate on the FDE's 50-byte
+          // server-version string before trusting it.
+          val verEnd = math.min(off + 19 + 2 + 50, bytes.length)
+          val verRaw = new String(bytes, off + 19 + 2, verEnd - (off + 19 + 2), "UTF-8")
+          // server versions lead with X.Y.Z ("5.7.30-log"); anything
+          // else parses as 0.0.0 and keeps checksums off
+          val nums = verRaw.takeWhile(ch => ch.isDigit || ch == '.')
+            .split('.').filter(_.nonEmpty).take(3).map(_.toInt)
+          val atLeast561 = nums.length >= 3 &&
+            (nums(0) > 5 || (nums(0) == 5 && (nums(1) > 6 ||
+              (nums(1) == 6 && nums(2) >= 1))))
           val alg = bytes(off + eventSize - 5) & 0xFF
-          checksumLen = if (alg == 1) 4 else 0
+          checksumLen = if (atLeast561 && alg == 1) 4 else 0
         }
         val bodyEnd = off + eventSize - (if (etype == FORMAT_DESC) 0 else checksumLen)
         val startPos = off.toLong
@@ -238,13 +264,17 @@ object BinlogBinary {
   def parse(spark: SparkSession, path: String,
       includeDdl: Boolean = false): DataFrame = {
     import spark.implicits._
+    // header datetimes render in the session zone (see parseBytes doc)
+    val zoneId = spark.conf.get("spark.sql.session.timeZone",
+      java.time.ZoneId.systemDefault().getId)
     CdcJob.projectEvents(
       spark.read.format("binaryFile")
         .option("pathGlobFilter", "*")
         .load(path)
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
-        .flatMap { case (file, bytes) => parseBytes(file, bytes, includeDdl) }
+        .flatMap { case (file, bytes) =>
+          parseBytes(file, bytes, includeDdl, java.time.ZoneId.of(zoneId)) }
         .toDF())
   }
 

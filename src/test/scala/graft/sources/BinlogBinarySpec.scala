@@ -74,6 +74,55 @@ class BinlogBinarySpec extends AnyFunSuite {
     assert(out.head.db == "d" && out.head.table == "w" && out.head.op == "insert")
   }
 
+  test("pre-5.6 FDE never enables checksum stripping (ADVICE r4)") {
+    // On a pre-5.6 server the byte 5-from-the-end of the FDE is a
+    // post-header-length entry, not a checksum-algorithm byte. Plant a
+    // coincidental 1 there under server version 5.5.30: the decoder
+    // must keep checksums OFF or it silently strips 4 real payload
+    // bytes from every following event.
+    val buf = collection.mutable.ArrayBuffer[Byte](0xFE.toByte, 'b', 'i', 'n')
+    def le(v: Long, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def event(etype: Int, payload: Seq[Byte]): Unit = {
+      val size = 19 + payload.length
+      buf ++= le(1786856400L, 4); buf += etype.toByte; buf ++= le(1, 4)
+      buf ++= le(size, 4); buf ++= le(buf.length - 4 + size, 4); buf ++= le(0, 2)
+      buf ++= payload
+    }
+    val ver = "5.5.30".getBytes.toSeq ++ Seq.fill(44)(0.toByte)
+    val postHeader = Seq.tabulate(40)(i => if (i == 35) 1.toByte else 0.toByte)
+    event(15, le(4, 2) ++ ver ++ le(0, 4) ++ Seq(19.toByte) ++ postHeader)
+    event(19, le(108, 6) ++ le(1, 2) ++
+      Seq(1.toByte) ++ "d".getBytes.toSeq ++ Seq(0.toByte) ++
+      Seq(1.toByte) ++ "w".getBytes.toSeq ++ Seq(0.toByte) ++
+      Seq(1.toByte) ++ Seq[Byte](3) ++ Seq(0.toByte) ++ Seq(0.toByte))
+    // WRITE v2, one INT row, NO trailing CRC (pre-5.6 file)
+    event(30, le(108, 6) ++ le(1, 2) ++ le(2, 2) ++
+      Seq(1.toByte, 0x01.toByte, 0.toByte) ++ le(42L, 4))
+    val out = BinlogBinary.parseBytes("f", buf.toArray)
+    assert(out.size == 1 && out.head.afterVals.toSeq == Seq("42"))
+  }
+
+  test("lenenc NULL/error prefixes fail fast instead of misdecoding") {
+    // TABLE_MAP whose column-count lenenc byte is 0xFB (the NULL
+    // marker): a corrupt stream must throw, not decode 8 junk bytes
+    val buf = collection.mutable.ArrayBuffer[Byte](0xFE.toByte, 'b', 'i', 'n')
+    def le(v: Long, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def event(etype: Int, payload: Seq[Byte]): Unit = {
+      val size = 19 + payload.length
+      buf ++= le(1786856400L, 4); buf += etype.toByte; buf ++= le(1, 4)
+      buf ++= le(size, 4); buf ++= le(buf.length - 4 + size, 4); buf ++= le(0, 2)
+      buf ++= payload
+    }
+    event(19, le(108, 6) ++ le(1, 2) ++
+      Seq(1.toByte) ++ "d".getBytes.toSeq ++ Seq(0.toByte) ++
+      Seq(1.toByte) ++ "w".getBytes.toSeq ++ Seq(0.toByte) ++
+      Seq(0xFB.toByte) ++ Seq.fill(16)(0.toByte))
+    val ex = intercept[IllegalArgumentException] {
+      BinlogBinary.parseBytes("f", buf.toArray)
+    }
+    assert(ex.getMessage.contains("0xFB"))
+  }
+
   test("truncated binary tail is discarded, not thrown (totality)") {
     val cut = java.util.Arrays.copyOfRange(bin, 0, bin.length - 7)
     val parsed = BinlogBinary.parseBytes("f", cut, includeDdl = true)
