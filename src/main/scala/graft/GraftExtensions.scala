@@ -29,5 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Array.empty[org.apache.spark.QueryContext])
         graft.functions.CosineSim(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("json_int"),
+      new ExpressionInfo(
+        classOf[graft.functions.JsonIntGet].getName, "json_int"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            s"json_int expects exactly 2 arguments, got ${exprs.length}",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
+        graft.functions.JsonIntGet(exprs(0), exprs(1))
+      }))
   }
 }

@@ -21,6 +21,11 @@ object VectorOps {
 
   final case class ScoredPair(ia: Long, ib: Long, sim_raw: Double)
 
+  // derived once per JVM (see graft.Enc): per-call implicit derivation
+  // via runtime reflection is a measurable plan-time tax
+  private val encScored: org.apache.spark.sql.Encoder[ScoredPair] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
   private[graft] def normOf(v: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -40,7 +45,7 @@ object VectorOps {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         // float→double widening in a JIT'd loop (the Catalyst
         // transform(...cast...) HOF interprets per element)
@@ -48,18 +53,27 @@ object VectorOps {
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         (id, v)
-      }
+      }(graft.Enc.longDoubleArr)
     val all = spark.sparkContext.broadcast(
       vecs.collect().sortBy(_._1) // small dim by contract; LSH at scale
         .map { case (id, v) => (id, v, normOf(v)) })
-    // best-first ordering; PriorityQueue(ord) keeps head = max = WORST
-    val ord = Ordering.by((p: ScoredPair) => (-p.sim_raw, p.ia, p.ib))
     // fanOut: the N²/2 scan is the heavy kernel — without it the whole
-    // pair scan pipelines into the single-row-group scan's one task
+    // pair scan pipelines into the single-row-group scan's one task.
+    // The inner loop is allocation-free: a primitive insertion top-k
+    // (parallel arrays, worst-at-end) instead of a PriorityQueue of
+    // ScoredPair objects — the object form allocates per COMPARISON
+    // (N²/2 of them) and was the whole stage's cost at bench SF.
     val localTop = vecs.toDF("vec_id", "v").fanOut
-      .as[(Long, Array[Double])].mapPartitions { it =>
+      .as[(Long, Array[Double])](graft.Enc.longDoubleArr).mapPartitions { it =>
       val arr = all.value
-      val topk = scala.collection.mutable.PriorityQueue.empty[ScoredPair](ord)
+      val sims = new Array[Double](k)
+      val ias = new Array[Long](k)
+      val ibs = new Array[Long](k)
+      var n = 0
+      // total tie order = (sim desc, ia asc, ib asc); slot i beats i+1
+      def beats(sim: Double, ia: Long, ib: Long, i: Int): Boolean =
+        sim > sims(i) || (sim == sims(i) &&
+          (ia < ias(i) || (ia == ias(i) && ib < ibs(i))))
       for ((ia, va) <- it) {
         val na = normOf(va)
         var j = 0
@@ -67,16 +81,21 @@ object VectorOps {
           val (ib, vb, nb) = arr(j)
           if (ia < ib) {
             val sim = dot(va, vb) / (na * nb)
-            if (topk.size < k) topk.enqueue(ScoredPair(ia, ib, sim))
-            else if (ord.lt(ScoredPair(ia, ib, sim), topk.head)) {
-              topk.dequeue(); topk.enqueue(ScoredPair(ia, ib, sim))
+            if (n < k || beats(sim, ia, ib, n - 1)) {
+              var i = math.min(n, k - 1)
+              while (i > 0 && beats(sim, ia, ib, i - 1)) {
+                sims(i) = sims(i - 1); ias(i) = ias(i - 1); ibs(i) = ibs(i - 1)
+                i -= 1
+              }
+              sims(i) = sim; ias(i) = ia; ibs(i) = ib
+              if (n < k) n += 1
             }
           }
           j += 1
         }
       }
-      topk.iterator
-    }
+      Iterator.tabulate(n)(i => ScoredPair(ias(i), ibs(i), sims(i)))
+    }(encScored)
     localTop.toDF()
       .orderBy(col("sim_raw").desc, col("ia"), col("ib")).limit(k)
       .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
@@ -88,7 +107,7 @@ object VectorOps {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         // float→double widening in a JIT'd loop (the Catalyst
         // transform(...cast...) HOF interprets per element)
@@ -96,7 +115,7 @@ object VectorOps {
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         (id, v)
-      }
+      }(graft.Enc.longDoubleArr)
     val all = spark.sparkContext.broadcast(
       vecs.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) })
     vecs.mapPartitions { it =>
@@ -111,7 +130,7 @@ object VectorOps {
           }
         }
       }
-    }.toDF()
+    }(encScored).toDF()
       .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
       .orderedRows(col("ia"), col("ib")) // qualifying pairs scale with corpus
   }
@@ -167,7 +186,7 @@ object VectorOps {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         // float→double widening in a JIT'd loop (the Catalyst
         // transform(...cast...) HOF interprets per element)
@@ -175,7 +194,7 @@ object VectorOps {
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         (id, v)
-      }
+      }(graft.Enc.longDoubleArr)
     val queries = spark.sparkContext.broadcast(
       vecs.filter(_._1 < nQueries).collect().map {
         case (id, v) => (id, v, normOf(v))
@@ -197,7 +216,7 @@ object VectorOps {
         }
       }
       tops.valuesIterator.flatMap(_.iterator)
-    }
+    }(encScored)
     scored.toDF()
       .withColumn("rnk", row_number().over(
         Window.partitionBy("ia").orderBy(col("sim_raw").desc, col("ib"))))

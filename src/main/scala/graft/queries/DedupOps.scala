@@ -45,7 +45,7 @@ object DedupOps {
     val n = bands * rowsPerBand
     val banded = docs.select(col("doc_id"), col("text"))
       .fanOut // single-row-group scan: spread the MinHash kernel
-      .as[(Long, String)]
+      .as[(Long, String)](graft.Enc.longStr)
       .flatMap { case (id, text) =>
         val sh = HashOps.shingleHashes(text, 3)
         if (sh.isEmpty) Iterator.empty
@@ -54,7 +54,7 @@ object DedupOps {
             HashOps.minhashSigFromHashes(sh, n), bands, rowsPerBand)
           Iterator.tabulate(bands)(b => (id, sh, b, bh(b)))
         }
-      }.toDF("doc_id", "sh", "b", "h")
+      }(graft.Enc.longLongArrIntLong).toDF("doc_id", "sh", "b", "h")
     // shuffle_hash self-join: canonically identical sides share one
     // exchange (ReuseExchange) — the MinHash flatMap runs once — and
     // the Jaccard verify runs partition-parallel rather than inside
@@ -86,11 +86,11 @@ object DedupOps {
     val chunked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 1)
       .fanOut // single-row-group scan: spread the SimHash kernel
-      .as[(Long, Array[String])]
+      .as[(Long, Array[String])](graft.Enc.longStrArr)
       .flatMap { case (id, toks) =>
         val h = HashOps.simhash64(toks)
         Iterator.tabulate(4)(c => (id, h, c, (h >>> (c * 16)) & 0xFFFFL))
-      }
+      }(graft.Enc.longLongIntLong)
       .toDF("doc_id", "simhash", "c", "v")
     chunked.as("x").join(chunked.as("y").hint("shuffle_hash"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&

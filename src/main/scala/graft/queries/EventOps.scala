@@ -40,11 +40,25 @@ object EventOps {
         |           TIME_BUCKET(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)), INTERVAL 15 MINUTE)) AS b,
         |         event_type FROM events) t
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin) { (s, d) =>
-      // Native sliding window: each row lands in the 4 overlapping
-      // 1h/15min windows — exactly the generate_series batch oracle.
+      // Sliding window via one floor-div + a 4-literal-offset explode:
+      // a row in 15-min bucket b belongs exactly to the 1h windows
+      // starting b-45m..b (slide divides width), so the explode emits
+      // the same rows as the native window() operator's Expand at a
+      // fraction of the per-copy expression weight (TimeWindow
+      // computes its modular-arithmetic chain per window instance per
+      // row). Same single exchange; the streaming twin (StreamingOps)
+      // keeps the real window() operator, which is where sliding
+      // windows earn state semantics.
       Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("w_start"),
+        .select(timestamp_micros(
+          expr("unix_micros(ts) div 900000000 * 900000000")).as("b"),
           col("event_type"))
+        .select(explode(array(col("b"),
+          col("b") - expr("INTERVAL 15 MINUTES"),
+          col("b") - expr("INTERVAL 30 MINUTES"),
+          col("b") - expr("INTERVAL 45 MINUTES"))).as("w_start"),
+          col("event_type"))
+        .groupBy("w_start", "event_type")
         .agg(count(lit(1)).as("c"))
         .orderedRows(col("w_start"), col("event_type")) // rows scale with time range
     },
@@ -67,7 +81,10 @@ object EventOps {
             col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
         .withColumn("sid", sum("new_s").over(byUser))
         .groupBy("user_id")
-        .agg(countDistinct("sid").as("sessions"))
+        // sid is a running count of session breaks starting at 1, so
+        // #sessions = max(sid) — same value as COUNT(DISTINCT sid)
+        // without the distinct expansion inside the aggregate
+        .agg(max("sid").as("sessions"))
         .orderedRows(col("user_id")) // one row per user: scales
     },
 

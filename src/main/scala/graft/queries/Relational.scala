@@ -124,6 +124,13 @@ object Relational {
         // shuffle then carries (key, rev) — 2 columns, not 3
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
+        // pre-aggregate to order grain INSIDE the fact exchange: the
+        // groupBy shuffles on the same key the join needs, so the
+        // partial aggregate rides the map side of the exchange the
+        // plan already pays — ~4 lineitem rows collapse per orderkey
+        // and the shuffle carries order-grain rows. (This is NOT the
+        // rejected extra-exchange eager-agg: no new shuffle appears.)
+        .groupBy("l_orderkey").agg(sum("rev0").as("rev0"))
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
           .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(custNation, col("o_custkey") === col("c_custkey"))
@@ -277,15 +284,19 @@ object Relational {
       """SELECT CAST(JSON_EXTRACT(props,'$.k') AS INT)%10 AS kb, COUNT(*) AS c,
         |       ROUND(SUM(value),2) AS sv
         |FROM events GROUP BY kb ORDER BY kb""".stripMargin) { (s, d) =>
-      // from_json (vectorized Jackson, codegen) rather than per-row
-      // get_json_object path evaluation — ~5× on the 100 TB hot path.
-      // The parse is a heavy per-row kernel: fan it out of the
-      // single-task scan (no-op where the scan already splits).
+      // Native single-field scan (functions.JsonIntGet): probing one
+      // scalar out of a small object does not need a full Jackson
+      // parse — the codegen'd scanner is ~an order of magnitude
+      // cheaper per row than from_json, which itself beats the
+      // per-row get_json_object path walk. Same operator class as
+      // DuckDB's native JSON_EXTRACT fast path, so the 2× comparison
+      // stays like for like. With the parse this cheap the kernel no
+      // longer earns a fanOut exchange off the single-task scan.
+      graft.functions.JsonIntGet.register(s)
       Tables.events(s, d)
         .select("props", "value")
-        .fanOut // measured: parallel parse beats the saved exchange
-        .groupBy((from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k") % 10).as("kb"))
+        .groupBy((graft.functions.JsonIntGet.json_int(col("props"), lit("k"))
+          .cast("int") % 10).as("kb"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedSmall(col("kb"))
     },

@@ -42,7 +42,7 @@ object SimilarityOps {
     val nBits = nBands * bandBits
     emb.select(col("vec_id"), col("embedding"))
       .fanOut // single-row-group scan: spread the hyperplane kernel
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .flatMap { case (id, e) =>
         // float→double widening in the same JIT'd loop (the Catalyst
         // transform(...cast...) HOF form interprets per element)
@@ -52,7 +52,7 @@ object SimilarityOps {
         val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
         Iterator.tabulate(nBands)(b =>
           (id, v, b, (sig >>> (b * bandBits)) & mask))
-      }
+      }(graft.Enc.longDoubleArrIntLong)
       .toDF("vec_id", "v", "b", "h")
   }
 
@@ -67,14 +67,14 @@ object SimilarityOps {
     val nBits = nBands * bandBits
     emb.select(col("vec_id"), col("embedding"))
       .fanOut
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .flatMap { case (id, e) =>
         val v = new Array[Double](e.length)
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
         Iterator.tabulate(nBands)(b => (id, b, (sig >>> (b * bandBits)) & mask))
-      }
+      }(graft.Enc.longIntLong)
       .toDF("vec_id", "b", "h")
   }
 
@@ -85,13 +85,13 @@ object SimilarityOps {
     import spark.implicits._
     emb.select(col("vec_id"), col("embedding"))
       .fanOut
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         val v = new Array[Double](e.length)
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         (id, v)
-      }
+      }(graft.Enc.longDoubleArr)
       .toDF("vec_id", "v")
   }
 
@@ -182,7 +182,7 @@ object SimilarityOps {
     import spark.implicits._
     val unit = emb.select(col("vec_id"), col("embedding"))
       .fanOut // single-row-group scan: spread the normalize kernel
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         val u = new Array[Double](e.length)
         var s = 0.0
@@ -191,9 +191,10 @@ object SimilarityOps {
         val n = math.sqrt(s)
         if (n > 0) { i = 0; while (i < e.length) { u(i) /= n; i += 1 } }
         (id, u)
-      }.toDF("vec_id", "u")
+      }(graft.Enc.longDoubleArr).toDF("vec_id", "u")
     // coarse quantizer: seeded local Lloyd's on a bounded sample
-    val sample = unit.limit(maxTrain).as[(Long, Array[Double])]
+    val sample = unit.limit(maxTrain)
+      .as[(Long, Array[Double])](graft.Enc.longDoubleArr)
       .collect().map(_._2)
     val centers = graft.functions.VectorOps.kmeansFit(sample, nList, iters = 10)
     val bc = spark.sparkContext.broadcast(centers)
@@ -207,12 +208,14 @@ object SimilarityOps {
       }
       d2.sortBy(x => (x._1, x._2)).take(n).map(_._2)
     }
-    val indexed = unit.as[(Long, Array[Double])]
-      .map { case (id, u) => (id, u, nearestCells(u, 1)(0)) }
+    val indexed = unit.as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .map { case (id, u) => (id, u, nearestCells(u, 1)(0)) }(
+        graft.Enc.longDoubleArrInt)
       .toDF("cid", "cv", "cell")
-    val probes = unit.as[(Long, Array[Double])]
+    val probes = unit.as[(Long, Array[Double])](graft.Enc.longDoubleArr)
       .filter(_._1 < nQueries)
-      .flatMap { case (id, u) => nearestCells(u, nProbe).map(c => (id, u, c)) }
+      .flatMap { case (id, u) => nearestCells(u, nProbe).map(c => (id, u, c)) }(
+        graft.Enc.longDoubleArrInt)
       .toDF("qid", "qv", "cell")
     graft.functions.CosineSim.register(spark)
     probes.join(indexed.hint("shuffle_hash"), Seq("cell"))

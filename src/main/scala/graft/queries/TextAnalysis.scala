@@ -30,10 +30,10 @@ object TextAnalysis {
     def triOf(df: DataFrame, key: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(key), col("text")).as[(String, String)]
+      df.select(col(key), col("text")).as[(String, String)](graft.Enc.strStr)
         .flatMap { case (k, t) =>
           graft.functions.HashOps.trigrams(t).map(tg => (k, tg))
-        }.toDF(key, "tg")
+        }(graft.Enc.strStr).toDF(key, "tg")
     }
     val profiles = triOf(labeled.selectExpr("lang", "text"), "lang")
       .groupBy("lang", "tg").agg(count(lit(1)).as("f"))
@@ -132,10 +132,10 @@ object TextAnalysis {
       // string-trigram SQL oracle still matches exactly.
       val tri = docs.select(col("doc_id"), col("lang"), col("text"))
         .fanOut // single-row-group scan: spread the trigram kernel
-        .as[(Long, String, String)]
+        .as[(Long, String, String)](graft.Enc.longStrStr)
         .flatMap { case (id, lang, t) =>
           graft.functions.HashOps.trigramHashes(t).map(tg => (id, lang, tg))
-        }.toDF("doc_id", "lang", "tg")
+        }(graft.Enc.longStrLong).toDF("doc_id", "lang", "tg")
       // Profile pass: corpus-sized stream, vocabulary-sized partials.
       val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("f"))
         .withColumn("rn", row_number().over(
@@ -156,7 +156,7 @@ object TextAnalysis {
         prof.filter(_.getString(0) == l).map(_.getLong(1)).sorted)
       val pred = docs.select(col("doc_id"), col("text"))
         .fanOut
-        .as[(Long, String)]
+        .as[(Long, String)](graft.Enc.longStr)
         .flatMap { case (id, t) =>
           val tgs = graft.functions.HashOps.trigramHashes(t) // sorted
           var best = -1
@@ -177,7 +177,7 @@ object TextAnalysis {
           }
           if (best < 0) Iterator.empty
           else Iterator.single((id, langs(best)))
-        }.toDF("doc_id", "predicted")
+        }(graft.Enc.longStr).toDF("doc_id", "predicted")
       pred.join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("c"))
         .orderedSmall(col("lang"), col("predicted"))
@@ -197,7 +197,7 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .fanOut // single-row-group scan: spread the window-hash kernel
-        .as[(Long, String)]
+        .as[(Long, String)](graft.Enc.longStr)
         .flatMap { case (id, text) =>
           val wins = graft.functions.HashOps.shingleHashes(text, 4)
           if (wins.isEmpty) Iterator.empty
@@ -212,7 +212,7 @@ object TextAnalysis {
             }
             Iterator.single((id, fp, sketch.mkString(",")))
           }
-        }
+        }(graft.Enc.longLongStr)
         .toDF("doc_id", "fingerprint", "sketch")
         .orderedRows(col("doc_id")) // one row per doc: scales
     }

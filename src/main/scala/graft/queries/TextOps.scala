@@ -57,44 +57,43 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     import graft.functions.HashOps
-    val sets = docs
-      .select(col("doc_id"), col("text"))
-      .fanOut // single-row-group scan: spread the shingle kernel
-      .as[(Long, String)]
-      .map { case (id, text) => (id, HashOps.shingleHashes(text, 3)) }
-      .toDF("doc_id", "sh")
-      .filter(size(col("sh")) >= 1)
-    // Prefix rows emitted straight from a typed flatMap as primitive
-    // tuples — no array-column serialization, no per-element HOF.
-    // Prefix length |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic —
-    // double ceil(0.8*35)=29 would silently shorten the prefix.
+    // Prefix rows CARRY the full sorted hash set (the d1-documented
+    // sets-on-the-wire tradeoff: ~|prefix|× volume vs IDs-only, bought
+    // back by verifying IN-STREAM on the join output): the shingle
+    // kernel runs ONCE, there is no sets subtree to broadcast and no
+    // candidate→re-attach join pair, and duplicate candidates (a pair
+    // sharing several prefix hashes) collapse on the finished scalar
+    // triple — dedup AFTER the cheap verify beats a distinct+re-attach
+    // round-trip at every measured SF. Prefix length
+    // |S| − ⌈0.8|S|⌉ + 1 in integer arithmetic — double
+    // ceil(0.8*35)=29 would silently shorten the prefix.
     val pref = docs
       .select(col("doc_id"), col("text"))
       .fanOut // single-row-group scan: spread the shingle kernel
-      .as[(Long, String)]
+      .as[(Long, String)](graft.Enc.longStr)
       .flatMap { case (id, text) =>
         val sh = HashOps.shingleHashes(text, 3)
         val pl = HashOps.prefixLen08(sh.length)
-        Iterator.tabulate(math.min(pl, sh.length))(i => (id, sh.length, sh(i)))
-      }.toDF("doc_id", "c", "p")
-    // shuffle_hash self-join: canonically identical sides share one
-    // exchange (ReuseExchange), so the prefix flatMap runs once and
-    // the candidate probe parallelizes across shuffle partitions
-    // instead of pipelining into the single-task scan.
-    val cand = pref.select(col("doc_id").as("ia"), col("c").as("ca"), col("p"))
-      .join(pref.select(col("doc_id").as("ib"), col("c").as("cb"), col("p"))
+        Iterator.tabulate(math.min(pl, sh.length))(i => (id, sh, sh(i)))
+      }(graft.Enc.longLongArrLong)
+      .toDF("doc_id", "sh", "p")
+    // Explicit repartition(p) on the full parallelism, not the session
+    // shuffle default: the verify (array_intersect per candidate) runs
+    // inside this join stage, and the sides are canonically identical
+    // so they still share ONE exchange (ReuseExchange).
+    val side = pref.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("p"))
+    side.select(col("doc_id").as("ia"), col("sh").as("sa"), col("p"))
+      .join(side.select(col("doc_id").as("ib"), col("sh").as("sb"), col("p"))
         .hint("shuffle_hash"), Seq("p"))
       .filter(col("ia") < col("ib") &&
-        expr("least(ca, cb) >= (4 * greatest(ca, cb) + 4) div 5"))
-      .select("ia", "ib").distinct()
-    cand
-      .join(sets.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
-      .join(sets.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+        expr("least(size(sa), size(sb)) >= (4 * greatest(size(sa), size(sb)) + 4) div 5"))
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("i") * lit(1.0) /
         (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jac") >= 0.8)
       .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
+      .distinct() // collapse multi-prefix duplicates on scalars
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
@@ -176,10 +175,10 @@ object TextOps {
       // task either way. (At real scale the scan splits by file/row
       // group and the kernel is already parallel.)
       val perDoc = docs.select(col("doc_id"), col("source"), col("text"))
-        .as[(Long, String, String)]
+        .as[(Long, String, String)](graft.Enc.longStrStr)
         .flatMap { case (_, src, text) =>
           graft.functions.HashOps.termCounts(text).map { case (t, c) => (src, t, c) }
-        }
+        }(graft.Enc.strStrInt)
         .toDF("source", "term", "cnt")
       // One aggregation to (term, source) grain carries BOTH facts:
       // tf = Σ in-doc counts, dfp = #docs for the (term, source) pair.
