@@ -133,7 +133,10 @@ object Relational {
         .groupBy("l_orderkey").agg(sum("rev0").as("rev0"))
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
           .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .join(custNation, col("o_custkey") === col("c_custkey"))
+        // broadcast PINNED: with a generous auto-threshold the planner
+        // may instead broadcast the (order-grain) fact side and stream
+        // customer through one task — backwards at every scale
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(round(sum("rev0"), 2).as("rev"))
         .orderedSmall(col("r_name"), col("n_name"))
