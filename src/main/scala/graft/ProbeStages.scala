@@ -42,7 +42,8 @@ object ProbeStages {
         jobs += ((j.jobId, j.time - jobStart.getOrElse(j.jobId, j.time)))
     })
 
-    for (n <- args) {
+    val reps = sys.env.getOrElse("PROBE_REPS", "1").toInt
+    for (n <- args; _ <- 1 to reps) {
       val fn = SparkEntry.queries(n)
       fn(spark, d).count() // warm: codegen + broadcast + JIT
       spark.catalog.clearCache()
