@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 128 GiB box (TESTDATA.md env): 20g keeps the heavy candidate joins
+  // and the 100k-event CDC render clear of GC pressure in one JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

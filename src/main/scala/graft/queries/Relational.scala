@@ -112,13 +112,6 @@ object Relational {
       // dims stay broadcast — with the orderkey pre-aggregation left
       // to AQE/stats rather than hard-coded (its exchange costs more
       // than it saves at every measured SF).
-      val custNation = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-        .join(broadcast(Tables.nation(s, d)
-          .select("n_nationkey", "n_name", "n_regionkey")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select("c_custkey", "n_name", "r_name")
       Tables.lineitem(s, d)
         // fold the revenue arithmetic BEFORE the exchange: the fact
         // shuffle then carries (key, rev) — 2 columns, not 3
@@ -135,10 +128,25 @@ object Relational {
           .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         // broadcast PINNED: with a generous auto-threshold the planner
         // may instead broadcast the (order-grain) fact side and stream
-        // customer through one task — backwards at every scale
-        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-        .groupBy("r_name", "n_name")
+        // customer through one task — backwards at every scale.
+        // Only (c_custkey → c_nationkey) rides the fact stream: the
+        // nation/region NAME joins happen after the aggregate, on 25
+        // rows — the fact pipeline carries ints only, and the 15k-row
+        // chained custkey→names broadcast build disappears (the three
+        // remaining dim builds are trivial and run concurrently).
+        // n_nationkey is the nation PK, so grouping by c_nationkey is
+        // exactly the oracle's GROUP BY r_name, n_name.
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
         .agg(round(sum("rev0"), 2).as("rev"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "rev")
         .orderedSmall(col("r_name"), col("n_name"))
     },
 
