@@ -42,6 +42,30 @@ object Bench {
     "s5_dedup", "l1_exact_dedup", "l2_jaccard_pairs", "l3_cosine_topk",
     "l4_text_stats", "l5_tfidf_top3")
 
+  /** Execution-only stand-in for ReusedExchangeExec inside cloned
+    * plans. The remap in [[freshPlan]] cannot produce a
+    * ReusedExchangeExec: TreeNode.withNewChildren/mapChildren DISCARD a
+    * replacement that is value-equal to the node it replaces
+    * (fastEquals), and a remapped ReusedExchangeExec is value-equal to
+    * the stale one by construction (the cloned target == the original
+    * target, recursively). A distinct node class is never value-equal,
+    * so the replacement sticks. Post-planning nothing re-examines
+    * partitioning/ordering; execution only needs the delegate calls. */
+  private[graft] case class BorrowedExchangeExec(
+      override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      target: Exchange)
+    extends org.apache.spark.sql.execution.LeafExecNode {
+    override def supportsColumnar: Boolean = target.supportsColumnar
+    override protected def doExecute()
+        : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+      target.execute()
+    override def doExecuteBroadcast[T](): org.apache.spark.broadcast.Broadcast[T] =
+      target.executeBroadcast()
+    override protected def doExecuteColumnar()
+        : org.apache.spark.rdd.RDD[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      target.executeColumnar()
+  }
+
   /** Deep-clone a physical plan so that re-executing it redoes ALL
     * work: TreeNode.clone() resets every node's lazy state (shuffle
     * dependencies, broadcast relation futures, SQL metrics), so scans,
@@ -50,10 +74,19 @@ object Bench {
     * at the first occurrence of an equivalent exchange by reference —
     * after cloning it would still point into the ORIGINAL tree, whose
     * cached shuffle/broadcast would silently satisfy every later pass
-    * (work elision across passes). Remap each reuse edge onto the
-    * clone of its target; `collect` traverses both trees in the same
-    * order, so positional zip aligns original with clone. */
-  private def freshPlan(plan: SparkPlan): SparkPlan = {
+    * (work elision across passes — the whole point of the clone is
+    * that this cannot happen). Remap each reuse edge onto the clone of
+    * its target via [[BorrowedExchangeExec]]; `collect` traverses both
+    * trees in the same order, so positional zip aligns original with
+    * clone. */
+  private[graft] def freshPlan(plan: SparkPlan): SparkPlan = {
+    // transformUp rebuilds the ancestors of a replaced node via
+    // case-class copy, and a SparkPlan constructor captures
+    // SparkSession.getActiveSession from the CURRENT thread — null on
+    // a thread that didn't build the session (shared-JVM test runs),
+    // which NPEs later in executeQuery. Pin the plan's own session as
+    // this thread's active one first.
+    org.apache.spark.sql.SparkSession.setActiveSession(plan.session)
     val cloned = plan.clone()
     val m = new java.util.IdentityHashMap[SparkPlan, Exchange]()
     plan.collect { case e: Exchange => e }
@@ -61,7 +94,7 @@ object Bench {
       .foreach { case (o, c) => m.put(o, c) }
     cloned.transformUp {
       case r: ReusedExchangeExec if m.containsKey(r.child) =>
-        ReusedExchangeExec(r.output, m.get(r.child))
+        BorrowedExchangeExec(r.output, m.get(r.child))
     }
   }
 

@@ -59,11 +59,19 @@ object DedupOps {
     // exchange (ReuseExchange) — the MinHash flatMap runs once — and
     // the Jaccard verify runs partition-parallel rather than inside
     // the single scan task a broadcast join would pipeline into.
+    // Verify via the codegen'd sorted merge walk (SortedIntersectSize):
+    // array_intersect builds a per-row hash set; the shingle-hash
+    // arrays are already sorted, so a zero-allocation O(|A|+|B|) scan
+    // computes the same |A∩B|. (The l2-style positional dedup does not
+    // apply here — the collision key is a band, not a set element — so
+    // the multi-band distinct below stays.)
+    graft.functions.SortedIntersectSize.register(spark)
+    import graft.functions.SortedIntersectSize.sorted_intersect_size
     banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
-        size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+        sorted_intersect_size(col("x.sh"), col("y.sh")).as("inter"),
         (size(col("x.sh")) + size(col("y.sh"))).as("csum"))
       .withColumn("j", col("inter") * lit(1.0) / (col("csum") - col("inter")))
       .filter(col("j") >= tau)

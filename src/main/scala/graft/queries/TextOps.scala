@@ -83,17 +83,26 @@ object TextOps {
     // so they still share ONE exchange (ReuseExchange).
     val side = pref.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("p"))
+    // Verify = one codegen'd merge walk over the sorted hash sets
+    // (SortedIntersectSizeIfFirst): |A∩B| plus the PPJoin positional
+    // dedup in the same pass — the result is -1 unless the joined
+    // prefix hash is the SMALLEST common hash, so each surviving pair
+    // appears exactly once and the old `.distinct()` exchange (and the
+    // per-row hash set array_intersect built) are both gone.
+    graft.functions.SortedIntersectSizeIfFirst.register(docs.sparkSession)
+    import graft.functions.SortedIntersectSizeIfFirst.sorted_intersect_size_if_first
     side.select(col("doc_id").as("ia"), col("sh").as("sa"), col("p"))
       .join(side.select(col("doc_id").as("ib"), col("sh").as("sb"), col("p"))
         .hint("shuffle_hash"), Seq("p"))
       .filter(col("ia") < col("ib") &&
         expr("least(size(sa), size(sb)) >= (4 * greatest(size(sa), size(sb)) + 4) div 5"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("i",
+        sorted_intersect_size_if_first(col("sa"), col("sb"), col("p")))
+      .filter(col("i") >= 0)
       .withColumn("jac", col("i") * lit(1.0) /
         (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jac") >= 0.8)
       .select(col("ia"), col("ib"), round(col("jac"), 4).as("j"))
-      .distinct() // collapse multi-prefix duplicates on scalars
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
