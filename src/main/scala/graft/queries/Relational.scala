@@ -123,6 +123,14 @@ object Relational {
         // plan already pays — ~4 lineitem rows collapse per orderkey
         // and the shuffle carries order-grain rows. (This is NOT the
         // rejected extra-exchange eager-agg: no new shuffle appears.)
+        // fanOutBy: on the single-row-group bench layout the scan is
+        // ONE task, and a 150k-group hash aggregate pipelined into it
+        // is the query's critical path — hashing on the group key
+        // moves the same single exchange below the aggregate so it
+        // runs partition-parallel (and the SHJ reuses the
+        // partitioning). No-op at real scale (guard), where map-side
+        // combine on parallel scan tasks is the right shape.
+        .fanOutBy(col("l_orderkey"))
         .groupBy("l_orderkey").agg(sum("rev0").as("rev0"))
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
           .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
