@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB box (TESTDATA.md env): 20g keeps the heavy candidate joins
   // and the 100k-event CDC render clear of GC pressure in one JVM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
+  // Throughput collector for a batch-analytics JVM: G1's concurrent
+  // cycles + region uncommit showed up INSIDE timed queries (r6 A/B:
+  // ParallelGC wins the baseline suite by ~0.3-0.5 s across repeats,
+  // both at local[8] and local[32]); a fixed young gen stops nursery
+  // resize churn between allocation-heavy and quiet queries.
+  "-XX:+UseParallelGC", "-Xmn10g",
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)

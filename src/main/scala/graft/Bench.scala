@@ -107,6 +107,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val prepOn = !sys.env.get("SPARK_GRAFT_PREP").contains("off")
+    val gcTeardown = sys.env.get("SPARK_GRAFT_GC").contains("on")
     // At bench SF most shuffles are small, but the heavy candidate
     // joins (d1/d3/l2) need the reduce-side parallelism: interleaved
     // A/Bs put 4 ≈ 8 on the small-query set (±3%, within host noise)
@@ -222,13 +223,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9 // before cache teardown
       // intra-query caches (shingle sets, band frames, CDC renders)
       // must not pile up across the suite — they'd distort later
-      // queries via GC/storage pressure. The GC in the SAME untimed
-      // teardown settles allocation debt (shuffle buffers, unpersisted
-      // cache blocks, broadcast cleanup) before the next query's
-      // timer starts: measured, a heavy neighbor (d4/d3/t3) otherwise
-      // inflates the NEXT query by hundreds of ms (q04 0.50 s solo vs
-      // 0.84 s straight after the dedup block).
+      // queries via GC/storage pressure. An explicit System.gc() here
+      // was A/B'd in r6 and made the BASELINE TOTAL 0.8–1.3 s WORSE
+      // at both local[8] and local[32] (full G1 collection on the 20g
+      // heap shrinks/uncommits regions, and the next timed query pays
+      // the recommit) — so the teardown only clears the cache and the
+      // GC stays opt-in (SPARK_GRAFT_GC=on) for experiments.
       spark.catalog.clearCache()
+      if (gcTeardown) System.gc()
       if (ok) dt else -1.0
     }
 

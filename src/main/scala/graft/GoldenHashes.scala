@@ -21,6 +21,10 @@ object GoldenHashes {
   /** name → sha256 of canonical(result at sf0.01). */
   val expected: Map[String, String] = Map(
     "a2_ann_lsh" -> "6fa051dc8379180130f7d64d50f43ed709ec9f1bd041ff381b9475ff00148237",
+    // deterministic by construction: seeded k-means on a vec_id-ordered
+    // sample (parallelism-independent since r6), nProbe cell probing,
+    // exact re-rank
+    "a3_ann_ivf" -> "873ba38f8e66228e98cd95a22a08cb2a3df999de69a3bfde17a5a8c76bfb1a38",
     "d2_simhash_neardup" -> "9015cca605744505da026aa9349f99673d2d36c6c3c04cc583d1cf8d2309bc35",
     "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274")
 

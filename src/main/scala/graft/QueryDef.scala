@@ -70,26 +70,9 @@ object QueryDef {
       else df
     }
 
-    /** Keyed fanOut: when the under-parallel scan feeds a HIGH-
-      * cardinality groupBy/join on `cols`, hash-redistributing on the
-      * key moves the exchange BELOW the aggregate instead of adding
-      * one — EnsureRequirements sees the partitioning satisfied, so
-      * the plan keeps ONE exchange and the heavy hash aggregate runs
-      * partition-parallel instead of inside the single scan task.
-      * (Round-robin fanOut would parallelize the kernel but the
-      * groupBy would still insert its own exchange.) The tradeoff is
-      * raw rows on the wire instead of map-side-combined partials —
-      * right when the guard fires (scan slices ≪ cores, local bench
-      * layout), wrong at scale where scans are already parallel and
-      * the combine earns its keep — which is exactly when the guard
-      * makes this a no-op. */
-    def fanOutBy(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
-      val sc = df.sparkSession.sparkContext
-      val slices = QueryDef.estimatedScanSlices(df)
-      if (slices * 4 <= sc.defaultParallelism)
-        df.repartition(sc.defaultParallelism, cols: _*)
-      else df
-    }
+    // (A keyed fanOutBy variant existed in r5 for q04; A/B at both
+    // local[8] and local[32] showed map-side combine beats raw-row
+    // redistribution at every measured width, so it was removed.)
   }
 
   /** Estimated input-slice count of `df`'s scan(s): Σ over file-backed

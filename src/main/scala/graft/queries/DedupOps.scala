@@ -194,10 +194,12 @@ object DedupOps {
     * one join + one aggregation (labels flow along edges), with a
     * convergence check on changed labels. Near-dup graphs have tiny
     * cluster diameters (pairs come from banding over shared content),
-    * so rounds ≈ a small constant; a graph with adversarially long
-    * chains would want the large-star/small-star contraction instead.
-    * Per-round results are cached and the previous round unpersisted,
-    * so lineage stays one round deep. */
+    * so rounds ≈ a small constant; if a graph exhausts maxRounds
+    * without converging (an adversarial long-chain graph — min-label
+    * needs O(diameter) rounds), it FAILS OVER to
+    * [[starContractLabels]] rather than silently returning
+    * half-propagated labels. Per-round results are cached and the
+    * previous round unpersisted, so lineage stays one round deep. */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Cache the pair set BEFORE mirroring it into edges: the union's
@@ -207,8 +209,17 @@ object DedupOps {
     val edges = p0.select(col("ia").as("u"), col("ib").as("v"))
       .union(p0.select(col("ib").as("u"), col("ia").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK) // probed every round
+    // localCheckpoint, not persist: the round's result feeds the next
+    // round's plan in THREE places (label rows, the propagation join,
+    // the convergence columns), so an uncut lineage grows the logical
+    // tree geometrically — analysis itself becomes the bottleneck
+    // long before maxRounds (measured: a 40-chain graph built a 2 GiB
+    // plan string and hung the analyzer). Checkpointing pins the data
+    // AND resets the plan to a leaf each round. (A cluster job would
+    // use reliable checkpoint() to survive executor loss; lineage
+    // truncation is the load-bearing part.)
     var labels = edges.select("u").distinct().withColumn("m", col("u"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     labels.count()
     p0.unpersist()
     var converged = false
@@ -220,22 +231,103 @@ object DedupOps {
       // Convergence folds into the round's ONE action: each u's
       // previous label rides through the aggregation as m0 (label rows
       // carry their own m, propagated rows +inf, min() recovers the
-      // old label), so the count below both fully materializes the
-      // cache and counts changed labels — no separate label join, and
-      // no limit(1) short-circuit leaving the cache partial.
+      // old label), so the count below both materializes the (lazy)
+      // checkpoint and counts changed labels — no separate label join,
+      // and no limit(1) short-circuit leaving the round partial.
       val next = labels.select(col("u"), col("m"), col("m").as("m0"))
         .union(prop.select(col("u"), col("m"), lit(Long.MaxValue).as("m0")))
         .groupBy("u").agg(min("m").as("m"), min("m0").as("m0"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = false)
       val changed = next.filter(col("m") =!= col("m0")).count()
-      labels.unpersist()
-      labels = next
+      labels = next // previous round's checkpoint blocks are GC-cleaned
       converged = changed == 0L
       round += 1
+    }
+    if (!converged) {
+      // O(diameter) exceeded the round budget: a correct answer needs
+      // the shape-independent algorithm. Labels so far are discarded —
+      // restarting star contraction from the raw edge set is simpler
+      // than grafting onto a half-propagated forest and obviously
+      // correct; the wasted rounds only cost time, never the answer.
+      labels.unpersist()
+      val out = starContractLabels(edges)
+      edges.unpersist()
+      return out
     }
     edges.unpersist()
     labels.select(col("u").as("doc_id"), col("m").as("cluster_id"))
       .orderedRows(col("doc_id")) // clustered docs scale with corpus
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC'14):
+    * connected components in O(log² n) rounds on ANY graph shape —
+    * diameter-independent, unlike label propagation. Both phases are
+    * a groupBy over the (symmetric or parent-oriented) edge list:
+    *   large-star: every node attaches its STRICTLY LARGER neighbors
+    *     to the minimum of its neighborhood (incl. itself);
+    *   small-star: every node re-attaches its smaller parents (and
+    *     itself) to the minimum parent.
+    * Edges only ever point from a node to a smaller node, and the
+    * process fixes exactly when the graph is a union of stars centered
+    * at component minima. Input: symmetric or one-sided `u/v` pair
+    * frame; output: (doc_id, cluster_id) for every node that appears
+    * in an edge, cluster_id = component minimum — the same contract as
+    * the min-label path in [[clusterPairs]]. */
+  private[queries] def starContractLabels(edges0: DataFrame): DataFrame = {
+    // canonical child→parent orientation (c > p), self-loops dropped.
+    // Every round localCheckpoints its result: the round's plan
+    // references the previous round's edges in FOUR subtrees (the two
+    // symmetric branches, the min join, the re-attach union), so an
+    // uncut lineage grows the logical tree ~6× per round — see the
+    // matching note in clusterPairs.
+    var e = edges0
+      .select(greatest(col("u"), col("v")).as("c"),
+        least(col("u"), col("v")).as("p"))
+      .filter(col("c") =!= col("p")).distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var done = eCount == 0L
+    var round = 0
+    while (!done) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+      // emit (v, m(u)) for every neighbor v > u
+      val sym = e.union(e.select(col("p").as("c"), col("c").as("p")))
+      val mins = sym.groupBy("c")
+        .agg(least(min(col("p")), col("c")).as("m"))
+        .withColumnRenamed("c", "u")
+      val ls = sym.join(mins, sym("c") === mins("u"))
+        .filter(col("p") > col("c"))
+        .select(col("p").as("c"), col("m").as("p"))
+        .filter(col("c") =!= col("p"))
+      // small-star on parent-oriented edges: each child re-attaches
+      // its parents (and itself) to its minimum parent
+      val minP = ls.groupBy("c").agg(min(col("p")).as("m"))
+      val ss = ls.join(minP.withColumnRenamed("c", "u"), ls("c") === col("u"))
+        .select(col("p").as("c"), col("m").as("p"))
+        .union(minP.select(col("c"), col("m").as("p")))
+        .filter(col("c") =!= col("p")).distinct()
+        .localCheckpoint(eager = false)
+      // fixed point: the edge set is distinct on both sides, so equal
+      // counts + empty difference ⇔ equal sets. The count materializes
+      // the lazy checkpoint; exceptAll then compares two leaf plans.
+      val ssCount = ss.count()
+      done = ssCount == eCount && ss.exceptAll(e).isEmpty
+      e = ss // previous round's checkpoint blocks are GC-cleaned
+      eCount = ssCount
+      round += 1
+      // O(log² n) bound: 64 rounds covers any 64-bit id universe; not
+      // reachable in practice, and looping forever is the one failure
+      // mode a fallback may not have.
+      if (round > 64 && !done)
+        throw new IllegalStateException(
+          s"star contraction failed to converge after $round rounds")
+    }
+    val roots = e.select(col("p")).exceptAll(e.select(col("c"))).distinct()
+    val out = e.select(col("c").as("doc_id"), col("p").as("cluster_id"))
+      .union(roots.select(col("p").as("doc_id"), col("p").as("cluster_id")))
+      .orderedRows(col("doc_id"))
+    out
   }
 
   /** Shared recursive-CTE prefix for the component oracles (d4/d5):

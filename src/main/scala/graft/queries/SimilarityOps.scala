@@ -192,10 +192,17 @@ object SimilarityOps {
         if (n > 0) { i = 0; while (i < e.length) { u(i) /= n; i += 1 } }
         (id, u)
       }(graft.Enc.longDoubleArr).toDF("vec_id", "u")
-    // coarse quantizer: seeded local Lloyd's on a bounded sample
-    val sample = unit.limit(maxTrain)
+    // coarse quantizer: seeded local Lloyd's on a bounded sample.
+    // Sample = the maxTrain LOWEST vec_ids (a distributed TakeOrdered,
+    // one pass, no full sort): selection is then a pure function of
+    // the data, not of partition count — limit() after the fanOut
+    // repartition changes with defaultParallelism, which made the
+    // centers (and the whole index) differ between local[8] and
+    // local[32]. A 100 TB build would hash-sample instead; any
+    // deterministic rule works, order stability is the requirement.
+    val sample = unit.orderBy(col("vec_id")).limit(maxTrain)
       .as[(Long, Array[Double])](graft.Enc.longDoubleArr)
-      .collect().map(_._2)
+      .collect().sortBy(_._1).map(_._2)
     val centers = graft.functions.VectorOps.kmeansFit(sample, nList, iters = 10)
     val bc = spark.sparkContext.broadcast(centers)
     def nearestCells(u: Array[Double], n: Int): Array[Int] = {

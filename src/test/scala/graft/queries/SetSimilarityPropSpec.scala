@@ -118,6 +118,44 @@ class SetSimilarityPropSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusterPairs falls over to star contraction on a long chain") {
+    import spark.implicits._
+    // chain 0-1-2-...-40: diameter 40 ≫ maxRounds=3, so min-label
+    // propagation cannot converge and the large-star/small-star
+    // fallback must produce the (single-component) answer — silently
+    // returning half-propagated labels was the r5 failure mode.
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val got = DedupOps.clusterPairs(pairs, maxRounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
+  }
+
+  test("starContractLabels equals union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // canonical label = min node id in the component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = nodes.groupBy(v => find(v.toInt)).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+      val got = DedupOps.starContractLabels(
+        edges.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == minOf, s"seed=$seed")
+    }
+  }
+
   test("minhashPairs finds no false positives and >=90% of exact pairs") {
     import spark.implicits._
     for (seed <- Seq(1L, 42L)) {
