@@ -92,10 +92,28 @@ object Bench {
     plan.collect { case e: Exchange => e }
       .zip(cloned.collect { case e: Exchange => e })
       .foreach { case (o, c) => m.put(o, c) }
-    cloned.transformUp {
+    val remapped = cloned.transformUp {
       case r: ReusedExchangeExec if m.containsKey(r.child) =>
         BorrowedExchangeExec(r.output, m.get(r.child))
     }
+    // Honesty guards — a clone that still shares state with the
+    // original would elide work across timed passes, exactly what the
+    // clone exists to prevent. Throwing here makes prepare() fall back
+    // to legacy whole-function timing for the query.
+    // (1) every reuse edge must have been remapped (the IdentityHashMap
+    // only covers targets found in the main child tree);
+    // (2) subquery expressions (scalar/IN subqueries) hold BaseSubqueryExec
+    // nodes that clone() shares BY REFERENCE — their first-pass results
+    // would silently satisfy later passes, and the builder-job detector
+    // cannot see it.
+    remapped.foreach { p =>
+      if (p.isInstanceOf[ReusedExchangeExec])
+        throw new IllegalStateException("unremapped ReusedExchangeExec in clone")
+      if (p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+        throw new IllegalStateException("subquery expression shares state across passes")
+    }
+    remapped
   }
 
   def main(args: Array[String]): Unit = {
@@ -199,8 +217,27 @@ object Bench {
         case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
         case _ => false
       }
-      Thread.sleep(120) // drain listener bus before reading the counter
-      if (caches || jobCount.get() != before) legacy(qd)
+      // Drain the async listener bus before reading the counter: poll
+      // until the count is stable across two consecutive intervals (a
+      // fixed sleep raced a slow bus — a builder job whose JobStart
+      // arrived later than the sleep misclassified an action-running
+      // builder into the prepared path).
+      var drained = jobCount.get()
+      var spins = 0
+      var stable = false
+      while (!stable && spins < 100) {
+        Thread.sleep(40)
+        val now = jobCount.get()
+        stable = now == drained
+        drained = now
+        spins += 1
+      }
+      // Validate cloneability once, up front: freshPlan throws on
+      // clones that would share state across passes (stale reuse
+      // edges, subquery expressions) — caught by the caller, which
+      // falls back to legacy whole-function timing.
+      freshPlan(plan): Unit
+      if (caches || drained != before) legacy(qd)
       else Runnable(qd.name, () => {
         val fresh = freshPlan(plan)
         // Without AQE, driver-side RDD DAG construction awaits each
@@ -266,14 +303,31 @@ object Bench {
     // The comparison block is cheap (~8 s/pass vs ~25 s for the
     // extras), so it takes nPasses+3 samples — min-of-8 by default —
     // split half before and half after the extras' passes.
+    // PER-QUERY CONSECUTIVE sampling inside each half (r6): each
+    // query takes its half's samples back-to-back, exactly DuckDB's
+    // warm-up-then-min-of-3 protocol. Interleaved passes made every
+    // sample pay the cross-query JIT re-profiling tax (measured:
+    // q04 0.35 s solo vs 0.45–0.8 s interleaved, and no single
+    // neighbor responsible — the penalty scales with the count of
+    // distinct plans between two runs of the same query); running a
+    // query's samples consecutively re-pays it once per HALF, and the
+    // min keeps the hot samples. The two halves stay far apart in
+    // time, preserving the slow-phase hedge.
+    // (SPARK_GRAFT_LAYOUT=interleaved restores full-pass rotation.)
     val aPasses = nPasses + 3
     val aFront = (aPasses + 1) / 2
+    val perQuery = !sys.env.get("SPARK_GRAFT_LAYOUT").contains("interleaved")
     def runPass(rs: Seq[Runnable]): Map[String, Double] =
       rs.map(r => r.name -> once(r)).toMap
+    def runHalf(rs: Seq[Runnable], k: Int): Seq[Map[String, Double]] =
+      if (perQuery) {
+        val samples = rs.map(r => r.name -> (1 to k).map(_ => once(r)))
+        (0 until k).map(i => samples.map { case (n, ts) => n -> ts(i) }.toMap)
+      } else (1 to k).map(_ => runPass(rs))
     val passes =
-      (1 to aFront).map(_ => runPass(blockA)) ++
-        (1 to nPasses).map(_ => runPass(blockB)) ++
-        (aFront + 1 to aPasses).map(_ => runPass(blockA))
+      runHalf(blockA, aFront) ++
+        runHalf(blockB, nPasses) ++
+        runHalf(blockA, aPasses - aFront)
     val results = runnables.map { r =>
       val timed = passes.flatMap(_.get(r.name)).filter(_ >= 0)
       r.name -> (if (timed.nonEmpty) timed.min else -1.0)
@@ -282,12 +336,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results
       .collect { case (k, v) if BaselineSet(k) && v >= 0 => v }.sum
+    // Continuity with the r1–r4 methodology (BASELINE.md §3): the same
+    // suite total under legacy whole-function timing — analyze/
+    // optimize/plan INSIDE the timer — min of 3 passes at the end of
+    // the run. When prep is already off, `value` IS whole-function.
+    val wholeFnTotal =
+      if (!prepOn) total
+      else {
+        val lr = defs.filter(qd => BaselineSet(qd.name)).map(legacy)
+        val lp = (1 to 3).map(_ => runPass(lr))
+        lr.map(r => lp.flatMap(_.get(r.name)).filter(_ >= 0))
+          .collect { case ts if ts.nonEmpty => ts.min }.sum
+      }
     // CDC throughput vs BASELINE.md §1 (c2 = forward render of the
     // 100k-event fixture at sf0.1, 10k at smaller SFs)
     val cdcEvents = if (sfDir.contains("0.1")) 100000 else 10000
     val cdcRate = results.toMap.get("c2_forward_sql")
       .filter(_ > 0).map(t => (cdcEvents / t).round).getOrElse(-1L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
     spark.stop()
   }
 }

@@ -29,8 +29,10 @@ import org.apache.spark.sql.SparkSession
   *   -B, --flashback        inverse SQL, newest first (Q6 fixed);
   *                          mutually exclusive with -K (main.py:28)
   *   -K, --no-primary-key   strip PK cols from INSERTs (Q5 implemented)
-  *   --back-interval F      parsed-and-ignored (reference dead code,
-  *                          main.py:83-84)
+  *   --back-interval F      pause F seconds per 1000 flashback
+  *                          statements at the sink (the throttle the
+  *                          reference declares but never reads,
+  *                          main.py:83-84 — real here, parity-safe)
   *   --only-dml             parsed-and-ignored (reference quirk: a
   *                          store_true flag DEFAULTING to true — it can
   *                          never be disabled, main.py:74-75; the real
@@ -66,7 +68,7 @@ object CdcMain {
       |  -B, --flashback                     inverse SQL, newest first
       |  -K, --no-primary-key                strip PK cols from INSERTs
       |  --only-dml                          accepted (always-on in the reference)
-      |  --back-interval F                   accepted-and-ignored (reference dead code)
+      |  --back-interval F                   pause F sec per 1000 flashback stmts
       |  --include-ddl                       emit DDL statements too
       |  --bug-compatible                    byte-parity with the reference
       |  -o, --output PATH                   write SQL to a file
@@ -157,11 +159,12 @@ object CdcMain {
         case "-B" | "--flashback" => cfg = cfg.copy(flashback = true); i += 1
         case "-K" | "--no-primary-key" => cfg = cfg.copy(noPk = true); i += 1
         case f @ "--back-interval" =>
-          // parsed-and-ignored for CLI parity: the reference declares a
-          // sleep between rollback chunks (main.py:83-84) but never
-          // reads it (dead code, SURVEY quirk Q5); validate the float
-          // so typos still fail loudly
-          operand(f).toDouble; ()
+          // the reference declares a sleep between rollback chunks but
+          // never reads it (dead code, main.py:83-84, SURVEY quirk
+          // Q5); here the flag is REAL — the output sink pauses this
+          // many seconds between 1000-statement flashback chunks
+          // (bytes unchanged, so reference parity is unaffected)
+          cfg = cfg.copy(backInterval = operand(f).toDouble)
         case "--only-dml" => i += 1 // reference quirk: always-true no-op
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
@@ -217,6 +220,17 @@ object CdcMain {
     }
     val sql = CdcJob.run(spark, binlog, catalog, cfg)
       .select("sql")
+    // --back-interval: pace flashback emission in 1000-statement
+    // chunks (the upstream binlog2sql throttle the reference's dead
+    // code intended) — applied at the SINK, where order is already
+    // global, so the distributed plan is untouched
+    val throttled = cfg.flashback && cfg.backInterval > 0
+    var emitted = 0L
+    def pace(): Unit = {
+      emitted += 1
+      if (throttled && emitted % 1000 == 0)
+        Thread.sleep((cfg.backInterval * 1000).toLong)
+    }
     out match {
       case Some(path) =>
         // stream row-by-row — collecting a day of binlog SQL into one
@@ -224,12 +238,14 @@ object CdcMain {
         val w = java.nio.file.Files.newBufferedWriter(
           java.nio.file.Paths.get(path))
         try sql.toLocalIterator().forEachRemaining { r =>
-          w.write(r.getString(0)); w.write("\n")
+          w.write(r.getString(0)); w.write("\n"); pace()
         } finally w.close()
       case None =>
         // run-header comment like the reference's `-- {args}` (O31)
         println(s"-- ${args.mkString(" ")}")
-        sql.toLocalIterator().forEachRemaining(r => println(r.getString(0)))
+        sql.toLocalIterator().forEachRemaining { r =>
+          println(r.getString(0)); pace()
+        }
     }
     spark.stop()
   }

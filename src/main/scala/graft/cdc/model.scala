@@ -108,4 +108,11 @@ final case class CdcConfig(
     /** `-K/--no-primary-key`: strip PK columns from generated INSERTs
       * (the binlog2sql semantic; the reference parses the flag but
       * never reads it — quirk Q5, /root/reference/main.py:79-81). */
-    noPk: Boolean = false)
+    noPk: Boolean = false,
+    /** `--back-interval F`: seconds to pause between 1000-statement
+      * flashback chunks at the output sink — the throttle the
+      * reference DECLARES but never reads (dead code, main.py:83-84;
+      * the upstream binlog2sql semantic it copied). Implemented here:
+      * output bytes are identical (parity-safe), only emission pacing
+      * changes, and only when `flashback` is set. */
+    backInterval: Double = 0.0)

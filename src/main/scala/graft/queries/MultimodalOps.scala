@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The container has no image/audio codecs, so the *decode kernel* is a
-  * clearly-marked deterministic stub (byte histogram standing in for
-  * "decoded features"); everything around it — schema, binary column
-  * handling, per-partition batch shape, frame chunking, partitioning —
-  * is real Spark and tested. Swapping the stub for a JNI/codec call
-  * changes one function, not the pipeline.
+  * Two tiers. m4 is a GENUINE image path: real PNG bytes encoded and
+  * decoded with `javax.imageio` (on every JVM) inside the executor
+  * kernel — pixels in, compressed binary on the wire, pixels back
+  * out. For formats whose codecs this container lacks (JPEG is
+  * present too, but audio/video are not), the m1–m3 decode kernels
+  * remain clearly-marked deterministic stubs (byte histogram standing
+  * in for "decoded features"); everything around them — schema,
+  * binary column handling, per-partition batch shape, frame chunking,
+  * partitioning — is the same real plumbing m4 exercises end-to-end.
   */
 object MultimodalOps {
 
@@ -112,6 +115,62 @@ object MultimodalOps {
       .toDF("media_id", "frame_idx", "frame_len")
   }
 
+  /** REAL image decode, end to end: render each document's first
+    * w×h bytes as an 8-bit grayscale image, ENCODE it to actual PNG
+    * bytes and DECODE it back with `javax.imageio` — both inside one
+    * executor-side kernel — then derive features (pixel sum) and a
+    * nearest-neighbor 2× downsample (resampled pixel sum) from the
+    * DECODED raster. PNG is lossless on 8-bit gray, so the decoded
+    * features are a pure function of the source bytes: the DuckDB
+    * oracle recomputes them from `text` directly, which makes a
+    * hash-match verify the real codec round-trip, not byte math.
+    *
+    * Scale shape: one narrow typed partition loop (no shuffle until
+    * the output sort), codec objects per call as `ImageIO` requires,
+    * file-cache off so executors never touch local disk for scratch.
+    * A 100 TB corpus of real images runs THIS kernel with the
+    * synthesis step dropped — decode, feature, resample are already
+    * the production operators. */
+  def pngRoundtrip(docs: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no disk scratch in executors
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val px = new Array[Byte](w * h) // zero-padded beyond the text
+          System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, px)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val png = baos.toByteArray
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val dw = dec.getWidth
+          val dh = dec.getHeight
+          // getSamples is raster-layout-agnostic (robust to the reader
+          // returning a different BufferedImage type than it wrote)
+          val out = dec.getRaster.getSamples(0, 0, dw, dh, 0,
+            new Array[Int](dw * dh))
+          var pxSum = 0L
+          var i = 0
+          while (i < out.length) { pxSum += out(i); i += 1 }
+          var rzSum = 0L
+          var y = 0
+          while (y < dh / 2) {
+            var x = 0
+            while (x < dw / 2) { rzSum += out(y * 2 * dw + x * 2); x += 1 }
+            y += 1
+          }
+          (id, dw, dh, pxSum, rzSum)
+        }
+      }
+      .toDF("media_id", "w", "h", "px_sum", "rz_sum")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The stub decode kernel is deterministic byte math, so it has a
@@ -181,6 +240,31 @@ object MultimodalOps {
           (id, w, h, p.length, sum)
         }
         .toDF("media_id", "out_w", "out_h", "out_len", "byte_sum")
+        .orderedRows(col("media_id")) // one row per image: scales
+    },
+
+    // Real PNG encode→decode→feature/resample round-trip. PNG is
+    // lossless on 8-bit gray, so the oracle reproduces the DECODED
+    // pixel sums straight from the source bytes (hex arithmetic, as
+    // m3): a hash match here certifies the actual ImageIO codec path.
+    QueryDef("m4_png_roundtrip",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+        |  CAST(list_sum([
+        |    CASE WHEN i < n THEN
+        |      (strpos('0123456789ABCDEF', substr(hx, i*2+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, i*2+2, 1)) - 1)
+        |    ELSE 0 END for i in range(256)]) AS BIGINT) AS px_sum,
+        |  CAST(list_sum([
+        |    CASE WHEN (i//8)*32 + (i%8)*2 < n THEN
+        |      (strpos('0123456789ABCDEF', substr(hx, ((i//8)*32 + (i%8)*2)*2+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, ((i//8)*32 + (i%8)*2)*2+2, 1)) - 1)
+        |    ELSE 0 END for i in range(64)]) AS BIGINT) AS rz_sum
+        |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+      pngRoundtrip(Tables.documents(s, d))
         .orderedRows(col("media_id")) // one row per image: scales
     }
   )

@@ -165,7 +165,7 @@ class CdcJobSpec extends AnyFunSuite {
       "--start-position", "100", "--stop-position", "900",
       "--start-datetime", "2026-08-12 05:00:00",
       "--sql-type", "insert,delete", "-B", "--bug-compatible",
-      "--back-interval", "0.5", // parsed-and-ignored (reference dead code)
+      "--back-interval", "0.5", // real since r6: sink-side throttle
       "-o", "/tmp/out.sql"))
     assert(binlog == "/x/b.txt" && cat == CdcMain.CatalogSource() &&
       out.contains("/tmp/out.sql"))
@@ -173,7 +173,7 @@ class CdcJobSpec extends AnyFunSuite {
       database = "testdb", tables = Seq("t_pk", "t_uniq"),
       startPos = Some(100L), stopPos = Some(900L),
       startDatetime = Some("2026-08-12 05:00:00"),
-      flashback = true, bugCompatible = true))
+      flashback = true, bugCompatible = true, backInterval = 0.5))
     val (_, _, cfgK, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-K"))
     assert(cfgK == CdcConfig(noPk = true))

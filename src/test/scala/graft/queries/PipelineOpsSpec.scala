@@ -149,6 +149,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == idPayload.toSeq)
   }
 
+  test("m4 PNG round-trip: real ImageIO decode recovers the source pixels") {
+    import spark.implicits._
+    // adversarial texts: empty, shorter than the grid, longer, and
+    // multi-byte UTF-8 (the kernel operates on ENCODED bytes)
+    val docs = Seq(
+      (0L, ""),
+      (1L, "short"),
+      (2L, "x" * 500),
+      (3L, "héllo wörld ünïcode ✓✓✓")
+    ).toDF("doc_id", "text")
+    val got = MultimodalOps.pngRoundtrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def sums(text: String): (Long, Long) = {
+      val b = text.getBytes("UTF-8")
+      def at(i: Int): Long = if (i < b.length && i < 256) (b(i) & 0xFF).toLong else 0L
+      val px = (0 until 256).map(at).sum
+      val rz = (0 until 64).map(i => at((i / 8) * 32 + (i % 8) * 2)).sum
+      (px, rz)
+    }
+    for ((id, text) <- Seq((0L, ""), (1L, "short"), (2L, "x" * 500),
+        (3L, "héllo wörld ünïcode ✓✓✓"))) {
+      val (pxSum, rzSum) = sums(text)
+      assert(got(id) == ((16, 16, pxSum, rzSum)), s"doc $id")
+    }
+    // decode is REAL: a random pixel grid survives encode→PNG→decode
+    // byte-for-byte (PNG gray8 is lossless)
+    val rnd = new scala.util.Random(11L)
+    val px = Array.fill(256)(rnd.nextInt(256).toByte)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 16, 16, px)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(png.take(8).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      "payload is genuine PNG (magic bytes)")
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val back = dec.getRaster.getSamples(0, 0, 16, 16, 0, new Array[Int](256))
+    assert(back.toSeq == px.map(_ & 0xFF).toSeq)
+  }
+
   test("cosine_sim Expression: SQL + Column paths match double math on floats") {
     import spark.implicits._
     graft.functions.CosineSim.register(spark)
