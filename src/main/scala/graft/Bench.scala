@@ -118,7 +118,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // default = the machine (the driver runs this un-parameterized on
+    // a 32-core box; the per-query sample layout measures the same
+    // totals at local[8] and local[32], so cores only add headroom for
+    // the heavy candidate joins)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // Dev-iteration knobs (driver uses the defaults): restrict to a
     // comma-separated query subset / fewer timed passes / prep=off to
     // time the legacy build-plan-execute path for every query.
