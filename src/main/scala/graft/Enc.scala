@@ -32,6 +32,7 @@ object Enc {
   val strLong: Encoder[(String, Long)] = ExpressionEncoder()
   val longLongArrIntLong: Encoder[(Long, Array[Long], Int, Long)] = ExpressionEncoder()
   val longLongIntLong: Encoder[(Long, Long, Int, Long)] = ExpressionEncoder()
+  val longLongInt: Encoder[(Long, Long, Int)] = ExpressionEncoder()
   val longDoubleArrIntLong: Encoder[(Long, Array[Double], Int, Long)] = ExpressionEncoder()
   val longDoubleArrInt: Encoder[(Long, Array[Double], Int)] = ExpressionEncoder()
   val strStrInt: Encoder[(String, String, Int)] = ExpressionEncoder()

@@ -215,6 +215,63 @@ object TextAnalysis {
         }(graft.Enc.longLongStr)
         .toDF("doc_id", "fingerprint", "sketch")
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // Deterministic per-source sampling — the data-mixing primitive a
+    // training pipeline runs to hit a target corpus composition.
+    // Selection is a pure function of (doc_id, source): reproducible
+    // across runs/partitionings and embarrassingly parallel (a filter
+    // pipelined into the scan, NO shuffle, NO driver state — the shape
+    // that holds at 100 TB). The key→keep rule here is a modulus so
+    // the DuckDB oracle is exact; production swaps in a splittable
+    // hash (xxhash64(doc_id) % 100) — same plan, same properties.
+    // Rates: a third of the sources heavily downsampled (web-crawl
+    // stand-ins), a third halved, the curated rest kept whole.
+    QueryDef("t5_sample_by_source",
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 100 <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 25
+        |       WHEN source IN ('src6','src7','src8','src9','src10','src11') THEN 50
+        |       ELSE 100 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(100)) <
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), 25)
+            .when(col("source").isin("src6", "src7", "src8", "src9", "src10", "src11"), 50)
+            .otherwise(100))
+        .select("doc_id", "source")
+        .orderedRows(col("doc_id")) // sampled corpus: scales
+    },
+
+    // Fixed-size token chunking — the sequence-segmentation step that
+    // feeds tokenizer/packing stages: each doc becomes ⌈tokens/32⌉
+    // windows of ≤32 whitespace tokens. One typed flatMap (counts
+    // only ride the wire, never token text), no shuffle before the
+    // output sort; chunk grain is what a 100 TB pack job groups by
+    // downstream.
+    QueryDef("t6_token_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, LENGTH(STRING_SPLIT(text,' ')) AS n FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(LEAST(32, n - i*32) AS INT) AS n_tokens
+        |FROM t, UNNEST(range(0, CAST(ceil(n/32.0) AS BIGINT))) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)](graft.Enc.longStr)
+        .flatMap { case (id, text) =>
+          // whitespace-token count with STRING_SPLIT semantics: split
+          // on single space, empty text still yields one (empty) token
+          var n = 1
+          var i = 0
+          while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
+          val chunks = (n + 31) / 32
+          Iterator.tabulate(chunks)(c =>
+            (id, c.toLong, math.min(32, n - c * 32)))
+        }(graft.Enc.longLongInt)
+        .toDF("doc_id", "chunk_idx", "n_tokens")
+        .orderedRows(col("doc_id"), col("chunk_idx")) // chunks scale with corpus
     }
   )
 }
