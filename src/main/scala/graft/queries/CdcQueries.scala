@@ -30,17 +30,21 @@ object CdcQueries {
     if (dir.contains("0.1")) BinlogFixture.materializeDir("dml_100k", 8, 12500)
     else BinlogFixture.materializeDir("dml_10k", 4, 2500)
 
-  /** Correctness (sf0.01) runs on the 10k fixture — the oracle SQL
-    * below hardcodes this path, so it must match fixturePath(sf0.01). */
+  /** One SF-AGNOSTIC snapshot path: the oracle SQL is a static string,
+    * so the engine writes whatever fixture the current SF parses to
+    * THIS path and DuckDB reads the same one — sf0.1's 100k-event run
+    * is then oracle-checked too, not just the sf0.01 gate (hardcoding
+    * the 10k path here was an r5 latent mismatch at sf0.1). Rewritten
+    * once per (JVM, SF dir); overwrite keeps the last SF's snapshot,
+    * which is the one the oracle pass that follows will compare. */
   private val OracleSnapshot =
-    System.getProperty("java.io.tmpdir") + "/graft_cdc_events_10k"
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_events_cur"
 
-  private def snapshotPath(dir: String): String =
-    System.getProperty("java.io.tmpdir") +
-      (if (dir.contains("0.1")) "/graft_cdc_events_100k" else "/graft_cdc_events_10k")
+  private def snapshotPath(dir: String): String = OracleSnapshot
 
-  // Written at most once per JVM: Verify rewrites it fresh before the
-  // driver's DuckDB pass reads it; Bench reuses the first pass's write.
+  // Written at most once per JVM per SF dir: Verify rewrites it fresh
+  // before the driver's DuckDB pass reads it; Bench reuses the first
+  // pass's write.
   private val snapshotWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -49,7 +53,7 @@ object CdcQueries {
   private def parsedWithSnapshot(s: SparkSession, d: String): DataFrame = {
     val events = CdcJob.parse(s, fixturePath(d))
     val out = snapshotPath(d)
-    if (snapshotWritten.add(out))
+    if (snapshotWritten.add(out + "@" + d))
       events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
         .write.mode("overwrite").parquet(out)
     events
@@ -87,7 +91,7 @@ object CdcQueries {
   }
 
   private val BinOracleSnapshot =
-    System.getProperty("java.io.tmpdir") + "/graft_cdc_binevents_10k"
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_binevents_cur"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -158,12 +162,9 @@ object CdcQueries {
          |FROM read_parquet('$BinOracleSnapshot/*.parquet')
          |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
       val events = graft.sources.BinlogBinary.parse(s, binFixturePath(d))
-      if (snapshotWritten.add(BinOracleSnapshot + d.hashCode))
+      if (snapshotWritten.add(BinOracleSnapshot + "@" + d))
         events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
-          .write.mode("overwrite").parquet(
-            if (d.contains("0.1"))
-              System.getProperty("java.io.tmpdir") + "/graft_cdc_binevents_100k"
-            else BinOracleSnapshot)
+          .write.mode("overwrite").parquet(BinOracleSnapshot)
       events.groupBy("db", "table", "op")
         .agg(count(lit(1)).as("c"))
         .orderBy("db", "table", "op")
