@@ -39,7 +39,7 @@ object DedupOps {
     * intersects the same hashes — identical Jaccard to the string
     * form absent 2^-64 collisions. */
   def minhashPairs(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8, saltGroups: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = bands * rowsPerBand
@@ -67,12 +67,54 @@ object DedupOps {
     // the multi-band distinct below stays.)
     graft.functions.SortedIntersectSize.register(spark)
     import graft.functions.SortedIntersectSize.sorted_intersect_size
-    banded.as("x").join(banded.as("y").hint("shuffle_hash"),
-        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+    // Candidate join. saltGroups > 1 = TRIANGLE-SALTED form for hot
+    // buckets: a band signature shared by n docs (boilerplate,
+    // templated pages) makes ONE join key produce n²/2 candidate rows
+    // in one task — the skew bomb of any LSH banding at corpus scale,
+    // and one AQE cannot defuse alone (skew-join splits partitions;
+    // the quadratic OUTPUT of a single key still streams from the
+    // tasks that own it). Salting by doc-id hash into g groups and
+    // joining the (gl ≤ gr) triangle of group pairs spreads each hot
+    // bucket's pair generation over g(g+1)/2 independent join keys —
+    // each unordered pair still meets EXACTLY once (its salt pair is a
+    // function of the two doc ids), so the output is identical
+    // (equality-spec'd). Cost: the left side replicates ×(g+1)/2 on
+    // the wire, so it's a knob to set from a bucket histogram at
+    // 100 TB, not a default — bench corpora have no hot buckets.
+    val candidates =
+      if (saltGroups <= 1)
+        banded.as("x").join(banded.as("y").hint("shuffle_hash"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+      else {
+        val g = saltGroups
+        val salted = banded.withColumn("s",
+          pmod(xxhash64(col("doc_id")), lit(g)).cast("int"))
+        // left row with salt s joins every group s..g-1; right row
+        // keeps its own salt — key (b, h, sl, sr) meets each pair once
+        val lhs = salted
+          .withColumn("sr", explode(sequence(col("s"), lit(g - 1))))
+          .withColumnRenamed("s", "sl")
+        val rhs = salted.withColumnRenamed("s", "sr")
+        lhs.as("x").join(rhs.as("y").hint("shuffle_hash"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+            col("x.sr") === col("y.sr") &&
+            // within the diagonal group the usual id order dedupes;
+            // across groups the salt order already orients the pair,
+            // but the id predicate must then NOT also filter it
+            (col("x.sl") =!= col("y.sr") ||
+              col("x.doc_id") < col("y.doc_id")) &&
+            col("x.doc_id") =!= col("y.doc_id"))
+      }
+    candidates
+      .select(col("x.doc_id").as("ia0"), col("y.doc_id").as("ib0"),
         sorted_intersect_size(col("x.sh"), col("y.sh")).as("inter"),
         (size(col("x.sh")) + size(col("y.sh"))).as("csum"))
+      // canonical orientation (salted cross-group pairs can arrive
+      // either way; the unsalted join already emits ia < ib)
+      .select(least(col("ia0"), col("ib0")).as("ia"),
+        greatest(col("ia0"), col("ib0")).as("ib"),
+        col("inter"), col("csum"))
       .withColumn("j", col("inter") * lit(1.0) / (col("csum") - col("inter")))
       .filter(col("j") >= tau)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))

@@ -156,6 +156,28 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle-salted candidate join equals the unsalted join on hot buckets") {
+    import spark.implicits._
+    // planted hot bucket: 30 near-identical docs (boilerplate) collide
+    // in every band — the n²/2 single-key case the salt spreads over
+    // g(g+1)/2 join keys — plus a normal mixed corpus
+    val rnd = new scala.util.Random(5L)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    val boiler = Array.fill(20)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = (0L until 30L).map(i => (i, boiler)) ++
+      corpus(5L).map { case (id, t) => (id + 100L, t) }
+    for (g <- Seq(2, 4, 7)) {
+      val plain = DedupOps.minhashPairs(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = DedupOps.minhashPairs(docs.toDF("doc_id", "text"),
+          saltGroups = g)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted == plain,
+        s"g=$g missing=${plain -- salted} extra=${salted -- plain}")
+      assert(plain.size >= 30 * 29 / 2, "hot bucket must actually be hot")
+    }
+  }
+
   test("minhashPairs finds no false positives and >=90% of exact pairs") {
     import spark.implicits._
     for (seed <- Seq(1L, 42L)) {
