@@ -32,7 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Throughput collector for a batch-analytics JVM: G1's concurrent
   // cycles + region uncommit showed up INSIDE timed queries (r6 A/B:
   // ParallelGC wins the baseline suite by ~0.3-0.5 s across repeats,
-  // both at local[8] and local[32]); a fixed young gen stops nursery
-  // resize churn between allocation-heavy and quiet queries.
-  "-XX:+UseParallelGC", "-Xmn10g",
+  // both at local[8] and local[32]).
+  "-XX:+UseParallelGC",
+) ++ (
+  // A fixed young gen stops nursery resize churn between
+  // allocation-heavy and quiet queries — but only at the default 20g
+  // heap: a custom SPARK_DRIVER_MEM must size its own young gen
+  // (-Xmn10g under -Xmx8g wouldn't even boot).
+  if (sys.env.contains("SPARK_DRIVER_MEM")) Seq.empty else Seq("-Xmn10g")
 ) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)

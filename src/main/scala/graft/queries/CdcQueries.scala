@@ -34,28 +34,31 @@ object CdcQueries {
     * so the engine writes whatever fixture the current SF parses to
     * THIS path and DuckDB reads the same one — sf0.1's 100k-event run
     * is then oracle-checked too, not just the sf0.01 gate (hardcoding
-    * the 10k path here was an r5 latent mismatch at sf0.1). Rewritten
-    * once per (JVM, SF dir); overwrite keeps the last SF's snapshot,
-    * which is the one the oracle pass that follows will compare. */
+    * the 10k path here was an r5 latent mismatch at sf0.1). The oracle
+    * compare must follow ITS OWN Verify run (the existing contract —
+    * Verify rewrites /tmp state per process); within a JVM the
+    * snapshot tracks the LAST SF WRITTEN and rewrites on change, so
+    * alternating SFs (shared-JVM test runs) never serve stale data,
+    * while Bench's repeated same-SF passes reuse the first write. */
   private val OracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_events_cur"
 
-  private def snapshotPath(dir: String): String = OracleSnapshot
+  /** SF dir currently materialized at the named snapshot path, or null. */
+  private val snapshotSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  // Written at most once per JVM per SF dir: Verify rewrites it fresh
-  // before the driver's DuckDB pass reads it; Bench reuses the first
-  // pass's write.
-  private val snapshotWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def writeSnapshotIfStale(path: String, d: String)(
+      write: => Unit): Unit =
+    synchronized { if (snapshotSf.put(path, d) != d) write }
 
   /** Parse the fixture and side-write the scalar event columns for the
     * DuckDB oracle; returns the live parsed frame. */
   private def parsedWithSnapshot(s: SparkSession, d: String): DataFrame = {
     val events = CdcJob.parse(s, fixturePath(d))
-    val out = snapshotPath(d)
-    if (snapshotWritten.add(out + "@" + d))
+    writeSnapshotIfStale(OracleSnapshot, d) {
       events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(OracleSnapshot)
+    }
     events
   }
 
@@ -135,7 +138,7 @@ object CdcQueries {
       // re-measure c1. Cache the scalar projection once for the 8
       // branches (Bench's per-query clearCache reclaims).
       parsedWithSnapshot(s, d)
-      val events = s.read.parquet(snapshotPath(d))
+      val events = s.read.parquet(OracleSnapshot)
         .select("op", "db", "table", "start_pos", "ts").cache()
       val cases: Seq[(String, CdcConfig)] = Seq(
         "all_types" -> CdcConfig(),
@@ -162,9 +165,10 @@ object CdcQueries {
          |FROM read_parquet('$BinOracleSnapshot/*.parquet')
          |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
       val events = graft.sources.BinlogBinary.parse(s, binFixturePath(d))
-      if (snapshotWritten.add(BinOracleSnapshot + "@" + d))
+      writeSnapshotIfStale(BinOracleSnapshot, d) {
         events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
           .write.mode("overwrite").parquet(BinOracleSnapshot)
+      }
       events.groupBy("db", "table", "op")
         .agg(count(lit(1)).as("c"))
         .orderBy("db", "table", "op")

@@ -358,10 +358,12 @@ object DedupOps {
       e = ss // previous round's checkpoint blocks are GC-cleaned
       eCount = ssCount
       round += 1
-      // O(log² n) bound: 64 rounds covers any 64-bit id universe; not
-      // reachable in practice, and looping forever is the one failure
-      // mode a fallback may not have.
-      if (round > 64 && !done)
+      // O(log² n) bound (Kiveris et al., Thm 3.3): for a 64-bit id
+      // universe that is 64² = 4096 alternations. Unreachable in
+      // practice (observed: single digits), but looping forever is
+      // the one failure mode a correctness fallback may not have, so
+      // cap at the theoretical bound, not at a guess below it.
+      if (round > 4096 && !done)
         throw new IllegalStateException(
           s"star contraction failed to converge after $round rounds")
     }

@@ -166,15 +166,15 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     val boiler = Array.fill(20)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
     val docs = (0L until 30L).map(i => (i, boiler)) ++
       corpus(5L).map { case (id, t) => (id + 100L, t) }
+    val plain = DedupOps.minhashPairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.size >= 30 * 29 / 2, "hot bucket must actually be hot")
     for (g <- Seq(2, 4, 7)) {
-      val plain = DedupOps.minhashPairs(docs.toDF("doc_id", "text"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val salted = DedupOps.minhashPairs(docs.toDF("doc_id", "text"),
           saltGroups = g)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(salted == plain,
         s"g=$g missing=${plain -- salted} extra=${salted -- plain}")
-      assert(plain.size >= 30 * 29 / 2, "hot bucket must actually be hot")
     }
   }
 
