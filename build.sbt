@@ -37,7 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++ (
   // A fixed young gen stops nursery resize churn between
   // allocation-heavy and quiet queries — but only at the default 20g
-  // heap: a custom SPARK_DRIVER_MEM must size its own young gen
-  // (-Xmn10g under -Xmx8g wouldn't even boot).
-  if (sys.env.contains("SPARK_DRIVER_MEM")) Seq.empty else Seq("-Xmn10g")
+  // heap: a custom heap must size its own young gen (-Xmn10g under
+  // -Xmx8g wouldn't even boot). The heap can shrink via either
+  // SPARK_DRIVER_MEM or an -Xmx/-Xmn inside SPARK_GRAFT_JVM (appended
+  // last, so it wins) — suppress the fixed nursery in both cases.
+  if (sys.env.contains("SPARK_DRIVER_MEM") ||
+      sys.env.get("SPARK_GRAFT_JVM").exists(j =>
+        j.contains("-Xmx") || j.contains("-Xmn"))) Seq.empty
+  else Seq("-Xmn10g")
 ) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)

@@ -5,10 +5,14 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 
 /** Per-round benchmark (BASELINE.md §3 method): one untimed warm-up
-  * pass over the whole suite (JIT/codegen/broadcast warm), then five
-  * timed passes per query; each query reports the min of its timings
-  * (see the scheduling comment in main for how passes are laid out
-  * against host contention phases and heavy-neighbor pollution).
+  * pass over the whole suite (JIT/codegen/broadcast warm), then timed
+  * passes per query — the BASELINE-comparable block takes EXACTLY the
+  * DuckDB protocol's sample count (min of 3 after warm-up; medians are
+  * reported alongside so noise is visible), the extras five. A query
+  * with zero successful samples is listed in `failed` and the process
+  * exits nonzero — a breakage must never read as a speedup.
+  * (See the scheduling comment in main for how passes are laid out
+  * against host contention phases and heavy-neighbor pollution.)
   * Prints ONE JSON line; `value` is the suite total over the 24
   * BASELINE-comparable queries (Q1–Q15, S1–S3, S5, L1–L5) so the 2×
   * rule compares like for like; every query's timing is still in
@@ -276,9 +280,19 @@ object Bench {
       if (ok) dt else -1.0
     }
 
+    // Failure-injection knob for harness self-tests: the named queries
+    // throw on every pass, which must surface as "failed":[...] in the
+    // JSON and a nonzero exit — a broken query must never silently
+    // drop out of the suite total and read as a speedup.
+    val broken = sys.env.get("SPARK_GRAFT_BREAK")
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
+
     val defs = SparkEntry.allDefs.filter(qd => only.forall(_(qd.name)))
     val runnables = defs.map { qd =>
-      if (prepOn) try prepare(qd) catch { case _: Throwable => legacy(qd) }
+      if (broken(qd.name))
+        Runnable(qd.name, () => throw new IllegalStateException(
+          s"SPARK_GRAFT_BREAK: ${qd.name} deliberately broken"))
+      else if (prepOn) try prepare(qd) catch { case _: Throwable => legacy(qd) }
       else legacy(qd)
     }
     // BASELINE.md method = min of N after warm-up (N=5 here, ≥ the
@@ -305,9 +319,14 @@ object Bench {
       spark.catalog.clearCache()
     }
     warm(blockB); warm(blockA)
-    // The comparison block is cheap (~8 s/pass vs ~25 s for the
-    // extras), so it takes nPasses+3 samples — min-of-8 by default —
-    // split half before and half after the extras' passes.
+    // The comparison block takes EXACTLY the DuckDB method's sample
+    // count — min of 3 after warm-up (BASELINE.md §3; r6 took
+    // min-of-8, which biases the min lower under noise than the
+    // baseline's own protocol — twice-advised, equalized in r7) —
+    // split 2 before and 1 after the extras' passes so a host slow
+    // phase over either end leaves the other end's samples clean.
+    // Median is reported alongside min for every query so readers can
+    // judge noise without re-running.
     // PER-QUERY CONSECUTIVE sampling inside each half (r6): each
     // query takes its half's samples back-to-back, exactly DuckDB's
     // warm-up-then-min-of-3 protocol. Interleaved passes made every
@@ -319,7 +338,7 @@ object Bench {
     // min keeps the hot samples. The two halves stay far apart in
     // time, preserving the slow-phase hedge.
     // (SPARK_GRAFT_LAYOUT=interleaved restores full-pass rotation.)
-    val aPasses = nPasses + 3
+    val aPasses = sys.env.getOrElse("SPARK_GRAFT_BASELINE_PASSES", "3").toInt
     val aFront = (aPasses + 1) / 2
     val perQuery = !sys.env.get("SPARK_GRAFT_LAYOUT").contains("interleaved")
     def runPass(rs: Seq[Runnable]): Map[String, Double] =
@@ -333,11 +352,26 @@ object Bench {
       runHalf(blockA, aFront) ++
         runHalf(blockB, nPasses) ++
         runHalf(blockA, aPasses - aFront)
-    val results = runnables.map { r =>
-      val timed = passes.flatMap(_.get(r.name)).filter(_ >= 0)
-      r.name -> (if (timed.nonEmpty) timed.min else -1.0)
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val samples = runnables.map { r =>
+      r.name -> passes.flatMap(_.get(r.name)).filter(_ >= 0)
+    }
+    val results = samples.map { case (n, ts) =>
+      n -> (if (ts.nonEmpty) ts.min else -1.0)
+    }
+    // A query with zero successful samples FAILED: it must appear by
+    // name in the JSON and force a nonzero exit (below) — the old
+    // harness dropped its -1 from the total, reporting a breakage in
+    // the BaselineSet as a suite speedup.
+    val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMedian = samples
+      .map { case (k, ts) => "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0) }
       .mkString("{", ",", "}")
     val total = results
       .collect { case (k, v) if BaselineSet(k) && v >= 0 => v }.sum
@@ -358,7 +392,13 @@ object Bench {
     val cdcEvents = if (sfDir.contains("0.1")) 100000 else 10000
     val cdcRate = results.toMap.get("c2_forward_sql")
       .filter(_ > 0).map(t => (cdcEvents / t).round).getOrElse(-1L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val layout = if (perQuery) "per_query" else "interleaved"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"failed":$failedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -26,6 +26,11 @@ object GoldenHashes {
     // exact re-rank
     "a3_ann_ivf" -> "873ba38f8e66228e98cd95a22a08cb2a3df999de69a3bfde17a5a8c76bfb1a38",
     "d2_simhash_neardup" -> "9015cca605744505da026aa9349f99673d2d36c6c3c04cc583d1cf8d2309bc35",
+    // streaming-only surface (S4 watermark late-drop, S6 keyed state):
+    // fixed MemoryStream scenarios, SF-independent by design — see
+    // queries/StreamingQueries.scala
+    "s4_late_drop" -> "b6ea593a6207c4647ab107afaa97db3fb1aa1871c05209c2eb56f02ed4e5d7b0",
+    "s6_running_counter" -> "9d6bc6af4d658c910702b2b07c67982a1a608dde68216c937367171d27b094c9",
     "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274")
 
   private def cell(v: Any): String = v match {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CdcQueries, DedupOps, EventOps, MultimodalOps,
-  Relational, SimilarityOps, TextAnalysis, TextOps}
+  Relational, SimilarityOps, StreamingQueries, TextAnalysis, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-surface modules in
@@ -12,9 +12,9 @@ import graft.queries.{CdcQueries, DedupOps, EventOps, MultimodalOps,
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ EventOps.defs ++ TextOps.defs ++ CdcQueries.defs ++
-      TextAnalysis.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
-      MultimodalOps.defs
+    Relational.defs ++ EventOps.defs ++ StreamingQueries.defs ++
+      TextOps.defs ++ CdcQueries.defs ++ TextAnalysis.defs ++
+      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -49,7 +49,13 @@ object CdcQueries {
 
   private def writeSnapshotIfStale(path: String, d: String)(
       write: => Unit): Unit =
-    synchronized { if (snapshotSf.put(path, d) != d) write }
+    synchronized {
+      // Record the SF only AFTER the write succeeds: if the parquet
+      // write throws (disk full, interrupted run), the map must not
+      // claim the snapshot is current, or every later call in this JVM
+      // would skip the rewrite and the oracle would read stale bytes.
+      if (snapshotSf.get(path) != d) { write; snapshotSf.put(path, d) }
+    }
 
   /** Parse the fixture and side-write the scalar event columns for the
     * DuckDB oracle; returns the live parsed frame. */

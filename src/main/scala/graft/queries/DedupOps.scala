@@ -75,12 +75,16 @@ object DedupOps {
     // the quadratic OUTPUT of a single key still streams from the
     // tasks that own it). Salting by doc-id hash into g groups and
     // joining the (gl ≤ gr) triangle of group pairs spreads each hot
-    // bucket's pair generation over g(g+1)/2 independent join keys —
-    // each unordered pair still meets EXACTLY once (its salt pair is a
-    // function of the two doc ids), so the output is identical
-    // (equality-spec'd). Cost: the left side replicates ×(g+1)/2 on
-    // the wire, so it's a knob to set from a bucket histogram at
-    // 100 TB, not a default — bench corpora have no hot buckets.
+    // bucket over the g EQUALITY keys (b, h, sr) — the left side
+    // replicates triangularly inside each, so the max single-key
+    // output drops ~g-fold (NOT g²: the sl dimension rides along as a
+    // residual predicate, not a reduce key). Size g from the bucket
+    // histogram with that g-fold expectation. Each unordered pair
+    // still meets EXACTLY once (its salt pair is a function of the two
+    // doc ids), so the output is identical (equality-spec'd). Cost:
+    // the left side replicates ×(g+1)/2 on the wire, so it's a knob
+    // for skewed corpora, not a default — bench corpora have no hot
+    // buckets.
     val candidates =
       if (saltGroups <= 1)
         banded.as("x").join(banded.as("y").hint("shuffle_hash"),

@@ -9,86 +9,152 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Two tiers. m4 is a GENUINE image path: real PNG bytes encoded and
-  * decoded with `javax.imageio` (on every JVM) inside the executor
-  * kernel — pixels in, compressed binary on the wire, pixels back
-  * out. For formats whose codecs this container lacks (JPEG is
-  * present too, but audio/video are not), the m1–m3 decode kernels
-  * remain clearly-marked deterministic stubs (byte histogram standing
-  * in for "decoded features"); everything around them — schema,
-  * binary column handling, per-partition batch shape, frame chunking,
-  * partitioning — is the same real plumbing m4 exercises end-to-end.
+  * Two tiers. The IMAGE path (kind 0) is GENUINE end to end: the
+  * media table carries real PNG bytes (encoded from the document
+  * corpus with `javax.imageio`, present on every JVM), and m1/m3/m4
+  * DECODE those bytes in their executor kernels — pixel histogram,
+  * pixel resample, round-trip features all computed from the decoded
+  * raster. PNG is lossless on 8-bit gray, so the DuckDB oracles
+  * recompute each result from the SOURCE bytes: a hash match
+  * certifies the actual codec path, not byte math. For formats whose
+  * codecs this container lacks (audio kind 1, video kind 2), the
+  * decode kernels remain clearly-marked deterministic stubs (byte
+  * histogram standing in for "decoded features"); everything around
+  * them — schema, binary column handling, per-partition batch shape,
+  * frame chunking, partitioning — is the same real plumbing the image
+  * path exercises with a live codec.
   */
 object MultimodalOps {
 
-  /** Synthesize a media table from the documents corpus: payload bytes
-    * (stand-in for encoded image/video), typed metadata struct. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        struct(
-          pmod(col("doc_id"), lit(3)).cast("int").as("kind"), // 0 img,1 audio,2 video
-          (lit(64) + pmod(col("doc_id"), lit(8)) * 16).cast("int").as("width"),
-          (lit(64) + pmod(col("doc_id"), lit(4)) * 16).cast("int").as("height"),
-          length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
+  /** Image-kind raster dims: every kind-0 payload is a real PNG of the
+    * document's first ImgW×ImgH UTF-8 bytes (zero-padded). */
+  private val ImgW = 16
+  private val ImgH = 16
 
-  /** Typed media metadata — mirrors mediaTable's meta struct. */
+  /** Encode a w×h 8-bit grayscale raster to real PNG bytes. Call
+    * `ImageIO.setUseCache(false)` once per partition first — executors
+    * must not touch local disk for codec scratch. */
+  private[queries] def encodeGrayPng(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode PNG bytes to (width, height, gray samples 0..255).
+    * getSamples is raster-layout-agnostic (robust to the reader
+    * returning a different BufferedImage type than was written). */
+  private[queries] def decodeGrayPng(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val w = dec.getWidth
+    val h = dec.getHeight
+    (w, h, dec.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h)))
+  }
+
+  /** Typed media metadata — mirrors mediaTable's meta struct. For
+    * images n_bytes is the DECODED raster size (ImgW×ImgH — the
+    * payload's PNG byte length is codec-dependent and deliberately not
+    * part of the contract); for stub kinds it is the payload length. */
   final case class MediaMeta(kind: Int, width: Int, height: Int, n_bytes: Int)
 
-  /** STUB decode kernel: a real codec would decode `payload` here; the
-    * stand-in emits a deterministic 16-bin byte histogram, L1-normed.
-    * Runs as a typed map over raw payload bytes — the exact shape a
-    * JNI/codec binding takes (bytes in, feature vector out, one call
-    * per row inside a JIT'd partition loop); swapping the histogram
-    * for a decoder changes only the loop body. */
+  /** Synthesize a media table from the documents corpus. Kind 0
+    * (image): payload is a REAL PNG — the document's first ImgW×ImgH
+    * bytes rendered as an 8-bit gray raster and encoded with ImageIO
+    * in the executor kernel. Kinds 1/2 (audio/video — no JVM codecs):
+    * payload is the raw bytes, metadata synthetic, downstream kernels
+    * stubbed. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .fanOut // single-row-group scan: spread the PNG-encode kernel
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val kind = (id % 3).toInt
+          if (kind == 0) {
+            val px = new Array[Byte](ImgW * ImgH) // zero-padded raster
+            System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+            (id, encodeGrayPng(px, ImgW, ImgH), MediaMeta(0, ImgW, ImgH, px.length))
+          } else {
+            (id, bytes, MediaMeta(kind,
+              64 + (id % 8).toInt * 16, 64 + (id % 4).toInt * 16, bytes.length))
+          }
+        }
+      }
+      .toDF("media_id", "payload", "meta")
+  }
+
+  /** Decode kernel. Images (kind 0): REAL decode — ImageIO reads the
+    * PNG payload and the 16-bin histogram is over the DECODED pixels'
+    * intensity (pixel >> 4), L1-normed by raster size. Stub kinds
+    * (audio/video, no JVM codec): deterministic low-nibble byte
+    * histogram over the raw payload — the exact shape a codec binding
+    * takes (bytes in, feature vector out, one call per row inside a
+    * JIT'd partition loop); swapping the histogram for a decoder
+    * changes only the loop body, as the image branch demonstrates. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
-      .map { case (id, payload, meta) =>
-        val counts = new Array[Int](16)
-        var i = 0
-        while (i < payload.length) {
-          counts(payload(i) & 0x0F) += 1
-          i += 1
-        }
-        val feature = new Array[Float](16)
-        if (payload.length > 0) {
-          i = 0
-          while (i < 16) {
-            feature(i) = (counts(i) / payload.length.toDouble).toFloat
-            i += 1
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload, meta) =>
+          val feature = new Array[Float](16)
+          if (meta.kind == 0) {
+            val (_, _, px) = decodeGrayPng(payload)
+            val counts = new Array[Int](16)
+            var i = 0
+            while (i < px.length) { counts(px(i) >> 4) += 1; i += 1 }
+            i = 0
+            while (i < 16) {
+              feature(i) = (counts(i) / px.length.toDouble).toFloat
+              i += 1
+            }
+          } else if (payload.length > 0) {
+            val counts = new Array[Int](16)
+            var i = 0
+            while (i < payload.length) { counts(payload(i) & 0x0F) += 1; i += 1 }
+            i = 0
+            while (i < 16) {
+              feature(i) = (counts(i) / payload.length.toDouble).toFloat
+              i += 1
+            }
           }
+          (id, meta, feature)
         }
-        (id, meta, feature)
       }
       .toDF("media_id", "meta", "feature")
   }
 
-  /** STUB resize kernel for "image" payloads: nearest-neighbor index
-    * resample of the payload viewed as a meta.width × meta.height
-    * byte grid down to outW × outH (source index out of range → 0).
-    * A real image resize swaps the per-pixel lookup for a decoded-
-    * pixel interpolation; the plumbing — binary in, typed dims,
-    * binary out, one JIT'd kernel call per row — is identical. */
-  def resizeMedia(media: DataFrame, outW: Int = 32, outH: Int = 32): DataFrame = {
+  /** REAL image resize: decode the PNG payload and nearest-neighbor
+    * resample the DECODED raster down to outW × outH. Binary in,
+    * typed dims, binary out, one JIT'd kernel call per row — the
+    * production operator for an image corpus (only the upstream
+    * synthesis step is bench scaffolding). */
+  def resizeMedia(media: DataFrame, outW: Int = 12, outH: Int = 12): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(col("meta.kind") === 0 && length(col("payload")) > 0)
-      .select(col("media_id"), col("payload"), col("meta"))
-      .as[(Long, Array[Byte], MediaMeta)]
-      .map { case (id, payload, meta) =>
-        val out = new Array[Byte](outW * outH)
-        var i = 0
-        while (i < out.length) {
-          val srcIdx = (i / outW) * meta.height / outH * meta.width +
-            (i % outW) * meta.width / outW
-          out(i) = if (srcIdx < payload.length) payload(srcIdx) else 0
-          i += 1
+    media.filter(col("meta.kind") === 0)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val (w, h, px) = decodeGrayPng(payload)
+          val out = new Array[Byte](outW * outH)
+          var i = 0
+          while (i < out.length) {
+            out(i) = px((i / outW) * h / outH * w + (i % outW) * w / outW).toByte
+            i += 1
+          }
+          (id, outW, outH, out)
         }
-        (id, outW, outH, out)
       }
       .toDF("media_id", "out_w", "out_h", "out_payload")
   }
@@ -115,22 +181,14 @@ object MultimodalOps {
       .toDF("media_id", "frame_idx", "frame_len")
   }
 
-  /** REAL image decode, end to end: render each document's first
-    * w×h bytes as an 8-bit grayscale image, ENCODE it to actual PNG
-    * bytes and DECODE it back with `javax.imageio` — both inside one
-    * executor-side kernel — then derive features (pixel sum) and a
-    * nearest-neighbor 2× downsample (resampled pixel sum) from the
-    * DECODED raster. PNG is lossless on 8-bit gray, so the decoded
-    * features are a pure function of the source bytes: the DuckDB
-    * oracle recomputes them from `text` directly, which makes a
-    * hash-match verify the real codec round-trip, not byte math.
-    *
-    * Scale shape: one narrow typed partition loop (no shuffle until
-    * the output sort), codec objects per call as `ImageIO` requires,
-    * file-cache off so executors never touch local disk for scratch.
-    * A 100 TB corpus of real images runs THIS kernel with the
-    * synthesis step dropped — decode, feature, resample are already
-    * the production operators. */
+  /** Image round-trip in ONE kernel: render each document's first
+    * w×h bytes as an 8-bit grayscale image, ENCODE to PNG and DECODE
+    * back, then derive features (pixel sum) and a nearest-neighbor 2×
+    * downsample (resampled pixel sum) from the DECODED raster —
+    * certifying encode and decode against each other within a single
+    * pass (m1/m3 exercise the same codec across the payload column
+    * seam). Scale shape: one narrow typed partition loop, no shuffle
+    * until the output sort. */
   def pngRoundtrip(docs: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -141,20 +199,7 @@ object MultimodalOps {
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val px = new Array[Byte](w * h) // zero-padded beyond the text
           System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          img.getRaster.setDataElements(0, 0, w, h, px)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          val png = baos.toByteArray
-          val dec = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(png))
-          val dw = dec.getWidth
-          val dh = dec.getHeight
-          // getSamples is raster-layout-agnostic (robust to the reader
-          // returning a different BufferedImage type than it wrote)
-          val out = dec.getRaster.getSamples(0, 0, dw, dh, 0,
-            new Array[Int](dw * dh))
+          val (dw, dh, out) = decodeGrayPng(encodeGrayPng(px, w, h))
           var pxSum = 0L
           var i = 0
           while (i < out.length) { pxSum += out(i); i += 1 }
@@ -173,23 +218,38 @@ object MultimodalOps {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // The stub decode kernel is deterministic byte math, so it has a
-    // real DuckDB oracle: the low hex nibble of each payload byte IS
-    // the 16-bin histogram bucket (regexp strips high nibbles from
-    // hex(blob); replace-and-count gives per-bin frequencies).
+    // m1: REAL decoded-pixel histogram for images, stub byte histogram
+    // for audio/video. PNG losslessness makes the image branch
+    // oracle-checkable from SOURCE bytes: the decoded raster is the
+    // first 256 text bytes zero-padded, so its intensity histogram is
+    // the high-nibble count over those bytes (+ padding into bin 0).
+    // The stub branch keeps the low-nibble byte histogram the r3–r6
+    // oracle checked.
     QueryDef("m1_media_features",
       """WITH h AS (
-        |  SELECT doc_id, regexp_replace(hex(encode(text)), '(.)(.)', '\2', 'g') AS nib,
-        |         octet_length(encode(text)) AS n
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
         |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, n,
+        |imgf AS (
+        |  SELECT doc_id, kind, 256 AS nb,
+        |         [CAST(((CASE WHEN x = 0 THEN 256 - LEAST(n, 256) ELSE 0 END)
+        |            + length(hi) - length(replace(hi, substr('0123456789ABCDEF', x+1, 1), ''))
+        |           ) / 256.0 AS FLOAT) for x in range(16)] AS f
+        |  FROM (SELECT doc_id, kind, n,
+        |          substr(regexp_replace(hx, '(.)(.)', '\1', 'g'), 1,
+        |                 CAST(LEAST(n, 256) AS INT)) AS hi
+        |        FROM h WHERE kind = 0)),
+        |stubf AS (
+        |  SELECT doc_id, kind, n AS nb,
         |         [CAST((length(nib) - length(replace(nib, substr('0123456789ABCDEF', x+1, 1), ''))) * 1.0 / n AS FLOAT) for x in range(16)] AS f
-        |  FROM h)
-        |SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kind, CAST(n AS INT) AS n_bytes,
+        |  FROM (SELECT doc_id, kind, n,
+        |          regexp_replace(hx, '(.)(.)', '\2', 'g') AS nib
+        |        FROM h WHERE kind <> 0))
+        |SELECT doc_id AS media_id, kind, CAST(nb AS INT) AS n_bytes,
         |       ROUND(list_sum([CAST(y AS DOUBLE) for y in f]), 3) AS feat_sum,
         |       ROUND(CAST(f[1] AS DOUBLE), 5) AS f0
-        |FROM b ORDER BY media_id""".stripMargin) { (s, d) =>
+        |FROM (SELECT * FROM imgf UNION ALL SELECT * FROM stubf)
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
       decodeFeatures(mediaTable(s, d))
         .select(col("media_id"), col("meta.kind").as("kind"),
           col("meta.n_bytes").as("n_bytes"),
@@ -210,25 +270,26 @@ object MultimodalOps {
         .orderedRows(col("media_id"), col("frame_idx")) // frames scale with corpus
     },
 
-    // Driver-facing projection keeps scalars only (binary columns, like
-    // arrays, break order-canonicalizing result harnesses): the resized
-    // payload is verified through its length and byte sum, both
-    // reproduced exactly by the hex-arithmetic oracle.
+    // m3: REAL resize — decode the PNG payload, resample the decoded
+    // 16×16 raster to 12×12. Driver-facing projection keeps scalars
+    // only (binary columns, like arrays, break order-canonicalizing
+    // result harnesses): the resized raster is verified through its
+    // length and pixel sum, reproduced exactly by the oracle's
+    // nearest-neighbor index arithmetic over the SOURCE bytes
+    // (losslessness again — decoded pixel s = source byte s, or 0
+    // beyond the text).
     QueryDef("m3_resize",
       """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w,
-        |         CAST(64 + (doc_id % 4) * 16 AS BIGINT) AS h,
-        |         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0)
-        |SELECT media_id, CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
-        |       CAST(1024 AS INT) AS out_len,
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, CAST(12 AS INT) AS out_w, CAST(12 AS INT) AS out_h,
+        |       CAST(144 AS INT) AS out_len,
         |  CAST(list_sum([
-        |    CASE WHEN ((i//32)*h//32)*w + ((i%32)*w//32) < n THEN
-        |      CAST(strpos('0123456789ABCDEF', substr(hx, CAST((((i//32)*h//32)*w + ((i%32)*w//32))*2+1 AS INT), 1)) - 1 AS BIGINT) * 16
-        |      + (strpos('0123456789ABCDEF', substr(hx, CAST((((i//32)*h//32)*w + ((i%32)*w//32))*2+2 AS INT), 1)) - 1)
-        |    ELSE 0 END
-        |    for i in range(1024)]) AS BIGINT) AS byte_sum
+        |    CASE WHEN ((i//12)*16//12)*16 + ((i%12)*16//12) < n THEN
+        |      (strpos('0123456789ABCDEF', substr(hx, (((i//12)*16//12)*16 + ((i%12)*16//12))*2+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, (((i//12)*16//12)*16 + ((i%12)*16//12))*2+2, 1)) - 1)
+        |    ELSE 0 END for i in range(144)]) AS BIGINT) AS byte_sum
         |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
       resizeMedia(mediaTable(s, d))

@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.QueryDef
+import graft.streaming.{EventRow, StreamingOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Driver-visible entries for the STREAMING-ONLY surface (SURVEY.md
+  * §2.3 S4/S6) — the two capabilities with no batch twin: watermark
+  * late-row dropping and arbitrary keyed state. Each runs a fixed
+  * MemoryStream scenario through the real `graft.streaming` operator
+  * (micro-batch engine, memory sink) and returns the sink table as a
+  * batch frame.
+  *
+  * Determinism: `addData` + `processAllAvailable` per batch advances
+  * the watermark at exact batch boundaries, so which rows are late and
+  * which windows close is a pure function of the scenario — the output
+  * is golden-hash pinned in [[graft.GoldenHashes]] (scenario data is
+  * SF-independent by design: these entries certify streaming
+  * SEMANTICS, not data scale, and the pinned hash must hold at every
+  * SF the driver runs). No SQL oracle exists — DuckDB has no
+  * watermark/state semantics to re-express.
+  */
+object StreamingQueries {
+
+  /** Memory-sink names must be unique per start() within a session;
+    * a counter keeps repeated invocations (bench passes, Verify after
+    * tests) from colliding. */
+  private val sinkId = new AtomicInteger(0)
+
+  private var eid = 0
+  private def ev(t: String, userId: Long = 1, eventType: String = "click",
+      value: Double = 1.0): EventRow = {
+    eid += 1
+    EventRow(eid.toLong, Timestamp.valueOf(t), userId, eventType, value, "{}")
+  }
+
+  /** Run a streaming frame over scenario batches into a memory sink;
+    * returns the sink contents. The query is stopped before returning,
+    * so the frame is a plain bounded in-memory table. */
+  private def runScenario(spark: SparkSession, mode: String,
+      batches: Seq[Seq[EventRow]])(
+      op: DataFrame => DataFrame): DataFrame = synchronized {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = op(in.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** S4 scenario: 3 closed 10-min windows, 2 late rows. Batch 2's
+    * 10:30 row advances the watermark to 10:20, closing [10:00,10:10)
+    * and [10:10,10:20); batch 3's 10:04/10:15 rows are then below the
+    * watermark and MUST be dropped (the closed windows' counts stay 4
+    * and 1); batch 4's 11:00 row closes [10:30,10:40). */
+  private def s4Batches: Seq[Seq[EventRow]] = {
+    eid = 0
+    Seq(
+      Seq(ev("2024-01-01 10:00:00"), ev("2024-01-01 10:02:00"),
+        ev("2024-01-01 10:05:30"), ev("2024-01-01 10:08:00"),
+        ev("2024-01-01 10:12:00")),
+      Seq(ev("2024-01-01 10:30:00")),
+      Seq(ev("2024-01-01 10:04:00"), // late: watermark 10:20 → dropped
+        ev("2024-01-01 10:15:00"), // late → dropped
+        ev("2024-01-01 10:35:00")),
+      Seq(ev("2024-01-01 11:00:00")))
+  }
+
+  /** S6 scenario: 3 users' counters across 4 batches; the update-mode
+    * memory sink keeps EVERY per-batch update, so the output log
+    * proves state carried across micro-batches (user 1's counter must
+    * appear as 2 then 3 then 5, not reset per batch). */
+  private def s6Batches: Seq[Seq[EventRow]] = {
+    eid = 0
+    Seq(
+      Seq(ev("2024-01-01 10:00:00", userId = 1), ev("2024-01-01 10:00:05", userId = 1),
+        ev("2024-01-01 10:00:10", userId = 2)),
+      Seq(ev("2024-01-01 10:01:00", userId = 1), ev("2024-01-01 10:01:10", userId = 3)),
+      Seq(ev("2024-01-01 10:02:00", userId = 2), ev("2024-01-01 10:02:10", userId = 2)),
+      Seq(ev("2024-01-01 10:03:00", userId = 1), ev("2024-01-01 10:03:10", userId = 1),
+        ev("2024-01-01 10:03:20", userId = 3)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.noOracle("s4_late_drop") { (s, _) =>
+      runScenario(s, "append", s4Batches)(StreamingOps.tumblingLateDrop)
+    },
+
+    QueryDef.noOracle("s6_running_counter") { (s, _) =>
+      import s.implicits._
+      runScenario(s, "update", s6Batches)(df =>
+        StreamingOps.runningCounter(df.as[EventRow]).toDF())
+    }
+  )
+}

@@ -134,15 +134,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val idx = m2.select("frame_idx").as[Int].collect()
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0)) // stride 2 keeps even frames
     // m3: resized payloads have exactly outW×outH bytes; an identity
-    // resize (out dims = grid dims, payload covers the grid) returns
-    // the payload's grid prefix unchanged
+    // resize (out dims = decoded dims) must return the original raster
+    // byte-for-byte — REAL decode: the payload is an actual PNG, so
+    // this round-trips the codec, not index arithmetic
     val resized = MultimodalOps.resizeMedia(
       MultimodalOps.mediaTable(spark, sf), outW = 32, outH = 32)
       .as[(Long, Int, Int, Array[Byte])].collect()
     assert(resized.nonEmpty &&
       resized.forall { case (_, w, h, p) => w == 32 && h == 32 && p.length == 1024 })
     val idPayload = Array.tabulate(16)(i => (i * 7).toByte)
-    val idMedia = Seq((0L, idPayload, MultimodalOps.MediaMeta(0, 4, 4, 16)))
+    val idMedia = Seq(
+      (0L, MultimodalOps.encodeGrayPng(idPayload, 4, 4),
+        MultimodalOps.MediaMeta(0, 4, 4, 16)))
       .toDF("media_id", "payload", "meta")
     val out = MultimodalOps.resizeMedia(idMedia, outW = 4, outH = 4)
       .as[(Long, Int, Int, Array[Byte])].collect()(0)._4
