@@ -1,5 +1,7 @@
 package graft.cdc
 
+import scala.collection.mutable
+
 /** Deterministic synthetic `mysqlbinlog -vv --base64-output=decode-rows`
   * text (dialect per FIXTURES.md §2, grammar per
   * /root/reference/log2sql.py:93-107). Used by the FSM/render specs,
@@ -96,17 +98,156 @@ object BinlogFixture {
       |###   @3=9.0 /* DOUBLE */
       |""".stripMargin
 
+  /** Adversarially-shaped corpus (the c8 entry): the input shapes a
+    * production flashback run actually sees, which dmlStream's regular
+    * single-table mix never exercises —
+    *  - 4 tables across 3 databases, interleaved event-by-event;
+    *  - NULL-heavy images, incl. NULL→value and value→NULL updates;
+    *  - PK-CHANGING updates at volume (quirk Q3's hard case);
+    *  - MULTI-ROW events: one Write_rows header carrying 3 row images
+    *    (the FSM must emit 3 changes sharing one position window);
+    *  - string literals containing `=` (log2sql.py:48 splits on every
+    *    `=`; the engine splits on the first);
+    *  - negative ints/doubles;
+    *  - DDL statements with and without `use` context mixed in.
+    * Deterministic: slot i's shape is a pure function of i (i%13==0 →
+    * DDL, else i%9 picks the DML pattern), so specs can derive exact
+    * per-(db,table,op) counts without parsing text. */
+  def stressStream(n: Int): String = {
+    val sb = new StringBuilder(n * 420)
+    var pos = 4L
+    var t = 0L
+    def header(kind: String, stop: Long): Unit = {
+      sb ++= s"# at $pos\n"
+      sb ++= f"#260812 ${5 + t / 3600}%2d:${(t / 60) % 60}%02d:${t % 60}%02d server id 1  end_log_pos $stop CRC32 0x0badcafe \t$kind: table id 203 flags: STMT_END_F\n"
+      t += 1
+    }
+    def c(k: Int, v: String, typ: String): String =
+      s"###   @$k=$v /* $typ nullable=1 is_null=${if (v == "NULL") 1 else 0} */\n"
+    for (i <- 0 until n) {
+      if (i % 13 == 0) {
+        // DDL; every other one carries a `use` context
+        val stop = pos + 90
+        sb ++= s"# at $pos\n"
+        sb ++= f"#260812 ${5 + t / 3600}%2d:${(t / 60) % 60}%02d:${t % 60}%02d server id 1  end_log_pos $stop CRC32 0x0badcafe \tQuery\tthread_id=9\texec_time=0\terror_code=0\n"
+        t += 1
+        if (i % 26 == 0) sb ++= "use `appdb`/*!*/;\n"
+        sb ++= s"SET TIMESTAMP=${1764910800L + i}/*!*/;\n"
+        sb ++= (if (i % 26 == 0) s"alter table orders add column extra_$i int\n"
+                else s"create index idx_$i on `testdb`.`t_pk` (name)\n")
+        sb ++= "/*!*/;\n"
+        pos = stop
+      } else {
+        val stop = pos + 140
+        i % 9 match {
+          case 0 => // multi-row insert: 3 images under ONE header
+            header("Write_rows", stop)
+            for (r <- 0 until 3) {
+              sb ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+              sb ++= c(1, s"${i * 3 + r}", "INT")
+              sb ++= c(2, s"'bulk_${i}_$r'", "VARSTRING(160)")
+              sb ++= c(3, if (r == 1) "NULL" else s"$r.25", "DOUBLE")
+            }
+          case 1 =>
+            header("Write_rows", stop)
+            sb ++= "### INSERT INTO `appdb`.`orders`\n### SET\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"-$i.75", "DOUBLE")
+            sb ++= c(3, if (i % 2 == 0) "NULL" else s"'promo=WINTER qty>=2 ref=$i'",
+              "VARSTRING(255)")
+          case 2 => // PK-changing update on a 2-col-key table
+            header("Update_rows", stop)
+            sb ++= "### UPDATE `testdb`.`t_multi`\n### WHERE\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"${i % 5}", "INT")
+            sb ++= c(3, s"'row_$i'", "VARSTRING(64)")
+            sb ++= "### SET\n"
+            sb ++= c(1, s"${i + 1000000}", "INT")
+            sb ++= c(2, s"${i % 5 - 2}", "INT")
+            sb ++= c(3, s"'moved_$i'", "VARSTRING(64)")
+          case 3 =>
+            header("Delete_rows", stop)
+            sb ++= "### DELETE FROM `logdb`.`audit`\n### WHERE\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"'evt=purge level=3 note=a=b'", "VARSTRING(255)")
+          case 4 =>
+            header("Write_rows", stop)
+            sb ++= "### INSERT INTO `logdb`.`audit`\n### SET\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"'k=v; retry>=3; src=binlog'", "VARSTRING(255)")
+          case 5 => // NULL→value / value→NULL transitions
+            header("Update_rows", stop)
+            sb ++= "### UPDATE `appdb`.`orders`\n### WHERE\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"$i.5", "DOUBLE")
+            sb ++= c(3, if (i % 2 == 0) "NULL" else "'open'", "VARSTRING(255)")
+            sb ++= "### SET\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, "NULL", "DOUBLE")
+            sb ++= c(3, if (i % 2 == 0) "'paid=true'" else "NULL", "VARSTRING(255)")
+          case 6 =>
+            header("Delete_rows", stop)
+            sb ++= "### DELETE FROM `testdb`.`t_pk`\n### WHERE\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"'bulk_${i}_0'", "VARSTRING(160)")
+            sb ++= c(3, "NULL", "DOUBLE")
+          case 7 => // non-PK update
+            header("Update_rows", stop)
+            sb ++= "### UPDATE `testdb`.`t_pk`\n### WHERE\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"'name_$i'", "VARSTRING(160)")
+            sb ++= c(3, "NULL", "DOUBLE")
+            sb ++= "### SET\n"
+            sb ++= c(1, s"$i", "INT")
+            sb ++= c(2, s"'renamed=$i'", "VARSTRING(160)")
+            sb ++= c(3, "NULL", "DOUBLE")
+          case _ => // negative ints
+            header("Write_rows", stop)
+            sb ++= "### INSERT INTO `testdb`.`t_multi`\n### SET\n"
+            sb ++= c(1, s"-$i", "INT")
+            sb ++= c(2, s"${-(i % 7)}", "INT")
+            sb ++= c(3, s"'neg_$i'", "VARSTRING(64)")
+        }
+        pos = stop
+      }
+    }
+    sb.result()
+  }
+
+  /** Per-slot (db, table, op, rows) composition of [[stressStream]] —
+    * the same modular arithmetic, WITHOUT going through text: specs
+    * compare FSM parse counts against this independent derivation. */
+  def stressComposition(n: Int): Map[(String, String, String), Long] = {
+    val m = mutable.Map.empty[(String, String, String), Long].withDefaultValue(0L)
+    for (i <- 0 until n) {
+      if (i % 13 == 0) m(("", "", "ddl")) += 1
+      else i % 9 match {
+        case 0 => m(("testdb", "t_pk", "insert")) += 3
+        case 1 => m(("appdb", "orders", "insert")) += 1
+        case 2 => m(("testdb", "t_multi", "update")) += 1
+        case 3 => m(("logdb", "audit", "delete")) += 1
+        case 4 => m(("logdb", "audit", "insert")) += 1
+        case 5 => m(("appdb", "orders", "update")) += 1
+        case 6 => m(("testdb", "t_pk", "delete")) += 1
+        case 7 => m(("testdb", "t_pk", "update")) += 1
+        case _ => m(("testdb", "t_multi", "insert")) += 1
+      }
+    }
+    m.toMap
+  }
+
   /** Write a rotated-binlog directory: `parts` files of `perFile`
     * events each (binlogs rotate at fixed size — files are the CDC
     * parallelism unit at any scale). Returns the directory path. */
-  def materializeDir(name: String, parts: Int, perFile: Int): String = {
+  def materializeDir(name: String, parts: Int, perFile: Int,
+      gen: Int => String = dmlStream): String = {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_binlogdir_$name")
     if (!java.nio.file.Files.isDirectory(dir)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_binlogdir")
       for (i <- 0 until parts)
         java.nio.file.Files.writeString(
-          tmp.resolve(f"binlog.$i%06d.txt"), dmlStream(perFile))
+          tmp.resolve(f"binlog.$i%06d.txt"), gen(perFile))
       try java.nio.file.Files.move(tmp, dir)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }

@@ -102,6 +102,11 @@ object CdcQueries {
   private val BinOracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_binevents_cur"
 
+  /** c8's event snapshot (fixture is SF-independent: c8 certifies
+    * parse SHAPES, not volume — the throughput workload is c2's). */
+  private val StressOracleSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_stressevents_cur"
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("c1_parse_counts",
@@ -192,6 +197,29 @@ object CdcQueries {
     QueryDef.noOracle("c6_ddl_passthrough") { (s, d) =>
       val p = BinlogFixture.materialize("repr", BinlogFixture.representative)
       CdcJob.run(s, p, Catalog.fixture(s), CdcConfig(includeDdl = true))
+    },
+
+    // c8: the adversarial corpus (BinlogFixture.stressStream — multi-db
+    // multi-table interleaving, NULL-heavy and PK-changing images,
+    // 3-row multi-row events, `=` in literals, mixed DDL) through the
+    // full parse incl. DDL, parse-count oracle like c1: the snapshot's
+    // scalar columns let DuckDB independently re-aggregate counts by
+    // (db, table, op); CdcStressSpec additionally asserts those counts
+    // equal the generator's composition derived WITHOUT text.
+    QueryDef("c8_stress_parse_counts",
+      s"""SELECT db, "table", op, COUNT(*) AS c
+         |FROM read_parquet('$StressOracleSnapshot/*.parquet')
+         |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      val events = CdcJob.parse(s, p, includeDdl = true)
+      writeSnapshotIfStale(StressOracleSnapshot, d) {
+        events.select("file", "seq", "start_pos", "stop_pos", "ts", "db", "table", "op")
+          .write.mode("overwrite").parquet(StressOracleSnapshot)
+      }
+      events.groupBy("db", "table", "op")
+        .agg(count(lit(1)).as("c"))
+        .orderBy("db", "table", "op")
     }
   )
 }

@@ -246,6 +246,28 @@ object DedupOps {
     * [[starContractLabels]] rather than silently returning
     * half-propagated labels. Per-round results are cached and the
     * previous round unpersisted, so lineage stays one round deep. */
+  /** Per-round lineage cut for the iterative algorithms below.
+    * Lineage truncation is the load-bearing part (an uncut plan grows
+    * geometrically and hangs the analyzer); WHERE the round's blocks
+    * live is a fault-tolerance contract:
+    *  - default `localCheckpoint`: blocks on the executors — fastest,
+    *    but an executor loss mid-iteration kills the job (acceptable
+    *    in local mode and for restartable batch jobs);
+    *  - `spark.graft.checkpointDir=<fault-tolerant path>` (session
+    *    conf): RELIABLE `checkpoint()` — each round is written to the
+    *    shared FS and the job survives executor loss, the contract a
+    *    1000-executor cluster run wants for a multi-round components
+    *    computation over billions of edges. Labels are identical
+    *    either way (spec'd); only durability changes. */
+  private def cutLineage(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Cache the pair set BEFORE mirroring it into edges: the union's
@@ -255,17 +277,16 @@ object DedupOps {
     val edges = p0.select(col("ia").as("u"), col("ib").as("v"))
       .union(p0.select(col("ib").as("u"), col("ia").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK) // probed every round
-    // localCheckpoint, not persist: the round's result feeds the next
+    // checkpoint, not persist: the round's result feeds the next
     // round's plan in THREE places (label rows, the propagation join,
     // the convergence columns), so an uncut lineage grows the logical
     // tree geometrically — analysis itself becomes the bottleneck
     // long before maxRounds (measured: a 40-chain graph built a 2 GiB
-    // plan string and hung the analyzer). Checkpointing pins the data
-    // AND resets the plan to a leaf each round. (A cluster job would
-    // use reliable checkpoint() to survive executor loss; lineage
-    // truncation is the load-bearing part.)
-    var labels = edges.select("u").distinct().withColumn("m", col("u"))
-      .localCheckpoint()
+    // plan string and hung the analyzer). cutLineage pins the data
+    // AND resets the plan to a leaf each round (reliable on a cluster
+    // via spark.graft.checkpointDir — see its doc).
+    var labels = cutLineage(
+      edges.select("u").distinct().withColumn("m", col("u")))
     labels.count()
     p0.unpersist()
     var converged = false
@@ -280,10 +301,11 @@ object DedupOps {
       // old label), so the count below both materializes the (lazy)
       // checkpoint and counts changed labels — no separate label join,
       // and no limit(1) short-circuit leaving the round partial.
-      val next = labels.select(col("u"), col("m"), col("m").as("m0"))
-        .union(prop.select(col("u"), col("m"), lit(Long.MaxValue).as("m0")))
-        .groupBy("u").agg(min("m").as("m"), min("m0").as("m0"))
-        .localCheckpoint(eager = false)
+      val next = cutLineage(
+        labels.select(col("u"), col("m"), col("m").as("m0"))
+          .union(prop.select(col("u"), col("m"), lit(Long.MaxValue).as("m0")))
+          .groupBy("u").agg(min("m").as("m"), min("m0").as("m0")),
+        eager = false)
       val changed = next.filter(col("m") =!= col("m0")).count()
       labels = next // previous round's checkpoint blocks are GC-cleaned
       converged = changed == 0L
@@ -322,16 +344,15 @@ object DedupOps {
     * the min-label path in [[clusterPairs]]. */
   private[queries] def starContractLabels(edges0: DataFrame): DataFrame = {
     // canonical child→parent orientation (c > p), self-loops dropped.
-    // Every round localCheckpoints its result: the round's plan
+    // Every round cuts its result's lineage: the round's plan
     // references the previous round's edges in FOUR subtrees (the two
     // symmetric branches, the min join, the re-attach union), so an
     // uncut lineage grows the logical tree ~6× per round — see the
-    // matching note in clusterPairs.
-    var e = edges0
+    // matching note in clusterPairs (reliable-checkpoint option too).
+    var e = cutLineage(edges0
       .select(greatest(col("u"), col("v")).as("c"),
         least(col("u"), col("v")).as("p"))
-      .filter(col("c") =!= col("p")).distinct()
-      .localCheckpoint()
+      .filter(col("c") =!= col("p")).distinct())
     var eCount = e.count()
     var done = eCount == 0L
     var round = 0
@@ -349,11 +370,12 @@ object DedupOps {
       // small-star on parent-oriented edges: each child re-attaches
       // its parents (and itself) to its minimum parent
       val minP = ls.groupBy("c").agg(min(col("p")).as("m"))
-      val ss = ls.join(minP.withColumnRenamed("c", "u"), ls("c") === col("u"))
-        .select(col("p").as("c"), col("m").as("p"))
-        .union(minP.select(col("c"), col("m").as("p")))
-        .filter(col("c") =!= col("p")).distinct()
-        .localCheckpoint(eager = false)
+      val ss = cutLineage(
+        ls.join(minP.withColumnRenamed("c", "u"), ls("c") === col("u"))
+          .select(col("p").as("c"), col("m").as("p"))
+          .union(minP.select(col("c"), col("m").as("p")))
+          .filter(col("c") =!= col("p")).distinct(),
+        eager = false)
       // fixed point: the edge set is distinct on both sides, so equal
       // counts + empty difference ⇔ equal sets. The count materializes
       // the lazy checkpoint; exceptAll then compares two leaf plans.
@@ -405,6 +427,15 @@ object DedupOps {
     // output to l2 — this hash-proves the flagship scale-path dedup.
     QueryDef("d1_minhash_neardup", TextOps.JaccardPairsSql) { (s, d) =>
       minhashPairs(Tables.documents(s, d))
+    },
+    // The TRIANGLE-SALTED candidate join (saltGroups > 1 — the skew
+    // path a hot LSH bucket needs at corpus scale) against the same
+    // exact-pairs oracle: pair-for-pair equality with ground truth is
+    // hash-proven per round, not just in ScalaTest's planted-hot-bucket
+    // spec. g=3 exercises both the diagonal (sl == sr, id-ordered) and
+    // cross-group (salt-ordered) dedup branches of the join predicate.
+    QueryDef("d1b_minhash_salted", TextOps.JaccardPairsSql) { (s, d) =>
+      minhashPairs(Tables.documents(s, d), saltGroups = 3)
     },
     QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>
       simhashPairs(Tables.documents(s, d))

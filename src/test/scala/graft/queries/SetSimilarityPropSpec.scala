@@ -130,6 +130,30 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     assert(got == (0L to 40L).map(_ -> 0L).toMap)
   }
 
+  test("reliable checkpoint mode yields identical labels (both algorithms)") {
+    import spark.implicits._
+    // spark.graft.checkpointDir switches the per-round lineage cut
+    // from executor-local blocks to reliable checkpoint() on a shared
+    // FS — the durability contract changes, the labels must not.
+    // Exercise both the converging min-label path and the
+    // star-contraction fallback (maxRounds=3 on a diameter-40 chain).
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))).toDF("ia", "ib")
+    def labels() = DedupOps.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def labelsFallback() = DedupOps.clusterPairs(pairs, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (localA, localB) = (labels(), labelsFallback())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      assert(labels() == localA)
+      assert(labelsFallback() == localB)
+      // the reliable path actually wrote checkpoint data to the dir
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("starContractLabels equals union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(7L, 99L)) {
