@@ -116,6 +116,14 @@ object Bench {
       if (p.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
         throw new IllegalStateException("subquery expression shares state across passes")
+      // (3) an AQE plan's AdaptiveExecutionContext — including its
+      // stage-result cache — is a constructor arg, so clone() SHARES
+      // it: every later pass would silently reuse the materialized
+      // shuffle stages of the first (measured under
+      // SPARK_GRAFT_SESSION=default: 'prepared' 2.2 s vs 7.0 s honest
+      // whole-function — a fake 3×). AQE sessions take legacy timing.
+      if (p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+        throw new IllegalStateException("AQE plan shares stage cache across clones")
     }
     remapped
   }
@@ -158,16 +166,25 @@ object Bench {
     // in the same session). At production scale AQE should be ON
     // (skew joins, runtime coalescing) — it is a session config, not a
     // plan property; Verify keeps the default-on path covered.
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_SESSION=default: an UNTUNED session — Spark defaults
+    // for shuffle partitions (200), AQE (on), broadcast threshold
+    // (10 MB), compression, locality wait, join strategy, local dirs —
+    // only correctness-required configs kept (UTC, nanosAsLong, UI
+    // off). This quantifies the whole tuned-vs-default session gap on
+    // the suite total for BASELINE.md §3; every per-config rationale
+    // stays documented at its line below.
+    val defaultSession = sys.env.get("SPARK_GRAFT_SESSION").contains("default")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    val spark = (if (defaultSession) b0 else b0
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize",
         sys.env.getOrElse("SPARK_GRAFT_PQBATCH", "4096"))
-      .config("spark.ui.enabled", "false")
       // local mode: every task is process-local; never wait on locality
       .config("spark.locality.wait", "0")
       // un-hinted shuffle joins: hash, not sort-merge — the suite's
@@ -187,7 +204,7 @@ object Bench {
       .config("spark.shuffle.spill.compress", (!xconf).toString)
       .config("spark.broadcast.compress", (!xconf).toString)
       .config("spark.local.dir", localDir)
-      .getOrCreate()
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 

@@ -49,6 +49,25 @@ class BenchPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("freshPlan refuses AQE plans (shared stage cache across clones)") {
+    // With AQE on, AdaptiveSparkPlanExec carries its execution context
+    // (incl. the stage-result cache) as a constructor arg, which
+    // clone() SHARES — later passes would reuse the first pass's
+    // materialized shuffles (measured: a fake 3× under
+    // SPARK_GRAFT_SESSION=default). prepare() must fall back to
+    // legacy whole-function timing.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      import spark.implicits._
+      val plan = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
+        .groupBy("k").count().groupBy().count()
+        .queryExecution.executedPlan
+      assume(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]))
+      assertThrows[IllegalStateException](Bench.freshPlan(plan))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("reuse edges in the clone point at the clone's own exchanges") {
     val plan = selfJoinPlan().queryExecution.executedPlan
     val reused = plan.collect { case r: ReusedExchangeExec => r }
