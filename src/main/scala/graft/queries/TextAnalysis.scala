@@ -272,6 +272,61 @@ object TextAnalysis {
         }(graft.Enc.longLongInt)
         .toDF("doc_id", "chunk_idx", "n_tokens")
         .orderedRows(col("doc_id"), col("chunk_idx")) // chunks scale with corpus
+    },
+
+    // Sequence PACKING — the step between chunking and batch assembly:
+    // assign contiguous chunks to fixed token budgets (512 here) so a
+    // training job reads whole sequences. Packing needs only SOME
+    // deterministic order, not a global one, so chunks pack within
+    // (source, shard = doc_id % 16) and the cumulative-sum window runs
+    // per shard: no single partition ever holds more than corpus/|s×16|
+    // rows — the naive PARTITION BY source would funnel a whole
+    // source's chunks through one task at 100 TB, and shard count is
+    // the knob that keeps the window bounded. seq_id = floor(tokens
+    // before this chunk / budget): a chunk straddling a boundary packs
+    // where it starts (≤31 token overflow — the standard approximation;
+    // an exact first-fit reset is inherently sequential). Output is
+    // one row per packed sequence: bounded grain, exact SQL twin.
+    QueryDef("t7_pack_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, source, LENGTH(STRING_SPLIT(text,' ')) AS n FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, CAST(doc_id % 16 AS BIGINT) AS shard,
+        |         CAST(i AS BIGINT) AS chunk_idx,
+        |         CAST(LEAST(32, n - i*32) AS BIGINT) AS n_tokens
+        |  FROM t, UNNEST(range(0, CAST(ceil(n/32.0) AS BIGINT))) AS u(i)),
+        |cum AS (
+        |  SELECT source, shard, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source, shard
+        |           ORDER BY doc_id, chunk_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM ch)
+        |SELECT source, shard, (c - n_tokens) // 512 AS seq_id,
+        |       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM cum GROUP BY source, shard, seq_id
+        |ORDER BY source, shard, seq_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, source, text) =>
+          var n = 1
+          var i = 0
+          while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
+          val chunks = (n + 31) / 32
+          Iterator.tabulate(chunks)(c =>
+            (id, source, id % 16, c.toLong, math.min(32, n - c * 32).toLong))
+        }
+        .toDF("doc_id", "source", "shard", "chunk_idx", "n_tokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "shard").orderBy("doc_id", "chunk_idx")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      chunks.withColumn("c", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr("(c - n_tokens) div 512"))
+        .groupBy("source", "shard", "seq_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"))
+        .orderedRows(col("source"), col("shard"), col("seq_id")) // seqs scale with corpus
     }
   )
 }

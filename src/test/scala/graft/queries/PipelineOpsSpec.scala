@@ -118,6 +118,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.values.toSet.size > a.size / 2) // not all collapsing
   }
 
+  test("t7 packing: budget overflow bounded, every chunk packed exactly once") {
+    val t7 = TextAnalysis.defs.find(_.name == "t7_pack_chunks").get.fn(spark, sf)
+    val rows = t7.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // a sequence holds ≤ 512 tokens plus at most one boundary-straddling
+    // chunk's remainder (chunks are ≤ 32 tokens)
+    assert(rows.forall(_._5 <= 512 + 31))
+    // seq ids are dense from 0 within each (source, shard)
+    for (((_, _), seqs) <- rows.groupBy(r => (r._1, r._2))) {
+      val ids = seqs.map(_._3).sorted
+      assert(ids.head == 0L && ids.last == ids.size - 1L)
+    }
+    // chunk conservation: packed chunk count == t6's total chunk count
+    val t6 = TextAnalysis.defs.find(_.name == "t6_token_chunks").get.fn(spark, sf)
+    assert(rows.map(_._4).sum == t6.count())
+  }
+
   test("m1/m2 multimodal plumbing: schema, determinism, frame stride") {
     val m1 = MultimodalOps.defs.find(_.name == "m1_media_features").get
       .fn(spark, sf)
