@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default zone too: anything that parses wall-clock
+  // fixtures outside a Spark session (java.sql.Timestamp paths) must
+  // not depend on the host zone
+  "-Duser.timezone=UTC",
   // 128 GiB box (TESTDATA.md env): 20g keeps the heavy candidate joins
   // and the 100k-event CDC render clear of GC pressure in one JVM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",

@@ -303,12 +303,13 @@ object Bench {
     // drop out of the suite total and read as a speedup.
     val broken = sys.env.get("SPARK_GRAFT_BREAK")
       .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    def brokenRunnable(name: String): Runnable =
+      Runnable(name, () => throw new IllegalStateException(
+        s"SPARK_GRAFT_BREAK: $name deliberately broken"))
 
     val defs = SparkEntry.allDefs.filter(qd => only.forall(_(qd.name)))
     val runnables = defs.map { qd =>
-      if (broken(qd.name))
-        Runnable(qd.name, () => throw new IllegalStateException(
-          s"SPARK_GRAFT_BREAK: ${qd.name} deliberately broken"))
+      if (broken(qd.name)) brokenRunnable(qd.name)
       else if (prepOn) try prepare(qd) catch { case _: Throwable => legacy(qd) }
       else legacy(qd)
     }
@@ -325,11 +326,11 @@ object Bench {
     //    slow phases; if all N samples of a query land inside one, its
     //    min is poisoned.
     // Layout: warm the extras FIRST and the comparison block LAST
-    // (warm-up absorbs the pollution), then 3 contiguous comparison
-    // passes while the session is clean, the extras' 5 passes, and 2
-    // more comparison passes at the end — a slow phase over either end
-    // leaves the other end's samples clean, and only pass 4 of 5 ever
-    // runs in the extras' wake.
+    // (warm-up absorbs the pollution), then the comparison block's
+    // front samples (2 of its 3) while the session is clean, the
+    // extras' 5 passes, and the remaining comparison sample at the
+    // end — a slow phase over either end leaves the other end's
+    // samples clean.
     val (blockA, blockB) = runnables.partition(r => BaselineSet(r.name))
     def warm(rs: Seq[Runnable]): Unit = rs.foreach { r =>
       try { r.run() } catch { case _: Throwable => () }
@@ -396,13 +397,20 @@ object Bench {
     // suite total under legacy whole-function timing — analyze/
     // optimize/plan INSIDE the timer — min of 3 passes at the end of
     // the run. When prep is already off, `value` IS whole-function.
-    val wholeFnTotal =
-      if (!prepOn) total
+    // The loud-failure contract covers this continuity metric too: a
+    // query with zero successful legacy samples joins the failure list
+    // (rc≠0) instead of silently shrinking the sum — and a
+    // SPARK_GRAFT_BREAK query stays broken here, so the self-test
+    // exercises this path as well.
+    val (wholeFnTotal, wholeFnFailed) =
+      if (!prepOn) (total, Seq.empty[String])
       else {
-        val lr = defs.filter(qd => BaselineSet(qd.name)).map(legacy)
+        val lr = defs.filter(qd => BaselineSet(qd.name)).map(qd =>
+          if (broken(qd.name)) brokenRunnable(qd.name) else legacy(qd))
         val lp = (1 to 3).map(_ => runPass(lr))
-        lr.map(r => lp.flatMap(_.get(r.name)).filter(_ >= 0))
-          .collect { case ts if ts.nonEmpty => ts.min }.sum
+        val perQ = lr.map(r => r.name -> lp.flatMap(_.get(r.name)).filter(_ >= 0))
+        (perQ.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum,
+          perQ.collect { case (n, ts) if ts.isEmpty => n })
       }
     // CDC throughput vs BASELINE.md §1 (c2 = forward render of the
     // 100k-event fixture at sf0.1, 10k at smaller SFs)
@@ -410,11 +418,13 @@ object Bench {
     val cdcRate = results.toMap.get("c2_forward_sql")
       .filter(_ > 0).map(t => (cdcEvents / t).round).getOrElse(-1L)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wfFailedJson = wholeFnFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val layout = if (perQuery) "per_query" else "interleaved"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"failed":$failedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
     spark.stop()
-    if (failed.nonEmpty) {
-      System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
+    if (failed.nonEmpty || wholeFnFailed.nonEmpty) {
+      System.err.println(
+        s"BENCH FAILURES: ${(failed ++ wholeFnFailed.map(_ + " (whole-function)")).mkString(", ")}")
       sys.exit(1)
     }
   }

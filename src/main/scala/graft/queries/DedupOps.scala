@@ -258,7 +258,15 @@ object DedupOps {
     *    shared FS and the job survives executor loss, the contract a
     *    1000-executor cluster run wants for a multi-round components
     *    computation over billions of edges. Labels are identical
-    *    either way (spec'd); only durability changes. */
+    *    either way (spec'd); only durability changes.
+    * Storage contract for the reliable mode: every round writes its
+    * full frame, and Spark deletes a round's files only when its RDD
+    * is garbage-collected AND `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` (default false — set it at session build
+    * alongside the checkpoint dir, or budget rounds × |labels| of FS
+    * space for the run; the loop drops each round's reference when it
+    * reassigns, so with the cleaner on, old rounds are reclaimed
+    * mid-job). */
   private def cutLineage(df: DataFrame, eager: Boolean = true): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>

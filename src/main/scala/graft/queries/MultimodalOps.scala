@@ -64,8 +64,12 @@ object MultimodalOps {
     * bytes rendered as an 8-bit gray raster and encoded with ImageIO
     * in the executor kernel. Kinds 1/2 (audio/video — no JVM codecs):
     * payload is the raw bytes, metadata synthetic, downstream kernels
-    * stubbed. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    * stubbed. `imagePayloads = false` skips the PNG encode (kind-0
+    * rows keep raw bytes): consumers that filter images OUT (m2's
+    * kind-2 path) must not pay the codec for rows they drop — the
+    * kind filter cannot push through the opaque kernel. */
+  def mediaTable(spark: SparkSession, dir: String,
+      imagePayloads: Boolean = true): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
@@ -76,7 +80,7 @@ object MultimodalOps {
         it.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val kind = (id % 3).toInt
-          if (kind == 0) {
+          if (kind == 0 && imagePayloads) {
             val px = new Array[Byte](ImgW * ImgH) // zero-padded raster
             System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
             (id, encodeGrayPng(px, ImgW, ImgH), MediaMeta(0, ImgW, ImgH, px.length))
@@ -266,7 +270,7 @@ object MultimodalOps {
         |       CAST(LEAST(64, n - i*64) AS INT) AS frame_len
         |FROM v, UNNEST(range(0, CAST(ceil(n/64.0) AS BIGINT), 2)) AS t(i)
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
-      frameSample(mediaTable(s, d))
+      frameSample(mediaTable(s, d, imagePayloads = false))
         .orderedRows(col("media_id"), col("frame_idx")) // frames scale with corpus
     },
 

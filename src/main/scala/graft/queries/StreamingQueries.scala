@@ -31,11 +31,22 @@ object StreamingQueries {
     * tests) from colliding. */
   private val sinkId = new AtomicInteger(0)
 
-  private var eid = 0
-  private def ev(t: String, userId: Long = 1, eventType: String = "click",
-      value: Double = 1.0): EventRow = {
-    eid += 1
-    EventRow(eid.toLong, Timestamp.valueOf(t), userId, eventType, value, "{}")
+  /** Scenario-local event factory. Timestamps are UTC-EXPLICIT
+    * (Timestamp.valueOf would parse in the JVM default zone: on a
+    * host whose offset is not a multiple of 10 minutes the epoch-
+    * aligned windows would shift and the pinned hashes break); ids
+    * are a local counter, so concurrent invocations of the two
+    * entries cannot interleave id assignment. */
+  private final class Events {
+    private var eid = 0
+    def ev(t: String, userId: Long = 1, eventType: String = "click",
+        value: Double = 1.0): EventRow = {
+      eid += 1
+      val instant = java.time.LocalDateTime
+        .parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      EventRow(eid.toLong, Timestamp.from(instant), userId, eventType, value, "{}")
+    }
   }
 
   /** Run a streaming frame over scenario batches into a memory sink;
@@ -62,7 +73,8 @@ object StreamingQueries {
     * watermark and MUST be dropped (the closed windows' counts stay 4
     * and 1); batch 4's 11:00 row closes [10:30,10:40). */
   private def s4Batches: Seq[Seq[EventRow]] = {
-    eid = 0
+    val e = new Events
+    import e.ev
     Seq(
       Seq(ev("2024-01-01 10:00:00"), ev("2024-01-01 10:02:00"),
         ev("2024-01-01 10:05:30"), ev("2024-01-01 10:08:00"),
@@ -79,7 +91,8 @@ object StreamingQueries {
     * proves state carried across micro-batches (user 1's counter must
     * appear as 2 then 3 then 5, not reset per batch). */
   private def s6Batches: Seq[Seq[EventRow]] = {
-    eid = 0
+    val e = new Events
+    import e.ev
     Seq(
       Seq(ev("2024-01-01 10:00:00", userId = 1), ev("2024-01-01 10:00:05", userId = 1),
         ev("2024-01-01 10:00:10", userId = 2)),
