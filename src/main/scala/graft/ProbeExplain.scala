@@ -1,26 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
-
-/** Dev scratch: dump the formatted plan of named queries at sf0.1. */
+/** Dev scratch: print the formatted physical plan for the named
+  * queries at a given SF dir (default sf0.01) under a bench-like
+  * session — for auditing exchange counts, pushed filters, and
+  * codegen spans per operator.
+  */
 object ProbeExplain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val sf = sys.env.getOrElse("PE_SF", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "false"))
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    // PROBE_COUNT=1: show the plan the bench actually executes
-    // (count() over the query), not the bare query plan.
-    val asCount = sys.env.get("PROBE_COUNT").contains("1")
-    for (n <- args) {
+    args.foreach { n =>
       println(s"===== $n =====")
-      val df = SparkEntry.queries(n)(spark, d)
-      (if (asCount) df.groupBy().count() else df).explain("formatted")
+      println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
