@@ -232,20 +232,6 @@ object DedupOps {
     }
   }
 
-  /** Connected components over a near-dup pair graph: (doc_id,
-    * cluster_id = min doc_id in its component) — the step a dedup
-    * pipeline runs after candidate pairing to pick one survivor per
-    * cluster. Iterative min-label propagation, driver-coordinated
-    * rounds like any Pregel-style algorithm on Spark: each round is
-    * one join + one aggregation (labels flow along edges), with a
-    * convergence check on changed labels. Near-dup graphs have tiny
-    * cluster diameters (pairs come from banding over shared content),
-    * so rounds ≈ a small constant; if a graph exhausts maxRounds
-    * without converging (an adversarial long-chain graph — min-label
-    * needs O(diameter) rounds), it FAILS OVER to
-    * [[starContractLabels]] rather than silently returning
-    * half-propagated labels. Per-round results are cached and the
-    * previous round unpersisted, so lineage stays one round deep. */
   /** Per-round lineage cut for the iterative algorithms below.
     * Lineage truncation is the load-bearing part (an uncut plan grows
     * geometrically and hangs the analyzer); WHERE the round's blocks
@@ -271,11 +257,45 @@ object DedupOps {
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        // Re-apply whenever the CONF value changes. setCheckpointDir
+        // stores dir/<uuid>, so sc.getCheckpointDir never equals the
+        // conf string — track what we last applied ourselves (one SC
+        // per JVM here). The isEmpty arm also claims the dir when
+        // other code set a (possibly non-durable) one before us.
+        if (appliedCheckpointDir != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          appliedCheckpointDir = dir
+        }
+        // checkpoint() writes its files in a SECOND job after the
+        // materializing action; on an unpersisted frame that job
+        // re-runs the round's whole join+agg from scratch — doubling
+        // every round's compute. Persist first so the write job reads
+        // cached blocks, and force eager so the cache can be dropped
+        // before returning (the checkpoint files are the durable
+        // copy; honoring eager=false would reintroduce the recompute).
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist()
       case None => df.localCheckpoint(eager)
     }
 
+  @volatile private var appliedCheckpointDir: String = _
+
+  /** Connected components over a near-dup pair graph: (doc_id,
+    * cluster_id = min doc_id in its component) — the step a dedup
+    * pipeline runs after candidate pairing to pick one survivor per
+    * cluster. Iterative min-label propagation, driver-coordinated
+    * rounds like any Pregel-style algorithm on Spark: each round is
+    * one join + one aggregation (labels flow along edges), with a
+    * convergence check on changed labels. Near-dup graphs have tiny
+    * cluster diameters (pairs come from banding over shared content),
+    * so rounds ≈ a small constant; if a graph exhausts maxRounds
+    * without converging (an adversarial long-chain graph — min-label
+    * needs O(diameter) rounds), it FAILS OVER to
+    * [[starContractLabels]] rather than silently returning
+    * half-propagated labels. Per-round results are cached and the
+    * previous round unpersisted, so lineage stays one round deep. */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Cache the pair set BEFORE mirroring it into edges: the union's

@@ -45,9 +45,19 @@ object MultimodalOps {
 
   /** Decode PNG bytes to (width, height, gray samples 0..255).
     * getSamples is raster-layout-agnostic (robust to the reader
-    * returning a different BufferedImage type than was written). */
-  private[queries] def decodeGrayPng(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    * returning a different BufferedImage type than was written).
+    * ImageIO signals an unrecognized container by returning null, not
+    * throwing — turn that into a diagnosable failure (`ctx` names the
+    * offending row) instead of an anonymous NPE deep in a big job;
+    * callers hit it on truncated/corrupt payloads or on kind-0 rows
+    * built with `mediaTable(imagePayloads = false)`. */
+  private[queries] def decodeGrayPng(
+      png: Array[Byte], ctx: String = ""): (Int, Int, Array[Int]) = {
     val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    if (dec == null) throw new IllegalArgumentException(
+      s"${ctx}undecodable image payload (${png.length} bytes): ImageIO " +
+        "found no reader — image-kind rows must carry real image bytes " +
+        "(mediaTable(imagePayloads = true))")
     val w = dec.getWidth
     val h = dec.getHeight
     (w, h, dec.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h)))
@@ -111,7 +121,7 @@ object MultimodalOps {
         it.map { case (id, payload, meta) =>
           val feature = new Array[Float](16)
           if (meta.kind == 0) {
-            val (_, _, px) = decodeGrayPng(payload)
+            val (_, _, px) = decodeGrayPng(payload, s"media_id=$id: ")
             val counts = new Array[Int](16)
             var i = 0
             while (i < px.length) { counts(px(i) >> 4) += 1; i += 1 }
@@ -150,7 +160,7 @@ object MultimodalOps {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
-          val (w, h, px) = decodeGrayPng(payload)
+          val (w, h, px) = decodeGrayPng(payload, s"media_id=$id: ")
           val out = new Array[Byte](outW * outH)
           var i = 0
           while (i < out.length) {

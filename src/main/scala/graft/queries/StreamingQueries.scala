@@ -64,7 +64,13 @@ object StreamingQueries {
     try {
       batches.foreach { b => in.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    spark.table(name)
+    // Resolve the frame FIRST (its analyzed plan then holds the memory
+    // sink's rows directly), then drop the temp view: repeated
+    // invocations — bench warm-up + samples, long test sessions —
+    // must not accumulate sinks in the catalog for the JVM's lifetime.
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** S4 scenario: 3 closed 10-min windows, 2 late rows. Batch 2's

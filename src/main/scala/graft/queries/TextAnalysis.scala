@@ -18,6 +18,31 @@ object TextAnalysis {
   /** BPE-ish word/number/symbol splitter shared by both engines. */
   private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** ≤32-token chunk kernel shared by t6 (chunking) and t7 (packing):
+    * whitespace-token count with STRING_SPLIT semantics (split on
+    * single space; empty text is one empty token) → (chunk_idx,
+    * n_tokens) per chunk. Its DuckDB twin is [[chunkRowsSql]]; change
+    * both together — t7's spec'd chunk-conservation invariant (pack
+    * totals == t6's chunks) rides on the two stages agreeing. */
+  private def chunkSizes(text: String): Iterator[(Long, Int)] = {
+    var n = 1
+    var i = 0
+    while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
+    Iterator.tabulate((n + 31) / 32)(c => (c.toLong, math.min(32, n - c * 32)))
+  }
+
+  /** SQL twin of [[chunkSizes]]: CTEs `t` (per-doc token count) and
+    * `ch` (chunk rows) over `documents`. `tCols`/`chCols` add
+    * passthrough columns; `nCast` is n_tokens' SQL type (t6's output
+    * schema pins INT, t7 aggregates into BIGINT). */
+  private def chunkRowsSql(tCols: String, chCols: String, nCast: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id$tCols, LENGTH(STRING_SPLIT(text,' ')) AS n FROM documents),
+       |ch AS (
+       |  SELECT doc_id$chCols, CAST(i AS BIGINT) AS chunk_idx,
+       |         CAST(LEAST(32, n - i*32) AS $nCast) AS n_tokens
+       |  FROM t, UNNEST(range(0, CAST(ceil(n/32.0) AS BIGINT))) AS u(i))""".stripMargin
+
   /** Char-trigram profile classifier: top-`profileSize` trigrams per
     * language from a labeled sample, classify by overlap count.
     * Deterministic (ties: lexicographic trigram cut, lexicographic
@@ -248,27 +273,19 @@ object TextAnalysis {
     // windows of ≤32 whitespace tokens. One typed flatMap (counts
     // only ride the wire, never token text), no shuffle before the
     // output sort; chunk grain is what a 100 TB pack job groups by
-    // downstream.
+    // downstream. Kernel and SQL shared with t7 (chunkSizes /
+    // chunkRowsSql) — packing consumes exactly these chunks.
     QueryDef("t6_token_chunks",
-      """WITH t AS (
-        |  SELECT doc_id, LENGTH(STRING_SPLIT(text,' ')) AS n FROM documents)
-        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-        |       CAST(LEAST(32, n - i*32) AS INT) AS n_tokens
-        |FROM t, UNNEST(range(0, CAST(ceil(n/32.0) AS BIGINT))) AS u(i)
-        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      chunkRowsSql(tCols = "", chCols = "", nCast = "INT") +
+        """
+          |SELECT doc_id, chunk_idx, n_tokens FROM ch
+          |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)](graft.Enc.longStr)
         .flatMap { case (id, text) =>
-          // whitespace-token count with STRING_SPLIT semantics: split
-          // on single space, empty text still yields one (empty) token
-          var n = 1
-          var i = 0
-          while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
-          val chunks = (n + 31) / 32
-          Iterator.tabulate(chunks)(c =>
-            (id, c.toLong, math.min(32, n - c * 32)))
+          chunkSizes(text).map { case (c, k) => (id, c, k) }
         }(graft.Enc.longLongInt)
         .toDF("doc_id", "chunk_idx", "n_tokens")
         .orderedRows(col("doc_id"), col("chunk_idx")) // chunks scale with corpus
@@ -288,34 +305,28 @@ object TextAnalysis {
     // an exact first-fit reset is inherently sequential). Output is
     // one row per packed sequence: bounded grain, exact SQL twin.
     QueryDef("t7_pack_chunks",
-      """WITH t AS (
-        |  SELECT doc_id, source, LENGTH(STRING_SPLIT(text,' ')) AS n FROM documents),
-        |ch AS (
-        |  SELECT doc_id, source, CAST(doc_id % 16 AS BIGINT) AS shard,
-        |         CAST(i AS BIGINT) AS chunk_idx,
-        |         CAST(LEAST(32, n - i*32) AS BIGINT) AS n_tokens
-        |  FROM t, UNNEST(range(0, CAST(ceil(n/32.0) AS BIGINT))) AS u(i)),
-        |cum AS (
-        |  SELECT source, shard, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY source, shard
-        |           ORDER BY doc_id, chunk_idx
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-        |  FROM ch)
-        |SELECT source, shard, (c - n_tokens) // 512 AS seq_id,
-        |       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
-        |FROM cum GROUP BY source, shard, seq_id
-        |ORDER BY source, shard, seq_id""".stripMargin) { (s, d) =>
+      chunkRowsSql(tCols = ", source",
+        chCols = ", source, CAST(doc_id % 16 AS BIGINT) AS shard",
+        nCast = "BIGINT") +
+        """
+          |, cum AS (
+          |  SELECT source, shard, n_tokens,
+          |         SUM(n_tokens) OVER (PARTITION BY source, shard
+          |           ORDER BY doc_id, chunk_idx
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |  FROM ch)
+          |SELECT source, shard, (c - n_tokens) // 512 AS seq_id,
+          |       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+          |FROM cum GROUP BY source, shard, seq_id
+          |ORDER BY source, shard, seq_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val chunks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)]
         .flatMap { case (id, source, text) =>
-          var n = 1
-          var i = 0
-          while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
-          val chunks = (n + 31) / 32
-          Iterator.tabulate(chunks)(c =>
-            (id, source, id % 16, c.toLong, math.min(32, n - c * 32).toLong))
+          chunkSizes(text).map { case (c, k) =>
+            (id, source, id % 16, c, k.toLong)
+          }
         }
         .toDF("doc_id", "source", "shard", "chunk_idx", "n_tokens")
       val w = org.apache.spark.sql.expressions.Window
