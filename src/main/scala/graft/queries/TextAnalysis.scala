@@ -31,6 +31,49 @@ object TextAnalysis {
     Iterator.tabulate((n + 31) / 32)(c => (c.toLong, math.min(32, n - c * 32)))
   }
 
+  /** Exact n-gram decontamination over two (doc_id, text) frames:
+    * which training docs share any `n`-token shingle with the eval
+    * set, and how many DISTINCT shingles collide. Both sides run the
+    * same typed shingling kernel (tokens = single-space split,
+    * STRING_SPLIT semantics; shingles joined with ' ' — injective,
+    * tokens cannot contain the delimiter); the kernel sits BELOW the
+    * caller's filters so they reach the scans. Docs under n tokens
+    * yield no shingles and can never be flagged — the standard
+    * contract of exact n-gram decontamination (short fragments are
+    * noise, not contamination). Scale shape: the eval side is ALWAYS
+    * tiny relative to a training corpus (benchmark suites, not
+    * corpora), so its deduped shingle set broadcasts into the
+    * training stream — the corpus-sized side never shuffles; the only
+    * exchange is the per-doc count over the (rare) hits. Shingles
+    * join as full strings: exact by construction, and only hit
+    * candidates leave the map side; hashing would save broadcast
+    * bytes at the cost of a residual verify — worth it only when the
+    * eval set itself is huge. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    def shinglesOf(docs: DataFrame): DataFrame = docs
+      .fanOut // single-row-group scan: spread the shingling kernel
+      .as[(Long, String)](graft.Enc.longStr)
+      .flatMap { case (id, text) =>
+        val ts = text.split(" ", -1)
+        Iterator.range(0, ts.length - n + 1).map { i =>
+          val sb = new java.lang.StringBuilder
+          var j = i
+          while (j < i + n) {
+            if (j > i) sb.append(' ')
+            sb.append(ts(j))
+            j += 1
+          }
+          (id, sb.toString)
+        }
+      }(graft.Enc.longStr)
+      .toDF("doc_id", "shingle")
+    val bench = shinglesOf(eval).select("shingle").distinct()
+    shinglesOf(train)
+      .join(broadcast(bench), Seq("shingle"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** SQL twin of [[chunkSizes]]: CTEs `t` (per-doc token count) and
     * `ch` (chunk rows) over `documents`. `tCols`/`chCols` add
     * passthrough columns; `nCast` is n_tokens' SQL type (t6's output
@@ -338,6 +381,41 @@ object TextAnalysis {
         .groupBy("source", "shard", "seq_id")
         .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"))
         .orderedRows(col("source"), col("shard"), col("seq_id")) // seqs scale with corpus
+    },
+
+    // Benchmark DECONTAMINATION — the train/eval overlap check every
+    // LLM data pipeline runs before training (exact n-gram collision,
+    // GPT-3-appendix-C style): flag each training doc that shares any
+    // 8-token shingle with the eval set, with its distinct-collision
+    // count. Eval set here = the src1 slice of the corpus; at 100 TB
+    // the eval side is ALWAYS tiny (benchmark suites, not corpora), so
+    // the scale shape is: shingle the training stream in one typed
+    // flatMap kernel, and broadcast the deduped eval shingle set into
+    // it — the corpus-sized side never shuffles, the only exchange is
+    // the per-doc count aggregation over the (rare) hits. Shingles
+    // join as full strings: exact by construction (tokens cannot
+    // contain the join delimiter), and only hit candidates ever leave
+    // the map side anyway; a hashed variant would save broadcast bytes
+    // at the cost of a residual verify, worth it only when the eval
+    // set itself is huge.
+    QueryDef("t8_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id, source, STRING_SPLIT(lower(text), ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, array_to_string(ts[i+1:i+8], ' ') AS shingle
+        |  FROM tok, UNNEST(range(0, GREATEST(LENGTH(ts)-7, 0))) AS u(i)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src1'),
+        |hits AS (
+        |  SELECT DISTINCT s.doc_id, s.shingle
+        |  FROM sh s JOIN bench b USING (shingle) WHERE s.source <> 'src1')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), lower(col("text")).as("text"))
+      decontaminate(
+        docs.filter(col("source") =!= "src1").select("doc_id", "text"),
+        docs.filter(col("source") === "src1").select("doc_id", "text"))
+        .orderedRows(col("doc_id")) // contaminated docs scale with corpus
     }
   )
 }

@@ -343,6 +343,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sig.toSeq == shuf.toSeq)
   }
 
+  test("t8 decontaminate: planted overlap flags exactly the shared-run docs") {
+    import spark.implicits._
+    val run = (30 to 45).map(i => s"w$i").mkString(" ") // 16 shared tokens
+    val evalDf = Seq((100L, s"preface $run trailer")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"a b c $run x y z"), // contains the run
+      (2L, (1 to 40).map(i => s"u$i").mkString(" ")), // clean
+      (3L, "w30 w31 w32 w33 w34 w35 w36") // 7-token fragment of the run
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, evalDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // only doc 1; its 16 shared tokens hold 16-8+1 distinct 8-shingles.
+    // doc 3 is UNDER the shingle width → by contract never flagged...
+    assert(out == Map(1L -> 9L))
+    // ...until the width drops below its length: at n=4 its 7 tokens
+    // hold 4 shared windows.
+    val n4 = TextAnalysis.decontaminate(train, evalDf, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(n4(3L) == 4L && n4(1L) == 13L && !n4.contains(2L))
+  }
+
   test("t1/t2 run at sf0.001 and return one row per document") {
     for (name <- Seq("t1_token_counts", "t2_quality_score")) {
       val df = TextAnalysis.defs.find(_.name == name).get
