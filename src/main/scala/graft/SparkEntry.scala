@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdcQueries, DedupOps, EventOps, MultimodalOps,
-  Relational, SimilarityOps, StreamingQueries, TextAnalysis, TextOps}
+import graft.queries.{CdcQueries, CorpusPipeline, DedupOps, EventOps,
+  MultimodalOps, Relational, SimilarityOps, StreamingQueries, TextAnalysis,
+  TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-surface modules in
@@ -14,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ EventOps.defs ++ StreamingQueries.defs ++
       TextOps.defs ++ CdcQueries.defs ++ TextAnalysis.defs ++
-      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs
+      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs ++
+      CorpusPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -371,4 +371,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(df.count() == 500, name)
     }
   }
+
+  test("p1 pipeline: rewrites equal the naive nesting; ONE window shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    // Naive composition in the oracle-CTE order: dedup FIRST, gates
+    // after the window, contamination probed on the deduped+gated
+    // stream. p1's scale rewrites (gates below the window; probe on
+    // the gated raw slice) must not change a single output row.
+    val docs = graft.Tables.documents(spark, sf)
+    val toks = split(col("text"), " ")
+    val naiveQual = docs.filter(col("source") =!= "src1")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("ttr", size(array_distinct(toks)) * lit(1.0) / size(toks))
+      .filter(col("n_tok") >= 24 && col("ttr") >= 0.30)
+      .select(col("doc_id"), col("source"),
+        lower(col("text")).as("text"), col("n_tok"))
+    val evalSlice = docs.filter(col("source") === "src1")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val naiveCont = TextAnalysis
+      .decontaminate(naiveQual.select("doc_id", "text"), evalSlice)
+      .select("doc_id")
+    val naive = naiveQual
+      .join(broadcast(naiveCont), Seq("doc_id"), "left_anti")
+      .filter(pmod(col("doc_id"), lit(100)) <
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), 25)
+          .when(col("source").isin("src6", "src7", "src8", "src9", "src10", "src11"), 50)
+          .otherwise(100))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val p1 = CorpusPipeline.defs.find(_.name == "p1_preprocess_pipeline").get
+      .fn(spark, sf)
+    val got = p1.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"rewritten=${got.size} naive=${naive.size}")
+    // Plan property: the dedup window runs ONCE — a second Window
+    // node means Catalyst recomputed the keep-first subtree inside
+    // the contamination broadcast build side. (Counted on the
+    // optimized LOGICAL plan: under AQE the executed plan is an
+    // adaptive wrapper whose physical tree isn't final yet.)
+    val windows = p1.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"expected 1 logical Window, got ${windows.size}")
+  }
 }
