@@ -42,5 +42,6 @@ object Enc {
   val longLongDouble: Encoder[(Long, Long, Double)] = ExpressionEncoder()
   val longLong: Encoder[(Long, Long)] = ExpressionEncoder()
   val longBytes: Encoder[(Long, Array[Byte])] = ExpressionEncoder()
+  val long5: Encoder[(Long, Long, Long, Long, Long)] = ExpressionEncoder()
   val strBytes: Encoder[(String, Array[Byte])] = ExpressionEncoder()
 }

@@ -416,6 +416,92 @@ object TextAnalysis {
         docs.filter(col("source") =!= "src1").select("doc_id", "text"),
         docs.filter(col("source") === "src1").select("doc_id", "text"))
         .orderedRows(col("doc_id")) // contaminated docs scale with corpus
+    },
+
+    // Within-document repetition metrics — the Gopher/MassiveText
+    // quality-filter family (Rae et al. 2021, table A1: "fraction of
+    // characters in the most common n-gram", "fraction of characters
+    // in duplicate n-grams"), at token grain: per doc, the share of
+    // bigram slots held by the single most frequent bigram and the
+    // share of trigram slots belonging to trigrams occurring twice or
+    // more. Machine-generated and boilerplate text scores high on
+    // both; the flag column applies the filter at top_bigram_frac >
+    // 0.06 (p90 of this corpus), compared in INTEGER cross-multiplied
+    // form (mx*100 > n*6) so the cut is exact on both engines — no
+    // float boundary can flip it. Scale shape: one typed kernel per
+    // row (a per-doc count map bounded by doc length), ZERO corpus
+    // shuffle — the oracle's explode + two GROUP BYs over every
+    // (doc, n-gram) pair is exactly the plan a 100 TB run must NOT
+    // use. Docs under 3 tokens have no trigram (and possibly no
+    // bigram) slots and are excluded, as in the oracle's inner join
+    // of the two per-gram aggregates.
+    QueryDef("t9_repetition",
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g
+        |       FROM t, UNNEST(range(0, GREATEST(LEN(ts)-1,0))) u(i)),
+        |bga AS (SELECT doc_id, SUM(c) n, MAX(c) mx
+        |        FROM (SELECT doc_id, g, COUNT(*) c FROM bg GROUP BY 1,2)
+        |        GROUP BY 1),
+        |tg AS (SELECT doc_id, ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+        |       FROM t, UNNEST(range(0, GREATEST(LEN(ts)-2,0))) u(i)),
+        |tga AS (SELECT doc_id, SUM(c) n, SUM(CASE WHEN c>=2 THEN c ELSE 0 END) dup
+        |        FROM (SELECT doc_id, g, COUNT(*) c FROM tg GROUP BY 1,2)
+        |        GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(bga.n AS BIGINT) AS n_bigrams,
+        |  CAST(mx AS BIGINT) AS top_bigram_n,
+        |  ROUND(mx*1.0/bga.n, 4) AS top_bigram_frac,
+        |  CAST(tga.n AS BIGINT) AS n_trigrams,
+        |  CAST(dup AS BIGINT) AS dup_trigram_n,
+        |  ROUND(dup*1.0/tga.n, 4) AS dup_trigram_frac,
+        |  mx*100 > bga.n*6 AS flagged
+        |FROM bga JOIN tga USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      repetitionStats(Tables.documents(s, d))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** Per-doc repetition metrics over a (doc_id, text, …) frame — see
+    * the t9 entry above for semantics and the filter threshold. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docs
+      .select(col("doc_id"), col("text"))
+      .fanOut // single-row-group scan: spread the count-map kernel
+      .as[(Long, String)](graft.Enc.longStr)
+      .flatMap { case (id, text) =>
+        val ts = text.split(" ", -1)
+        if (ts.length < 3) Iterator.empty
+        else {
+          val bi = new java.util.HashMap[String, Int]()
+          val tri = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < ts.length - 1) {
+            bi.merge(ts(i) + " " + ts(i + 1), 1, Integer.sum)
+            if (i < ts.length - 2)
+              tri.merge(ts(i) + " " + ts(i + 1) + " " + ts(i + 2), 1,
+                Integer.sum)
+            i += 1
+          }
+          var mx = 0
+          val bit = bi.values().iterator()
+          while (bit.hasNext) { val c = bit.next(); if (c > mx) mx = c }
+          var dup = 0L
+          val tit = tri.values().iterator()
+          while (tit.hasNext) { val c = tit.next(); if (c >= 2) dup += c }
+          Iterator.single(
+            (id, (ts.length - 1).toLong, mx.toLong, (ts.length - 2).toLong, dup))
+        }
+      }(graft.Enc.long5)
+      .toDF("doc_id", "n_bigrams", "top_bigram_n", "n_trigrams", "dup_trigram_n")
+    stats.select(
+      col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+      round(col("top_bigram_n") * lit(1.0) / col("n_bigrams"), 4)
+        .as("top_bigram_frac"),
+      col("n_trigrams"), col("dup_trigram_n"),
+      round(col("dup_trigram_n") * lit(1.0) / col("n_trigrams"), 4)
+        .as("dup_trigram_frac"),
+      (col("top_bigram_n") * 100 > col("n_bigrams") * 6).as("flagged"))
+  }
 }

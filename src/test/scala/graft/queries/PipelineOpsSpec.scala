@@ -372,6 +372,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t9 repetition metrics: hand-computed counts; planted boilerplate flags") {
+    import spark.implicits._
+    // doc 1: "a b a b a b" — bigrams [ab,ba,ab,ba,ab]: n=5, top "a b"=3;
+    //   trigrams [aba,bab,aba,bab]: n=4, all duplicated → dup=4.
+    //   3*100 > 5*6 → flagged.
+    // doc 2: 30 all-distinct tokens — top bigram 1/29, no dup
+    //   trigrams, 1*100 > 29*6 false → clean (the 0.06 cut assumes
+    //   corpus-length docs: any doc under 17 tokens flags trivially).
+    // doc 3: 2 tokens — no trigram slots → excluded (oracle inner join).
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (3L, "x y")).toDF("doc_id", "text")
+    val byId = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(1L, 2L))
+    val d1 = byId(1L)
+    assert(d1.getLong(1) == 5 && d1.getLong(2) == 3 && d1.getLong(4) == 4
+      && d1.getLong(5) == 4 && d1.getBoolean(7))
+    assert(d1.getDouble(3) == 0.6 && d1.getDouble(6) == 1.0)
+    val d2 = byId(2L)
+    assert(d2.getLong(2) == 1 && d2.getLong(5) == 0 && !d2.getBoolean(7))
+  }
+
   test("p1 pipeline: rewrites equal the naive nesting; ONE window shuffle") {
     import org.apache.spark.sql.expressions.Window
     // Naive composition in the oracle-CTE order: dedup FIRST, gates
