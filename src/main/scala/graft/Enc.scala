@@ -43,5 +43,6 @@ object Enc {
   val longLong: Encoder[(Long, Long)] = ExpressionEncoder()
   val longBytes: Encoder[(Long, Array[Byte])] = ExpressionEncoder()
   val long5: Encoder[(Long, Long, Long, Long, Long)] = ExpressionEncoder()
+  val longStrStrLong: Encoder[(Long, String, String, Long)] = ExpressionEncoder()
   val strBytes: Encoder[(String, Array[Byte])] = ExpressionEncoder()
 }

@@ -31,6 +31,10 @@ object GoldenHashes {
     // queries/StreamingQueries.scala
     "s4_late_drop" -> "b6ea593a6207c4647ab107afaa97db3fb1aa1871c05209c2eb56f02ed4e5d7b0",
     "s6_running_counter" -> "9d6bc6af4d658c910702b2b07c67982a1a608dde68216c937367171d27b094c9",
+    // s7: streaming corpus preprocessing (gates → keep-first dedup
+    // state → mix-sample → broadcast decontamination), fixed 3-batch
+    // scenario; survivors are docs 1/3/6/8 — see StreamingQueries
+    "s7_preprocess_stream" -> "223da87c9c858e2fbf02e33871eaeeea094873cdb1761ad773f6973f1fef97e7",
     "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274")
 
   private def cell(v: Any): String = v match {

@@ -4,9 +4,10 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.QueryDef
-import graft.streaming.{EventRow, StreamingOps}
+import graft.streaming.{DocRow, EventRow, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Driver-visible entries for the STREAMING-ONLY surface (SURVEY.md
   * §2.3 S4/S6) — the two capabilities with no batch twin: watermark
@@ -108,6 +109,58 @@ object StreamingQueries {
         ev("2024-01-01 10:03:20", userId = 3)))
   }
 
+  /** [[runScenario]]'s twin over document batches (the S7 corpus-
+    * preprocessing stream). */
+  private def runDocScenario(spark: SparkSession, mode: String,
+      batches: Seq[Seq[DocRow]])(
+      op: DataFrame => DataFrame): DataFrame = synchronized {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[DocRow]
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = op(in.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** A 26-token all-distinct text (passes both gates: n_tok ≥ 24,
+    * ttr = 1.0), parameterized so each doc is distinct content. */
+  private def cleanText(tag: String): String =
+    (1 to 26).map(i => s"$tag$i").mkString(" ")
+
+  /** S7 eval slice: one eval doc; its 8-token runs are the contamination
+    * set. A train doc sharing any of them must be dropped. */
+  private val s7EvalText: String =
+    "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"
+
+  /** S7 scenario: every pipeline stage exercised, with the stateful
+    * stage proven ACROSS batches —
+    * batch 1: doc 1 clean survivor (src_a); doc 2 gate-dropped (too
+    *   short); doc 3 clean survivor (src_b, id 3 < 50 → sampled in).
+    * batch 2: doc 4 repeats doc 1's text → dedup state from batch 1
+    *   drops it; doc 5 contains an eval 8-run → decontamination drops
+    *   it; doc 6 clean survivor (src_a).
+    * batch 3: doc 7 gate-dropped (24 copies of one token, ttr 1/24);
+    *   doc 199 (src_b) sampled OUT (199 % 100 = 99 ≥ 50); doc 8 clean
+    *   survivor (src_b).
+    */
+  private def s7Batches: Seq[Seq[DocRow]] = Seq(
+    Seq(DocRow(1, "src_a", cleanText("a")),
+      DocRow(2, "src_a", "too short to survive"),
+      DocRow(3, "src_b", cleanText("b"))),
+    Seq(DocRow(4, "src_a", cleanText("a")),
+      DocRow(5, "src_b",
+        (1 to 16).map(i => s"pad$i").mkString(" ") + " e2 e3 e4 e5 e6 e7 e8 e9"),
+      DocRow(6, "src_a", cleanText("c"))),
+    Seq(DocRow(7, "src_a", Array.fill(24)("rep").mkString(" ")),
+      DocRow(199, "src_b", cleanText("d")),
+      DocRow(8, "src_b", cleanText("f"))))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.noOracle("s4_late_drop") { (s, _) =>
@@ -118,6 +171,13 @@ object StreamingQueries {
       import s.implicits._
       runScenario(s, "update", s6Batches)(df =>
         StreamingOps.runningCounter(df.as[EventRow]).toDF())
+    },
+
+    QueryDef.noOracle("s7_preprocess_stream") { (s, _) =>
+      runDocScenario(s, "append", s7Batches)(docs =>
+        StreamingOps.preprocessStream(docs,
+          StreamingOps.shingleSetOf(Seq(s7EvalText)),
+          mixRate = when(col("source") === "src_b", lit(50)).otherwise(lit(100))))
     }
   )
 }

@@ -11,6 +11,10 @@ final case class EventRow(
 
 final case class UserCount(user_id: Long, n: Long)
 
+/** Typed document row (documents table core columns) for streaming
+  * scenarios over the corpus-preprocessing surface. */
+final case class DocRow(doc_id: Long, source: String, text: String)
+
 /** Streaming surface S1–S6 (SURVEY.md §2.3): the same logical ops as
   * the EventOps batch equivalents, expressed over an unbounded source.
   * Each takes a *streaming* DataFrame with the events schema (from
@@ -72,5 +76,84 @@ object StreamingOps {
           state.update(n)
           UserCount(uid, n)
       }
+  }
+
+  /** S7: the corpus-preprocessing pipeline (p1's semantics) over an
+    * unbounded document stream — quality gates, keep-FIRST exact dedup
+    * (arrival order is the streaming notion of "first"; the batch twin
+    * keys on min doc_id), deterministic mix-sampling, and exact
+    * n-gram decontamination against a BROADCAST eval shingle set.
+    * Emits the survivor stream in append mode: one stateful operator
+    * (the dedup state), everything else row-wise — the shape that
+    * survives at ingest scale, where the cleaned stream is what gets
+    * materialized and any totals are a downstream aggregation.
+    *
+    * The gates run BEFORE the dedup so state only ever holds hashes of
+    * docs that could survive (same rewrite as p1's: the gate is a pure
+    * function of text, so it commutes with content-hash dedup). State
+    * here is unbounded by design — exact corpus dedup means remembering
+    * every content hash; a deployment that can tolerate a horizon uses
+    * `dropDuplicatesWithinWatermark` (the s5 form) instead.
+    *
+    * `mixRate` is the per-row sampling percentage as a Column over the
+    * input schema (e.g. a `when` ladder on source); a doc survives iff
+    * doc_id % 100 < rate, the same splittable-hash contract as t5.
+    */
+  def preprocessStream(docs: DataFrame, evalShingles: Set[String],
+      mixRate: org.apache.spark.sql.Column, nGram: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(evalShingles)
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(toks)) * lit(1.0) / size(toks))
+      .filter(col("n_tok") >= 24 && col("ttr") >= 0.30)
+      .filter(pmod(col("doc_id"), lit(100)) < mixRate)
+      .withColumn("content_hash", md5(lower(col("text"))))
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), col("source"),
+        lower(col("text")).as("text"), col("n_tok"))
+      .as[(Long, String, String, Long)](graft.Enc.longStrStrLong)
+      .filter { t: (Long, String, String, Long) =>
+        !anyShingleIn(t._3, bc.value, nGram)
+      }
+      .toDF("doc_id", "source", "text", "n_tok")
+      .select("doc_id", "source", "n_tok")
+  }
+
+  /** Does any `n`-token shingle of `text` appear in `set`? Same
+    * tokenization and delimiter contract as TextAnalysis.decontaminate
+    * (single-space split; shingles joined with ' '). */
+  private def anyShingleIn(text: String, set: Set[String], n: Int): Boolean = {
+    val ts = text.split(" ", -1)
+    var i = 0
+    while (i <= ts.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(ts(j))
+        j += 1
+      }
+      if (set.contains(sb.toString)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** The eval-side shingle set for [[preprocessStream]] — built once
+    * from the (small, by the decontamination contract) eval corpus. */
+  def shingleSetOf(texts: Seq[String], n: Int = 8): Set[String] = {
+    val out = Set.newBuilder[String]
+    texts.foreach { t =>
+      val ts = t.toLowerCase.split(" ", -1)
+      var i = 0
+      while (i <= ts.length - n) {
+        out += ts.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+    }
+    out.result()
   }
 }

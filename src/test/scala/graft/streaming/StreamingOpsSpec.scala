@@ -120,6 +120,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got(Timestamp.valueOf("2024-01-01 09:30:00")) == 1L)
   }
 
+  test("S7 preprocessing stream equals the batch pipeline on the same docs") {
+    import org.apache.spark.sql.expressions.Window
+    // Streaming: 9 docs over 3 batches through preprocessStream.
+    val docs = Seq(
+      DocRow(1, "src_a", (1 to 26).map(i => s"a$i").mkString(" ")),
+      DocRow(2, "src_a", "too short to survive"),
+      DocRow(3, "src_b", (1 to 26).map(i => s"b$i").mkString(" ")),
+      DocRow(4, "src_a", (1 to 26).map(i => s"a$i").mkString(" ")), // dup of 1
+      DocRow(5, "src_b",
+        (1 to 16).map(i => s"pad$i").mkString(" ") + " e2 e3 e4 e5 e6 e7 e8 e9"),
+      DocRow(6, "src_a", (1 to 26).map(i => s"c$i").mkString(" ")),
+      DocRow(7, "src_a", Array.fill(24)("rep").mkString(" ")),
+      DocRow(199, "src_b", (1 to 26).map(i => s"d$i").mkString(" ")),
+      DocRow(8, "src_b", (1 to 26).map(i => s"f$i").mkString(" ")))
+    val shingles = StreamingOps.shingleSetOf(
+      Seq("e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"))
+    val mixRate = when(col("source") === "src_b", lit(50)).otherwise(lit(100))
+    val in = MemoryStream[DocRow]
+    val q = StreamingOps.preprocessStream(in.toDF(), shingles, mixRate)
+      .writeStream.format("memory").queryName("s7spec").outputMode("append")
+      .start()
+    docs.grouped(3).foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("s7spec").as[(Long, String, Long)].collect().toSet
+    spark.catalog.dropTempView("s7spec")
+    // Batch twin: p1's semantics over the same rows — keep-first =
+    // min doc_id, which equals arrival order here by construction.
+    val toks = split(col("text"), " ")
+    val batch = docs.toDF()
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("ttr", size(array_distinct(toks)) * lit(1.0) / size(toks))
+      .filter(col("n_tok") >= 24 && col("ttr") >= 0.30)
+      .filter(pmod(col("doc_id"), lit(100)) < mixRate)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(lower(col("text")))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("text"),
+        col("n_tok"))
+      .as[(Long, String, String, Long)]
+      .filter { t: (Long, String, String, Long) =>
+        !StreamingOps.shingleSetOf(Seq(t._3)).exists(shingles.contains)
+      }
+      .map(t => (t._1, t._2, t._4))
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 3L, 6L, 8L))
+  }
+
   test("streaming CDC: dropped binlog file renders like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("cdcstream")
     val checkpoint = java.nio.file.Files.createTempDirectory("cdccp")
