@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.QueryDef.SmallOrdered
 import graft.functions.HashOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate dedup — the 100 TB scale paths whose ground truths are
@@ -428,6 +429,25 @@ object DedupOps {
     out
   }
 
+  /** Survivor selection by quality over cluster labels: every doc not
+    * in `clusters` survives; within a cluster the most-token member
+    * wins (doc_id tie-break). See the d5b entry for the scale
+    * rationale (the window runs over the clustered subset only). */
+  def qualitySurvivors(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val winners = broadcast(clusters)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+    docs.select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left_anti")
+      .union(winners)
+  }
+
   /** Shared recursive-CTE prefix for the component oracles (d4/d5):
     * exact shingle-Jaccard pairs → undirected edges → min-label
     * reachability walk. */
@@ -492,6 +512,30 @@ object DedupOps {
       docs.select("doc_id")
         .join(clusters.filter(col("doc_id") =!= col("cluster_id")),
           Seq("doc_id"), "left_anti")
+        .orderedRows(col("doc_id")) // survivors scale with corpus
+    },
+
+    // d5b: survivor selection by QUALITY — production near-dup dedup
+    // keeps each cluster's best member (here: most tokens, doc_id
+    // tie-break), not its minimum id. Scale shape: non-clustered docs
+    // survive by definition, so the argmax window runs over the
+    // CLUSTERED subset only (pairs-sized — tiny next to the corpus),
+    // with the cluster labels broadcast both into the quality lookup
+    // and the anti-join; the corpus itself never shuffles here beyond
+    // what the pair/label computation already did.
+    QueryDef("d5b_survivors_quality",
+      ComponentsCte +
+        """,
+          |comp AS (SELECT u, MIN(m) AS m FROM walk GROUP BY u),
+          |lab AS (SELECT d.doc_id, COALESCE(c.m, d.doc_id) AS cluster_id,
+          |               LEN(STRING_SPLIT(d.text,' ')) AS n_tok
+          |        FROM documents d LEFT JOIN comp c ON c.u = d.doc_id),
+          |r AS (SELECT doc_id, ROW_NUMBER() OVER (
+          |        PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id) rn
+          |      FROM lab)
+          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      qualitySurvivors(docs, clusterPairs(minhashPairs(docs).select("ia", "ib")))
         .orderedRows(col("doc_id")) // survivors scale with corpus
     },
 

@@ -396,6 +396,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d2.getLong(2) == 1 && d2.getLong(5) == 0 && !d2.getBoolean(7))
   }
 
+  test("d5b quality survivors: longest cluster member wins, not min id") {
+    import spark.implicits._
+    // Cluster {1,2,3}: doc 3 is longest → survives; d5's min-id rule
+    // would keep doc 1. Doc 9 unclustered → survives. Tie in cluster
+    // {5,6}: equal lengths → min id 5.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
+      (5L, "x y"), (6L, "p q"), (9L, "lone doc")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = DedupOps.qualitySurvivors(docs, clusters)
+      .as[Long].collect().toSet
+    assert(got == Set(3L, 5L, 9L))
+  }
+
   test("p1 pipeline: rewrites equal the naive nesting; ONE window shuffle") {
     import org.apache.spark.sql.expressions.Window
     // Naive composition in the oracle-CTE order: dedup FIRST, gates
