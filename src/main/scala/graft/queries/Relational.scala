@@ -397,6 +397,88 @@ object Relational {
           avg("l_quantity").over(Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < col("thr"))
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("v"))
+    },
+
+    // q17: PIVOT (wide conditional aggregation). The value list is
+    // PINNED — pivot with explicit values compiles to a single-pass
+    // conditional aggregate (PivotFirst); omitting the list makes
+    // Spark run a driver-side distinct job over the pivot column
+    // first, a hidden extra scan you never want at 100 TB.
+    QueryDef("q17_pivot",
+      """SELECT o_orderstatus,
+        |  ROUND(SUM(CASE WHEN o_orderpriority='1-URGENT'        THEN o_totalprice END),2) AS p_urgent,
+        |  ROUND(SUM(CASE WHEN o_orderpriority='2-HIGH'          THEN o_totalprice END),2) AS p_high,
+        |  ROUND(SUM(CASE WHEN o_orderpriority='3-MEDIUM'        THEN o_totalprice END),2) AS p_medium,
+        |  ROUND(SUM(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END),2) AS p_notspec,
+        |  ROUND(SUM(CASE WHEN o_orderpriority='5-LOW'           THEN o_totalprice END),2) AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .select(col("o_orderstatus"),
+          col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
+          col("`3-MEDIUM`").as("p_medium"),
+          col("`4-NOT SPECIFIED`").as("p_notspec"), col("`5-LOW`").as("p_low"))
+        .orderedSmall(col("o_orderstatus"))
+    },
+
+    // q18: ordered string aggregation (LISTAGG / STRING_AGG family).
+    // collect_set's order is partition-nondeterministic — array_sort
+    // pins it; the per-group payload is bounded by the dimension's
+    // type cardinality (set semantics), never by the fact row count,
+    // which is what makes an in-memory list aggregate admissible at
+    // scale. Unbounded-payload listaggs need a cap or a sketch instead.
+    QueryDef("q18_string_agg",
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       ROUND(AVG(p_retailprice),2) AS avg_price,
+        |       STRING_AGG(DISTINCT p_type, ',' ORDER BY p_type) AS types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg("p_retailprice"), 2).as("avg_price"),
+          array_join(array_sort(collect_set(col("p_type"))), ",").as("types"))
+        .orderedSmall(col("p_brand"))
+    },
+
+    // q19: FULL OUTER join — year-over-year customer spend, keeping
+    // customers active in only one of the two years on the
+    // appropriate side (261/255 one-sided at sf0.01). Both aggregates
+    // hash-partition by o_custkey, and the aggregate OUTPUT partitioning
+    // is retained, so the sort-merge full outer adds no third
+    // exchange; the year filters sit on the scan column (pushed down),
+    // and a USING-style join key coalesces on both engines.
+    QueryDef("q19_full_outer",
+      """WITH a AS (SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS spend95,
+        |                  CAST(COUNT(*) AS BIGINT) AS n95
+        |           FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |             AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey),
+        |     b AS (SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS spend96,
+        |                  CAST(COUNT(*) AS BIGINT) AS n96
+        |           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |       COALESCE(spend95, 0) AS spend95, COALESCE(n95, 0) AS n95,
+        |       COALESCE(spend96, 0) AS spend96, COALESCE(n96, 0) AS n96
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      def yearAgg(y: String, yNext: String, sp: String, n: String) =
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts(s"$y-01-01") &&
+            col("o_orderdate") < ts(s"$yNext-01-01"))
+          .groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 2).as(sp), count(lit(1)).as(n))
+      yearAgg("1995", "1996", "spend95", "n95")
+        .join(yearAgg("1996", "1997", "spend96", "n96"),
+          Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("spend95"), lit(0d)).as("spend95"),
+          coalesce(col("n95"), lit(0L)).as("n95"),
+          coalesce(col("spend96"), lit(0d)).as("spend96"),
+          coalesce(col("n96"), lit(0L)).as("n96"))
+        .orderedRows(col("o_custkey")) // per-customer rows scale with corpus
     }
   )
 }

@@ -106,6 +106,73 @@ object TextOps {
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
   }
 
+  /** Corpus-level repeated-span removal — the C4 / MassiveText
+    * "discard repeated spans across the corpus" pass (Raffel et al.
+    * 2020 §2.2 dedup lines; adapted to this corpus' single-line docs
+    * as non-overlapping k-token spans aligned to span boundaries).
+    * The FIRST occurrence of each distinct span (by doc_id, span
+    * index) survives; every later verbatim copy is dropped; survivors
+    * reassemble in document order.
+    *
+    * Scale shape (the 100 TB design): two inherent shuffles, both
+    * skew-safe.
+    *  1. First-occurrence is `groupBy(span).agg(min(pos))` + a
+    *     shuffle_hash join back on span. NOT a window: min() is
+    *     map-side combined (a boilerplate span occurring 10⁹ times
+    *     corpus-wide collapses to one partial per mapper and the agg
+    *     exchange ships only distinct-span partials), and the hash
+    *     join STREAMS the hot key's rows, where `min().over(span)`
+    *     would buffer the whole span group in WindowExec memory and
+    *     `row_number()` would sort it on one reducer. The span kernel
+    *     runs once per consumer (twice total, over the reused fan-out
+    *     exchange) — recompute over materialization, the same
+    *     tradeoff l2 documents: a JIT'd split/slice pass costs less
+    *     than caching a corpus-sized span column, and an explicit
+    *     shared `repartition(span)` was measured to LOSE map-side
+    *     combine (column pruning differs per branch, so ReuseExchange
+    *     can't unify the two exchanges and the agg side ships the
+    *     full uncombined stream).
+    *  2. Reassembly groups by doc_id — per-group payload is bounded by
+    *     document length, never by corpus size.
+    * Spans travel as text (they're needed for reassembly anyway), so
+    * the dedup key is the span itself — no hash-collision caveat. */
+  def spanDedup(docs: org.apache.spark.sql.DataFrame, k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // Span kernel as a typed flatMap (JIT'd substring walk) — the
+    // Catalyst transform(sequence(...), slice...) form interprets its
+    // lambda per span and re-walks the token array per slice.
+    val spans = docs
+      .select(col("doc_id"), col("text"))
+      .fanOut // single-row-group scan: spread the span kernel
+      .as[(Long, String)](graft.Enc.longStr)
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        Iterator.tabulate((toks.length + k - 1) / k) { i =>
+          val span = toks.slice(i * k, math.min((i + 1) * k, toks.length)).mkString(" ")
+          (id, i.toLong, span)
+        }
+      }(graft.Enc.longLongStr)
+      .toDF("doc_id", "ci", "span")
+      .withColumn("pos", col("doc_id") * 1000000L + col("ci"))
+    val first = spans.groupBy("span").agg(min("pos").as("fp"))
+    spans
+      .join(first.hint("shuffle_hash"), Seq("span"))
+      .withColumn("keep", col("pos") === col("fp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("ci"), col("keep"), col("span")))),
+              x => x.getField("keep")),
+            x => x.getField("span")),
+          " ").as("clean_text"))
+      .orderedRows(col("doc_id")) // one row per doc: scales with corpus
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("l1_exact_dedup",
@@ -208,6 +275,27 @@ object TextOps {
         .filter(col("rn") <= 3)
         .orderedSmall(col("source"), col("rn"))
         .select("source", "term", "s")
+    },
+
+    // l6: corpus-level repeated-span removal (C4-style line dedup at
+    // token-span grain) — see `spanDedup` for semantics + scale shape.
+    // The oracle mirrors the exact first-occurrence rule: min position
+    // per span, keep iff this instance IS that position, reassemble
+    // survivors in order (empty string for fully-deduplicated docs).
+    QueryDef("l6_span_dedup",
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, i AS ci, array_to_string(w[i*8+1:i*8+8], ' ') AS span
+        |       FROM tok, UNNEST(range(0, CAST(CEIL(LEN(w)/8.0) AS INT))) AS u(i)),
+        |fst AS (SELECT span, MIN(doc_id*1000000 + ci) AS fp FROM sp GROUP BY span),
+        |k AS (SELECT s.doc_id, s.ci, s.span,
+        |             (s.doc_id*1000000 + s.ci) = f.fp AS keep
+        |      FROM sp s JOIN fst f USING (span))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(STRING_AGG(span, ' ' ORDER BY ci) FILTER (WHERE keep), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      spanDedup(Tables.documents(s, d), 8)
     }
   )
 }

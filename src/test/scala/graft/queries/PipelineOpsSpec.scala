@@ -411,6 +411,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Set(3L, 5L, 9L))
   }
 
+  test("l6 span dedup: later verbatim spans drop, partial tails compare, full dups empty") {
+    import spark.implicits._
+    // k=4 spans. Doc 1: spans ["a b c d", "e f g h", "tail x"].
+    // Doc 2 repeats doc 1's first span at its OWN first slot (drops),
+    // keeps a unique second span. Doc 3 is a verbatim copy of doc 1 →
+    // every span drops → clean_text empty. Doc 4's only span is a
+    // 2-token partial equal to doc 1's tail → drops (partial spans
+    // dedup too). Within-doc repeats also drop (doc 5 repeats its own
+    // first span).
+    val docs = Seq(
+      (1L, "a b c d e f g h tail x"),
+      (2L, "a b c d own span here q"),
+      (3L, "a b c d e f g h tail x"),
+      (4L, "tail x"),
+      (5L, "p q r s p q r s")).toDF("doc_id", "text")
+    val got = TextOps.spanDedup(docs, 4)
+      .select("doc_id", "n_spans", "n_dropped", "clean_text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 0L, "a b c d e f g h tail x")))
+    assert(got(2L) == ((2L, 1L, "own span here q")))
+    assert(got(3L) == ((3L, 3L, "")))
+    assert(got(4L) == ((1L, 1L, "")))
+    assert(got(5L) == ((2L, 1L, "p q r s")))
+  }
+
   test("p1 pipeline: rewrites equal the naive nesting; ONE window shuffle") {
     import org.apache.spark.sql.expressions.Window
     // Naive composition in the oracle-CTE order: dedup FIRST, gates
