@@ -93,6 +93,44 @@ object EventOps {
       Tables.events(s, d)
         .select("event_id").distinct()
         .agg(count(lit(1)).as("c"))
+    },
+
+    // s8: time-series gap fill — densify the sparse hourly series so
+    // every (hour, event_type) cell exists, zero-filled. Scale shape:
+    // the ONLY corpus-sized work is the hourly groupBy (one shuffle,
+    // map-side combined); the spine is hours × types — generated
+    // DISTRIBUTED via sequence()+explode from a one-row bounds
+    // aggregate, never a driver loop — and everything downstream of
+    // the aggregate (grid cross join, left join, zero-fill) operates
+    // on spine-sized frames, both of which stay tiny relative to the
+    // event stream at any SF.
+    QueryDef("s8_gap_fill",
+      """WITH e AS (SELECT TIME_BUCKET(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) h,
+        |                  event_type, value FROM events),
+        |agg AS (SELECT h, event_type, COUNT(*) c, ROUND(SUM(value),2) sv FROM e GROUP BY 1,2),
+        |b AS (SELECT MIN(h) lo, MAX(h) hi FROM e),
+        |spine AS (SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) h FROM b),
+        |grid AS (SELECT h, event_type FROM spine
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM e) ty)
+        |SELECT g.h AS h, g.event_type AS event_type,
+        |       CAST(COALESCE(a.c, 0) AS BIGINT) AS c,
+        |       COALESCE(a.sv, 0.0) AS sv
+        |FROM grid g LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+        |ORDER BY h, event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          col("event_type"), col("value"))
+      val agg = e.groupBy("h", "event_type")
+        .agg(count(lit(1)).as("c0"), round(sum("value"), 2).as("sv0"))
+      val spine = e.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val grid = spine.crossJoin(e.select("event_type").distinct())
+      grid.join(agg, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("c0"), lit(0L)).as("c"),
+          coalesce(col("sv0"), lit(0d)).as("sv"))
+        .orderedRows(col("h"), col("event_type")) // rows scale with time range
     }
   )
 }

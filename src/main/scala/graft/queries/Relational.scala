@@ -479,6 +479,78 @@ object Relational {
           coalesce(col("spend96"), lit(0d)).as("spend96"),
           coalesce(col("n96"), lit(0L)).as("n96"))
         .orderedRows(col("o_custkey")) // per-customer rows scale with corpus
+    },
+
+    // q20: arbitrary GROUPING SETS — deliberately NOT a rollup chain
+    // ((status,priority),(priority),()): priority-alone is not a
+    // prefix of the leaf set, so this exercises the general form.
+    // Same leaf-grain-first doctrine as q08: aggregate to the leaf
+    // grain, then Expand only the handful of partial rows — the raw
+    // fact stream never multiplies by the number of grouping sets.
+    QueryDef("q20_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |       ROUND(SUM(o_totalprice),2) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n0"), sum("o_totalprice").as("rev0"))
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum("n0").as("cnt"), round(sum("rev0"), 2).as("rev"))
+        .orderedSmall(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // q21: regular-expression scalars (extract / match / global
+    // replace) — patterns kept inside the RE2 ∩ java.util.regex
+    // common subset (no backreferences, no lookaround) so both
+    // engines compile them identically. All three run inside the
+    // scan's codegen stage; the aggregate is vocabulary-sized.
+    QueryDef("q21_regex",
+      """SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN regexp_matches(text, '(dup|spam)') THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        |       ROUND(AVG(LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))),2) AS avg_novowel_len
+        |FROM documents GROUP BY first_tok ORDER BY first_tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(regexp_extract(col("text"), "^([a-z]+)", 1).as("first_tok"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("text").rlike("(dup|spam)"), 1L).otherwise(0L)).as("flagged"),
+          round(avg(length(regexp_replace(col("text"), "[aeiou]", ""))), 2)
+            .as("avg_novowel_len"))
+        .orderedSmall(col("first_tok"))
+    },
+
+    // q22: window navigation family — lag / lead / ntile /
+    // first_value over ONE shared window spec, so WindowExec computes
+    // all four in a single sort+exchange pass (four distinct specs
+    // would each re-sort). The (custkey, orderdate, orderkey) order
+    // is total (orderkey unique), which pins lag/lead/ntile exactly;
+    // first_value uses both engines' identical default frame.
+    QueryDef("q22_window_nav",
+      """SELECT o_orderkey, o_custkey,
+        |  COALESCE(LAG(o_totalprice) OVER w, 0) AS prev_price,
+        |  COALESCE(LEAD(o_totalprice) OVER w, 0) AS next_price,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FIRST_VALUE(o_orderdate) OVER w AS first_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", coalesce(lag("o_totalprice", 1).over(w), lit(0d)))
+        .withColumn("next_price", coalesce(lead("o_totalprice", 1).over(w), lit(0d)))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("first_date", first("o_orderdate").over(w))
+        .orderedRows(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "prev_price", "next_price",
+          "quartile", "first_date")
     }
   )
 }

@@ -458,6 +458,31 @@ object TextAnalysis {
         |FROM bga JOIN tga USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
       repetitionStats(Tables.documents(s, d))
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // t10: deterministic train/val/test split assignment — the
+    // reproducible-split step every training pipeline needs. A Knuth
+    // multiplicative hash (doc_id × 2654435761, Fibonacci-hashing
+    // constant) mixes the id before the modulus so the split is
+    // DECORRELATED from any plain `doc_id % k` rule upstream (t5's
+    // mix-sampling keeps doc_id % 100 < rate; splitting on the raw
+    // modulus would systematically starve the val/test tails of
+    // sampled sources). Pure per-row arithmetic: no shuffle, no
+    // driver state, splittable across any partitioning — the product
+    // stays within int64 for any realistic id space, and both engines
+    // evaluate the expression bit-identically.
+    QueryDef("t10_split_assign",
+      """SELECT doc_id, source,
+        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(mix < 800, "train").when(mix < 900, "val").otherwise("test")
+            .as("split"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
 
