@@ -98,12 +98,16 @@ object EventOps {
     // s8: time-series gap fill — densify the sparse hourly series so
     // every (hour, event_type) cell exists, zero-filled. Scale shape:
     // the ONLY corpus-sized work is the hourly groupBy (one shuffle,
-    // map-side combined); the spine is hours × types — generated
-    // DISTRIBUTED via sequence()+explode from a one-row bounds
-    // aggregate, never a driver loop — and everything downstream of
-    // the aggregate (grid cross join, left join, zero-fill) operates
-    // on spine-sized frames, both of which stay tiny relative to the
-    // event stream at any SF.
+    // map-side combined), and the corpus is scanned ONCE: the bounds
+    // (min/max hour) and the type dimension both derive from the
+    // hours×types aggregate, which is `localCheckpoint`ed so its
+    // three consumers (spine bounds, type list, fill join) read the
+    // materialized partitions instead of each re-running the scan —
+    // without it Catalyst plans three column-pruned corpus scans,
+    // one per consumer (measured in the formatted plan). The spine
+    // is generated DISTRIBUTED via sequence()+explode from a one-row
+    // bounds aggregate, never a driver loop; everything downstream
+    // operates on spine-sized frames.
     QueryDef("s8_gap_fill",
       """WITH e AS (SELECT TIME_BUCKET(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) h,
         |                  event_type, value FROM events),
@@ -122,10 +126,11 @@ object EventOps {
           col("event_type"), col("value"))
       val agg = e.groupBy("h", "event_type")
         .agg(count(lit(1)).as("c0"), round(sum("value"), 2).as("sv0"))
-      val spine = e.agg(min("h").as("lo"), max("h").as("hi"))
+        .localCheckpoint() // hours×types — tiny; one corpus scan total
+      val spine = agg.agg(min("h").as("lo"), max("h").as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 HOUR"))).as("h"))
-      val grid = spine.crossJoin(e.select("event_type").distinct())
+      val grid = spine.crossJoin(agg.select("event_type").distinct())
       grid.join(agg, Seq("h", "event_type"), "left")
         .select(col("h"), col("event_type"),
           coalesce(col("c0"), lit(0L)).as("c"),

@@ -261,6 +261,28 @@ object SimilarityOps {
 
     QueryDef.noOracle("a3_ann_ivf") { (s, d) =>
       annIvf(Tables.embeddings(s, d))
+    },
+
+    // a4: per-label embedding centroids — the vector-aggregate every
+    // clustering / IVF-training / class-prototype pipeline needs.
+    // Scale shape: posexplode expands each vector to (pos, value)
+    // rows INSIDE the scan stage, and the hash aggregate's partial
+    // step collapses them to labels × dims partials per mapper
+    // before the exchange — the shuffle ships |labels|×64 rows per
+    // mapper regardless of corpus size (the explode never hits the
+    // wire). Sums run in double (float inputs are exact in double),
+    // so the mean is order-independent up to the final rounding.
+    QueryDef("a4_label_centroids",
+      """SELECT label, i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(CAST(embedding[i+1] AS DOUBLE)), 6) AS mu
+        |FROM embeddings, UNNEST(range(0, 64)) u(i)
+        |GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("double")), 6).as("mu"))
+        .orderedSmall(col("label"), col("dim"))
     }
   )
 }

@@ -483,6 +483,28 @@ object TextAnalysis {
           when(mix < 800, "train").when(mix < 900, "val").otherwise("test")
             .as("split"))
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // t11: PII-style redaction — the scrubbing pass a corpus pipeline
+    // runs before training (emails, phones, ids). The digit-run
+    // pattern stands in for the production pattern set; the op's
+    // shape is what matters: a per-row regexp rewrite MATERIALIZED
+    // (not just counted), plus the audit count of redacted
+    // characters. Pure map over the scan — no shuffle before the
+    // output sort, codegen'd end-to-end, trivially splittable. The
+    // pattern sits in the RE2 ∩ java.regex common subset (q21's
+    // rule) so both engines rewrite identically.
+    QueryDef("t11_pii_redact",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(LENGTH(regexp_replace(props, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
+          length(regexp_replace(col("props"), "[^0-9]", "")).cast("long")
+            .as("n_digits"))
+        .orderedRows(col("event_id")) // one row per event: scales
     }
   )
 
