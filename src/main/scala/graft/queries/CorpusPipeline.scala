@@ -107,6 +107,128 @@ object CorpusPipeline {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderedSmall(col("source")) // one row per source: bounded
+    },
+
+    // p2: the v2 pipeline — p1's stages plus the round's new row-wise
+    // operators, ending in the TRAINING MANIFEST (per source × split:
+    // docs and tokens), i.e. the artifact a pretraining run is
+    // actually launched from. Deltas vs p1:
+    //  - ALL row-wise gates — length, type-token ratio, and the t9
+    //    Gopher top-bigram repetition cut — run in ONE typed kernel
+    //    fused into the scan (one tokenize pass computes every
+    //    per-row predicate; the declarative form re-splits the text
+    //    per gate), emitting only rows that can survive the window.
+    //    Gate thresholds compare in integer cross-multiplied form
+    //    (distinct×10 ≥ n×3, mx×100 > (n−1)×6) on BOTH engines — no
+    //    float boundary can flip a gate.
+    //  - the same two p1 rewrites apply unchanged (every gate is a
+    //    pure function of text, so an md5(text) group passes or fails
+    //    as a unit below the window, and the contamination probe
+    //    reads the kernel-gated raw slice without recomputing the
+    //    window inside the broadcast build side);
+    //  - t10's multiplicative-hash split assignment is a free row-wise
+    //    projection on the survivors.
+    // The corpus still pays exactly ONE wide keyed shuffle (the dedup
+    // window); the manifest aggregate is sources×3-sized.
+    QueryDef("p2_manifest_pipeline",
+      """WITH train AS (
+        |  SELECT * FROM documents WHERE source <> 'src1'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1),
+        |qual AS (
+        |  SELECT doc_id, source, text, lower(text) AS ltext,
+        |         CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok
+        |  FROM train
+        |  WHERE LEN(STRING_SPLIT(text,' ')) >= 24
+        |    AND LEN(LIST_DISTINCT(STRING_SPLIT(text,' ')))*10 >= LEN(STRING_SPLIT(text,' '))*3),
+        |bg AS (
+        |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g, LEN(ts)-1 AS nb
+        |  FROM (SELECT doc_id, STRING_SPLIT(text,' ') ts FROM qual),
+        |       UNNEST(range(0, GREATEST(LEN(ts)-1,0))) u(i)),
+        |bga AS (
+        |  SELECT doc_id, MAX(c) mx, MAX(nb) nb
+        |  FROM (SELECT doc_id, g, nb, COUNT(*) c FROM bg GROUP BY 1,2,3)
+        |  GROUP BY 1),
+        |unflagged AS (SELECT doc_id FROM bga WHERE NOT (mx*100 > nb*6)),
+        |clean0 AS (SELECT * FROM qual SEMI JOIN unflagged USING (doc_id)),
+        |esh AS (
+        |  SELECT DISTINCT array_to_string(ts[i+1:i+8], ' ') AS shingle
+        |  FROM (SELECT STRING_SPLIT(lower(text),' ') AS ts FROM documents WHERE source = 'src1'),
+        |       UNNEST(range(0, GREATEST(LEN(ts)-7,0))) AS u(i)),
+        |cont AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, array_to_string(ts[i+1:i+8],' ') AS shingle
+        |        FROM (SELECT doc_id, STRING_SPLIT(ltext,' ') AS ts FROM clean0),
+        |             UNNEST(range(0, GREATEST(LEN(ts)-7,0))) AS u(i)) s
+        |  JOIN esh USING (shingle)),
+        |clean AS (SELECT * FROM clean0 ANTI JOIN cont USING (doc_id)),
+        |mixed AS (
+        |  SELECT * FROM clean
+        |  WHERE doc_id % 100 <
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 25
+        |         WHEN source IN ('src6','src7','src8','src9','src10','src11') THEN 50
+        |         ELSE 100 END),
+        |assigned AS (
+        |  SELECT source,
+        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split, n_tok
+        |  FROM mixed)
+        |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM assigned GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // One JIT'd pass per row: tokenize once, evaluate every gate.
+      val gatedRaw = docs.filter(col("source") =!= "src1")
+        .select(col("doc_id"), col("source"), col("text"))
+        .fanOut // single-row-group scan: spread the gate kernel
+        .as[(Long, String, String)](graft.Enc.longStrStr)
+        .flatMap { case (id, src, text) =>
+          val ts = text.split(" ", -1)
+          val n = ts.length
+          if (n < 24) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i < n) { seen.add(ts(i)); i += 1 }
+            if (seen.size * 10 < n * 3) Iterator.empty
+            else {
+              val bi = new java.util.HashMap[String, Int]()
+              var mx = 0
+              var j = 0
+              while (j < n - 1) {
+                val c = bi.merge(ts(j) + " " + ts(j + 1), 1, Integer.sum)
+                if (c > mx) mx = c
+                j += 1
+              }
+              if (mx * 100 > (n - 1) * 6) Iterator.empty
+              else Iterator.single((id, src, text, n.toLong))
+            }
+          }
+        }(graft.Enc.longStrStrLong)
+        .toDF("doc_id", "source", "text", "n_tok")
+      val keepFirst = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val deduped = gatedRaw
+        .withColumn("rn", row_number().over(keepFirst))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+      val evalSlice = docs.filter(col("source") === "src1")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val contaminated = TextAnalysis
+        .decontaminate(
+          gatedRaw.select(col("doc_id"), lower(col("text")).as("text")),
+          evalSlice)
+        .select("doc_id")
+      val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .filter(pmod(col("doc_id"), lit(100)) <
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), 25)
+            .when(col("source").isin("src6", "src7", "src8", "src9", "src10", "src11"), 50)
+            .otherwise(100))
+        .withColumn("split",
+          when(mix < 800, "train").when(mix < 900, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderedSmall(col("source"), col("split")) // sources×3: bounded
     }
   )
 }

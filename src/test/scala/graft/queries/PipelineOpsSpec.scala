@@ -436,6 +436,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 1L, "p q r s")))
   }
 
+  test("p2 pipeline: fused kernel gates equal the naive declarative nesting") {
+    import org.apache.spark.sql.expressions.Window
+    // Naive composition in the oracle-CTE order: dedup FIRST, then
+    // the declarative quality gates, then the t9 repetition gate via
+    // repetitionStats + semi join, then decontamination on the clean
+    // stream. p2's fused typed kernel (one tokenize pass for every
+    // gate, run BELOW the window) must not change a single manifest
+    // cell.
+    val docs = graft.Tables.documents(spark, sf)
+    val toks = split(col("text"), " ")
+    val dedup = docs.filter(col("source") =!= "src1")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val qual = dedup
+      .withColumn("n_tok", size(toks).cast("long"))
+      .filter(col("n_tok") >= 24 &&
+        size(array_distinct(toks)) * 10 >= size(toks) * 3)
+      .select("doc_id", "source", "text", "n_tok")
+    val unflagged = TextAnalysis.repetitionStats(qual)
+      .filter(!col("flagged")).select("doc_id")
+    val clean0 = qual.join(unflagged, Seq("doc_id"), "left_semi")
+    val evalSlice = docs.filter(col("source") === "src1")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val cont = TextAnalysis.decontaminate(
+      clean0.select(col("doc_id"), lower(col("text")).as("text")), evalSlice)
+      .select("doc_id")
+    val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val naive = clean0.join(broadcast(cont), Seq("doc_id"), "left_anti")
+      .filter(pmod(col("doc_id"), lit(100)) <
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), 25)
+          .when(col("source").isin("src6", "src7", "src8", "src9", "src10", "src11"), 50)
+          .otherwise(100))
+      .withColumn("split",
+        when(mix < 800, "train").when(mix < 900, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val p2 = CorpusPipeline.defs.find(_.name == "p2_manifest_pipeline").get
+      .fn(spark, sf)
+    val got = p2.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == naive, s"rewritten=${got.size} naive=${naive.size}")
+    // Plan property: exactly ONE logical Window — the keep-first
+    // dedup; the fused gates must not have introduced a second
+    // window-bearing subtree inside the broadcast build side.
+    val windows = p2.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"expected 1 logical Window, got ${windows.size}")
+  }
+
   test("p1 pipeline: rewrites equal the naive nesting; ONE window shuffle") {
     import org.apache.spark.sql.expressions.Window
     // Naive composition in the oracle-CTE order: dedup FIRST, gates
