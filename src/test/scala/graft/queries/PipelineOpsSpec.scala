@@ -436,6 +436,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 1L, "p q r s")))
   }
 
+  test("l6 span dedup: randomized differential vs in-memory reference") {
+    import spark.implicits._
+    // Generated corpora with planted duplication shapes the fixture
+    // never hits densely: verbatim doc copies, shared prefixes (span-
+    // aligned overlap), tiny docs shorter than one span, within-doc
+    // span repeats. The Spark op must equal a plain-Scala reference
+    // on every (doc, n_spans, n_dropped, clean_text) cell.
+    def reference(docs: Seq[(Long, String)], k: Int)
+        : Map[Long, (Long, Long, String)] = {
+      val firstPos = scala.collection.mutable.Map[String, Long]()
+      val spans = docs.sortBy(_._1).flatMap { case (id, text) =>
+        val ts = text.split(' ')
+        Iterator.tabulate((ts.length + k - 1) / k) { i =>
+          (id, i, ts.slice(i * k, math.min((i + 1) * k, ts.length)).mkString(" "))
+        }
+      }
+      spans.foreach { case (id, ci, sp) =>
+        val pos = id * 1000000L + ci
+        if (!firstPos.contains(sp) || firstPos(sp) > pos) firstPos(sp) = pos
+      }
+      spans.groupBy(_._1).map { case (id, ss) =>
+        val kept = ss.filter { case (i, ci, sp) => firstPos(sp) == i * 1000000L + ci }
+        (id, (ss.size.toLong, (ss.size - kept.size).toLong,
+          kept.sortBy(_._2).map(_._3).mkString(" ")))
+      }
+    }
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(12)(i => s"v$i")
+      def mk(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val base = (0L until 30L).map(i => (i, mk(2 + rnd.nextInt(30))))
+      val copies = (30L until 40L).map(i => (i, base(rnd.nextInt(30))._2))
+      val prefixed = (40L until 46L).map { i =>
+        val donor = base(rnd.nextInt(30))._2.split(' ')
+        (i, (donor.take(8) ++ Array.fill(5)(vocab(rnd.nextInt(vocab.length)))).mkString(" "))
+      }
+      val docs = rnd.shuffle(base ++ copies ++ prefixed)
+      val got = TextOps.spanDedup(docs.toDF("doc_id", "text"), 4)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == reference(docs, 4), s"seed=$seed")
+    }
+  }
+
   test("p2 pipeline: fused kernel gates equal the naive declarative nesting") {
     import org.apache.spark.sql.expressions.Window
     // Naive composition in the oracle-CTE order: dedup FIRST, then
