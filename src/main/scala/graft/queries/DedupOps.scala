@@ -39,12 +39,14 @@ object DedupOps {
     * per shingle, not one per shingle × seed), and the verify
     * intersects the same hashes — identical Jaccard to the string
     * form absent 2^-64 collisions. */
-  def minhashPairs(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
-      tau: Double = 0.8, saltGroups: Int = 1): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Band-signature rows (doc_id, sh, b, h) for a (doc_id, text)
+    * frame: one typed kernel computes the sorted shingle-hash set,
+    * its MinHash signature, and emits `bands` rows each carrying the
+    * set (for in-stream exact verification) plus the band hash. */
+  private def bandedSigs(docs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
-    val banded = docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .fanOut // single-row-group scan: spread the MinHash kernel
       .as[(Long, String)](graft.Enc.longStr)
       .flatMap { case (id, text) =>
@@ -56,6 +58,12 @@ object DedupOps {
           Iterator.tabulate(bands)(b => (id, sh, b, bh(b)))
         }
       }(graft.Enc.longLongArrIntLong).toDF("doc_id", "sh", "b", "h")
+  }
+
+  def minhashPairs(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+      tau: Double = 0.8, saltGroups: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    val banded = bandedSigs(docs, bands, rowsPerBand)
     // shuffle_hash self-join: canonically identical sides share one
     // exchange (ReuseExchange) — the MinHash flatMap runs once — and
     // the Jaccard verify runs partition-parallel rather than inside
@@ -125,6 +133,90 @@ object DedupOps {
       .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))
       .distinct()
       .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+  }
+
+  /** Fuzzy (MinHash-Jaccard) benchmark decontamination — the scale
+    * sibling of t8's exact n-gram collision check. Exact shingle
+    * matching misses near-verbatim contamination (whitespace edits,
+    * punctuation drift, small insertions); production pipelines
+    * therefore ALSO drop training docs whose shingle-set Jaccard
+    * with any eval doc clears a threshold (the GPT-3 appendix-C
+    * fuzzy pass). Returns one row per contaminated training doc:
+    * (doc_id, n_matches = #eval docs at j ≥ τ, max_j).
+    *
+    * Scale shape: the eval side is benchmark-suite-sized, never
+    * corpus-sized, so its band rows BROADCAST into the training
+    * stream — the corpus side computes signatures in one typed
+    * kernel and reaches the band join map-side, with no shuffle of
+    * training data; exact Jaccard verifies in-stream on band
+    * collisions (the codegen sorted merge walk over the shingle-hash
+    * sets both rows already carry), so the only exchanges are
+    * candidate-sized: the multi-band distinct and the per-doc
+    * aggregate. Banding is d1's 8×4 (P(candidate | j=0.8) ≈ 98.5%
+    * per pair); at the test SFs it recalls every ≥τ pair (the d1/l2
+    * equality property) and the exact verify admits no false
+    * positives — which is what lets the oracle be the exact
+    * cross-Jaccard SQL. */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4, tau: Double = 0.8): DataFrame = {
+    val spark = train.sparkSession
+    graft.functions.SortedIntersectSize.register(spark)
+    import graft.functions.SortedIntersectSize.sorted_intersect_size
+    val tb = bandedSigs(train, bands, rowsPerBand)
+    val eb = bandedSigs(eval, bands, rowsPerBand)
+    tb.as("x").join(broadcast(eb.as("y")),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("eval_id"),
+        sorted_intersect_size(col("x.sh"), col("y.sh")).as("inter"),
+        (size(col("x.sh")) + size(col("y.sh"))).as("csum"))
+      .withColumn("j", col("inter") * lit(1.0) / (col("csum") - col("inter")))
+      .filter(col("j") >= tau)
+      // a pair colliding in several bands must count once
+      .select("doc_id", "eval_id", "j").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), round(max("j"), 4).as("max_j"))
+  }
+
+  /** Incremental (delta-vs-base) EXACT dedup with a Bloom prefilter —
+    * the daily-ingest shape: `base` = the already-ingested corpus,
+    * `delta` = the new batch; emit the delta rows whose `keyCol` is
+    * NOT present in base, keeping the first (by `orderCol`) per key
+    * within the delta.
+    *
+    * 100 TB shape — the base NEVER shuffles: pass 1 folds base keys
+    * into a fixed-size Bloom bitmap (a tree-aggregated sketch,
+    * driver-merged, broadcast back out — `expectedItems`/`fpp` size
+    * it; 1 B keys at 3% ≈ 0.9 GB, still broadcastable); pass 2
+    * probes delta rows against the bitmap map-side — a
+    * bloom-negative key is DEFINITELY absent from base (no false
+    * negatives), so only candidate keys (true dups + fpp·|delta|)
+    * survive to exact confirmation; pass 3 re-scans base with the
+    * candidate keys broadcast (map-side semi join — only actual
+    * matches reach the tiny distinct exchange), and the final anti
+    * join against the confirmed key set is broadcast too. The
+    * Bloom's whole role is making the candidate set broadcastable
+    * when the raw delta key set is not; false positives cost only
+    * wasted probe work, never a wrong answer. The keep-first window
+    * shuffles the delta's survivor set alone. */
+  def bloomDeltaDedup(base: DataFrame, delta: DataFrame, keyCol: String,
+      orderCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame = {
+    val spark = base.sparkSession
+    // an aggregation job at build time (like the IVF sample / langid
+    // profiles): bounded by contract — the bitmap, not the corpus
+    val bloom = base.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContain(k))
+    val candKeys = delta.filter(mightContain(col(keyCol)))
+      .select(keyCol).distinct()
+    val confirmed = base.select(keyCol)
+      .join(broadcast(candKeys), Seq(keyCol), "left_semi")
+      .distinct()
+    delta.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keyCol).orderBy(orderCol)))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** 64-bit SimHash per doc + banded near-dup pairs (Hamming ≤ maxDist
@@ -487,6 +579,60 @@ object DedupOps {
     },
     QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>
       simhashPairs(Tables.documents(s, d))
+    },
+
+    // Fuzzy decontamination (see fuzzyDecontaminate): eval = the
+    // src1 slice (t8's convention), train = the rest. The oracle is
+    // the EXACT cross-subset Jaccard — full recall at the test SFs
+    // plus exact in-stream verification make the LSH path equal to
+    // ground truth, hash-proven per round like d1.
+    QueryDef("t8b_fuzzy_decontaminate",
+      """WITH tok AS (SELECT doc_id, source, STRING_SPLIT(text,' ') toks FROM documents),
+        |shx AS (SELECT doc_id, source, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, source, shingle FROM shx),
+        |card AS (SELECT doc_id, COUNT(*) c FROM sh GROUP BY 1),
+        |inter AS (SELECT t.doc_id tid, e.doc_id eid, COUNT(*) i
+        |          FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |          WHERE t.source <> 'src1' AND e.source = 'src1'
+        |          GROUP BY 1, 2),
+        |m AS (SELECT tid, eid, i*1.0/(ct.c + ce.c - i) AS j
+        |      FROM inter JOIN card ct ON ct.doc_id = tid
+        |                 JOIN card ce ON ce.doc_id = eid
+        |      WHERE i*1.0/(ct.c + ce.c - i) >= 0.8)
+        |SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |       ROUND(MAX(j), 4) AS max_j
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      fuzzyDecontaminate(
+        docs.filter(col("source") =!= "src1").select("doc_id", "text"),
+        docs.filter(col("source") === "src1").select("doc_id", "text"))
+        .orderedRows(col("doc_id")) // contaminated docs scale with corpus
+    },
+
+    // Incremental ingest dedup (see bloomDeltaDedup): base = the
+    // first six hours of the event stream, delta = everything after;
+    // keys are the event payload (`props`). The oracle is the plain
+    // exact anti join + keep-first window — the Bloom is a pure
+    // prefilter, so the output must equal the no-Bloom answer.
+    QueryDef("d6_bloom_delta_dedup",
+      """WITH base AS (SELECT props FROM events
+        |              WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 06:00:00'),
+        |delta AS (SELECT event_id, props FROM events
+        |          WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 06:00:00'),
+        |fresh AS (SELECT event_id, props FROM delta d
+        |          WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.props = d.props))
+        |SELECT event_id, props FROM fresh
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY props ORDER BY event_id) = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-01 06:00:00").cast("timestamp")
+      bloomDeltaDedup(
+        ev.filter(col("ts") < cut).select("props"),
+        ev.filter(col("ts") >= cut).select("event_id", "props"),
+        "props", "event_id")
+        .select("event_id", "props")
+        .orderedRows(col("event_id")) // fresh payloads scale with corpus
     },
     // Clusters over the MinHash-LSH pairs (== exact pairs, see d1), so
     // the recursive-CTE oracle over the exact pair graph is an exact

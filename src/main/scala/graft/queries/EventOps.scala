@@ -136,6 +136,44 @@ object EventOps {
           coalesce(col("c0"), lit(0L)).as("c"),
           coalesce(col("sv0"), lit(0d)).as("sv"))
         .orderedRows(col("h"), col("event_type")) // rows scale with time range
+    },
+
+    // s9: cohort retention — the product-analytics staple over an
+    // event stream: users bucketed by first-seen week (their cohort),
+    // activity counted per (cohort, weeks-since-first) cell. Scale
+    // shape: the corpus collapses FIRST to distinct (user, week) —
+    // partial distinct runs map-side before the one wide exchange, so
+    // the shuffle carries user×active-weeks rows, not events; the
+    // first-seen week is then a min-window over that collapsed frame
+    // (user-keyed), and the final retention-grid aggregate is
+    // cohorts×offsets — tiny. COUNT(*) counts USERS exactly because
+    // (user, week) is distinct and each user has one cohort week.
+    // Both engines truncate to Monday weeks; the offset division is
+    // exact (week deltas are multiples of 7 days).
+    QueryDef("s9_cohort_retention",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS aw
+        |            FROM events),
+        |fw AS (SELECT user_id, MIN(aw) AS cw FROM uw GROUP BY 1)
+        |SELECT cw AS cohort_week, CAST((aw - cw) // 7 AS INT) AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN fw USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      cohortRetention(Tables.events(s, d))
+        .orderedSmall(col("cohort_week"), col("week_offset"))
     }
   )
+
+  /** Weekly cohort-retention grid over a (user_id, ts, …) frame —
+    * see the s9 entry above for semantics and the scale shape. */
+  def cohortRetention(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("aw"))
+      .distinct()
+    uw.withColumn("cw", min("aw").over(Window.partitionBy("user_id")))
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -283,6 +283,59 @@ object SimilarityOps {
         .agg(count(lit(1)).as("n"),
           round(avg(col("v").cast("double")), 6).as("mu"))
         .orderedSmall(col("label"), col("dim"))
+    },
+
+    // a5: int8 scalar quantization of the embedding corpus — the
+    // compression step an ANN serving layer applies before indexing
+    // (4× smaller vectors, SIMD-friendly integer distance). Global
+    // per-dimension [mn, mx] ranges; code = ⌊(x−mn)·255/(mx−mn)⌋,
+    // constant dims pin to 0. Scale shape: pass 1 is a4's posexplode
+    // partial aggregate (the 64× explosion collapses to dims×partials
+    // per mapper before the exchange — min/max are exact selections,
+    // no float-order concerns); the 64-row range table is collected
+    // (bounded by DIMS, not corpus — the IVF-sample pattern) and
+    // folded back as LITERAL arrays, so pass 2 is a pure per-row map
+    // — quantize + integer audit stats via array HOFs — with NO
+    // shuffle and no join. Both engines evaluate the same
+    // left-associated double expression over the same float inputs,
+    // and the audited outputs (code sum, saturation counts) are
+    // integers, so the oracle check is exact — no rounding tolerance.
+    QueryDef("a5_quantize_int8",
+      """WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(0, 64)) u(i)),
+        |r AS (SELECT i, MIN(x) mn, MAX(x) mx FROM e GROUP BY 1),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN mx > mn
+        |             THEN CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+        |             ELSE 0 END AS code
+        |      FROM e JOIN r USING (i))
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |       CAST(COUNT(*) FILTER (WHERE code = 0) AS BIGINT) AS n_lo,
+        |       CAST(COUNT(*) FILTER (WHERE code = 255) AS BIGINT) AS n_hi
+        |FROM c GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val ranges = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .orderBy("dim")
+        .collect() // 64 rows — bounded by dims, not corpus
+      val mn = array(ranges.map(r => lit(r.getDouble(1))).toSeq: _*)
+      val mx = array(ranges.map(r => lit(r.getDouble(2))).toSeq: _*)
+      val codes = transform(col("embedding"), (x, i) => {
+        val lo = element_at(mn, i + 1)
+        val hi = element_at(mx, i + 1)
+        when(hi > lo,
+          floor((x.cast("double") - lo) * lit(255.0) / (hi - lo)))
+          .otherwise(lit(0L))
+      })
+      emb.select(col("vec_id"), codes.as("codes"))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          size(filter(col("codes"), _ === 0)).cast("long").as("n_lo"),
+          size(filter(col("codes"), _ === 255)).cast("long").as("n_hi"))
+        .orderedRows(col("vec_id")) // one row per vector: scales
     }
   )
 }

@@ -579,4 +579,97 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(windows.size == 1, s"expected 1 logical Window, got ${windows.size}")
   }
+
+  test("t8b fuzzy decontamination flags near-verbatim, not exact-only or clean") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    // train 1: verbatim copy of eval 100 (exact contamination, j=1);
+    // train 2: one-token edit of eval 100 — exact 8-gram check (t8
+    // family) would still flag it, but the point here is Jaccard
+    // 397/403 ≈ 0.985 ≥ 0.8 via a DIFFERENT surface than equality;
+    // train 3: unrelated
+    val train = Seq(
+      (1L, base),
+      (2L, base.replace("tok200 ", "tok200x ")),
+      (3L, (500 to 900).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val got = DedupOps.fuzzyDecontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (1L, 1.0))
+    val (m2, j2) = got(2L)
+    assert(m2 == 1L && j2 >= 0.97 && j2 < 1.0, s"got $j2")
+  }
+
+  test("d6 bloom delta dedup: exact vs base, keep-first, FP-heavy bloom still exact") {
+    import spark.implicits._
+    val base = Seq("a", "b", "c").toDF("k")
+    val delta = Seq((1L, "a"), (2L, "d"), (3L, "d"), (4L, "e"), (5L, "b"))
+      .toDF("id", "k")
+    def run(items: Long, fpp: Double) =
+      DedupOps.bloomDeltaDedup(base, delta, "k", "id", items, fpp)
+        .select("id", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = Set((2L, "d"), (4L, "e"))
+    assert(run(1L << 16, 0.03) == expected)
+    // an undersized, high-fpp bloom floods the candidate path with
+    // false positives — the exact confirmation must absorb them all
+    assert(run(1L, 0.5) == expected)
+  }
+
+  test("a5 int8 quantization equals scalar double math on the raw embeddings") {
+    val raw = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = raw.head._2.length
+    val mn = Array.fill(dims)(Double.MaxValue)
+    val mx = Array.fill(dims)(Double.MinValue)
+    for ((_, e) <- raw; i <- 0 until dims) {
+      val x = e(i).toDouble
+      if (x < mn(i)) mn(i) = x
+      if (x > mx(i)) mx(i) = x
+    }
+    val expected = raw.map { case (id, e) =>
+      var sum = 0L; var lo = 0L; var hi = 0L
+      for (i <- 0 until dims) {
+        val c =
+          if (mx(i) > mn(i))
+            math.floor((e(i).toDouble - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong
+          else 0L
+        sum += c
+        if (c == 0L) lo += 1
+        if (c == 255L) hi += 1
+      }
+      id -> ((sum, lo, hi))
+    }.toMap
+    val got = SimilarityOps.defs.find(_.name == "a5_quantize_int8").get
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // quantization actually uses the full code range somewhere
+    assert(got.values.exists(_._3 > 0))
+  }
+
+  test("s9 cohort retention: hand-computed grid on planted user-weeks") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // Mondays: 2024-01-01, 01-08, 01-15. u1 first week w0, active
+    // w0+w2 (two events in w0 — distinct must collapse them);
+    // u2 first week w0, active w0 only; u3 first week w1, active w1+w2.
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-03 09:00:00")),
+      (1L, t("2024-01-16 12:00:00")),
+      (2L, t("2024-01-02 08:00:00")),
+      (3L, t("2024-01-08 23:00:00")), (3L, t("2024-01-20 07:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventOps.cohortRetention(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
 }
