@@ -35,6 +35,10 @@ object GoldenHashes {
     // state → mix-sample → broadcast decontamination), fixed 3-batch
     // scenario; survivors are docs 1/3/6/8 — see StreamingQueries
     "s7_preprocess_stream" -> "223da87c9c858e2fbf02e33871eaeeea094873cdb1761ad773f6973f1fef97e7",
+    // s10: streaming delta-vs-base ingest dedup (stream-static anti
+    // probe + keep-first state over novel keys), fixed 3-batch
+    // scenario; survivors are ids 2/3/6/8 — see StreamingQueries
+    "s10_delta_dedup_stream" -> "14403e4e2ed9a19d5fe441cf2ad96d3cfcb1760bd934b873759744a480faf2b5",
     "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274")
 
   private def cell(v: Any): String = v match {

@@ -173,6 +173,60 @@ object MultimodalOps {
       .toDF("media_id", "out_w", "out_h", "out_payload")
   }
 
+  /** Perceptual-hash (dHash) image near-dup pairs — the image-side
+    * sibling of d2's SimHash text dedup, composed with the REAL codec
+    * path: decode the PNG payload, nearest-neighbor-resample the
+    * decoded raster to a 9×8 grid, set bit y·8+x iff
+    * grid(x,y) > grid(x+1,y) (the row-wise brightness gradient —
+    * invariant to uniform brightness shifts), then pair images at
+    * Hamming ≤ maxDist via the 16-bit chunk pigeonhole (EXACT for
+    * maxDist ≤ 3: ≤ 3 flipped bits leave one of the 4 chunks
+    * untouched — candidate generation loses nothing). One kernel per
+    * row computes decode + hash + chunk rows; the shuffle carries
+    * (id, hash, chunk) rows only, the join emits candidates, and the
+    * exact Hamming filter runs in-stream — sub-quadratic end-to-end,
+    * with d2's skew story (a hot chunk value is the salting case). */
+  def phashPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val chunked = media.filter(col("meta.kind") === 0)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          val (w, h, px) = decodeGrayPng(payload, s"media_id=$id: ")
+          // 9×8 nearest-neighbor sample of the decoded raster; the
+          // index arithmetic is m3's (and the oracle recomputes it
+          // from source bytes via PNG losslessness)
+          val r = new Array[Int](72)
+          var i = 0
+          while (i < 72) {
+            r(i) = px((i / 9) * h / 8 * w + (i % 9) * w / 9)
+            i += 1
+          }
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (r((b / 8) * 9 + b % 8) > r((b / 8) * 9 + b % 8 + 1))
+              hash |= 1L << b
+            b += 1
+          }
+          Iterator.tabulate(4)(c => (id, hash, c, (hash >>> (c * 16)) & 0xFFFFL))
+        }
+      }
+      .toDF("media_id", "phash", "c", "v")
+    chunked.as("x").join(chunked.as("y").hint("shuffle_hash"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ia"), col("y.media_id").as("ib"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxDist)
+      .select("ia", "ib", "hamming")
+  }
+
   /** Frame sampling for "video" payloads: chunk the payload into
     * fixed-size frames, keep every `stride`-th frame — the flatMap
     * that feeds per-frame feature extraction at scale, emitting
@@ -341,6 +395,49 @@ object MultimodalOps {
         |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
       pngRoundtrip(Tables.documents(s, d))
         .orderedRows(col("media_id")) // one row per image: scales
+    },
+
+    // m5: perceptual-hash image near-dup (see phashPairs). The oracle
+    // brute-forces every pair from SOURCE bytes: PNG gray8 is
+    // lossless, so the decoded raster is the first 256 text bytes
+    // zero-padded and DuckDB recomputes pixel values from hex(text),
+    // the 9×8 resample indices, the gradient bits, and the exact
+    // Hamming distance — certifying decode, resample, hash, and
+    // pairing in one hash match. The engine's chunk-pigeonhole
+    // candidate join is exact at maxDist ≤ 3, so sub-quadratic
+    // candidates equal the brute force. Bits assemble via INTEGER
+    // shifts (bits 0–62 summed, bit 63 added as the sign value):
+    // DuckDB's `**` returns DOUBLE even on HUGEINT, and a 64-bit
+    // hash routed through doubles silently loses its low bits.
+    QueryDef("m5_phash_neardup",
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i < LEAST(n, 256)
+        |          THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)
+        |             + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1)
+        |          ELSE 0 END for i in range(256)] AS p
+        |  FROM h),
+        |g AS (
+        |  SELECT doc_id,
+        |    [p[(i//9*2)*16 + ((i%9)*16)//9 + 1] for i in range(72)] AS r
+        |  FROM px),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN r[(i//8)*9 + (i%8) + 1] > r[(i//8)*9 + (i%8) + 2]
+        |              THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END
+        |              for i in range(63)]) AS BIGINT)
+        |    + CASE WHEN r[71] > r[72] THEN CAST(-9223372036854775808 AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END AS hash
+        |  FROM g)
+        |SELECT ia, ib, CAST(d AS INT) AS hamming FROM (
+        |  SELECT a.doc_id ia, b.doc_id ib, bit_count(xor(a.hash, b.hash)) AS d
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE d <= 3 ORDER BY ia, ib""".stripMargin) { (s, d) =>
+      phashPairs(mediaTable(s, d))
+        .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
     }
   )
 }

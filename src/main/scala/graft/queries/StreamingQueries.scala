@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.QueryDef
-import graft.streaming.{DocRow, EventRow, StreamingOps}
+import graft.streaming.{DocRow, EventRow, KeyedRow, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, lit, when}
@@ -161,6 +161,40 @@ object StreamingQueries {
       DocRow(199, "src_b", cleanText("d")),
       DocRow(8, "src_b", cleanText("f"))))
 
+  /** [[runScenario]]'s twin over keyed delta rows (the s10 ingest
+    * stream). */
+  private def runKeyedScenario(spark: SparkSession, mode: String,
+      batches: Seq[Seq[KeyedRow]])(
+      op: DataFrame => DataFrame): DataFrame = synchronized {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[KeyedRow]
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = op(in.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** s10 scenario: base holds keys {a, b}. Every drop mode exercised,
+    * the keep-first state proven ACROSS batches —
+    * batch 1: id 1 (a) dropped against base; ids 2 (c), 3 (d) fresh.
+    * batch 2: id 4 (c) dropped by batch-1 STATE; id 5 (b) dropped
+    *   against base; id 6 (e) fresh.
+    * batch 3: id 7 (d) dropped by state two batches back; id 8 (f)
+    *   fresh; id 9 (a) dropped against base.
+    * Survivors: 2, 3, 6, 8. No batch repeats a key within itself, so
+    * the winner of every key is order-independent and the output is
+    * golden-hash pinnable. */
+  private def s10Batches: Seq[Seq[KeyedRow]] = Seq(
+    Seq(KeyedRow(1, "a"), KeyedRow(2, "c"), KeyedRow(3, "d")),
+    Seq(KeyedRow(4, "c"), KeyedRow(5, "b"), KeyedRow(6, "e")),
+    Seq(KeyedRow(7, "d"), KeyedRow(8, "f"), KeyedRow(9, "a")))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.noOracle("s4_late_drop") { (s, _) =>
@@ -178,6 +212,13 @@ object StreamingQueries {
         StreamingOps.preprocessStream(docs,
           StreamingOps.shingleSetOf(Seq(s7EvalText)),
           mixRate = when(col("source") === "src_b", lit(50)).otherwise(lit(100))))
+    },
+
+    QueryDef.noOracle("s10_delta_dedup_stream") { (s, _) =>
+      import s.implicits._
+      val base = Seq("a", "b").toDF("key")
+      runKeyedScenario(s, "append", s10Batches)(delta =>
+        StreamingOps.deltaDedupStream(delta, base))
     }
   )
 }

@@ -15,6 +15,9 @@ final case class UserCount(user_id: Long, n: Long)
   * scenarios over the corpus-preprocessing surface. */
 final case class DocRow(doc_id: Long, source: String, text: String)
 
+/** Row shape for the s10 delta-ingest stream (id, dedup key). */
+final case class KeyedRow(id: Long, key: String)
+
 /** Streaming surface S1–S6 (SURVEY.md §2.3): the same logical ops as
   * the EventOps batch equivalents, expressed over an unbounded source.
   * Each takes a *streaming* DataFrame with the events schema (from
@@ -63,6 +66,21 @@ object StreamingOps {
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming twin of `DedupOps.bloomDeltaDedup` (s10): an unbounded
+    * delta stream deduped against a STATIC ingested base — emit rows
+    * whose `key` is absent from base, first arrival per key winning
+    * across micro-batches. The stream-static anti probe is STATELESS
+    * (each micro-batch probes the static side; Spark broadcasts it
+    * when small, and at scale the batch form's Bloom bitmap takes
+    * that role); the only state store is dropDuplicates over NOVEL
+    * keys — probing base FIRST means already-ingested keys never
+    * enter state. Exact keep-first over an unbounded stream
+    * genuinely needs unbounded key state; a production pipeline with
+    * bounded arrival skew bounds it via dropDuplicatesWithinWatermark
+    * (the S5 form). */
+  def deltaDedupStream(delta: DataFrame, base: DataFrame): DataFrame =
+    delta.join(base, Seq("key"), "left_anti").dropDuplicates("key")
 
   /** S6: per-user running event counter via mapGroupsWithState — the
     * custom-state escape hatch (reference has nothing comparable; this

@@ -618,6 +618,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run(1L, 0.5) == expected)
   }
 
+  test("d6 bloom delta dedup: randomized differential vs in-memory reference") {
+    import spark.implicits._
+    // The operator is exact regardless of Bloom sizing; random
+    // base/delta key mixes at both a sane and a deliberately
+    // FP-flooded configuration must equal the plain set-difference +
+    // keep-first reference.
+    for (seed <- Seq(2L, 19L)) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Array.tabulate(40)(i => s"k$i")
+      val baseKeys = Array.fill(25)(keys(rnd.nextInt(keys.length))).distinct.toSeq
+      val delta = (1L to 60L).map(id => (id, keys(rnd.nextInt(keys.length))))
+      val expected = delta
+        .filterNot { case (_, k) => baseKeys.contains(k) }
+        .groupBy(_._2).map { case (k, rows) => (rows.map(_._1).min, k) }
+        .toSet
+      for ((items, fpp) <- Seq((1L << 16, 0.03), (1L, 0.5))) {
+        val got = DedupOps.bloomDeltaDedup(
+            baseKeys.toDF("k"), delta.toDF("id", "k"), "k", "id", items, fpp)
+          .select("id", "k")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == expected, s"seed=$seed items=$items fpp=$fpp")
+      }
+    }
+  }
+
   test("a5 int8 quantization equals scalar double math on the raw embeddings") {
     val raw = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding").collect()
@@ -651,6 +676,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
     // quantization actually uses the full code range somewhere
     assert(got.values.exists(_._3 > 0))
+  }
+
+  test("m5 phash pairs equal naive dHash all-pairs on planted rasters") {
+    import spark.implicits._
+    // Differential vs an in-spec dHash reference over raw rasters:
+    // random 16×16 images, exact copies (d=0), single-sampled-pixel
+    // nudges (nearest-neighbor cells sample distinct pixels, so one
+    // edit flips ≤2 gradient bits), and a stub-kind row the kind
+    // filter must drop.
+    def dhash(px: Array[Byte]): Long = {
+      val p = px.map(_ & 0xFF)
+      val r = Array.tabulate(72)(i => p((i / 9) * 2 * 16 + (i % 9) * 16 / 9))
+      var h = 0L
+      for (b <- 0 until 64)
+        if (r((b / 8) * 9 + b % 8) > r((b / 8) * 9 + b % 8 + 1)) h |= 1L << b
+      h
+    }
+    val rnd = new scala.util.Random(13)
+    val rasters = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var id = 0L
+    for (k <- 1 to 8) {
+      val base = Array.fill(256)(rnd.nextInt(256).toByte)
+      rasters += ((id, base)); id += 1
+      if (k % 3 == 0) { rasters += ((id, base.clone())); id += 1 } // d = 0
+      if (k % 3 == 1) { // nudge one sampled pixel: d <= 2
+        val c = base.clone()
+        val cell = rnd.nextInt(72)
+        val px = (cell / 9) * 2 * 16 + (cell % 9) * 16 / 9
+        c(px) = (c(px) + 90).toByte
+        rasters += ((id, c)); id += 1
+      }
+    }
+    val expected = (for {
+      (ia, a) <- rasters; (ib, b) <- rasters if ia < ib
+      d = java.lang.Long.bitCount(dhash(a) ^ dhash(b)) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(expected.exists(_._3 == 0) && expected.exists(_._3 > 0))
+    val media = rasters.toSeq.map { case (i, px) =>
+      (i, MultimodalOps.encodeGrayPng(px, 16, 16),
+        MultimodalOps.MediaMeta(0, 16, 16, 256))
+    } :+ ((999L, Array[Byte](1, 2, 3), MultimodalOps.MediaMeta(1, 64, 64, 3)))
+    val got = MultimodalOps.phashPairs(media.toDF("media_id", "payload", "meta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
   }
 
   test("s9 cohort retention: hand-computed grid on planted user-weeks") {

@@ -215,4 +215,59 @@ class SetSimilarityPropSpec extends AnyFunSuite {
         s"seed=$seed recall ${got.size}/${want.size}")
     }
   }
+
+  test("fuzzyDecontaminate equals naive cross-frame Jaccard on generated corpora") {
+    import spark.implicits._
+    // Train/eval split of a generated near-dup corpus: eval docs are
+    // the cluster bases, train docs their mutations plus unrelated
+    // noise. Mutations are ≤2 tokens of ≥25, so true matches sit
+    // comfortably above τ=0.8 where 8×4 banding recall is ~1 — and
+    // seeds are FIXED, so the assertion is deterministic equality
+    // against the naive per-(train, eval) Jaccard aggregate, exactly
+    // like the l6/salted-join differentials.
+    def naiveCross(train: Seq[(Long, String)], eval: Seq[(Long, String)])
+        : Map[Long, (Long, Double)] = {
+      def sh(t: String): Set[String] =
+        t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val es = eval.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+      train.flatMap { case (tid, t) =>
+        val ts = sh(t)
+        if (ts.isEmpty) Nil
+        else {
+          val js = es.flatMap { case (_, e) =>
+            val i = (ts & e).size
+            val j = i.toDouble / (ts.size + e.size - i)
+            if (j >= 0.8) Some(math.rint(j * 10000) / 10000) else None
+          }
+          if (js.isEmpty) Nil else Seq(tid -> ((js.size.toLong, js.max)))
+        }
+      }.toMap
+    }
+    for (seed <- Seq(3L, 11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(60)(i => s"v$i")
+      def doc(n: Int): String =
+        Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val eval = (0L until 6L).map(i => (i, doc(25 + rnd.nextInt(15))))
+      val train = Seq.newBuilder[(Long, String)]
+      var id = 100L
+      for ((_, base) <- eval; m <- 0 to rnd.nextInt(2)) {
+        val t2 = base.split(' ')
+        for (_ <- 0 to m) t2(rnd.nextInt(t2.length)) = vocab(rnd.nextInt(vocab.length))
+        train += ((id, t2.mkString(" "))); id += 1
+      }
+      train += ((id, eval.head._2)); id += 1 // verbatim copy, j = 1.0
+      for (_ <- 1 to 12) { train += ((id, doc(30))); id += 1 }
+      val trainSeq = train.result()
+      val got = DedupOps.fuzzyDecontaminate(
+          trainSeq.toDF("doc_id", "text"), eval.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = naiveCross(trainSeq, eval)
+      assert(got == want,
+        s"seed=$seed missing=${want.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- want.keySet} " +
+          s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }}")
+    }
+  }
 }

@@ -168,6 +168,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 3L, 6L, 8L))
   }
 
+  test("s10 delta-dedup stream equals bloomDeltaDedup on the flattened batches") {
+    import graft.streaming.KeyedRow
+    // Keys a/b sit in the static base; c repeats across batches 1→2
+    // and d across 1→3, so survivors prove the keep-first state
+    // carries over micro-batch boundaries (not reset per batch).
+    val batches = Seq(
+      Seq(KeyedRow(1, "a"), KeyedRow(2, "c"), KeyedRow(3, "d")),
+      Seq(KeyedRow(4, "c"), KeyedRow(5, "b"), KeyedRow(6, "e")),
+      Seq(KeyedRow(7, "d"), KeyedRow(8, "f"), KeyedRow(9, "a")))
+    val base = Seq("a", "b").toDF("key")
+    val in = MemoryStream[KeyedRow]
+    val q = StreamingOps.deltaDedupStream(in.toDF(), base)
+      .writeStream.format("memory").queryName("s10spec").outputMode("append")
+      .start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("s10spec").select("id", "key")
+      .as[(Long, String)].collect().toSet
+    spark.catalog.dropTempView("s10spec")
+    assert(streamed.map(_._1) == Set(2L, 3L, 6L, 8L))
+    // Batch twin: same rows through the Bloom-prefiltered batch
+    // operator (keep-first = min id, which equals arrival order here).
+    val batch = graft.queries.DedupOps.bloomDeltaDedup(
+        base.withColumnRenamed("key", "k"),
+        batches.flatten.map(r => (r.id, r.key)).toDF("id", "k"),
+        "k", "id")
+      .select("id", "k").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming CDC: dropped binlog file renders like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("cdcstream")
     val checkpoint = java.nio.file.Files.createTempDirectory("cdccp")
