@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-LAYOUT operators — the write side of the engine at scale.
+  * Everything else in the library optimizes a single plan; these two
+  * entries certify the layouts a 100 TB deployment pays for ONCE at
+  * ingest so that every later query is cheaper:
+  *
+  *  - BUCKETING (w1): `bucketBy(key)` pre-shuffles a table at write
+  *    time. Two tables bucketed on the join key with the same bucket
+  *    count sort-merge-join with NO Exchange on either side — the
+  *    shuffle a fact-fact join would otherwise pay on every single
+  *    run is paid once, at write. (Broadcast covers fact-dim; bucketing
+  *    is the fact-FACT answer when neither side fits an executor.)
+  *  - PARTITIONING (w2): `partitionBy(col)` turns a predicate on the
+  *    partition column into directory pruning — the scan never opens
+  *    non-matching files, the I/O analogue of the shuffle saving.
+  *
+  * Both write under java.io.tmpdir with the CDC snapshots' stale-guard
+  * (write once per JVM per SF, record success only AFTER the write),
+  * so bench passes reuse the first write while alternating-SF test
+  * runs rewrite. The ORACLE reads the raw tables — the layout must
+  * never change an answer, only the plan: the driver hash-compare
+  * certifies exactly that, and the plan properties (zero shuffle
+  * exchanges under the bucketed join, PartitionFilters on the pruned
+  * scan) are spec-asserted.
+  */
+object StorageOps {
+
+  private val WarehouseBase =
+    System.getProperty("java.io.tmpdir") + "/graft_warehouse"
+
+  /** Layout key → SF dir currently materialized (success-recorded). */
+  private val materializedSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def writeIfStale(key: String, d: String)(write: => Unit): Unit =
+    synchronized {
+      if (materializedSf.get(key) != d) { write; materializedSf.put(key, d) }
+    }
+
+  /** Bucketed external tables for lineitem/orders on the join key.
+    * `saveAsTable` is required (bucket metadata lives in the catalog);
+    * `path` keeps the data external under tmpdir. Bucket counts must
+    * MATCH for the exchange-free join — at real scale you size them
+    * to the target parallelism (buckets ≥ cores, files ≈ buckets). */
+  /** The stale-guard map is JVM-wide but bucket METADATA is per
+    * session catalog — a second session in the same JVM (test suites)
+    * must rewrite through `saveAsTable` to register the tables, so
+    * the skip condition checks both. */
+  private[queries] def ensureBucketed(s: SparkSession, d: String): Unit =
+    synchronized {
+      if (materializedSf.get("bucketed") == d &&
+        s.catalog.tableExists("graft_lineitem_b") &&
+        s.catalog.tableExists("graft_orders_b")) return
+      materializedSf.remove("bucketed")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite")
+        .option("path", s"$WarehouseBase/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("path", s"$WarehouseBase/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      materializedSf.put("bucketed", d)
+    }
+
+  /** The w1 join over the bucketed tables (callers ensureBucketed
+    * first). Exposed for the plan spec. */
+  private[queries] def bucketedJoinFrame(s: SparkSession): DataFrame =
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("revenue"),
+        round(sum("l_quantity"), 2).as("qty"))
+
+  /** Partitioned events layout for w2: one directory per event_type. */
+  private[queries] def ensurePartitioned(s: SparkSession, d: String): String = {
+    val path = s"$WarehouseBase/events_p"
+    writeIfStale("partitioned", d) {
+      Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    }
+    path
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // w1: fact-fact join over tables BUCKETED on the join key — the
+    // write-once/join-free-forever layout. The oracle joins the raw
+    // tables: bucketing must change the plan (no Exchange under the
+    // sort-merge join — spec-asserted with broadcast disabled), never
+    // the answer. In this JVM the first call pays the two bucketed
+    // writes (the ingest cost a cluster pays once); later calls reuse.
+    QueryDef("w1_bucketed_join",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       ROUND(SUM(l_extendedprice), 2) AS revenue,
+        |       ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      ensureBucketed(s, d)
+      bucketedJoinFrame(s)
+        .orderedSmall(col("o_orderpriority"))
+    },
+
+    // w2: partition-pruned scan — the predicate on the partition
+    // column resolves to directory pruning (PartitionFilters in the
+    // scan, spec-asserted), so the read touches one type's files
+    // regardless of corpus size. The oracle filters the raw table.
+    QueryDef("w2_partition_pruned",
+      """SELECT TIME_BUCKET(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+        |       CAST(COUNT(*) AS BIGINT) AS c, ROUND(SUM(value), 2) AS sv
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = ensurePartitioned(s, d)
+      s.read.parquet(path)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedRows(col("h")) // rows scale with time range
+    }
+  )
+}

@@ -723,6 +723,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("w1 bucketed join runs exchange-free; w2 scan has partition filters") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force SMJ so the bucketed layout (not a broadcast) must carry
+      // the join, and read the non-adaptive executed plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      StorageOps.ensureBucketed(spark, sf)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      val bucketed = StorageOps.bucketedJoinFrame(spark)
+      // the one exchange is the final groupBy (its key differs from
+      // the bucket key); the JOIN itself reads co-located buckets
+      assert(exchanges(bucketed) == 1,
+        s"bucketed plan:\n${bucketed.queryExecution.executedPlan}")
+      val raw = graft.Tables.lineitem(spark, sf)
+        .join(graft.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_items"))
+      assert(exchanges(raw) == 3) // two join shuffles + the aggregate
+      // layout must never change the answer
+      val a = bucketed.collect().map(_.toSeq).toSet
+      val b = graft.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        .join(graft.Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"),
+          round(sum("l_quantity"), 2).as("qty"))
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+      // w2: the event_type predicate must resolve to PARTITION pruning
+      val pruned = spark.read.parquet(StorageOps.ensurePartitioned(spark, sf))
+        .filter(col("event_type") === "click")
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+        s"pruned plan:\n${pruned.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("s9 cohort retention: hand-computed grid on planted user-weeks") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
