@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-generated star-schema parquet corpus
   * (TESTDATA.md / FIXTURES.md §1).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-  * only reads via `spark.sql.legacy.parquet.nanosAsLong=true`; we
-  * convert to a microsecond TIMESTAMP with integer division (floor
-  * for positive epochs), which matches DuckDB's
-  * `CAST(ts_ns AS TIMESTAMP)` truncation — the oracle SQL casts the
-  * same way so both engines agree at microsecond precision.
+  * `events.ts` has been written two ways by the corpus generator:
+  * parquet TIMESTAMP(NANOS) (readable only via
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, giving a nanos
+  * BIGINT we floor-divide to microseconds) or TIMESTAMP(MICROS)
+  * (read natively as TIMESTAMP_NTZ). `load` normalizes either to a
+  * session-TZ TIMESTAMP; the oracle SQL's `CAST(ts AS TIMESTAMP)`
+  * truncates the same way, so both engines agree at microsecond
+  * precision regardless of the writer's physical type.
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -43,9 +45,21 @@ object Tables {
       // session build time, this covers ad-hoc sessions (tests, shells).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      if (name == "events") {
+        // `ts` physical type has varied across corpus generations:
+        // TIMESTAMP(NANOS) (read as nanos BIGINT via the legacy conf)
+        // vs TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+        // Normalize both to a session-TZ TIMESTAMP; under the UTC
+        // session both paths yield the identical instant, so downstream
+        // plans and golden hashes are unchanged by the writer's choice.
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df
+        }
+      } else df
     })
   }
 
