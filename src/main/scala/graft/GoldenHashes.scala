@@ -39,7 +39,14 @@ object GoldenHashes {
     // probe + keep-first state over novel keys), fixed 3-batch
     // scenario; survivors are ids 2/3/6/8 — see StreamingQueries
     "s10_delta_dedup_stream" -> "14403e4e2ed9a19d5fe441cf2ad96d3cfcb1760bd934b873759744a480faf2b5",
-    "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274")
+    "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274",
+    // k1: HLL++ registers merge by max (commutative/idempotent), so the
+    // estimate is a pure function of the value set — pinned hash
+    // verified identical at local[3]/local[8]/local[32]
+    "k1_sketch_distinct" -> "c21e0bba067daeeab685e04837f880f9aae4dae684091f89d27ac6bba4af7877",
+    // s12: stream-stream interval join, fixed 3-batch MemoryStream
+    // scenario (3 attribution rows) — see StreamingQueries
+    "s12_stream_join" -> "26b27eef49249cdd3ec6ff16a236a54f84fe9adf69b8eec6fb58e2dfc2fca553")
 
   private def cell(v: Any): String = v match {
     case null => "NULL"

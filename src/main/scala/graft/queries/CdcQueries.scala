@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.QueryDef.SmallOrdered
 import graft.cdc._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -106,6 +107,18 @@ object CdcQueries {
     * parse SHAPES, not volume — the throughput workload is c2's). */
   private val StressOracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_stressevents_cur"
+
+  /** c9's flattened-image snapshot (same stress fixture as c8). */
+  private val StateOracleSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_stateevents_cur"
+
+  /** Value of image ordinal `ord` in a (ords, vals) parallel-array
+    * column pair, null when the image lacks that ordinal (absent side
+    * of an insert/delete, short rows). */
+  private def imgVal(ords: String, vals: String, ord: Int) = {
+    val p = array_position(col(ords), lit(ord))
+    when(p > 0, element_at(col(vals), p.cast("int")))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -220,6 +233,80 @@ object CdcQueries {
       events.groupBy("db", "table", "op")
         .agg(count(lit(1)).as("c"))
         .orderBy("db", "table", "op")
+    },
+
+    // c9: CDC log → table-state materialization (the compaction every
+    // log-consuming lakehouse runs: Delta/Hudi merge-on-read, "state
+    // as of the log's end"). Row-image semantics, last-writer-wins per
+    // (db, table, key): an insert/update upserts its AFTER image, a
+    // delete tombstones its BEFORE key, and a PK-CHANGING update (the
+    // stress fixture has them) is exactly one tombstone for the old
+    // key plus one upsert for the new — both emitted from the same
+    // event, ordered by (file, seq, action-rank) so the upsert wins
+    // over its own tombstone when the key does not move. Scale shape:
+    // ONE pass over the log (the two actions explode inside the scan
+    // stage), then a single hash exchange on the key where `max_by`
+    // argmax partial-aggregates MAP-SIDE — the classic window
+    // row_number=1 formulation (the oracle's) would instead sort
+    // whole partitions; at 100 TB of log the map-side combine is the
+    // difference between shuffling per-key maxima and shuffling every
+    // event. Values stay verbatim literal strings (the reference's
+    // lossless carry, model.scala); only the key casts to BIGINT for
+    // a stable output order.
+    QueryDef("c9_state_materialize",
+      s"""WITH snap AS (SELECT * FROM read_parquet('$StateOracleSnapshot/*.parquet')),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, c2, c3
+         |FROM last WHERE rn = 1 AND keep = 1
+         |ORDER BY db, "table", id""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      val flat = flattenImages(CdcJob.parse(s, p))
+      writeSnapshotIfStale(StateOracleSnapshot, d) {
+        flat.write.mode("overwrite").parquet(StateOracleSnapshot)
+      }
+      materializeFromFlat(flat)
+        .orderedRows(col("db"), col("table"), col("id"))
     }
   )
+
+  /** c9 stage 1: per-event flattened key/value scalars from the image
+    * arrays (key = ordinal 1, the fixture tables' PK; c2/c3 = the
+    * remaining columns' AFTER values, verbatim literals). */
+  def flattenImages(events: DataFrame): DataFrame =
+    events.select(col("file"), col("seq"), col("op"), col("db"), col("table"),
+      imgVal("beforeOrds", "beforeVals", 1).as("before_id"),
+      imgVal("afterOrds", "afterVals", 1).as("after_id"),
+      imgVal("afterOrds", "afterVals", 2).as("after_c2"),
+      imgVal("afterOrds", "afterVals", 3).as("after_c3"))
+
+  /** c9 stage 2: last-writer-wins state from the flattened log — see
+    * the entry's scaladoc for the action/argmax shape. */
+  def materializeFromFlat(flat: DataFrame): DataFrame = {
+    val acts = flat.select(col("db"), col("table"),
+      explode(array(
+        struct(col("file"), col("seq"), lit(0).as("rnk"),
+          col("before_id").as("id"), lit(null).cast("string").as("c2"),
+          lit(null).cast("string").as("c3"), lit(0).as("keep")),
+        struct(col("file"), col("seq"), lit(1).as("rnk"),
+          col("after_id").as("id"), col("after_c2").as("c2"),
+          col("after_c3").as("c3"), lit(1).as("keep")))).as("a"))
+      .select(col("db"), col("table"), col("a.*"))
+      .filter(col("id").isNotNull)
+    acts.groupBy("db", "table", "id")
+      .agg(max_by(
+        struct(col("keep"), col("c2"), col("c3")),
+        struct(col("file"), col("seq"), col("rnk"))).as("m"))
+      .filter(col("m.keep") === 1)
+      .select(col("db"), col("table"), col("id").cast("long").as("id"),
+        col("m.c2").as("c2"), col("m.c3").as("c3"))
+  }
 }

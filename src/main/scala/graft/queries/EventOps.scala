@@ -150,6 +150,41 @@ object EventOps {
     // (user, week) is distinct and each user has one cohort week.
     // Both engines truncate to Monday weeks; the offset division is
     // exact (week deltas are multiples of 7 days).
+    // s11: funnel analysis — the other product-analytics staple: how
+    // many users progressed signup → view-after-signup → purchase-
+    // after-that-view, with strict event ordering (a view only counts
+    // if it happens after the user's first signup, a purchase only
+    // after the first qualifying view). Scale shape: ONE sort+exchange
+    // on user_id serves both stacked window passes (same spec:
+    // running-frame conditional mins stream through WindowExec with no
+    // buffering), the per-user flag aggregate reuses that exact hash
+    // partitioning (no second exchange), and the final funnel counts
+    // are a 1-row reduce. Ties broken by event_id so the running mins
+    // are a pure function of the data on both engines; stage
+    // comparisons are strict (ts >), value-based, order-independent.
+    QueryDef("s11_funnel",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events),
+        |w1 AS (SELECT user_id, event_id, ts, event_type,
+        |         MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        |       FROM e),
+        |w2 AS (SELECT *, COALESCE(event_type = 'view' AND ts > rs, FALSE) AS qv FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN qv THEN ts END) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv
+        |       FROM w2),
+        |w4 AS (SELECT *, COALESCE(event_type = 'purchase' AND ts > rv, FALSE) AS qp FROM w3),
+        |u AS (SELECT user_id, MAX(event_type = 'signup') AS s1, MAX(qv) AS s2, MAX(qp) AS s3
+        |      FROM w4 GROUP BY user_id)
+        |SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_after,
+        |       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+        |FROM u""".stripMargin) { (s, d) =>
+      funnel(Tables.events(s, d))
+    },
+
     QueryDef("s9_cohort_retention",
       """WITH uw AS (SELECT DISTINCT user_id,
         |              CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS aw
@@ -161,8 +196,54 @@ object EventOps {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       cohortRetention(Tables.events(s, d))
         .orderedSmall(col("cohort_week"), col("week_offset"))
+    },
+
+    // k1: mergeable-sketch distinct counting — the operator that makes
+    // "unique users per segment" affordable at 100 TB, where an exact
+    // COUNT(DISTINCT) must shuffle every (segment, user) pair. Spark's
+    // approx_count_distinct is HyperLogLog++: fixed-size registers that
+    // partial-aggregate map-side and merge by register-max —
+    // commutative and idempotent, so the estimate is a pure function of
+    // the VALUE SET (independent of row order, partitioning, and merge
+    // tree shape) and golden-hash pinnable. The exact count rides
+    // along as the audit column; the k1 spec bounds the relative error
+    // at the configured rsd and asserts partition-layout independence.
+    // No SQL oracle: DuckDB's approx_count_distinct is a different
+    // HLL implementation with different register hashes.
+    QueryDef.noOracle("k1_sketch_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct("user_id", 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderedSmall(col("event_type"))
     }
   )
+
+  /** Strict-order funnel counts over a (user_id, event_id, ts,
+    * event_type) frame — see the s11 entry above for semantics and the
+    * scale shape. Both window passes share one (partition, order) spec;
+    * flags coalesce to FALSE so null running-mins (stage never reached)
+    * never poison the aggregate. */
+  def funnel(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rs", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("qv",
+        coalesce(col("event_type") === "view" && col("ts") > col("rs"), lit(false)))
+      .withColumn("rv", min(when(col("qv"), col("ts"))).over(w))
+      .withColumn("qp",
+        coalesce(col("event_type") === "purchase" && col("ts") > col("rv"), lit(false)))
+      .groupBy("user_id")
+      .agg(max(col("event_type") === "signup").as("s1"),
+        max(col("qv")).as("s2"), max(col("qp")).as("s3"))
+      .agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_view_after"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_purchase_after"))
+  }
 
   /** Weekly cohort-retention grid over a (user_id, ts, …) frame —
     * see the s9 entry above for semantics and the scale shape. */

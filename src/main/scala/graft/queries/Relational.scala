@@ -551,6 +551,35 @@ object Relational {
         .orderedRows(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
         .select("o_orderkey", "o_custkey", "prev_price", "next_price",
           "quartile", "first_date")
+    },
+
+    // q23: time-interval RANGE window frames — per event, the trailing
+    // 1-hour per-user activity (rolling sum + count). The RANGE frame
+    // is value-based, so peers (equal ts) always share a frame and the
+    // result is order-independent by construction — no tie-break
+    // column needed. Both measures share one window spec: a single
+    // sort+exchange on user_id, and WindowExec's sliding-frame path
+    // advances two pointers per row instead of re-scanning the frame.
+    // The sum runs in DECIMAL on both engines (exact arithmetic ⇒ the
+    // hash compare is immune to float summation order), cast back to
+    // DOUBLE after rounding.
+    QueryDef("q23_range_frame",
+      """SELECT event_id, user_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS sv_1h,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val over = "OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("sv_1h",
+          expr(s"ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) $over AS DOUBLE), 2)"))
+        .withColumn("n_1h", expr(s"COUNT(*) $over").cast("long"))
+        .select("event_id", "user_id", "sv_1h", "n_1h")
+        .orderedRows(col("event_id")) // one row per event: scales
     }
   )
 }

@@ -195,6 +195,29 @@ object StreamingQueries {
     Seq(KeyedRow(4, "c"), KeyedRow(5, "b"), KeyedRow(6, "e")),
     Seq(KeyedRow(7, "d"), KeyedRow(8, "f"), KeyedRow(9, "a")))
 
+  /** S12 scenario: view→purchase attribution across batches. User 1's
+    * 10:00 view matches purchases at 10:10 (batch 1) and 10:25 (batch
+    * 2 — the join state must still hold the view one batch later);
+    * the 10:40 purchase is outside the 30-min bound and must NOT
+    * match. User 2's purchase at 10:05 PRECEDES their 10:06 view (no
+    * match — the bound is one-sided in time) but their 10:20 purchase
+    * matches it. User 3 has a view and no purchase; user 4 a purchase
+    * and no view — neither emits. Inner join ⇒ exactly 3 rows. */
+  private def s12Batches: Seq[Seq[EventRow]] = {
+    val e = new Events
+    import e.ev
+    Seq(
+      Seq(ev("2024-01-01 10:00:00", userId = 1, eventType = "view"),
+        ev("2024-01-01 10:10:00", userId = 1, eventType = "purchase"),
+        ev("2024-01-01 10:05:00", userId = 2, eventType = "purchase"),
+        ev("2024-01-01 10:06:00", userId = 2, eventType = "view")),
+      Seq(ev("2024-01-01 10:25:00", userId = 1, eventType = "purchase"),
+        ev("2024-01-01 10:20:00", userId = 2, eventType = "purchase"),
+        ev("2024-01-01 10:30:00", userId = 3, eventType = "view")),
+      Seq(ev("2024-01-01 10:40:00", userId = 1, eventType = "purchase"),
+        ev("2024-01-01 10:45:00", userId = 4, eventType = "purchase")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.noOracle("s4_late_drop") { (s, _) =>
@@ -219,6 +242,10 @@ object StreamingQueries {
       val base = Seq("a", "b").toDF("key")
       runKeyedScenario(s, "append", s10Batches)(delta =>
         StreamingOps.deltaDedupStream(delta, base))
+    },
+
+    QueryDef.noOracle("s12_stream_join") { (s, _) =>
+      runScenario(s, "append", s12Batches)(StreamingOps.viewPurchaseJoin(_))
     }
   )
 }

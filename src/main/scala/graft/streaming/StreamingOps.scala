@@ -82,6 +82,34 @@ object StreamingOps {
   def deltaDedupStream(delta: DataFrame, base: DataFrame): DataFrame =
     delta.join(base, Seq("key"), "left_anti").dropDuplicates("key")
 
+  /** S12: stream-stream interval join — attribute each purchase to
+    * every view by the same user in the preceding 30 minutes. Both
+    * sides derive from ONE events stream (a streaming self-join):
+    * views and purchases are filtered projections, each carrying its
+    * own watermark, joined on user with a two-sided time bound. The
+    * bounds are what make this run at scale: Spark derives a state
+    * watermark from them, so each side buffers only ~30 min + lateness
+    * of rows instead of the whole stream — an unbounded-state join
+    * needs no such constraint to be *correct*, but would OOM on day
+    * two of a real feed. Inner join in append mode: a match emits
+    * exactly once, when both rows have arrived. */
+  def viewPurchaseJoin(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    views.join(purchases,
+      expr("""v_user = p_user AND
+              pts > vts AND pts <= vts + INTERVAL 30 MINUTES"""))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("vts"), col("pts"))
+  }
+
   /** S6: per-user running event counter via mapGroupsWithState — the
     * custom-state escape hatch (reference has nothing comparable; this
     * is the engine's `flatMapGroupsWithState` surface). */

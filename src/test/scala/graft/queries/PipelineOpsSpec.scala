@@ -791,4 +791,133 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
+
+  test("s11 funnel: strict stage ordering on planted user journeys") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    var id = 0L
+    def e(u: Long, ts: String, ty: String) = { id += 1; (u, id, t(ts), ty) }
+    val ev = Seq(
+      // u1: full journey in order → all 3 stages
+      e(1, "2024-01-01 10:00:00", "signup"), e(1, "2024-01-01 10:05:00", "view"),
+      e(1, "2024-01-01 10:10:00", "purchase"),
+      // u2: view BEFORE signup doesn't qualify; purchase with no
+      // qualifying view doesn't either → stage 1 only
+      e(2, "2024-01-01 09:00:00", "view"), e(2, "2024-01-01 10:00:00", "signup"),
+      e(2, "2024-01-01 10:30:00", "purchase"),
+      // u3: purchase BEFORE the qualifying view → stages 1+2
+      e(3, "2024-01-01 10:00:00", "signup"), e(3, "2024-01-01 10:04:00", "purchase"),
+      e(3, "2024-01-01 10:05:00", "view"),
+      // u4: never signs up → no stages
+      e(4, "2024-01-01 10:00:00", "view"), e(4, "2024-01-01 10:10:00", "purchase"),
+      // u5: view at the EXACT signup ts — strict > excludes it
+      e(5, "2024-01-01 10:00:00", "signup"), e(5, "2024-01-01 10:00:00", "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = EventOps.funnel(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 2L, 1L))
+  }
+
+  test("q23 range frame: differential vs in-memory trailing-window scan") {
+    // Brute-force the trailing [ts-1h, ts] per-user sum/count over
+    // sf0.001 and compare every row against the engine's RANGE frame.
+    val got = Relational.defs.find(_.name == "q23_range_frame").get
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+    val byUser = ev.groupBy(_._2)
+    assert(got.size == ev.length)
+    for ((_, rows) <- byUser; (eid, u, ts, _) <- rows) {
+      val frame = rows.filter(r => r._3 >= ts - 3600000L && r._3 <= ts)
+      // exact decimal sum like the engine's DECIMAL(18,6) path
+      val sv = frame.map(r => BigDecimal(r._4).setScale(6)).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gu, gsv, gn) = got(eid)
+      assert(gu == u && gn == frame.length.toLong && math.abs(gsv - sv) < 1e-9,
+        s"eid=$eid got=($gu,$gsv,$gn) want=($u,$sv,${frame.length})")
+    }
+  }
+
+  test("k1 sketch distinct: error bound vs exact, layout-independent") {
+    import spark.implicits._
+    val base = (1 to 20000).map(i => (s"t${i % 4}", (i * 2654435761L) % 3000))
+      .toDF("event_type", "user_id")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("a"),
+        countDistinct(col("user_id")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val r3 = run(base.repartition(3))
+    val r17 = run(base.repartition(17))
+    // register-max merge ⇒ identical estimates under any partitioning
+    assert(r3 == r17)
+    // rsd 0.02 ⇒ |approx-exact|/exact within a few sigma
+    r3.foreach { case (ty, a, x) =>
+      assert(math.abs(a - x).toDouble / x <= 0.06, s"$ty approx=$a exact=$x") }
+  }
+
+  test("c9 state materialization: PK-changing update moves the row") {
+    // insert id=1 → update id 1→2 (PK change) → insert id=3 →
+    // delete id=3. Final state: ONLY id=2, carrying the update's
+    // after image; id=1 was tombstoned by its own PK-move, id=3 by
+    // the delete.
+    val txt = new StringBuilder
+    var pos = 100L
+    var sec = 0
+    def hdr(kind: String) = {
+      txt ++= s"# at $pos\n"
+      txt ++= f"#260812  5:00:${sec}%02d server id 1  end_log_pos ${pos + 120} CRC32 0x1a2b3c4d \t$kind: table id 108 flags: STMT_END_F\n"
+      pos += 120; sec += 1
+    }
+    hdr("Write_rows")
+    txt ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+    txt ++= "###   @1=1 /* INT */\n###   @2='a' /* VARSTRING(160) */\n###   @3=1.5 /* DOUBLE */\n"
+    hdr("Update_rows")
+    txt ++= "### UPDATE `testdb`.`t_pk`\n### WHERE\n"
+    txt ++= "###   @1=1 /* INT */\n###   @2='a' /* VARSTRING(160) */\n###   @3=1.5 /* DOUBLE */\n"
+    txt ++= "### SET\n"
+    txt ++= "###   @1=2 /* INT */\n###   @2='b' /* VARSTRING(160) */\n###   @3=2.5 /* DOUBLE */\n"
+    hdr("Write_rows")
+    txt ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+    txt ++= "###   @1=3 /* INT */\n###   @2='c' /* VARSTRING(160) */\n###   @3=NULL /* DOUBLE */\n"
+    hdr("Delete_rows")
+    txt ++= "### DELETE FROM `testdb`.`t_pk`\n### WHERE\n"
+    txt ++= "###   @1=3 /* INT */\n###   @2='c' /* VARSTRING(160) */\n###   @3=NULL /* DOUBLE */\n"
+    val p = graft.cdc.BinlogFixture.materialize("c9_pkmove", txt.result())
+    val got = CdcQueries.materializeFromFlat(
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(("testdb", "t_pk", 2L, "'b'", "2.5")))
+  }
+
+  test("c9 state materialization: differential vs in-memory log replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = CdcQueries.defs.find(_.name == "c9_state_materialize").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    // independent replay: sort flattened events by (file, seq), apply
+    // tombstone-then-upsert per event into a mutable map
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val flat = CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getString(4),
+        Option(r.getString(5)), Option(r.getString(6)),
+        Option(r.getString(7)), Option(r.getString(8))))
+      .sortBy(t => (t._1, t._2))
+    val state = scala.collection.mutable.Map
+      .empty[(String, String, Long), (Option[String], Option[String])]
+    flat.foreach { case (_, _, db, table, bid, aid, c2, c3) =>
+      bid.foreach(b => state.remove((db, table, b.toLong)))
+      aid.foreach(a => state((db, table, a.toLong)) = (c2, c3))
+    }
+    val want = state.map { case ((db, t, id), (c2, c3)) => (db, t, id, c2, c3) }.toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
 }

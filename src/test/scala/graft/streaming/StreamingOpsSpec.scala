@@ -198,6 +198,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("S12 stream-stream join equals batch join; bound and state both honored") {
+    val batches = Seq(
+      Seq(ev("2024-01-01 10:00:00", userId = 1, eventType = "view"),
+        ev("2024-01-01 10:10:00", userId = 1, eventType = "purchase"),
+        ev("2024-01-01 10:05:00", userId = 2, eventType = "purchase"),
+        ev("2024-01-01 10:06:00", userId = 2, eventType = "view")),
+      // 10:25 must match the 10:00 view BUFFERED FROM BATCH 1
+      Seq(ev("2024-01-01 10:25:00", userId = 1, eventType = "purchase"),
+        ev("2024-01-01 10:20:00", userId = 2, eventType = "purchase")),
+      // 10:40 is 40 min after the view — outside the 30-min bound
+      Seq(ev("2024-01-01 10:40:00", userId = 1, eventType = "purchase")))
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.viewPurchaseJoin(in.toDF())
+      .writeStream.format("memory").queryName("s12spec").outputMode("append")
+      .start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("s12spec").select("view_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    spark.catalog.dropTempView("s12spec")
+    // same operator over the same rows as a BATCH self-join
+    val batch = StreamingOps.viewPurchaseJoin(
+        batches.flatten.toDF())
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 3, s"streamed=$streamed")
+  }
+
   test("streaming CDC: dropped binlog file renders like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("cdcstream")
     val checkpoint = java.nio.file.Files.createTempDirectory("cdccp")
