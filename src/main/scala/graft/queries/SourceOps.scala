@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.SmallOrdered
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-format SOURCE surface — JSONL and CSV ingestion, the two
+  * formats raw data actually arrives in before anyone converts it to
+  * parquet. Each entry writes a deterministic text twin of the events
+  * table once per JVM (the CDC snapshots' stale-guard pattern), reads
+  * it back through the REAL Spark source, and aggregates; the DuckDB
+  * oracle parses the SAME text files with ITS OWN reader, so the hash
+  * match certifies cross-engine parse compatibility — field escaping,
+  * quoting, and numeric round-trips included (`props` carries embedded
+  * quotes/braces; `value` exercises double round-tripping).
+  *
+  * Scale notes: both reads declare an EXPLICIT schema — schema
+  * inference is a full extra pass over the corpus before the query
+  * even plans, the classic accidental 2× at ingest scale. CSV writes
+  * RFC-4180 quote-doubling (`escape="` on both write and read) rather
+  * than Spark's legacy backslash default, because that is the dialect
+  * every other tool (DuckDB included) speaks. Text sources split by
+  * line across tasks exactly like parquet splits by row group, so the
+  * read parallelism story is unchanged.
+  */
+object SourceOps {
+
+  private val JsonlPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_events_jsonl"
+  private val CsvPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_events_csv"
+
+  /** Path → SF dir currently materialized (success-recorded AFTER the
+    * write, like CdcQueries.writeSnapshotIfStale). */
+  private val materializedSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def writeIfStale(path: String, d: String)(write: => Unit): Unit =
+    synchronized {
+      if (materializedSf.get(path) != d) { write; materializedSf.put(path, d) }
+    }
+
+  /** The columns both text twins carry (ts stays behind in parquet:
+    * timestamp FORMATTING dialects are a separate compatibility axis;
+    * these entries certify structural parsing). */
+  private def eventsSlice(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("event_id", "event_type", "value", "props")
+
+  private val sliceSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def ensureJsonl(s: SparkSession, d: String): String = {
+    writeIfStale(JsonlPath, d) {
+      eventsSlice(s, d).coalesce(2)
+        .write.mode("overwrite").json(JsonlPath)
+    }
+    JsonlPath
+  }
+
+  private def ensureCsv(s: SparkSession, d: String): String = {
+    writeIfStale(CsvPath, d) {
+      eventsSlice(s, d).coalesce(2)
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        // Spark's CSV WRITER trims field whitespace by default — an
+        // asymmetric mutation no other engine's writer performs
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(CsvPath)
+    }
+    CsvPath
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // i1: JSONL ingestion — read newline-delimited JSON with an
+    // explicit schema (no inference pass), aggregate per type. The
+    // `props` column is a JSON-object STRING inside the JSON row, so
+    // the oracle hash also certifies nested-quote escaping both ways.
+    QueryDef("i1_jsonl_source",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         |       ROUND(SUM(value), 2) AS sv,
+         |       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars
+         |FROM read_json('$JsonlPath/*.json', format='newline_delimited',
+         |       columns={event_id: 'BIGINT', event_type: 'VARCHAR',
+         |                value: 'DOUBLE', props: 'VARCHAR'})
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureJsonl(s, d)
+      s.read.schema(sliceSchema).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
+          sum(length(col("props"))).as("props_chars"))
+        .orderedSmall(col("event_type"))
+    },
+
+    // i2: CSV ingestion — RFC-4180 quoting (quote-doubling escape) on
+    // both the write and the read; the embedded `"` and `{}` in props
+    // make a dialect mismatch a hash mismatch, not a silent skew.
+    QueryDef("i2_csv_source",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         |       ROUND(SUM(value), 2) AS sv,
+         |       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+         |       CAST(MAX(event_id) AS BIGINT) AS max_id
+         |FROM read_csv('$CsvPath/*.csv', header=true,
+         |       columns={'event_id': 'BIGINT', 'event_type': 'VARCHAR',
+         |                'value': 'DOUBLE', 'props': 'VARCHAR'})
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureCsv(s, d)
+      s.read.schema(sliceSchema)
+        .option("header", "true").option("escape", "\"")
+        .csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
+          sum(length(col("props"))).as("props_chars"),
+          max("event_id").as("max_id"))
+        .orderedSmall(col("event_type"))
+    }
+  )
+}

@@ -97,6 +97,33 @@ object StorageOps {
     path
   }
 
+  /** Time-sorted events layout for w3: range-partitioned by ts, sorted
+    * within partitions, written with SMALL parquet row groups so each
+    * carries a tight [min,max] ts zone — at a deployment's default
+    * 128 MB row groups the same ordering yields the same skipping,
+    * this just makes it observable at test scale. */
+  private[queries] def ensureSorted(s: SparkSession, d: String): String = {
+    val path = s"$WarehouseBase/events_s"
+    writeIfStale("sorted", d) {
+      // INT96 (Spark's legacy parquet timestamp encoding) carries NO
+      // min/max statistics — a zone-map layout MUST write INT64
+      // micros or the sort buys nothing. Set for this write only.
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "TIMESTAMP_MICROS")
+        Tables.events(s, d)
+          .select("event_id", "ts", "event_type", "value")
+          .repartitionByRange(4, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite")
+          .option("parquet.block.size", 8 * 1024)
+          .parquet(path)
+      } finally s.conf.set(key, prev)
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // w1: fact-fact join over tables BUCKETED on the join key — the
@@ -131,6 +158,34 @@ object StorageOps {
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedRows(col("h")) // rows scale with time range
+    },
+
+    // w3: zone-map (min/max statistics) scan over a TIME-SORTED
+    // layout — the third ingest-time layout lever after bucketing (w1)
+    // and directory partitioning (w2). Sorting by ts at write time
+    // makes every parquet row group's [min,max] ts interval tight and
+    // disjoint, so a pushed time-range predicate skips whole row
+    // groups at the footer — the scan does I/O proportional to the
+    // QUERY WINDOW, not the table (here: 1 day of a 30-day corpus ⇒
+    // ~1/30 of the groups decode). The predicate must reach the scan
+    // as PushedFilters for the skip to happen; spec-asserted, along
+    // with a footer audit that the matching row groups are a small
+    // fraction. Oracle reads the raw table: layout changes I/O, never
+    // answers.
+    QueryDef("w3_zonemap_scan",
+      """SELECT TIME_BUCKET(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+        |       CAST(COUNT(*) AS BIGINT) AS c, ROUND(SUM(value), 2) AS sv
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = ensureSorted(s, d)
+      s.read.parquet(path)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedSmall(col("h")) // ≤ 24 hourly rows
     }
   )
 }

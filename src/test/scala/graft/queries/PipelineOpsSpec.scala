@@ -772,6 +772,82 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w3 sorted layout: ts filter pushed to scan; row-group zones cover the window tightly") {
+    import scala.jdk.CollectionConverters._
+    val path = StorageOps.ensureSorted(spark, sf)
+    def utcMicros(s: String): Long = java.time.LocalDateTime
+      .parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val (loU, hiU) = (utcMicros("2024-01-15T00:00:00"), utcMicros("2024-01-16T00:00:00"))
+    // the range predicate must reach the parquet scan (PushedFilters)
+    val q = spark.read.parquet(path)
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.metadata("PushedFilters").contains("ts"),
+      s"plan:\n${q.queryExecution.executedPlan}")
+    // footer audit: sorted write ⇒ many row groups with tight disjoint
+    // ts zones, and only ~window/span of them intersect the predicate
+    val conf = spark.sessionState.newHadoopConf()
+    var total = 0; var hit = 0
+    for (f <- new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet"))) {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        for (b <- rdr.getFooter.getBlocks.asScala) {
+          total += 1
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == "ts").get
+          val st = c.getStatistics
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+          if (mx >= loU && mn < hiU) hit += 1
+        }
+      } finally rdr.close()
+    }
+    assert(total >= 16, s"expected many small row groups, got $total")
+    // 1-day window over a 30-day corpus: a sorted layout confines the
+    // window to a few groups; an unsorted one would intersect ~all
+    assert(hit.toDouble / total <= 0.25, s"hit=$hit total=$total")
+    // layout must not change the answer
+    val a = q.agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    val b = graft.Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    assert(a == b)
+  }
+
+  test("i1/i2 text sources: adversarial strings round-trip JSONL and CSV") {
+    import spark.implicits._
+    // quotes, commas, braces, backslashes, leading/trailing spaces —
+    // every CSV/JSON dialect trap except embedded newlines (which the
+    // line-splittable read contract deliberately excludes)
+    val rows = Seq(
+      (1L, """plain"""), (2L, """a"b,c{d}"""), (3L, """{"k": "v,w"}"""),
+      (4L, """back\slash and ""double"""""), (5L, """ padded """))
+    val df = rows.toDF("id", "s")
+    val base = java.nio.file.Files.createTempDirectory("graft_srcspec")
+    val (jp, cp) = (s"$base/j", s"$base/c")
+    df.coalesce(1).write.json(jp)
+    df.coalesce(1).write.option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(cp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val fromJson = spark.read.schema(schema).json(jp)
+      .as[(Long, String)].collect().toSet
+    val fromCsv = spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"").csv(cp)
+      .as[(Long, String)].collect().toSet
+    assert(fromJson == rows.toSet, s"json: $fromJson")
+    assert(fromCsv == rows.toSet, s"csv: $fromCsv")
+  }
+
   test("s9 cohort retention: hand-computed grid on planted user-weeks") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
