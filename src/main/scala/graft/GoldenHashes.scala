@@ -40,6 +40,10 @@ object GoldenHashes {
     // scenario; survivors are ids 2/3/6/8 — see StreamingQueries
     "s10_delta_dedup_stream" -> "14403e4e2ed9a19d5fe441cf2ad96d3cfcb1760bd934b873759744a480faf2b5",
     "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274",
+    // a6: PQ codebooks train on the a3-style vec_id-ordered sample
+    // (parallelism-independent), ADC + exact re-rank both tie-break on
+    // cid — hash verified identical at local[3]/local[8]/local[32]
+    "a6_ann_pq" -> "ab280efc92e9b2775c42e4963161abf8a0fae191574436250ba82e42fbc1d877",
     // k1: HLL++ registers merge by max (commutative/idempotent), so the
     // estimate is a pure function of the value set — pinned hash
     // verified identical at local[3]/local[8]/local[32]

@@ -239,6 +239,133 @@ object SimilarityOps {
       .orderedSmall(col("qid"), col("rnk"))
   }
 
+  /** a6: product-quantized ANN (PQ — Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * memory-bound regime's answer, completing the exact (a1) → LSH
+    * (a2) → IVF (a3) ladder. The 64-d unit vector is split into `m`
+    * subvectors, each quantized to its own `codeCount`-center codebook
+    * (seeded Lloyd's on the same vec_id-ordered bounded sample as
+    * a3 — deterministic, parallelism-independent): the index stores
+    * m BYTES per vector instead of dim×8 — a 64× compression that is
+    * what lets a 100 TB embedding corpus live in executor memory.
+    * Search is ADC (asymmetric distance computation): each query
+    * precomputes an m×codeCount lookup table of partial dot products
+    * against the codebooks, and scoring an indexed vector is m table
+    * lookups + adds — no decode, no float vector in the index at all.
+    *
+    * Scale shape: codebooks and query LUTs broadcast (bounded by
+    * m×codeCount×subDim and nQueries×m×codeCount — index-size-
+    * independent); encoding is ONE map pass over the corpus; scoring
+    * is a flatMap over the byte-coded index with zero shuffle before
+    * the tiny per-query top-k. Deterministic end-to-end (fixed seed
+    * sample, fixed float association order, cid tie-break) ⇒ golden-
+    * hash pinnable; recall vs the exact a1 ground truth is spec'd. */
+  def annPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      m: Int = 8, codeCount: Int = 64, maxTrain: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = emb.select(col("vec_id"), col("embedding"))
+      .fanOut // single-row-group scan: spread the normalize kernel
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+      .map { case (id, e) =>
+        val u = new Array[Double](e.length)
+        var s = 0.0
+        var i = 0
+        while (i < e.length) { u(i) = e(i); s += u(i) * u(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { i = 0; while (i < e.length) { u(i) /= n; i += 1 } }
+        (id, u)
+      }(graft.Enc.longDoubleArr).toDF("vec_id", "u")
+    // bounded deterministic training sample — the a3 selection rule
+    val sample = unit.orderBy(col("vec_id")).limit(maxTrain)
+      .as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .collect().sortBy(_._1).map(_._2)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      val s = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      graft.functions.VectorOps.kmeansFit(s, codeCount, iters = 10)
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val mm = m; val subW = sub // stable locals for the executor closures
+    val encoded = unit.as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .map { case (id, u) =>
+        val bs = bcBooks.value
+        val out = new Array[Byte](mm)
+        var mi = 0
+        while (mi < mm) {
+          val book = bs(mi)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var d = 0.0; var j = 0
+            val ctr = book(c)
+            while (j < subW) { val t = u(mi * subW + j) - ctr(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          out(mi) = best.toByte
+          mi += 1
+        }
+        (id, out)
+      }(graft.Enc.longBytes)
+      .toDF("cid", "code")
+    // query LUTs: bounded by contract (nQueries × m × codeCount)
+    val queries = unit.as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .filter(_._1 < nQueries).collect().sortBy(_._1)
+    val luts: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qu) =>
+      qid -> Array.tabulate(m) { mi =>
+        val book = books(mi)
+        Array.tabulate(book.length) { c =>
+          var s = 0.0; var j = 0
+          while (j < sub) { s += qu(mi * sub + j) * book(c)(j); j += 1 }
+          s
+        }
+      }
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    // ADC shortlist: approximate scores rank a candidate pool per
+    // query; EXACT cosine then re-ranks only the shortlist — the
+    // standard PQ serving stack (the compressed index prunes, the
+    // raw vectors are fetched for rerank× k rows per query only).
+    val rerank = 10 * k
+    val shortlist = encoded.as[(Long, Array[Byte])](graft.Enc.longBytes)
+      .flatMap { case (cid, code) =>
+        bcLuts.value.iterator.collect { case (qid, lut) if qid != cid =>
+          var s = 0.0; var mi = 0
+          while (mi < mm) { s += lut(mi)(code(mi) & 0xff); mi += 1 }
+          (qid, cid, s)
+        }
+      }(graft.Enc.longLongDouble)
+      .toDF("qid", "cid", "adc")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))))
+      .filter(col("rnk") <= rerank)
+      .select("qid", "cid")
+      // nQueries × rerank rows — bounded by contract, like a1's kernel
+      .as[(Long, Long)](graft.Enc.longLong).collect()
+    val byCid = shortlist.groupBy(_._2).map { case (c, qs) => c -> qs.map(_._1) }
+    val bcShort = spark.sparkContext.broadcast(byCid)
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+    unit.as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .flatMap { case (cid, u) =>
+        bcShort.value.get(cid).iterator.flatten.map { qid =>
+          val qu = bcQ.value(qid)
+          var s = 0.0; var i = 0
+          while (i < u.length) { s += qu(i) * u(i); i += 1 }
+          (qid, cid, s)
+        }
+      }(graft.Enc.longLongDouble)
+      .toDF("qid", "cid", "sim_raw")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        round(col("sim_raw"), 5).as("sim"))
+      .orderedSmall(col("qid"), col("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("a1_ann_exact",
@@ -261,6 +388,10 @@ object SimilarityOps {
 
     QueryDef.noOracle("a3_ann_ivf") { (s, d) =>
       annIvf(Tables.embeddings(s, d))
+    },
+
+    QueryDef.noOracle("a6_ann_pq") { (s, d) =>
+      annPq(Tables.embeddings(s, d))
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every

@@ -283,6 +283,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"IVF top-1 recall $hits/${exact.size}")
   }
 
+  test("a6 ANN-PQ: top-1 recall >= 0.9 vs exact; exact sims on the survivors") {
+    val d = "/root/testdata/sf0.01"
+    val exact = SimilarityOps.defs.find(_.name == "a1_ann_exact").get
+      .fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val pq = SimilarityOps.defs.find(_.name == "a6_ann_pq").get
+      .fn(spark, d).collect()
+    val exactTop = exact.collect { case ((q, c), (1L, _)) => q -> c }.toMap
+    val pqTop = pq.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pqTop.size == exactTop.size)
+    val hits = exactTop.count { case (q, c) => pqTop.get(q).contains(c) }
+    assert(hits >= (exactTop.size * 0.9).ceil.toInt,
+      s"PQ top-1 recall $hits/${exactTop.size}")
+    // the re-rank stage outputs EXACT cosines: any (qid,cid) the PQ
+    // result shares with the exact result must carry the same sim
+    pq.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { case (_, sim) =>
+        assert(math.abs(r.getDouble(3) - sim) < 1e-9,
+          s"(${r.getLong(0)},${r.getLong(2)}) pq=${r.getDouble(3)} exact=$sim")
+      }
+    }
+  }
+
   test("GraftExtensions injects cosine_sim at session build time") {
     // force a genuinely NEW session (getOrCreate would return the
     // suite's session and skip extension application); the context is
