@@ -263,6 +263,75 @@ object DedupOps {
     * oracle). Versus 2-bit bands, 8 buckets per band cut bucket
     * collisions ~8× — the candidate-pair count, not the signature
     * pass, is the cost at any scale. */
+  /** d7 stage 1 — SemDeDup cluster assignment (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means on the deterministic
+    * vec_id-ordered sample (the a3/a6 selection rule — parallelism-
+    * independent), every vector assigned to its nearest centroid in
+    * one broadcast map pass. Returns (vec_id, v, cluster) with v the
+    * RAW widened doubles (assignment normalizes internally; the
+    * downstream cosine runs on raw vectors so the oracle's formula
+    * matches d3's exactly). */
+  def semanticAssignments(emb: DataFrame, k: Int = 16,
+      maxTrain: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val widened = SimilarityOps.unitWidened(emb)
+    val sample = widened.orderBy(col("vec_id")).limit(maxTrain)
+      .as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .collect().sortBy(_._1)
+      .map { case (_, v) =>
+        val s = math.sqrt(v.map(x => x * x).sum)
+        if (s > 0) v.map(_ / s) else v
+      }
+    val centers = graft.functions.VectorOps.kmeansFit(sample, k, iters = 10)
+    val bc = spark.sparkContext.broadcast(centers)
+    widened.as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .map { case (id, v) =>
+        val cs = bc.value
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var j = 0
+          val ctr = cs(c)
+          while (j < v.length) {
+            val t = (if (n > 0) v(j) / n else v(j)) - ctr(j)
+            d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // ties → lowest index
+          c += 1
+        }
+        (id, v, best)
+      }(graft.Enc.longDoubleArrInt)
+      .toDF("vec_id", "v", "cluster")
+  }
+
+  /** d7 stage 2 — survivors after semantic dedup: exact-cosine pairs
+    * WITHIN each cluster (the SemDeDup trick: k clusters cut the pair
+    * space ~k-fold versus d3's all-pairs banding, because semantic
+    * duplicates land in the same cluster), connected components over
+    * the pairs, keep min-vec_id per component plus every unpaired
+    * vector. The cluster-keyed self-join shares ONE exchange
+    * (canonically identical sides), cosine filters in-stream. */
+  def semanticDedupSurvivors(assigned: DataFrame, tau: Double = 0.45): DataFrame = {
+    graft.functions.CosineSim.register(assigned.sparkSession)
+    val rows = assigned.select(col("vec_id"), col("v"), col("cluster"))
+    val sim = round(graft.functions.CosineSim.cosine_sim(
+      col("x.v"), col("y.v")), 5)
+    val pairs = rows.as("x").join(rows.as("y").hint("shuffle_hash"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id") && sim >= tau)
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+    val comps = clusterPairs(pairs)
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(comps.filter(col("doc_id") =!= col("cluster_id"))
+        .withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+  }
+
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
       nBands: Int = 20, bandBits: Int = 3, dim: Int = 64,
       carryVectors: Option[Boolean] = None): DataFrame = {
@@ -561,6 +630,22 @@ object DedupOps {
       |  SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
       |)""".stripMargin
 
+  /** d7's assignment snapshot (SF-agnostic path, CdcQueries pattern:
+    * the oracle SQL is static, the engine writes the CURRENT SF's
+    * assignments there and rewrites on SF change). */
+  private val SemAssignSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_sem_assign_cur"
+
+  private val semSnapshotSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def writeSemSnapshotIfStale(d: String)(write: => Unit): Unit =
+    synchronized {
+      if (semSnapshotSf.get(SemAssignSnapshot) != d) {
+        write; semSnapshotSf.put(SemAssignSnapshot, d)
+      }
+    }
+
   val defs: Seq[QueryDef] = Seq(
     // d1 shares the exact operator's oracle: 100% recall at τ=0.8
     // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
@@ -704,6 +789,50 @@ object DedupOps {
         |SELECT ia, ib, ROUND(sim0, 5) AS sim FROM p
         |WHERE ROUND(sim0, 5) >= 0.45 ORDER BY ia, ib""".stripMargin) { (s, d) =>
       embeddingNearDup(Tables.embeddings(s, d))
+    },
+
+    // d7: SemDeDup — semantic (embedding-space) corpus dedup at the
+    // cluster grain: k-means confines the pair search to within-
+    // cluster (the ~k-fold pair-space cut that makes web-scale
+    // semantic dedup tractable), exact cosine + components + min-id
+    // survivors downstream. HYBRID oracle (the c9 pattern): the
+    // engine snapshots its cluster ASSIGNMENTS, and DuckDB
+    // independently re-derives the within-cluster exact-cosine pairs
+    // (d3's formula), the recursive-CTE components (d4's), and the
+    // survivor anti-join (d5's) from raw embeddings + that snapshot —
+    // everything downstream of assignment is hash-certified, and the
+    // assignment itself is deterministic by the a3/a6 ordered-sample
+    // rule (parallelism independence spec'd).
+    QueryDef("d7_semantic_dedup",
+      s"""WITH RECURSIVE
+         |a AS (SELECT * FROM read_parquet('$SemAssignSnapshot/*.parquet')),
+         |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+         |va AS (SELECT v.vec_id, v.e, a.cluster FROM v JOIN a USING (vec_id)),
+         |p0 AS (
+         |  SELECT x.vec_id ia, y.vec_id ib,
+         |         list_sum([x.e[i+1]*y.e[i+1] for i in range(len(x.e))]) /
+         |         (sqrt(list_sum([t*t for t in x.e])) * sqrt(list_sum([t*t for t in y.e]))) AS sim0
+         |  FROM va x JOIN va y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |pairs AS (SELECT ia, ib FROM p0 WHERE ROUND(sim0, 5) >= 0.45),
+         |edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+         |walk(u, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v),
+         |comp AS (SELECT u, MIN(m) AS m FROM walk GROUP BY u)
+         |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+         |FROM a LEFT JOIN comp c ON c.u = a.vec_id
+         |WHERE c.u IS NULL OR c.m = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      val assigned = semanticAssignments(Tables.embeddings(s, d))
+      writeSemSnapshotIfStale(d) {
+        assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+          .write.mode("overwrite").parquet(SemAssignSnapshot)
+      }
+      semanticDedupSurvivors(assigned)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderedRows(col("vec_id")) // survivors scale with corpus
     }
   )
+
 }

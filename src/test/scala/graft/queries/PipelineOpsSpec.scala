@@ -307,6 +307,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d7 semantic dedup: assignments parallelism-independent; duplicates collapse") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.semanticAssignments(df).select("vec_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(assign(emb.repartition(3)) == assign(emb.repartition(17)))
+    // planted: ids 1/2 identical vectors (cosine 1), 3 orthogonal —
+    // the survivor set must drop exactly the higher duplicate id
+    val v1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val v3 = Array.tabulate(8)(i => if (i == 7) 1f else 0f)
+    val planted = Seq((1L, v1), (2L, v1.clone()), (3L, v3))
+      .toDF("vec_id", "embedding")
+    val survivors = DedupOps.semanticDedupSurvivors(
+        DedupOps.semanticAssignments(planted, k = 2))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L), s"survivors=$survivors")
+  }
+
   test("GraftExtensions injects cosine_sim at session build time") {
     // force a genuinely NEW session (getOrCreate would return the
     // suite's session and skip extension application); the context is
