@@ -376,6 +376,35 @@ object Relational {
         .orderedRows(col("pid")) // one row per purchase: scales
     },
 
+    // q16b: the LEFT OUTER as-of — purchases with NO prior signup
+    // survive with a null match, the shape a point-in-time feature
+    // join needs (every fact row must come back, matched or not).
+    // Same union+window plan as q16 minus the null filter: the outer
+    // semantics cost nothing extra — one shuffle, identical window.
+    QueryDef("q16b_asof_outer",
+      """SELECT p.event_id AS pid, CAST(s.ts AS TIMESTAMP) AS signup_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |                WHERE event_type='signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY pid""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("r"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), lit(0).as("r"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(signups)
+        .withColumn("signup_ts",
+          last(when(col("r") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("r") === 1)
+        .select(col("event_id").as("pid"), col("signup_ts"))
+        .orderedRows(col("pid")) // one row per purchase: scales
+    },
+
     QueryDef("q15_corr_subquery",
       """SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS v
         |FROM lineitem l JOIN part p ON p.p_partkey=l.l_partkey

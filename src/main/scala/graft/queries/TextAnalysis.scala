@@ -505,6 +505,48 @@ object TextAnalysis {
           length(regexp_replace(col("props"), "[^0-9]", "")).cast("long")
             .as("n_digits"))
         .orderedRows(col("event_id")) // one row per event: scales
+    },
+
+    // t12: Unicode NFC normalization — the first fix-the-text pass of
+    // every real corpus pipeline (mixed composed/decomposed forms make
+    // byte-level dedup and shingling silently miss equal strings; the
+    // convention is: normalize FIRST, hash after). The corpus text is
+    // ASCII, so both engines append the same DECOMPOSED sequences
+    // (combining diaeresis/acute after their base letters) to get a
+    // real normalization workload; the engine normalizes with
+    // java.text.Normalizer (real ICU-equivalent NFC) in a JIT'd typed
+    // map — zero shuffle, pure row-wise — and the oracle recomputes
+    // with DuckDB's independent `nfc_normalize`, so the hash match
+    // certifies actual NFC agreement per row including the composed
+    // output STRING, not just lengths.
+    QueryDef("t12_unicode_normalize",
+      """SELECT doc_id,
+        |  nfc_normalize(raw) AS norm,
+        |  CAST(LENGTH(raw) AS BIGINT) AS len_raw,
+        |  CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+        |FROM (SELECT doc_id,
+        |        'nai' || chr(105) || chr(776) || ' caf' || chr(101) || chr(769)
+        |          || ' ' || substr(text, 1, 40) AS raw
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          // DECOMPOSED escapes (i + U+0308, e + U+0301) — must match
+          // the oracle's chr() construction codepoint-for-codepoint;
+          // a precomposed source literal would already be NFC and the
+          // normalization under test would be the identity
+          concat(lit("nai" + "i\u0308" + " caf" + "e\u0301" + " "),
+            substring(col("text"), 1, 40)).as("raw"))
+        .as[(Long, String)](graft.Enc.longStr)
+        .map { case (id, raw) =>
+          (id, java.text.Normalizer.normalize(raw,
+            java.text.Normalizer.Form.NFC), raw.codePointCount(0, raw.length).toLong)
+        }(graft.Enc.longStrLong)
+        .toDF("doc_id", "norm", "len_raw")
+        .withColumn("len_nfc", length(col("norm")).cast("long"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
 
