@@ -177,35 +177,7 @@ object CorpusPipeline {
         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM assigned GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // One JIT'd pass per row: tokenize once, evaluate every gate.
-      val gatedRaw = docs.filter(col("source") =!= "src1")
-        .select(col("doc_id"), col("source"), col("text"))
-        .fanOut // single-row-group scan: spread the gate kernel
-        .as[(Long, String, String)](graft.Enc.longStrStr)
-        .flatMap { case (id, src, text) =>
-          val ts = text.split(" ", -1)
-          val n = ts.length
-          if (n < 24) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]()
-            var i = 0
-            while (i < n) { seen.add(ts(i)); i += 1 }
-            if (seen.size * 10 < n * 3) Iterator.empty
-            else {
-              val bi = new java.util.HashMap[String, Int]()
-              var mx = 0
-              var j = 0
-              while (j < n - 1) {
-                val c = bi.merge(ts(j) + " " + ts(j + 1), 1, Integer.sum)
-                if (c > mx) mx = c
-                j += 1
-              }
-              if (mx * 100 > (n - 1) * 6) Iterator.empty
-              else Iterator.single((id, src, text, n.toLong))
-            }
-          }
-        }(graft.Enc.longStrStrLong)
-        .toDF("doc_id", "source", "text", "n_tok")
+      val gatedRaw = gatedDocs(docs.filter(col("source") =!= "src1"))
       val keepFirst = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
       val deduped = gatedRaw
         .withColumn("rn", row_number().over(keepFirst))
@@ -229,6 +201,98 @@ object CorpusPipeline {
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderedSmall(col("source"), col("split")) // sources×3: bounded
+    },
+
+    // p3: the INCREMENTAL form of p2 — the shape a production corpus
+    // actually runs DAILY: an already-ingested base plus a new delta
+    // batch, producing the manifest ADDITIONS. The base side never
+    // pays the pipeline and never shuffles: its content hashes fold
+    // once into d6's tree-aggregated Bloom bitmap (+ exact
+    // confirmation pass), so the full pipeline cost — gates, dedup,
+    // split assignment — scales with the DELTA, not the corpus. Gates
+    // run before the dedup probe (they commute with content-hash
+    // dedup and shrink the probe stream); keep-first within the batch
+    // is d6's QUALIFY semantics.
+    QueryDef("p3_incremental_manifest",
+      """WITH delta AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+        |base AS (SELECT MD5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+        |qual AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok
+        |  FROM delta
+        |  WHERE LEN(STRING_SPLIT(text,' ')) >= 24
+        |    AND LEN(LIST_DISTINCT(STRING_SPLIT(text,' ')))*10 >= LEN(STRING_SPLIT(text,' '))*3),
+        |bg AS (
+        |  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g, LEN(ts)-1 AS nb
+        |  FROM (SELECT doc_id, STRING_SPLIT(text,' ') ts FROM qual),
+        |       UNNEST(range(0, GREATEST(LEN(ts)-1,0))) u(i)),
+        |bga AS (
+        |  SELECT doc_id, MAX(c) mx, MAX(nb) nb
+        |  FROM (SELECT doc_id, g, nb, COUNT(*) c FROM bg GROUP BY 1,2,3)
+        |  GROUP BY 1),
+        |clean AS (
+        |  SELECT * FROM qual SEMI JOIN (SELECT doc_id FROM bga WHERE NOT (mx*100 > nb*6))
+        |  USING (doc_id)),
+        |fresh AS (
+        |  SELECT * FROM clean c
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = MD5(c.text))
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1),
+        |assigned AS (
+        |  SELECT source,
+        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split, n_tok
+        |  FROM fresh)
+        |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM assigned GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val gated = gatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+        .withColumn("h", md5(col("text")))
+        .select("doc_id", "source", "n_tok", "h")
+      val baseKeys = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(md5(col("text")).as("h"))
+      val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      DedupOps.bloomDeltaDedup(baseKeys, gated, "h", "doc_id")
+        .withColumn("split",
+          when(mix < 800, "train").when(mix < 900, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderedSmall(col("source"), col("split")) // sources×3: bounded
     }
   )
+
+  /** Fused row-wise quality gates over (doc_id, source, text) — ONE
+    * JIT'd pass per row: tokenize once, evaluate the length, TTR, and
+    * Gopher top-bigram gates (thresholds in integer cross-multiplied
+    * form so no float boundary can flip a row). Shared by p2 and p3;
+    * the fused-kernel≡naive-nesting equivalence is spec-pinned. */
+  private[queries] def gatedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .fanOut // single-row-group scan: spread the gate kernel
+      .as[(Long, String, String)](graft.Enc.longStrStr)
+      .flatMap { case (id, src, text) =>
+        val ts = text.split(" ", -1)
+        val n = ts.length
+        if (n < 24) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < n) { seen.add(ts(i)); i += 1 }
+          if (seen.size * 10 < n * 3) Iterator.empty
+          else {
+            val bi = new java.util.HashMap[String, Int]()
+            var mx = 0
+            var j = 0
+            while (j < n - 1) {
+              val c = bi.merge(ts(j) + " " + ts(j + 1), 1, Integer.sum)
+              if (c > mx) mx = c
+              j += 1
+            }
+            if (mx * 100 > (n - 1) * 6) Iterator.empty
+            else Iterator.single((id, src, text, n.toLong))
+          }
+        }
+      }(graft.Enc.longStrStrLong)
+      .toDF("doc_id", "source", "text", "n_tok")
 }
