@@ -45,4 +45,5 @@ object Enc {
   val long5: Encoder[(Long, Long, Long, Long, Long)] = ExpressionEncoder()
   val longStrStrLong: Encoder[(Long, String, String, Long)] = ExpressionEncoder()
   val strBytes: Encoder[(String, Array[Byte])] = ExpressionEncoder()
+  val longLongLongStr: Encoder[(Long, Long, Long, String)] = ExpressionEncoder()
 }

@@ -547,8 +547,129 @@ object TextAnalysis {
         .toDF("doc_id", "norm", "len_raw")
         .withColumn("len_nfc", length(col("norm")).cast("long"))
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // t13: REAL byte-pair encoding — train on the corpus, tokenize the
+    // corpus: the subword segmentation step of every LLM data
+    // pipeline, not the whitespace/regex proxy (t1). Scale shape: the
+    // corpus-sized work is ONE word-count aggregation (map-side
+    // combined; the dict a BPE trainer consumes is language-bounded
+    // and frequency-capped in production — the IVF/langid
+    // bounded-sample contract); training is driver-side on that dict
+    // (as BPE always is), and tokenization is a broadcast-merge-table
+    // map pass with zero shuffle. Deterministic end-to-end: ties in
+    // training break lexicographically, encoding is greedy by merge
+    // priority — golden-hash pinned, with roundtrip/hand-example/
+    // parallelism specs.
+    QueryDef.noOracle("t13_bpe_tokenize") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .as[(String, Long)](graft.Enc.strLong)
+        .collect().sortBy(_._1).toSeq
+      val merges = bpeTrain(wc, nMerges = 40)
+      val rank = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        rank.put(a + " " + b, Integer.valueOf(i)) }
+      val bc = s.sparkContext.broadcast(rank)
+      docs.select(col("doc_id"), col("text"))
+        .fanOut // single-row-group scan: spread the encode kernel
+        .as[(Long, String)](graft.Enc.longStr)
+        .map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          var n = 0L
+          var k = 0
+          while (k < ws.length) {
+            n += bpeEncodeWord(ws(k), bc.value).length; k += 1
+          }
+          (id, ws.length.toLong, n,
+            bpeEncodeWord(ws(0), bc.value).mkString("|"))
+        }(graft.Enc.longLongLongStr)
+        .toDF("doc_id", "n_words", "n_bpe", "head_toks")
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** Merge one (a, b) symbol pair everywhere in a symbol sequence —
+    * left-to-right, non-overlapping (the BPE convention for both
+    * training and encoding). */
+  private def bpeMergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** REAL byte-pair-encoding training (Sennrich et al., ACL 2016) on a
+    * word-frequency dictionary: repeatedly merge the most frequent
+    * adjacent symbol pair (count-weighted; ties broken
+    * lexicographically so training is a pure function of the dict).
+    * Driver-side by design — BPE has always trained on the AGGREGATED
+    * word dict, not the corpus stream: the corpus-sized work is the
+    * one word-count aggregation (map-side combined), and the dict a
+    * trainer consumes is language-bounded (a production run caps it
+    * with a frequency cutoff, same contract as the IVF/langid bounded
+    * samples). Returns merges in priority order. */
+  private[queries] def bpeTrain(wordCounts: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var words = wordCounts.sortBy(_._1)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    while (it < nMerges) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) it = nMerges
+      else {
+        val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          (bpeMergePair(syms, best._1, best._2), c)
+        }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE-encode one word with a trained merge table: repeatedly apply
+    * the LOWEST-RANK adjacent pair present (all its occurrences), the
+    * standard (GPT-2-style) greedy-by-priority application — encoding
+    * a training word reproduces exactly the merges training performed
+    * on it (spec'd as the roundtrip + vocabulary-consistency
+    * properties). */
+  private[queries] def bpeEncodeWord(w: String,
+      rank: java.util.HashMap[String, Integer]): Array[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bi = -1
+      var br = Integer.MAX_VALUE
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < br) { br = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        syms = bpeMergePair(syms, syms(bi), syms(bi + 1))
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
 
   /** Per-doc repetition metrics over a (doc_id, text, …) frame — see
     * the t9 entry above for semantics and the filter threshold. */

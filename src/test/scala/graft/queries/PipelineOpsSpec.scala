@@ -891,6 +891,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fromCsv == rows.toSet, s"csv: $fromCsv")
   }
 
+  test("t13 BPE: hand-computed merges; encode-equals-training roundtrip") {
+    // classic Sennrich example shape: 'aaab'×10 + 'aab'×5 —
+    // pair counts round 1: (a,a)=10*2+5=25, (a,b)=15 → merge (a,a)
+    val merges = TextAnalysis.bpeTrain(Seq(("aaab", 10L), ("aab", 5L)), 3)
+    assert(merges.head == ("a", "a"), s"merges=$merges")
+    // round 2 on [aa,a,b]×10 + [aa,b]×5: (aa,a)=10, (aa,b)=5, (a,b)=10
+    // → tie (aa,a) vs (a,b) at 10 breaks lexicographically: ("a","b")
+    assert(merges(1) == ("a", "b"), s"merges=$merges")
+    // round 3 merges the two halves: ("aa","ab")
+    assert(merges(2) == ("aa", "ab"), s"merges=$merges")
+    def rankOf(ms: Seq[(String, String)]) = {
+      val r = new java.util.HashMap[String, Integer]()
+      ms.zipWithIndex.foreach { case ((a, b), i) =>
+        r.put(a + " " + b, Integer.valueOf(i)) }
+      r
+    }
+    val rank = rankOf(merges)
+    // encoding reproduces training's segmentation, and concatenating
+    // the tokens always reproduces the word (lossless segmentation)
+    for (w <- Seq("aaab", "aab", "ab", "ba", "aaaa", "x", "")) {
+      val toks = TextAnalysis.bpeEncodeWord(w, rank)
+      assert(toks.mkString == w, s"$w -> ${toks.toSeq}")
+    }
+    // full table collapses the training word; the 2-merge prefix
+    // stops at the intermediate segmentation
+    assert(TextAnalysis.bpeEncodeWord("aaab", rank).toSeq == Seq("aaab"))
+    assert(TextAnalysis.bpeEncodeWord("aaab",
+      rankOf(merges.take(2))).toSeq == Seq("aa", "ab"))
+    // empty merge table ⇒ characters
+    assert(TextAnalysis.bpeEncodeWord("abc",
+      new java.util.HashMap[String, Integer]()).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("s11 funnel: randomized differential vs in-memory replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val types = Array("signup", "view", "purchase", "click")
+    val ev = (1 to 4000).map { i =>
+      (rnd.nextInt(80).toLong, i.toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(2000000) * 1000L),
+        types(rnd.nextInt(4)))
+    }
+    val got = EventOps.funnel(ev.toDF("user_id", "event_id", "ts", "event_type"))
+      .collect().head
+    // replay: per user sort by (ts, event_id), walk the strict chain
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    for ((_, rows) <- ev.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (r._3.getTime, r._2))
+      var rs = Long.MaxValue; var rv = Long.MaxValue
+      var (s1, s2, s3) = (false, false, false)
+      for ((_, _, ts, ty) <- sorted) {
+        val t = ts.getTime
+        if (ty == "signup") { s1 = true; rs = math.min(rs, t) }
+        if (ty == "view" && t > rs) { s2 = true; rv = math.min(rv, t) }
+        if (ty == "purchase" && t > rv) s3 = true
+      }
+      if (s1) n1 += 1; if (s2) n2 += 1; if (s3) n3 += 1
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((n1, n2, n3)))
+  }
+
   test("s9 cohort retention: hand-computed grid on planted user-weeks") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
