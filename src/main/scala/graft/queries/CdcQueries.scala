@@ -275,6 +275,52 @@ object CdcQueries {
       }
       materializeFromFlat(flat)
         .orderedRows(col("db"), col("table"), col("id"))
+    },
+
+    // c10: the STREAMING form of c9 — incremental state maintenance
+    // over the binlog drop-directory stream, one micro-batch per
+    // rotated file (maxFilesPerTrigger=1), folding each batch into
+    // the stamped state via [[mergeState]] inside foreachBatch (state
+    // localCheckpoint'ed per merge: bounded lineage, table-sized
+    // data). SAME ORACLE AS c9: the streamed-incremental fold must
+    // hash-match DuckDB's answer over the full log — a streaming
+    // entry certified by a SQL oracle, not just a golden. The merge's
+    // commutativity (stamps + argmax) is spec'd by reverse-order
+    // folding.
+    QueryDef("c10_state_stream",
+      s"""WITH snap AS (SELECT * FROM read_parquet('$StateOracleSnapshot/*.parquet')),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, c2, c3
+         |FROM last WHERE rn = 1 AND keep = 1
+         |ORDER BY db, "table", id""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      // ensure the shared snapshot exists whichever of c9/c10 runs first
+      writeSnapshotIfStale(StateOracleSnapshot, d) {
+        flattenImages(CdcJob.parse(s, p))
+          .write.mode("overwrite").parquet(StateOracleSnapshot)
+      }
+      var state: Option[DataFrame] = None
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_c10_cp").toString
+      val q = graft.streaming.CdcStream.events(s, p, maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = Some(
+            mergeState(state, flattenImages(batch)).localCheckpoint())
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      stateView(state.get).orderedRows(col("db"), col("table"), col("id"))
     }
   )
 
@@ -288,25 +334,57 @@ object CdcQueries {
       imgVal("afterOrds", "afterVals", 2).as("after_c2"),
       imgVal("afterOrds", "afterVals", 3).as("after_c3"))
 
-  /** c9 stage 2: last-writer-wins state from the flattened log — see
-    * the entry's scaladoc for the action/argmax shape. */
-  def materializeFromFlat(flat: DataFrame): DataFrame = {
-    val acts = flat.select(col("db"), col("table"),
+  /** Upsert/tombstone actions from a flattened batch, each carrying
+    * its (file, seq, rnk) last-writer stamp. */
+  private def stampedActions(flat: DataFrame): DataFrame =
+    flat.select(col("db"), col("table"),
       explode(array(
-        struct(col("file"), col("seq"), lit(0).as("rnk"),
-          col("before_id").as("id"), lit(null).cast("string").as("c2"),
-          lit(null).cast("string").as("c3"), lit(0).as("keep")),
-        struct(col("file"), col("seq"), lit(1).as("rnk"),
-          col("after_id").as("id"), col("after_c2").as("c2"),
-          col("after_c3").as("c3"), lit(1).as("keep")))).as("a"))
+        struct(col("before_id").as("id"),
+          lit(null).cast("string").as("c2"),
+          lit(null).cast("string").as("c3"), lit(0).as("keep"),
+          col("file"), col("seq"), lit(0).as("rnk")),
+        struct(col("after_id").as("id"), col("after_c2").as("c2"),
+          col("after_c3").as("c3"), lit(1).as("keep"),
+          col("file"), col("seq"), lit(1).as("rnk")))).as("a"))
       .select(col("db"), col("table"), col("a.*"))
       .filter(col("id").isNotNull)
+
+  /** Argmax per key over stamped action rows → stamped STATE rows
+    * (tombstones RETAINED with keep=0: the state must remember a
+    * deletion's stamp or a late-arriving older upsert for the same
+    * key would resurrect the row — what makes [[mergeState]]
+    * order-independent). */
+  private def foldState(acts: DataFrame): DataFrame =
     acts.groupBy("db", "table", "id")
       .agg(max_by(
-        struct(col("keep"), col("c2"), col("c3")),
+        struct(col("keep"), col("c2"), col("c3"),
+          col("file"), col("seq"), col("rnk")),
         struct(col("file"), col("seq"), col("rnk"))).as("m"))
-      .filter(col("m.keep") === 1)
+      .select(col("db"), col("table"), col("id"), col("m.*"))
+
+  /** Live rows of a stamped state (the queryable table view). */
+  private def liveRows(state: DataFrame): DataFrame =
+    state.filter(col("keep") === 1)
       .select(col("db"), col("table"), col("id").cast("long").as("id"),
-        col("m.c2").as("c2"), col("m.c3").as("c3"))
+        col("c2"), col("c3"))
+
+  /** c9 stage 2: last-writer-wins state from the flattened log — see
+    * the entry's scaladoc for the action/argmax shape. */
+  def materializeFromFlat(flat: DataFrame): DataFrame =
+    liveRows(foldState(stampedActions(flat)))
+
+  /** c10: INCREMENTAL state maintenance — merge a new flattened batch
+    * into an existing stamped state: argmax over (state ∪ batch
+    * actions). Stamps make the merge COMMUTATIVE and IDEMPOTENT
+    * (max_by over a fixed total order), so batches may arrive in any
+    * order — spec'd by folding the log's files in reverse. State size
+    * is keys, not events: the incremental form processes each day's
+    * delta against yesterday's table, never the full log. */
+  def mergeState(state: Option[DataFrame], flat: DataFrame): DataFrame = {
+    val acts = stampedActions(flat)
+    foldState(state.map(_.unionByName(acts)).getOrElse(acts))
   }
+
+  /** The queryable view of [[mergeState]]'s result. */
+  def stateView(state: DataFrame): DataFrame = liveRows(state)
 }

@@ -14,14 +14,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CdcStream {
 
-  /** Streaming change-event frame from a drop directory. */
+  /** Streaming change-event frame from a drop directory.
+    * `maxFilesPerTrigger` is the batching grain: 1 = one rotated file
+    * per micro-batch (the c10 incremental-fold scenario), default 32
+    * bounds a catch-up burst. */
   def events(spark: SparkSession, dir: String,
-      includeDdl: Boolean = false): DataFrame = {
+      includeDdl: Boolean = false,
+      maxFilesPerTrigger: Int = 32): DataFrame = {
     import spark.implicits._
     CdcJob.projectEvents(
       spark.readStream
         .option("wholetext", "true")
-        .option("maxFilesPerTrigger", "32")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
         .text(dir)
         .select(input_file_name().as("file"), col("value"))
         .as[(String, String)]

@@ -1075,6 +1075,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("testdb", "t_pk", 2L, "'b'", "2.5")))
   }
 
+  test("c10 incremental merge: per-file folds equal batch c9, in ANY file order") {
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val files = new java.io.File(p).listFiles.map(_.getAbsolutePath).sorted
+    assert(files.length == 2)
+    def flatOf(f: String) =
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, f))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val batch = canon(CdcQueries.materializeFromFlat(
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p))))
+    for (order <- Seq(files.toSeq, files.reverse.toSeq)) {
+      var state: Option[org.apache.spark.sql.DataFrame] = None
+      order.foreach { f =>
+        state = Some(CdcQueries.mergeState(state, flatOf(f)).localCheckpoint())
+      }
+      assert(canon(CdcQueries.stateView(state.get)) == batch,
+        s"order=${order.map(_.split('/').last)}")
+    }
+  }
+
   test("c9 state materialization: differential vs in-memory log replay") {
     val sf = "/root/testdata/sf0.001"
     val got = CdcQueries.defs.find(_.name == "c9_state_materialize").get
