@@ -46,4 +46,6 @@ object Enc {
   val longStrStrLong: Encoder[(Long, String, String, Long)] = ExpressionEncoder()
   val strBytes: Encoder[(String, Array[Byte])] = ExpressionEncoder()
   val longLongLongStr: Encoder[(Long, Long, Long, String)] = ExpressionEncoder()
+  val str: Encoder[String] = ExpressionEncoder()
+  val longStrDoubleStr: Encoder[(Long, String, Double, String)] = ExpressionEncoder()
 }

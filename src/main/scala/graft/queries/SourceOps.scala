@@ -76,6 +76,41 @@ object SourceOps {
     CsvPath
   }
 
+  private val DirtyJsonlPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_dirty_jsonl"
+
+  /** A JSONL file with KNOWN corruption planted among valid rows —
+    * written as raw text (a JSON writer cannot produce bad lines):
+    * every 97th line is one of three malformation kinds (truncated
+    * object, bare garbage, wrong-type field). Deterministic function
+    * of the events slice. */
+  private def ensureDirtyJsonl(s: SparkSession, d: String): String = {
+    writeIfStale(DirtyJsonlPath, d) {
+      import s.implicits._
+      eventsSlice(s, d).coalesce(2)
+        .as[(Long, String, Double, String)](graft.Enc.longStrDoubleStr)
+        .map { case (id, ty, v, props) =>
+          // malformations are BRACE-BALANCED and newline-terminated:
+          // an unterminated object would make a resyncing parser
+          // (DuckDB's) swallow the NEXT line as continuation while a
+          // strict line-per-record parser (Spark's) fails only the
+          // one line — the planted corpus must keep per-line blame
+          // unambiguous for the cross-engine count to be comparable
+          if (id % 97 == 0) (id % 3) match {
+            case 0 => s"""{"event_id":$id,"event_type":}""" // missing value
+            case 1 => s"not json at all ($id)"
+            case _ => s"""{"event_id":"oops","event_type":"$ty","value":$v,"props":"x"}"""
+          }
+          else {
+            val pEsc = props.replace("\\", "\\\\").replace("\"", "\\\"")
+            s"""{"event_id":$id,"event_type":"$ty","value":$v,"props":"$pEsc"}"""
+          }
+        }(graft.Enc.str)
+        .write.mode("overwrite").text(DirtyJsonlPath)
+    }
+    DirtyJsonlPath
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // i1: JSONL ingestion — read newline-delimited JSON with an
@@ -95,6 +130,51 @@ object SourceOps {
         .groupBy("event_type")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
           sum(length(col("props"))).as("props_chars"))
+        .orderedSmall(col("event_type"))
+    },
+
+    // i3: corrupt-tolerant JSONL ingestion — real feeds carry
+    // malformed lines (truncated writes, log interleaving, type
+    // drift), and the ingest contract is: parse what parses, COUNT
+    // what doesn't, never abort. The engine reads PERMISSIVE with a
+    // _corrupt_record column; a row is clean iff it parsed fully with
+    // its key present, everything else lands in the '__corrupt__'
+    // audit bucket — one pass, one aggregate. The oracle re-reads the
+    // same dirty file with DuckDB's ignore_errors and derives the
+    // corrupt count as total-lines − clean-lines, so BOTH engines
+    // must agree row-by-row on what is parseable — the certified
+    // property (three planted malformation kinds: truncated object,
+    // bare garbage, wrong-type key field).
+    QueryDef("i3_jsonl_dirty",
+      s"""WITH clean AS (
+         |  SELECT * FROM read_json('$DirtyJsonlPath/*.txt',
+         |    format='newline_delimited', ignore_errors=true,
+         |    columns={event_id: 'BIGINT', event_type: 'VARCHAR',
+         |             value: 'DOUBLE', props: 'VARCHAR'})
+         |  WHERE event_id IS NOT NULL),
+         |tot AS (
+         |  SELECT COUNT(*) AS n FROM read_csv('$DirtyJsonlPath/*.txt',
+         |    delim=chr(7), quote='', header=false, columns={'l': 'VARCHAR'}))
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         |       ROUND(SUM(value), 2) AS sv
+         |FROM clean GROUP BY event_type
+         |UNION ALL
+         |SELECT '__corrupt__', CAST(t.n - (SELECT COUNT(*) FROM clean) AS BIGINT),
+         |       0.0
+         |FROM tot t
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureDirtyJsonl(s, d)
+      val schema = sliceSchema.add(StructField("_corrupt_record", StringType))
+      val clean = col("_corrupt_record").isNull && col("event_id").isNotNull
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .select(
+          when(clean, col("event_type")).otherwise(lit("__corrupt__")).as("event_type"),
+          when(clean, col("value")).otherwise(lit(0.0)).as("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedSmall(col("event_type"))
     },
 

@@ -952,6 +952,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((n1, n2, n3)))
   }
 
+  test("s11/q23 plans: stacked windows share one corpus exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def shape(df: org.apache.spark.sql.DataFrame) = {
+        val plan = df.queryExecution.executedPlan
+        (plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.size,
+          plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.size)
+      }
+      // funnel: both window passes AND the per-user flag aggregate ride
+      // the user_id exchange; the only other exchange is the 1-row
+      // final reduce
+      val s11 = EventOps.funnel(graft.Tables.events(spark, sf))
+      assert(shape(s11) == ((2, 2)), s"s11=${shape(s11)}")
+      // q23: both RANGE-frame measures compute in ONE WindowExec on one
+      // hash exchange; the second exchange is the output range sort
+      val q23 = Relational.defs.find(_.name == "q23_range_frame").get
+        .fn(spark, sf)
+      assert(shape(q23) == ((2, 1)), s"q23=${shape(q23)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("s9 cohort retention: hand-computed grid on planted user-weeks") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
