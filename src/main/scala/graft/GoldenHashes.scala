@@ -54,7 +54,11 @@ object GoldenHashes {
     "k1_sketch_distinct" -> "c21e0bba067daeeab685e04837f880f9aae4dae684091f89d27ac6bba4af7877",
     // s12: stream-stream interval join, fixed 3-batch MemoryStream
     // scenario (3 attribution rows) — see StreamingQueries
-    "s12_stream_join" -> "26b27eef49249cdd3ec6ff16a236a54f84fe9adf69b8eec6fb58e2dfc2fca553")
+    "s12_stream_join" -> "26b27eef49249cdd3ec6ff16a236a54f84fe9adf69b8eec6fb58e2dfc2fca553",
+    // s13: the LEFT OUTER form — null rows emit only after the join
+    // watermark closes their window (1 match + 4 nulls, one view
+    // still open) — see StreamingQueries
+    "s13_stream_outer_join" -> "fec97db58d44a53d9a5d92899023f289d13a423a41af27cf91879beb8a8db655")
 
   private def cell(v: Any): String = v match {
     case null => "NULL"

@@ -218,6 +218,38 @@ object StreamingQueries {
         ev("2024-01-01 10:45:00", userId = 4, eventType = "purchase")))
   }
 
+  /** S13 scenario: OUTER attribution. User 1's 10:00 view matches the
+    * 10:10 purchase (emits immediately, inner-style). User 3's 10:30
+    * view has NO purchase — its (view, null) row may emit only once
+    * the join watermark (the MIN across both input streams — each
+    * later batch therefore carries a view AND a purchase) passes
+    * 11:00 = vts + the 30-min bound: batch 2's 11:30 events push the
+    * watermark to 11:20, and batch 3's PROCESSING evicts-and-emits
+    * the null row (eviction always lands one batch after the
+    * watermark passes). Batches 4 and 5 likewise flush users 4 and
+    * 5. Same-instant (pts = vts) pairs never match (strict bound),
+    * so no later user creates a match. The NO-DATA micro-batch Spark
+    * runs after the last data (noDataMicroBatches, on by default)
+    * advances the watermark once more (→ 14:20) and flushes user 6;
+    * user 7's view (bound 15:00) is genuinely still open and must
+    * NOT emit. Expected: 1 match + nulls for users 3, 4, 5, 6. */
+  private def s13Batches: Seq[Seq[EventRow]] = {
+    val e = new Events
+    import e.ev
+    Seq(
+      Seq(ev("2024-01-01 10:00:00", userId = 1, eventType = "view"),
+        ev("2024-01-01 10:10:00", userId = 1, eventType = "purchase"),
+        ev("2024-01-01 10:30:00", userId = 3, eventType = "view")),
+      Seq(ev("2024-01-01 11:30:00", userId = 4, eventType = "view"),
+        ev("2024-01-01 11:30:00", userId = 4, eventType = "purchase")),
+      Seq(ev("2024-01-01 12:30:00", userId = 5, eventType = "view"),
+        ev("2024-01-01 12:30:00", userId = 5, eventType = "purchase")),
+      Seq(ev("2024-01-01 13:30:00", userId = 6, eventType = "view"),
+        ev("2024-01-01 13:30:00", userId = 6, eventType = "purchase")),
+      Seq(ev("2024-01-01 14:30:00", userId = 7, eventType = "view"),
+        ev("2024-01-01 14:30:00", userId = 7, eventType = "purchase")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.noOracle("s4_late_drop") { (s, _) =>
@@ -246,6 +278,11 @@ object StreamingQueries {
 
     QueryDef.noOracle("s12_stream_join") { (s, _) =>
       runScenario(s, "append", s12Batches)(StreamingOps.viewPurchaseJoin(_))
+    },
+
+    QueryDef.noOracle("s13_stream_outer_join") { (s, _) =>
+      runScenario(s, "append", s13Batches)(
+        StreamingOps.viewPurchaseJoin(_, joinType = "left_outer"))
     }
   )
 }

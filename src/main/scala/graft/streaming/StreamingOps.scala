@@ -93,8 +93,16 @@ object StreamingOps {
     * needs no such constraint to be *correct*, but would OOM on day
     * two of a real feed. Inner join in append mode: a match emits
     * exactly once, when both rows have arrived. */
+  /** `joinType` "inner" (s12) or "left_outer" (s13): the OUTER form
+    * adds the semantics only a watermark makes possible on an
+    * unbounded stream — a view with no purchase in its 30-minute
+    * window emits (view, null) exactly once, when the watermark
+    * proves no match can still arrive. Unmatched results are
+    * therefore emitted LATE by up to bound+lateness, the price of
+    * exactly-once nulls. */
   def viewPurchaseJoin(events: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("vts"))
@@ -105,7 +113,7 @@ object StreamingOps {
       .withWatermark("pts", watermark)
     views.join(purchases,
       expr("""v_user = p_user AND
-              pts > vts AND pts <= vts + INTERVAL 30 MINUTES"""))
+              pts > vts AND pts <= vts + INTERVAL 30 MINUTES"""), joinType)
       .select(col("v_user").as("user_id"), col("view_id"),
         col("purchase_id"), col("vts"), col("pts"))
   }

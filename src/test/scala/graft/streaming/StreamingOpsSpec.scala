@@ -225,6 +225,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 3, s"streamed=$streamed")
   }
 
+  test("S13 outer stream join: nulls only after watermark close; open views withheld") {
+    val v1 = ev("2024-01-01 10:00:00", userId = 1, eventType = "view")
+    val p1 = ev("2024-01-01 10:10:00", userId = 1, eventType = "purchase")
+    val v3 = ev("2024-01-01 10:30:00", userId = 3, eventType = "view")
+    val v4 = ev("2024-01-01 11:30:00", userId = 4, eventType = "view")
+    val p4 = ev("2024-01-01 11:30:00", userId = 4, eventType = "purchase")
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.viewPurchaseJoin(in.toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("s13spec").outputMode("append")
+      .start()
+    in.addData(Seq(v1, p1, v3)); q.processAllAvailable()
+    // watermark still at batch 1's 10:10 purchase − 10 min: user 3's
+    // unmatched view must NOT have emitted yet
+    val early = spark.table("s13spec")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(early == Set((v1.event_id, Some(p1.event_id))), s"early=$early")
+    in.addData(Seq(v4, p4)); q.processAllAvailable()
+    q.stop()
+    // both sides passed 11:30 → watermark 11:20 closes user 3's
+    // 11:00 bound (the no-data batch flushes it); user 4's 11:30
+    // view is still open and stays withheld
+    val late = spark.table("s13spec")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    spark.catalog.dropTempView("s13spec")
+    assert(late == Set((v1.event_id, Some(p1.event_id)), (v3.event_id, None)),
+      s"late=$late")
+  }
+
   test("streaming CDC: dropped binlog file renders like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("cdcstream")
     val checkpoint = java.nio.file.Files.createTempDirectory("cdccp")
