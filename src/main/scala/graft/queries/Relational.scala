@@ -582,6 +582,41 @@ object Relational {
           "quartile", "first_date")
     },
 
+    // q24: MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (a customer with 3 orders in 1997 and 2 in 1998
+    // contributes min(3,2)=2 to the intersection, 3−2=1 to the
+    // difference), the semantics the DISTINCT forms (q09/q09b) erase.
+    // Spark plans both as a single hash aggregate computing per-key
+    // counts on each side then replicating min/difference rows — one shuffle
+    // per op, no join, the same shape DuckDB uses.
+    QueryDef("q24_multiset_ops",
+      """WITH y97 AS (SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate)=1997),
+        |y98 AS (SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate)=1998)
+        |SELECT which, CAST(c AS BIGINT) AS c FROM (
+        |  SELECT 'inter_all' AS which, COUNT(*) AS c
+        |  FROM (SELECT * FROM y97 INTERSECT ALL SELECT * FROM y98)
+        |  UNION ALL
+        |  SELECT 'except_all', COUNT(*)
+        |  FROM (SELECT * FROM y97 EXCEPT ALL SELECT * FROM y98)
+        |  UNION ALL
+        |  SELECT 'inter_distinct', COUNT(*)
+        |  FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98))
+        |ORDER BY which""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def yr(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey")
+      val (a, b) = (yr(1997), yr(1998))
+      Seq(
+        ("inter_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+        ("inter_distinct", a.intersect(b)))
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("c")).select(lit(n).as("which"), col("c"))
+        }
+        .reduce(_.unionByName(_))
+        .orderedSmall(col("which"))
+    },
+
     // q23: time-interval RANGE window frames — per event, the trailing
     // 1-hour per-user activity (rolling sum + count). The RANGE frame
     // is value-based, so peers (equal ts) always share a frame and the
