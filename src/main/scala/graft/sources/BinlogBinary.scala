@@ -140,6 +140,26 @@ object BinlogBinary {
           val alg = bytes(off + eventSize - 5) & 0xFF
           checksumLen = if (atLeast561 && alg == 1) 4 else 0
         }
+        // INTEGRITY: when the stream declares CRC32 framing, verify
+        // every event (the FDE included — checksumLen was just set
+        // from its own bytes) BEFORE decoding its body. A flipped bit
+        // anywhere in a 100 TB log then surfaces as a diagnosable
+        // per-file error with an offset, never as silently garbled
+        // SQL or a raw bounds exception from the body decoder.
+        // mysqlbinlog verifies the same way; the CRC covers
+        // [event start, event end − 4), little-endian stored.
+        if (checksumLen == 4) {
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes, off, eventSize - 4)
+          val p = off + eventSize - 4
+          val stored = (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+            ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+          if (crc.getValue != stored)
+            throw new IllegalArgumentException(
+              f"CRC32 mismatch in $file at offset $off (event type $etype, " +
+                f"size $eventSize): corrupt binlog — expected 0x${stored}%08X, " +
+                f"computed 0x${crc.getValue}%08X")
+        }
         val bodyEnd = off + eventSize - (if (etype == FORMAT_DESC) 0 else checksumLen)
         val startPos = off.toLong
         val startPosRaw = s" $startPos"
@@ -190,7 +210,7 @@ object BinlogBinary {
           Array.tabulate(n)(i => (bm(i / 8) & (1 << (i % 8))) != 0)
         }
 
-        etype match {
+        try etype match {
           case TABLE_MAP =>
             val tid = c.u48(); c.u16()
             val db = c.str(c.u8()); c.u8() // NUL
@@ -250,6 +270,18 @@ object BinlogBinary {
               seq += 1
             }
           case _ => () // FDE handled above; rotate/xid/etc skipped
+        } catch {
+          case e: IllegalArgumentException => throw e
+          case scala.util.control.NonFatal(e) =>
+            // CONTAINMENT: body-decode failures on streams WITHOUT
+            // checksum framing (pre-5.6.1 logs, or a corrupted FDE
+            // that disabled detection) must still surface as a
+            // diagnosable per-file error with an offset — never as a
+            // raw bounds/NPE error escaping into the job
+            throw new IllegalArgumentException(
+              f"corrupt binlog event in $file at offset $off (type " +
+                f"$etype, size $eventSize): " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}", e)
         }
         off += eventSize
       }

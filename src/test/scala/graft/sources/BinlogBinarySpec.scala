@@ -131,6 +131,47 @@ class BinlogBinarySpec extends AnyFunSuite {
     assert(BinlogBinary.parseBytes("f", Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("corruption containment: any single flipped byte → CRC error or clean prefix") {
+    val clean = BinlogBinary.parseBytes("f", bin, includeDdl = true)
+      .map(r => (r.seq, r.db, r.table, r.op, r.startPos)).toList
+    assert(clean.nonEmpty)
+    // the FDE is the first event after the magic; its size sits at
+    // header offset 9 (ts 4 + type 1 + server_id 4), little-endian
+    val fdeEnd = 4 + (0 until 4).map(i => (bin(4 + 9 + i) & 0xFF) << (8 * i)).sum
+    val rnd = new scala.util.Random(7)
+    var crcCaught = 0
+    for (_ <- 1 to 300) {
+      // CHECKSUMS INTACT (flip after the FDE): corruption must either
+      // be blamed by the CRC, or — when a header size-field flip
+      // legally truncates the tail — yield a PREFIX of the clean
+      // events, never different ones, and never a raw bounds error
+      val pos = fdeEnd + rnd.nextInt(bin.length - fdeEnd)
+      val mut = bin.clone()
+      mut(pos) = (mut(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val got = BinlogBinary.parseBytes("f", mut, includeDdl = true)
+          .map(r => (r.seq, r.db, r.table, r.op, r.startPos)).toList
+        assert(clean.startsWith(got), s"pos=$pos got=$got")
+      } catch {
+        case e: IllegalArgumentException =>
+          if (e.getMessage.contains("CRC32 mismatch")) crcCaught += 1
+      }
+    }
+    // the overwhelming majority of interior flips must be CAUGHT by
+    // the integrity check, not absorbed
+    assert(crcCaught >= 200, s"only $crcCaught/300 flips caught by CRC")
+    // FDE flips can disable checksum DETECTION itself (the pre-5.6.1
+    // ambiguity) — containment still holds: any outcome must be a
+    // normal return or a diagnosable IllegalArgumentException, never
+    // a raw bounds/NPE escape
+    for (pos <- 4 until fdeEnd; bit <- Seq(0, 4)) {
+      val mut = bin.clone()
+      mut(pos) = (mut(pos) ^ (1 << bit)).toByte
+      try BinlogBinary.parseBytes("f", mut, includeDdl = true)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("binary pipeline renders the same SQL as the text pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bbin")
     val binPath = dir.resolve("binlog.000001")
