@@ -582,6 +582,48 @@ object Relational {
           "quartile", "first_date")
     },
 
+    // q25: NULL-AWARE anti join — SQL's most-misimplemented corner:
+    // `x NOT IN (subquery)` under three-valued logic is UNKNOWN (not
+    // true) for EVERY row the moment the subquery contains one NULL,
+    // so the null-bearing branch must return 0 while the null-free
+    // branch is a plain anti join. Spark plans the null-bearing form
+    // as a null-aware anti join (a broadcast-only strategy — the
+    // single-null check must see the whole build side, which is why
+    // engines restrict NAAJ to broadcast; a plain anti-join rewrite
+    // would be WRONG, not just slow). Both branches in one entry so a
+    // regression in either direction breaks the hash.
+    QueryDef("q25_null_aware_antijoin",
+      """WITH y97 AS (SELECT o_custkey, o_orderstatus FROM orders
+        |             WHERE EXTRACT(YEAR FROM o_orderdate)=1997)
+        |SELECT which, CAST(c AS BIGINT) AS c FROM (
+        |  SELECT 'no_nulls' AS which, COUNT(*) AS c FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM y97)
+        |  UNION ALL
+        |  SELECT 'with_nulls', COUNT(*) FROM customer
+        |  WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_orderstatus='P' THEN NULL ELSE o_custkey END
+        |     FROM y97))
+        |ORDER BY which""".stripMargin) { (s, d) =>
+      // NOT IN subqueries are the one shape with no DataFrame-API
+      // equivalent (isin takes literals; a manual anti join would
+      // bypass exactly the null semantics under test) — registered
+      // views + spark.sql IS the idiomatic form
+      Tables.customer(s, d).createOrReplaceTempView("graft_q25_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q25_orders")
+      s.sql(
+        """WITH y97 AS (SELECT o_custkey, o_orderstatus FROM graft_q25_orders
+          |             WHERE year(o_orderdate)=1997)
+          |SELECT which, c FROM (
+          |  SELECT 'no_nulls' AS which, COUNT(*) AS c FROM graft_q25_customer
+          |  WHERE c_custkey NOT IN (SELECT o_custkey FROM y97)
+          |  UNION ALL
+          |  SELECT 'with_nulls', COUNT(*) FROM graft_q25_customer
+          |  WHERE c_custkey NOT IN
+          |    (SELECT CASE WHEN o_orderstatus='P' THEN NULL ELSE o_custkey END
+          |     FROM y97))""".stripMargin)
+        .orderedSmall(col("which"))
+    },
+
     // q24: MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep
     // multiplicities (a customer with 3 orders in 1997 and 2 in 1998
     // contributes min(3,2)=2 to the intersection, 3−2=1 to the
