@@ -420,7 +420,18 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wfFailedJson = wholeFnFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val layout = if (perQuery) "per_query" else "interleaved"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}"""
+    println(jsonLine)
+    // The binding 2× verdict lives in `value`/`total_whole_function` at
+    // the FRONT of this (very long) line; two rounds of driver
+    // artifacts kept only the tail and truncated the verdict away.
+    // Persist the complete JSON to a committed repo file so the bench
+    // outcome is always readable without a re-run.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case e: java.io.IOException =>
+      System.err.println(s"bench_full write failed ($benchOut): $e") }
     spark.stop()
     if (failed.nonEmpty || wholeFnFailed.nonEmpty) {
       System.err.println(

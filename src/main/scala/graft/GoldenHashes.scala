@@ -28,17 +28,11 @@ object GoldenHashes {
     "d2_simhash_neardup" -> "9015cca605744505da026aa9349f99673d2d36c6c3c04cc583d1cf8d2309bc35",
     // streaming-only surface (S4 watermark late-drop, S6 keyed state):
     // fixed MemoryStream scenarios, SF-independent by design — see
-    // queries/StreamingQueries.scala
+    // queries/StreamingQueries.scala. (s7/s10/s12/s13 carried goldens
+    // through r8; r9 promoted them to SQL oracles over the real
+    // tables — the c9→c10 pattern — so their goldens are retired.)
     "s4_late_drop" -> "b6ea593a6207c4647ab107afaa97db3fb1aa1871c05209c2eb56f02ed4e5d7b0",
     "s6_running_counter" -> "9d6bc6af4d658c910702b2b07c67982a1a608dde68216c937367171d27b094c9",
-    // s7: streaming corpus preprocessing (gates → keep-first dedup
-    // state → mix-sample → broadcast decontamination), fixed 3-batch
-    // scenario; survivors are docs 1/3/6/8 — see StreamingQueries
-    "s7_preprocess_stream" -> "223da87c9c858e2fbf02e33871eaeeea094873cdb1761ad773f6973f1fef97e7",
-    // s10: streaming delta-vs-base ingest dedup (stream-static anti
-    // probe + keep-first state over novel keys), fixed 3-batch
-    // scenario; survivors are ids 2/3/6/8 — see StreamingQueries
-    "s10_delta_dedup_stream" -> "14403e4e2ed9a19d5fe441cf2ad96d3cfcb1760bd934b873759744a480faf2b5",
     "t4_fingerprint" -> "a990b669aba19f565f2f777e5980a9d1ad680e06eb26c6f5a2910374c1bf2274",
     // a6: PQ codebooks train on the a3-style vec_id-ordered sample
     // (parallelism-independent), ADC + exact re-rank both tie-break on
@@ -51,14 +45,7 @@ object GoldenHashes {
     // k1: HLL++ registers merge by max (commutative/idempotent), so the
     // estimate is a pure function of the value set — pinned hash
     // verified identical at local[3]/local[8]/local[32]
-    "k1_sketch_distinct" -> "c21e0bba067daeeab685e04837f880f9aae4dae684091f89d27ac6bba4af7877",
-    // s12: stream-stream interval join, fixed 3-batch MemoryStream
-    // scenario (3 attribution rows) — see StreamingQueries
-    "s12_stream_join" -> "26b27eef49249cdd3ec6ff16a236a54f84fe9adf69b8eec6fb58e2dfc2fca553",
-    // s13: the LEFT OUTER form — null rows emit only after the join
-    // watermark closes their window (1 match + 4 nulls, one view
-    // still open) — see StreamingQueries
-    "s13_stream_outer_join" -> "fec97db58d44a53d9a5d92899023f289d13a423a41af27cf91879beb8a8db655")
+    "k1_sketch_distinct" -> "c21e0bba067daeeab685e04837f880f9aae4dae684091f89d27ac6bba4af7877")
 
   private def cell(v: Any): String = v match {
     case null => "NULL"

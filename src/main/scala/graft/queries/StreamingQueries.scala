@@ -4,26 +4,32 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.QueryDef
+import graft.QueryDef.SmallOrdered
 import graft.streaming.{DocRow, EventRow, KeyedRow, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, lit, when}
 
-/** Driver-visible entries for the STREAMING-ONLY surface (SURVEY.md
-  * §2.3 S4/S6) — the two capabilities with no batch twin: watermark
-  * late-row dropping and arbitrary keyed state. Each runs a fixed
-  * MemoryStream scenario through the real `graft.streaming` operator
-  * (micro-batch engine, memory sink) and returns the sink table as a
-  * batch frame.
+/** Driver-visible entries for the streaming surface.
   *
-  * Determinism: `addData` + `processAllAvailable` per batch advances
-  * the watermark at exact batch boundaries, so which rows are late and
-  * which windows close is a pure function of the scenario — the output
-  * is golden-hash pinned in [[graft.GoldenHashes]] (scenario data is
-  * SF-independent by design: these entries certify streaming
-  * SEMANTICS, not data scale, and the pinned hash must hold at every
-  * SF the driver runs). No SQL oracle exists — DuckDB has no
-  * watermark/state semantics to re-express.
+  * s4/s6 — the two capabilities with no batch twin at all (watermark
+  * late-row dropping, arbitrary keyed state): fixed MemoryStream
+  * scenarios, golden-hash pinned in [[graft.GoldenHashes]]
+  * (`addData` + `processAllAvailable` per batch advances the
+  * watermark at exact batch boundaries, so the output is a pure
+  * function of the scenario at every SF).
+  *
+  * s7/s10/s12/s13 — ORACLE-BACKED (the c9→c10 pattern): the same
+  * streaming operators run over the REAL parquet tables, fed through
+  * a MemoryStream in a deterministic order, and the streamed answer
+  * must hash-match a DuckDB batch SQL over the same tables. The
+  * driver-side collect in each feed is the test harness's SOURCE
+  * stand-in (production reads Kafka/files; the operator under test is
+  * unchanged and fully distributed) — what the feed buys is
+  * determinism: arrival order becomes a pure function of the data, so
+  * "first" in keep-first state has a batch-SQL expression. The
+  * scenario-level semantics (state across batches, watermark flushes,
+  * within-bound matching) stay spec'd in StreamingOpsSpec.
   */
 object StreamingQueries {
 
@@ -128,38 +134,73 @@ object StreamingQueries {
     out
   }
 
-  /** A 26-token all-distinct text (passes both gates: n_tok ≥ 24,
-    * ttr = 1.0), parameterized so each doc is distinct content. */
-  private def cleanText(tag: String): String =
-    (1 to 26).map(i => s"$tag$i").mkString(" ")
+  /** s7 feed: the training slice (source ≠ src1) in doc_id order,
+    * chunked into `nBatches` micro-batches — with SAME-TEXT DEFERRAL:
+    * a doc whose lowercased text already appeared in some batch is
+    * pushed to a LATER batch than that occurrence. Streaming
+    * keep-first dedup keeps the first row PROCESSED, and intra-batch
+    * processing order after the state-store shuffle is not a contract;
+    * deferral makes every duplicate cross a batch boundary, so the
+    * winner is always the min doc_id — the order the batch oracle can
+    * express — while exercising the dedup state across batches on
+    * every real duplicate in the corpus. */
+  private def docFeed(spark: SparkSession, dir: String,
+      nBatches: Int): Seq[Seq[DocRow]] = {
+    val rows = graft.Tables.documents(spark, dir)
+      .filter(col("source") =!= "src1")
+      .select("doc_id", "source", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1), r.getString(2)))
+    val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
+    val lastBatchOfText = scala.collection.mutable.HashMap.empty[String, Int]
+    val buckets = scala.collection.mutable.ArrayBuffer
+      .fill(nBatches)(scala.collection.mutable.ArrayBuffer.empty[DocRow])
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val key = r.text.toLowerCase
+      val b = math.max(i / per, lastBatchOfText.getOrElse(key, -1) + 1)
+      while (buckets.size <= b)
+        buckets += scala.collection.mutable.ArrayBuffer.empty[DocRow]
+      buckets(b) += r
+      lastBatchOfText(key) = b
+    }
+    buckets.filter(_.nonEmpty).toSeq.map(_.toSeq)
+  }
 
-  /** S7 eval slice: one eval doc; its 8-token runs are the contamination
-    * set. A train doc sharing any of them must be dropped. */
-  private val s7EvalText: String =
-    "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"
+  /** s10 feed: the post-cutoff delta events in event_id order, chunked.
+    * No deferral needed — the promoted entry projects the output to the
+    * KEY alone, which is winner-invariant (the set of fresh keys does
+    * not depend on which delta row won a within-batch race). */
+  private def keyedFeed(spark: SparkSession, dir: String,
+      nBatches: Int): Seq[Seq[KeyedRow]] = {
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-01 06:00:00").cast("timestamp"))
+      .select("event_id", "props")
+      .orderBy("event_id")
+      .collect()
+      .map(r => KeyedRow(r.getLong(0), r.getString(1)))
+    rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+      .map(_.toSeq).toSeq
+  }
 
-  /** S7 scenario: every pipeline stage exercised, with the stateful
-    * stage proven ACROSS batches —
-    * batch 1: doc 1 clean survivor (src_a); doc 2 gate-dropped (too
-    *   short); doc 3 clean survivor (src_b, id 3 < 50 → sampled in).
-    * batch 2: doc 4 repeats doc 1's text → dedup state from batch 1
-    *   drops it; doc 5 contains an eval 8-run → decontamination drops
-    *   it; doc 6 clean survivor (src_a).
-    * batch 3: doc 7 gate-dropped (24 copies of one token, ttr 1/24);
-    *   doc 199 (src_b) sampled OUT (199 % 100 = 99 ≥ 50); doc 8 clean
-    *   survivor (src_b).
-    */
-  private def s7Batches: Seq[Seq[DocRow]] = Seq(
-    Seq(DocRow(1, "src_a", cleanText("a")),
-      DocRow(2, "src_a", "too short to survive"),
-      DocRow(3, "src_b", cleanText("b"))),
-    Seq(DocRow(4, "src_a", cleanText("a")),
-      DocRow(5, "src_b",
-        (1 to 16).map(i => s"pad$i").mkString(" ") + " e2 e3 e4 e5 e6 e7 e8 e9"),
-      DocRow(6, "src_a", cleanText("c"))),
-    Seq(DocRow(7, "src_a", Array.fill(24)("rep").mkString(" ")),
-      DocRow(199, "src_b", cleanText("d")),
-      DocRow(8, "src_b", cleanText("f"))))
+  /** s12/s13 feed: view+purchase events in GLOBAL ts order, chunked so
+    * batch k's min ts ≥ batch k−1's max ts. In-order arrival is what
+    * makes the interval join lossless under any watermark: a view is
+    * evicted only when vts + bound < watermark ≤ every future row's
+    * ts, so no evicted row could still have matched — the streamed
+    * inner join emits exactly the batch join's pairs. */
+  private def eventFeed(spark: SparkSession, dir: String,
+      nBatches: Int): Seq[Seq[EventRow]] = {
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => EventRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+      .map(_.toSeq).toSeq
+  }
 
   /** [[runScenario]]'s twin over keyed delta rows (the s10 ingest
     * stream). */
@@ -180,76 +221,6 @@ object StreamingQueries {
     out
   }
 
-  /** s10 scenario: base holds keys {a, b}. Every drop mode exercised,
-    * the keep-first state proven ACROSS batches —
-    * batch 1: id 1 (a) dropped against base; ids 2 (c), 3 (d) fresh.
-    * batch 2: id 4 (c) dropped by batch-1 STATE; id 5 (b) dropped
-    *   against base; id 6 (e) fresh.
-    * batch 3: id 7 (d) dropped by state two batches back; id 8 (f)
-    *   fresh; id 9 (a) dropped against base.
-    * Survivors: 2, 3, 6, 8. No batch repeats a key within itself, so
-    * the winner of every key is order-independent and the output is
-    * golden-hash pinnable. */
-  private def s10Batches: Seq[Seq[KeyedRow]] = Seq(
-    Seq(KeyedRow(1, "a"), KeyedRow(2, "c"), KeyedRow(3, "d")),
-    Seq(KeyedRow(4, "c"), KeyedRow(5, "b"), KeyedRow(6, "e")),
-    Seq(KeyedRow(7, "d"), KeyedRow(8, "f"), KeyedRow(9, "a")))
-
-  /** S12 scenario: view→purchase attribution across batches. User 1's
-    * 10:00 view matches purchases at 10:10 (batch 1) and 10:25 (batch
-    * 2 — the join state must still hold the view one batch later);
-    * the 10:40 purchase is outside the 30-min bound and must NOT
-    * match. User 2's purchase at 10:05 PRECEDES their 10:06 view (no
-    * match — the bound is one-sided in time) but their 10:20 purchase
-    * matches it. User 3 has a view and no purchase; user 4 a purchase
-    * and no view — neither emits. Inner join ⇒ exactly 3 rows. */
-  private def s12Batches: Seq[Seq[EventRow]] = {
-    val e = new Events
-    import e.ev
-    Seq(
-      Seq(ev("2024-01-01 10:00:00", userId = 1, eventType = "view"),
-        ev("2024-01-01 10:10:00", userId = 1, eventType = "purchase"),
-        ev("2024-01-01 10:05:00", userId = 2, eventType = "purchase"),
-        ev("2024-01-01 10:06:00", userId = 2, eventType = "view")),
-      Seq(ev("2024-01-01 10:25:00", userId = 1, eventType = "purchase"),
-        ev("2024-01-01 10:20:00", userId = 2, eventType = "purchase"),
-        ev("2024-01-01 10:30:00", userId = 3, eventType = "view")),
-      Seq(ev("2024-01-01 10:40:00", userId = 1, eventType = "purchase"),
-        ev("2024-01-01 10:45:00", userId = 4, eventType = "purchase")))
-  }
-
-  /** S13 scenario: OUTER attribution. User 1's 10:00 view matches the
-    * 10:10 purchase (emits immediately, inner-style). User 3's 10:30
-    * view has NO purchase — its (view, null) row may emit only once
-    * the join watermark (the MIN across both input streams — each
-    * later batch therefore carries a view AND a purchase) passes
-    * 11:00 = vts + the 30-min bound: batch 2's 11:30 events push the
-    * watermark to 11:20, and batch 3's PROCESSING evicts-and-emits
-    * the null row (eviction always lands one batch after the
-    * watermark passes). Batches 4 and 5 likewise flush users 4 and
-    * 5. Same-instant (pts = vts) pairs never match (strict bound),
-    * so no later user creates a match. The NO-DATA micro-batch Spark
-    * runs after the last data (noDataMicroBatches, on by default)
-    * advances the watermark once more (→ 14:20) and flushes user 6;
-    * user 7's view (bound 15:00) is genuinely still open and must
-    * NOT emit. Expected: 1 match + nulls for users 3, 4, 5, 6. */
-  private def s13Batches: Seq[Seq[EventRow]] = {
-    val e = new Events
-    import e.ev
-    Seq(
-      Seq(ev("2024-01-01 10:00:00", userId = 1, eventType = "view"),
-        ev("2024-01-01 10:10:00", userId = 1, eventType = "purchase"),
-        ev("2024-01-01 10:30:00", userId = 3, eventType = "view")),
-      Seq(ev("2024-01-01 11:30:00", userId = 4, eventType = "view"),
-        ev("2024-01-01 11:30:00", userId = 4, eventType = "purchase")),
-      Seq(ev("2024-01-01 12:30:00", userId = 5, eventType = "view"),
-        ev("2024-01-01 12:30:00", userId = 5, eventType = "purchase")),
-      Seq(ev("2024-01-01 13:30:00", userId = 6, eventType = "view"),
-        ev("2024-01-01 13:30:00", userId = 6, eventType = "purchase")),
-      Seq(ev("2024-01-01 14:30:00", userId = 7, eventType = "view"),
-        ev("2024-01-01 14:30:00", userId = 7, eventType = "purchase")))
-  }
-
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.noOracle("s4_late_drop") { (s, _) =>
@@ -262,27 +233,126 @@ object StreamingQueries {
         StreamingOps.runningCounter(df.as[EventRow]).toDF())
     },
 
-    QueryDef.noOracle("s7_preprocess_stream") { (s, _) =>
-      runDocScenario(s, "append", s7Batches)(docs =>
+    // s7 over the REAL corpus: the streaming preprocessing pipeline
+    // (p1's stages in the operator's order — gates → mix-sample →
+    // keep-first dedup state → broadcast decontamination vs the src1
+    // eval slice), fed in doc_id order with same-text deferral so the
+    // keep-first winner is the min doc_id. The oracle mirrors the
+    // OPERATOR's stage order (sample before dedup — p1's batch oracle
+    // dedups first, a deliberate difference: in a stream, sampling is
+    // a row-wise gate and dedup state only ever sees sampled rows).
+    QueryDef("s7_preprocess_stream",
+      """WITH gated AS (
+        |  SELECT doc_id, source, lower(text) AS ltext,
+        |         CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE source <> 'src1'
+        |    AND LEN(STRING_SPLIT(text,' ')) >= 24
+        |    AND LEN(LIST_DISTINCT(STRING_SPLIT(text,' ')))*1.0/LEN(STRING_SPLIT(text,' ')) >= 0.30),
+        |sampled AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id % 100 <
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 25
+        |         WHEN source IN ('src6','src7','src8','src9','src10','src11') THEN 50
+        |         ELSE 100 END),
+        |dd AS (SELECT * FROM sampled
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY ltext ORDER BY doc_id) = 1),
+        |esh AS (
+        |  SELECT DISTINCT array_to_string(ts[i+1:i+8], ' ') AS shingle
+        |  FROM (SELECT STRING_SPLIT(lower(text),' ') AS ts FROM documents WHERE source = 'src1'),
+        |       UNNEST(range(0, GREATEST(LEN(ts)-7,0))) AS u(i)),
+        |cont AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, array_to_string(ts[i+1:i+8],' ') AS shingle
+        |        FROM (SELECT doc_id, STRING_SPLIT(ltext,' ') AS ts FROM dd),
+        |             UNNEST(range(0, GREATEST(LEN(ts)-7,0))) AS u(i)) s
+        |  JOIN esh USING (shingle))
+        |SELECT doc_id, source, n_tok FROM dd ANTI JOIN cont USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val evalTexts = graft.Tables.documents(s, d)
+        .filter(col("source") === lit("src1"))
+        .select("text").collect().map(_.getString(0)).toSeq
+      runDocScenario(s, "append", docFeed(s, d, 6))(docs =>
         StreamingOps.preprocessStream(docs,
-          StreamingOps.shingleSetOf(Seq(s7EvalText)),
-          mixRate = when(col("source") === "src_b", lit(50)).otherwise(lit(100))))
+          StreamingOps.shingleSetOf(evalTexts),
+          mixRate = when(col("source")
+            .isin("src0", "src1", "src2", "src3", "src4", "src5"), lit(25))
+            .when(col("source")
+              .isin("src6", "src7", "src8", "src9", "src10", "src11"), lit(50))
+            .otherwise(lit(100))))
+        .orderedRows(col("doc_id"))
     },
 
-    QueryDef.noOracle("s10_delta_dedup_stream") { (s, _) =>
-      import s.implicits._
-      val base = Seq("a", "b").toDF("key")
-      runKeyedScenario(s, "append", s10Batches)(delta =>
-        StreamingOps.deltaDedupStream(delta, base))
+    // s10 over the REAL event stream: d6's incremental-ingest shape —
+    // base = the first six hours' payloads (a static frame the stream
+    // anti-joins against), delta = everything after, streamed in
+    // event_id order. The entry projects to the KEY alone, which is
+    // winner-invariant (the set of fresh keys does not depend on
+    // which delta row won a within-batch race), so the streamed
+    // answer equals the batch NOT-EXISTS + DISTINCT under any
+    // processing order; the keep-first WINNER semantics stay spec'd
+    // in StreamingOpsSpec.
+    QueryDef("s10_delta_dedup_stream",
+      """WITH base AS (SELECT props FROM events
+        |              WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 06:00:00'),
+        |delta AS (SELECT props FROM events
+        |          WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 06:00:00')
+        |SELECT DISTINCT props AS key FROM delta d
+        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.props = d.props)
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val cut = lit("2024-01-01 06:00:00").cast("timestamp")
+      val base = graft.Tables.events(s, d)
+        .filter(col("ts") < cut).select(col("props").as("key"))
+      runKeyedScenario(s, "append", keyedFeed(s, d, 6))(delta =>
+        StreamingOps.deltaDedupStream(delta, base).select("key"))
+        .orderedRows(col("key"))
     },
 
-    QueryDef.noOracle("s12_stream_join") { (s, _) =>
-      runScenario(s, "append", s12Batches)(StreamingOps.viewPurchaseJoin(_))
+    // s12 over the REAL event stream: view→purchase interval
+    // attribution as a streaming self-join. The ts-ordered feed makes
+    // the inner join LOSSLESS (see eventFeed), so the streamed pairs
+    // are exactly the batch interval join's — each emitted once, in
+    // append mode, with both sides' state bounded by the watermark.
+    QueryDef("s12_stream_join",
+      """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, view_id, purchase_id, vts, pts
+        |FROM v JOIN p ON user_id = p_user
+        |  AND pts > vts AND pts <= vts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      runScenario(s, "append", eventFeed(s, d, 6))(StreamingOps.viewPurchaseJoin(_))
+        .orderedRows(col("view_id"), col("purchase_id"))
     },
 
-    QueryDef.noOracle("s13_stream_outer_join") { (s, _) =>
-      runScenario(s, "append", s13Batches)(
+    // s13: the LEFT OUTER form. Matched pairs equal the batch join
+    // (same losslessness argument); an UNMATCHED view emits (view,
+    // null) exactly when the final join watermark — min over both
+    // sides of (max event time − 10-min delay), reached via the
+    // no-data micro-batch after the last feed batch — closes its
+    // 30-minute window. The oracle reproduces that eviction predicate
+    // in SQL; views still open at end-of-stream are withheld on both
+    // sides. (Event times carry random microseconds, so the strict/
+    // non-strict boundary and Spark's ms-floored watermark cannot
+    // land on a row.)
+    QueryDef("s13_stream_outer_join",
+      """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST((SELECT MAX(vts) FROM v), (SELECT MAX(pts) FROM p))
+        |              - INTERVAL 10 MINUTE AS w),
+        |j AS (SELECT user_id, view_id, purchase_id, vts, pts
+        |      FROM v LEFT JOIN p ON user_id = p_user
+        |        AND pts > vts AND pts <= vts + INTERVAL 30 MINUTE)
+        |SELECT user_id, view_id, purchase_id, vts, pts FROM j
+        |WHERE purchase_id IS NOT NULL
+        |   OR vts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      runScenario(s, "append", eventFeed(s, d, 6))(
         StreamingOps.viewPurchaseJoin(_, joinType = "left_outer"))
+        .orderedRows(col("view_id"), col("purchase_id"))
     }
   )
 }

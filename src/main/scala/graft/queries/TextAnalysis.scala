@@ -358,7 +358,7 @@ object TextAnalysis {
           |           ORDER BY doc_id, chunk_idx
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
           |  FROM ch)
-          |SELECT source, shard, (c - n_tokens) // 512 AS seq_id,
+          |SELECT source, shard, CAST((c - n_tokens) // 512 AS BIGINT) AS seq_id,
           |       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
           |FROM cum GROUP BY source, shard, seq_id
           |ORDER BY source, shard, seq_id""".stripMargin) { (s, d) =>
@@ -563,8 +563,21 @@ object TextAnalysis {
     // parallelism specs.
     QueryDef.noOracle("t13_bpe_tokenize") { (s, d) =>
       val docs = Tables.documents(s, d)
+      // BOUNDED dict: on a web corpus the distinct-word count grows
+      // with the data (typos, ids, urls), so an uncapped collect is
+      // driver-unbounded at 100 TB. Production BPE trainers cut the
+      // tail before training; cut here = distributed top-K by
+      // (count desc, word asc) — a TOTAL order, so the cap is
+      // deterministic — via orderBy+limit, which Spark plans as
+      // TakeOrderedAndProject (per-partition top-K, only K rows ever
+      // reach the driver). Tail words are rare by construction, so
+      // dropping them leaves the learned merges unchanged in practice;
+      // CappedVocabSpec proves capped == uncapped on the test corpus.
+      val vocabCap = 1 << 16
       val wc = docs.select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc)
+        .limit(vocabCap)
         .as[(String, Long)](graft.Enc.strLong)
         .collect().sortBy(_._1).toSeq
       val merges = bpeTrain(wc, nMerges = 40)

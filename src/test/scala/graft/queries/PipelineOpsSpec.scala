@@ -924,6 +924,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       new java.util.HashMap[String, Integer]()).toSeq == Seq("a", "b", "c"))
   }
 
+  test("t13 BPE: capped vocab equals uncapped on the corpus; cap keeps top-K by (count desc, word asc)") {
+    import spark.implicits._
+    // (a) the 2^16 production cap never cuts the test corpus, so the
+    // capped trainer must learn exactly the uncapped trainer's merges
+    // (this is the invariant that keeps the t13 golden pinned)
+    val docs = graft.Tables.documents(spark, sf)
+    def dict(limit: Option[Int]): Seq[(String, Long)] = {
+      val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val cut = limit.fold(wc)(k => wc.orderBy(col("c").desc, col("w").asc).limit(k))
+      cut.as[(String, Long)].collect().sortBy(_._1).toSeq
+    }
+    val uncapped = dict(None)
+    assert(uncapped.size < (1 << 16),
+      s"test corpus vocab ${uncapped.size} outgrew the cap — re-pin the golden")
+    assert(dict(Some(1 << 16)) == uncapped)
+    assert(TextAnalysis.bpeTrain(dict(Some(1 << 16)), 40) ==
+      TextAnalysis.bpeTrain(uncapped, 40))
+    // (b) when the cap DOES cut, it keeps exactly the top-K under the
+    // total order (count desc, word asc) — ties on count fall to the
+    // lexicographically smaller word, so the cut is deterministic
+    // under any partitioning
+    val k = 5
+    val capped = dict(Some(k))
+    val expect = uncapped.sortBy { case (w, c) => (-c, w) }.take(k).sortBy(_._1)
+    assert(capped == expect, s"capped=$capped expect=$expect")
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
