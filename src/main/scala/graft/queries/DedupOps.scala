@@ -457,13 +457,54 @@ object DedupOps {
     * needs O(diameter) rounds), it FAILS OVER to
     * [[starContractLabels]] rather than silently returning
     * half-propagated labels. Per-round results are cached and the
-    * previous round unpersisted, so lineage stays one round deep. */
-  def clusterPairs(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    * previous round unpersisted, so lineage stays one round deep.
+    *
+    * SMALL-GRAPH FAST PATH: a verified near-dup pair set is usually
+    * MINUSCULE next to the corpus (banding + verify cut it to actual
+    * duplicates), and the iterative path pays rounds × (join + agg +
+    * checkpoint) in job-scheduling latency for it — the dominant cost
+    * at test SFs and the min/median noise amplifier under a busy
+    * scheduler. At or below `smallGraphLimit` pairs (counted on the
+    * cached frame; default 2²⁰ ≈ 16 MB of edge longs) the components
+    * are computed with a driver union-find instead: one collect, zero
+    * iterative jobs, and union-by-min-root makes every tree root the
+    * component minimum — EXACTLY min-label propagation's answer
+    * (equivalence spec'd in SetSimilarityPropSpec). The bound is the
+    * broadcast-join-threshold contract: above it, the distributed
+    * loop runs — that is the 100 TB path; pass `smallGraphLimit = 0`
+    * to force it (the loop/fallback specs do). */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 25,
+      smallGraphLimit: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Cache the pair set BEFORE mirroring it into edges: the union's
-    // two branches are separate subtrees, so an uncached `pairs` would
-    // run its whole upstream (the LSH candidate join) twice.
+    // Cache the pair set BEFORE mirroring it into edges (or counting
+    // it): the union's two branches are separate subtrees, so an
+    // uncached `pairs` would run its whole upstream (the LSH
+    // candidate join) twice.
     val p0 = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    if (p0.count() <= smallGraphLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = p0.select(col("ia"), col("ib")).as[(Long, Long)].collect()
+      p0.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // link the LARGER root under the smaller: a root is always the
+        // min id ever merged into its tree, so find() = component min
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      return es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+        .map(v => (v, find(v)))
+        .toDF("doc_id", "cluster_id")
+        .orderedRows(col("doc_id"))
+    }
     val edges = p0.select(col("ia").as("u"), col("ib").as("v"))
       .union(p0.select(col("ib").as("u"), col("ia").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK) // probed every round

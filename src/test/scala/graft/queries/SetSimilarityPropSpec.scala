@@ -112,10 +112,31 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
       .toDF("ia", "ib")
-    val got = DedupOps.clusterPairs(pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default path (small graph → driver union-find) and the forced
+    // distributed min-label loop must both produce the same labels
+    val fast = DedupOps.clusterPairs(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val dist = DedupOps.clusterPairs(pairs, smallGraphLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    assert(dist == want)
+  }
+
+  test("clusterPairs union-find path equals the distributed loop on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val pairs = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.toDF("ia", "ib")
+      val fast = DedupOps.clusterPairs(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = DedupOps.clusterPairs(pairs, smallGraphLimit = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"seed=$seed")
+    }
   }
 
   test("clusterPairs falls over to star contraction on a long chain") {
@@ -125,8 +146,8 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     // fallback must produce the (single-component) answer — silently
     // returning half-propagated labels was the r5 failure mode.
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("ia", "ib")
-    val got = DedupOps.clusterPairs(pairs, maxRounds = 3).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DedupOps.clusterPairs(pairs, maxRounds = 3, smallGraphLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 40L).map(_ -> 0L).toMap)
   }
 
@@ -139,9 +160,10 @@ class SetSimilarityPropSpec extends AnyFunSuite {
     // star-contraction fallback (maxRounds=3 on a diameter-40 chain).
     val pairs = ((0L until 40L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L), (200L, 201L))).toDF("ia", "ib")
-    def labels() = DedupOps.clusterPairs(pairs).collect()
+    def labels() = DedupOps.clusterPairs(pairs, smallGraphLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def labelsFallback() = DedupOps.clusterPairs(pairs, maxRounds = 3)
+    def labelsFallback() = DedupOps
+      .clusterPairs(pairs, maxRounds = 3, smallGraphLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (localA, localB) = (labels(), labelsFallback())
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
