@@ -600,8 +600,162 @@ object TextAnalysis {
         }(graft.Enc.longLongLongStr)
         .toDF("doc_id", "n_words", "n_bpe", "head_toks")
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // k2: EXACT heavy hitters (boilerplate/stopword token detection) —
+    // the classic TWO-PASS shape that avoids a corpus-wide groupBy on
+    // an unbounded key space:
+    //  pass 1: Misra–Gries(k) per partition. Pigeonhole guarantee: any
+    //    token with global count > N/k has per-partition count > N_p/k
+    //    in at least one partition, so the UNION of per-partition
+    //    candidates is a SUPERSET of the true heavy hitters — at most
+    //    partitions × k strings ever reach the driver, whatever the
+    //    corpus vocabulary does.
+    //  pass 2: exact counts for the BROADCAST candidate set only, plus
+    //    the grand total riding the same aggregate (non-candidates
+    //    collapse into one null group — no second corpus scan for N),
+    //    then the exact threshold filter.
+    // Output is EXACT (candidates are a superset; counting and
+    // filtering are exact), so a plain GROUP BY … HAVING SQL is the
+    // oracle; the sketch-eviction machinery is spec'd on a planted
+    // skew corpus whose vocabulary actually exceeds k.
+    QueryDef("k2_heavy_hitters",
+      """WITH w AS (SELECT UNNEST(STRING_SPLIT(text,' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
+        |SELECT token, cnt FROM c
+        |WHERE cnt * 50 > (SELECT COUNT(*) FROM w)
+        |ORDER BY token""".stripMargin) { (s, d) =>
+      heavyHitters(Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token")), "token", k = 50)
+        .orderedRows(col("token")) // ≤ k rows by the threshold: bounded
+    },
+
+    // t14: temperature-scaled source MIXING WEIGHTS — the sampling-
+    // ratio computation a multi-source pretraining run starts from
+    // (α = 0.5 upweights small high-quality sources, the standard
+    // multilingual/multi-corpus temperature trick). One corpus-sized
+    // aggregation (per-source token totals, map-side combined); the
+    // normalization runs on the |sources|-row result. Cross-engine
+    // float determinism: n_tok is exact; √n_tok is IEEE
+    // correctly-rounded so both engines agree bit-for-bit; the rounded
+    // √ casts to DECIMAL so the normalizing SUM is EXACT (double
+    // summation would be association-order-dependent); the final
+    // weight/epochs divisions are identical double ops on identical
+    // inputs.
+    QueryDef("t14_mix_weights",
+      """WITH s AS (SELECT source,
+        |             CAST(SUM(LEN(STRING_SPLIT(text,' '))) AS BIGINT) AS n_tok
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT source, n_tok,
+        |        CAST(ROUND(SQRT(n_tok), 6) AS DECIMAL(28,6)) AS sq FROM s),
+        |t AS (SELECT SUM(sq) AS tot_sq, SUM(n_tok) AS tot_tok FROM d)
+        |SELECT source, n_tok,
+        |  ROUND(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE), 6) AS weight,
+        |  ROUND(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)
+        |        * CAST(tot_tok AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS epochs
+        |FROM d, t ORDER BY source""".stripMargin) { (s, d) =>
+      val perSource = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
+        .withColumn("sq", round(sqrt(col("n_tok")), 6).cast("decimal(28,6)"))
+      val totals = perSource.agg(
+        sum(col("sq")).as("tot_sq"), sum(col("n_tok")).as("tot_tok"))
+      perSource.crossJoin(totals) // |sources| rows × 1 totals row
+        .select(col("source"), col("n_tok"),
+          round(col("sq").cast("double") / col("tot_sq").cast("double"), 6)
+            .as("weight"),
+          round(col("sq").cast("double") / col("tot_sq").cast("double")
+            * col("tot_tok").cast("double") / col("n_tok").cast("double"), 4)
+            .as("epochs"))
+        .orderedSmall(col("source")) // one row per source: bounded
+    },
+
+    // t15: deterministic GLOBAL SHUFFLE ORDER — the training-order
+    // materialization every pretraining run performs (reading shards
+    // in storage order would feed the model source-correlated
+    // batches). Position = rank under a multiplicative-hash ordering
+    // (same Fibonacci constant as t10, different modulus so the two
+    // assignments stay decorrelated), doc_id tie-break → a TOTAL
+    // order, so the result is a pure function of the data. Scale
+    // shape: a global ROW_NUMBER window would funnel the corpus
+    // through ONE task; instead range-sort (parallel) and assign
+    // contiguous indices with the two-pass zipWithIndex scheme —
+    // per-partition counts first, then offset + local index — which
+    // is exactly how distributed engines implement global rank. The
+    // index is independent of the partition layout because the sort
+    // key is total.
+    QueryDef("t15_epoch_order",
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sorted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(1048576L)).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .select(col("doc_id"))
+        .as[Long]
+      sorted.rdd.zipWithIndex
+        .map { case (id, i) => (id, i + 1) }
+        .toDF("doc_id", "pos")
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** Exact two-pass heavy hitters over a single string column: tokens
+    * whose count exceeds total/k. Pass 1 = per-partition Misra–Gries
+    * candidates (bounded: ≤ k entries per partition, union collected
+    * and broadcast); pass 2 = one exact aggregate where non-candidates
+    * collapse into a single null group so the grand total needs no
+    * extra scan. */
+  private[queries] def heavyHitters(tokens: DataFrame, colName: String,
+      k: Int): DataFrame = {
+    val s = tokens.sparkSession
+    val candidates = tokens
+      .select(col(colName)).as[String](graft.Enc.str)
+      .mapPartitions(it => misraGries(it, k))(graft.Enc.str)
+      .distinct()
+      .collect() // bounded by partitions × k — the sketch contract
+      .toSet
+    // membership via isInCollection (InSet: codegen'd hash-set probe,
+    // no UDF); one aggregate: candidate tokens keep their identity,
+    // everything else folds into the null group; total = sum over all
+    // groups. localCheckpoint: the tiny counts frame feeds BOTH the
+    // total and the threshold filter — uncut, Catalyst would plan the
+    // corpus aggregation twice.
+    val counts = tokens
+      .groupBy(when(col(colName).isInCollection(candidates), col(colName))
+        .as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.filter(col("token").isNotNull)
+      .crossJoin(total)
+      .filter(col("cnt") * k > col("total"))
+      .select(col("token"), col("cnt"))
+  }
+
+  /** Misra–Gries frequent-items sketch over one partition: maintains at
+    * most `k` counters; a full table decrements all (evicting zeros).
+    * Survivors are the partition's heavy-hitter candidates. */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new java.util.HashMap[String, Long]()
+    while (it.hasNext) {
+      val x = it.next()
+      val cur = counters.getOrDefault(x, 0L) // live counters are ≥ 1
+      if (cur > 0L) counters.put(x, cur + 1)
+      else if (counters.size < k) counters.put(x, 1L)
+      else {
+        val e = counters.entrySet().iterator()
+        while (e.hasNext) {
+          val en = e.next()
+          if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counters.keySet().iterator().asScala
+  }
 
   /** Merge one (a, b) symbol pair everywhere in a symbol sequence —
     * left-to-right, non-overlapping (the BPE convention for both

@@ -952,6 +952,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped == expect, s"capped=$capped expect=$expect")
   }
 
+  test("k2 heavy hitters: two-pass Misra-Gries equals naive groupBy on planted skew") {
+    import spark.implicits._
+    // vocabulary (500) >> k (20), so the per-partition sketches MUST
+    // evict; the planted heavy tokens survive by the pigeonhole
+    // guarantee and the exact second pass removes any false candidates
+    val rnd = new scala.util.Random(7L)
+    val heavy = Seq.fill(4000)("the") ++ Seq.fill(2500)("and") ++
+      Seq.fill(1500)("of")
+    val tail = Seq.fill(12000)(s"w${rnd.nextInt(500)}")
+    val toks = rnd.shuffle(heavy ++ tail).toDF("token").repartition(8)
+    val k = 20
+    val got = TextAnalysis.heavyHitters(toks, "token", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = (heavy ++ tail).size.toLong
+    val naive = (heavy ++ tail).groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 * k > n).toMap
+    assert(got == naive, s"got=$got naive=$naive")
+    assert(got.contains("the") && got.contains("and"))
+  }
+
+  test("t14 mix weights: weights sum to 1; small sources oversample") {
+    val out = TextAnalysis.defs.find(_.name == "t14_mix_weights").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    // α = 0.5 temperature: the smallest source must get MORE epochs
+    // (oversampling) than the largest
+    val bySize = out.sortBy(_._2)
+    assert(bySize.head._4 > bySize.last._4,
+      s"small ${bySize.head} should oversample vs large ${bySize.last}")
+  }
+
+  test("t15 epoch order: pos is the rank under the hash total order") {
+    val out = TextAnalysis.defs.find(_.name == "t15_epoch_order").get
+      .fn(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ids = out.map(_._1)
+    // a permutation of 1..N …
+    assert(out.map(_._2).sorted.toSeq == (1L to ids.length).toSeq)
+    // … equal to the driver-side rank under ((id*2654435761) % 2^20, id)
+    val want = ids.sortBy(id => ((id * 2654435761L) % 1048576L, id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(out.toMap == want)
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
