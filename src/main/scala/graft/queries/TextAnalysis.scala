@@ -699,6 +699,96 @@ object TextAnalysis {
         .map { case (id, i) => (id, i + 1) }
         .toDF("doc_id", "pos")
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // t16: GPT-style TOKEN-BLOCK assignment — the actual pretraining
+    // batch layout: every doc's tokens plus one EOD separator
+    // concatenate into ONE global stream (in t15's shuffle order),
+    // and the stream slices into fixed 512-token blocks that CROSS
+    // document boundaries (unlike t7, which packs whole chunks and
+    // never splits). The global prefix sum is the scale problem: a
+    // single ROW_NUMBER/SUM window funnels the corpus through one
+    // task, so this runs the TWO-PASS distributed prefix-sum instead —
+    // pass 1 computes per-partition (row, token) totals on the
+    // range-sorted frame (a |partitions|-sized collect), pass 2 maps
+    // each partition with its broadcast starting offsets. Values
+    // depend only on the TOTAL order (hash, doc_id), never on
+    // partition boundaries, so the result is a pure function of the
+    // data at any parallelism. The sorted frame persists between the
+    // two passes (at cluster scale: disk-backed or recomputed — an
+    // explicit cost knob, not a correctness one).
+    QueryDef("t16_token_blocks",
+      """WITH d AS (SELECT doc_id,
+        |             CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok,
+        |             (doc_id * 2654435761) % 1048576 AS h
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |        ROW_NUMBER() OVER w AS pos,
+        |        CAST(COALESCE(SUM(n_tok + 1) OVER (w
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS tok_start
+        |      FROM d WINDOW w AS (ORDER BY h, doc_id))
+        |SELECT doc_id, pos, tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS first_block,
+        |  CAST((tok_start + n_tok - 1) // 512 AS BIGINT) AS last_block
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sorted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          pmod(col("doc_id") * lit(2654435761L), lit(1048576L)).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .select("doc_id", "n_tok")
+        .as[(Long, Long)](graft.Enc.longLong)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pass 1: per-partition row/token totals, in partition order
+      val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var rows = 0L
+        var toks = 0L
+        it.foreach { case (_, nt) => rows += 1; toks += nt + 1 }
+        Iterator((i, rows, toks))
+      }.collect().sortBy(_._1)
+      val rowOff = totals.scanLeft(0L)(_ + _._2).dropRight(1)
+      val tokOff = totals.scanLeft(0L)(_ + _._3).dropRight(1)
+      val bc = s.sparkContext.broadcast((rowOff, tokOff))
+      // pass 2: running position + token offset within each partition
+      sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var pos = bc.value._1(i)
+        var tok = bc.value._2(i)
+        it.map { case (id, nt) =>
+          pos += 1
+          val start = tok
+          tok += nt + 1
+          (id, pos, start, start / 512, (start + nt - 1) / 512)
+        }
+      }.toDF("doc_id", "pos", "tok_start", "first_block", "last_block")
+        .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // t17: EXACT-QUOTA stratified sample — "take exactly q docs per
+    // source" (eval-set carving, per-domain caps): rank within each
+    // source under the t15 hash order (doc_id tie-break → total,
+    // reproducible at any parallelism) and keep rank ≤ q. One
+    // source-keyed window exchange; at 100 TB a skewed source is the
+    // hot partition, but the window only needs a per-source TOP-q —
+    // rank ≤ q prunes in the sort (TakeOrdered-style) rather than
+    // materializing whole groups.
+    QueryDef("t17_quota_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "source")
+        .orderedRows(col("doc_id")) // ≤ q rows per source: bounded
     }
   )
 

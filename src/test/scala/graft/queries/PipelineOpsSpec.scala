@@ -996,6 +996,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toMap == want)
   }
 
+  test("t16 token blocks: equals driver-side prefix sum over the hash order") {
+    val out = TextAnalysis.defs.find(_.name == "t16_token_blocks").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val ordered = docs.sortBy { case (id, _) => ((id * 2654435761L) % 1048576L, id) }
+    var tok = 0L
+    val want = ordered.zipWithIndex.map { case ((id, nt), i) =>
+      val st = tok
+      tok += nt + 1
+      (id, i + 1L, st, st / 512, (st + nt - 1) / 512)
+    }.toSet
+    assert(out.toSet == want)
+    // the global stream is contiguous: the running offset ends at
+    // Σ(n_tok + 1) — no gaps, no overlaps, partition-independent
+    assert(tok == docs.map(_._2 + 1).sum)
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
