@@ -186,6 +186,65 @@ object StorageOps {
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedSmall(col("h")) // ≤ 24 hourly rows
+    },
+
+    // w4: SMALL-FILE COMPACTION — the fourth ingest-side lever, and
+    // the canonical 100 TB ingest pathology: a streaming/micro-batch
+    // writer leaves thousands of KB-sized files per day, and every
+    // later scan pays per-file open/footer/schedule costs that dwarf
+    // the data. The fix is a periodic compaction job: read the
+    // fragmented layout, `repartition(target)` (compaction WANTS the
+    // round-robin shuffle — that is the rewrite), write files sized
+    // for the scan path (`maxRecordsPerFile` caps any straggler
+    // partition). The entry materializes a 64-file fragmented copy of
+    // the events slice, compacts it to 2 files, and aggregates over
+    // the COMPACTED layout; the oracle aggregates the raw table —
+    // compaction must change file counts (spec-asserted ≥ 16×
+    // reduction), never an answer.
+    QueryDef("w4_compacted_scan",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = ensureCompacted(s, d)
+      s.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedSmall(col("event_type")) // one row per type: bounded
     }
   )
+
+  /** w4 layouts: a deliberately fragmented 64-file write (the
+    * micro-batch ingest shape) and its 2-file compaction. Returns the
+    * compacted path; [[fragmentedFileCount]]/[[compactedFileCount]]
+    * expose the layouts to the plan spec. */
+  private[queries] def ensureCompacted(s: SparkSession, d: String): String = {
+    val frag = s"$WarehouseBase/events_frag"
+    val comp = s"$WarehouseBase/events_comp"
+    writeIfStale("compacted", d) {
+      Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(64) // the small-files pathology, materialized
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartition(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1000000)
+        .parquet(comp)
+    }
+    comp
+  }
+
+  private def parquetFileCount(path: String): Int =
+    Option(new java.io.File(path).listFiles()).fold(0)(
+      _.count(f => f.getName.endsWith(".parquet")))
+
+  private[queries] def fragmentedFileCount(s: SparkSession, d: String): Int = {
+    ensureCompacted(s, d)
+    parquetFileCount(s"$WarehouseBase/events_frag")
+  }
+
+  private[queries] def compactedFileCount(s: SparkSession, d: String): Int = {
+    ensureCompacted(s, d)
+    parquetFileCount(s"$WarehouseBase/events_comp")
+  }
 }

@@ -862,6 +862,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("w4 compaction: >=16x file reduction; answers unchanged") {
+    val frag = StorageOps.fragmentedFileCount(spark, sf)
+    val comp = StorageOps.compactedFileCount(spark, sf)
+    assert(frag >= 32, s"fragmented layout should be many files, got $frag")
+    assert(comp * 16 <= frag, s"compaction too weak: $frag -> $comp")
+    // compaction rewrites bytes, never answers
+    val a = spark.read.parquet(StorageOps.ensureCompacted(spark, sf))
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    val b = graft.Tables.events(spark, sf)
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    assert(a == b)
+  }
+
   test("i1/i2 text sources: adversarial strings round-trip JSONL and CSV") {
     import spark.implicits._
     // quotes, commas, braces, backslashes, leading/trailing spaces —
