@@ -789,6 +789,32 @@ object TextAnalysis {
         .filter(col("rn") <= 20)
         .select("doc_id", "source")
         .orderedRows(col("doc_id")) // ≤ q rows per source: bounded
+    },
+
+    // t18: per-source LENGTH HISTOGRAM at log₂ grain — the
+    // padding-efficiency / truncation-loss profile a batching config
+    // is tuned from (how many docs land in each power-of-two length
+    // band, and how many tokens they carry). Bucket = ⌊log₂ n_tok⌋
+    // computed INTEGER-EXACTLY as LENGTH(BIN(n)) − 1 on both engines —
+    // a float LOG2 is not correctly-rounded at power-of-two
+    // boundaries, exactly where the bucket edges sit. One map-side-
+    // combined aggregate over (source, bucket); output is
+    // sources × log₂(max length) rows.
+    QueryDef("t18_length_histogram",
+      """WITH d AS (SELECT source,
+        |             CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok
+        |           FROM documents)
+        |SELECT source, CAST(LENGTH(BIN(n_tok)) - 1 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderedSmall(col("source"), col("bucket")) // sources×log₂(len): bounded
     }
   )
 
