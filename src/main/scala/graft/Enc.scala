@@ -46,6 +46,7 @@ object Enc {
   val longStrStrLong: Encoder[(Long, String, String, Long)] = ExpressionEncoder()
   val strBytes: Encoder[(String, Array[Byte])] = ExpressionEncoder()
   val longLongLongStr: Encoder[(Long, Long, Long, String)] = ExpressionEncoder()
+  val longLongLong: Encoder[(Long, Long, Long)] = ExpressionEncoder()
   val str: Encoder[String] = ExpressionEncoder()
   val longStrDoubleStr: Encoder[(Long, String, Double, String)] = ExpressionEncoder()
 }

@@ -815,6 +815,71 @@ object TextAnalysis {
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderedSmall(col("source"), col("bucket")) // sources×log₂(len): bounded
+    },
+
+    // t19: REFERENCE-CORPUS BIGRAM NOVELTY — the CCNet-style quality
+    // axis t9 (within-doc repetition) and t8 (eval contamination)
+    // don't cover: how much of each training doc's bigram mass is
+    // UNSEEN in a trusted reference slice (src1 stands in for the
+    // "clean" corpus a perplexity filter would be trained on).
+    // High-novelty docs are the gibberish/boilerplate candidates a
+    // perplexity cut would drop; this integer-exact formulation keeps
+    // the cross-engine hash strict where a float LM score could not
+    // be (log() is not correctly-rounded). Scale shape: the reference
+    // bigram set is eval-slice-bounded (t8's broadcast contract) and
+    // the corpus runs ONE typed map kernel — counts per doc computed
+    // in-row against the broadcast set, no join, no shuffle; only
+    // docs with ≥1 bigram emit (single-token docs have no bigram
+    // mass, matching the oracle's join-then-group shape).
+    QueryDef("t19_bigram_novelty",
+      """WITH t AS (SELECT doc_id, source, STRING_SPLIT(lower(text),' ') AS ts
+        |           FROM documents),
+        |bg AS (SELECT doc_id, source, ts[i+1] || ' ' || ts[i+2] AS g
+        |       FROM t, UNNEST(range(0, GREATEST(LEN(ts)-1,0))) u(i)),
+        |ref AS (SELECT DISTINCT g FROM bg WHERE source = 'src1'),
+        |stats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_novel
+        |  FROM (SELECT * FROM bg WHERE source <> 'src1') b
+        |  LEFT JOIN ref ON b.g = ref.g
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_novel,
+        |       ROUND(n_novel * 1.0 / n_bigrams, 4) AS novel_frac
+        |FROM stats ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("source") === "src1")
+        .select(lower(col("text")).as("t")).as[String](graft.Enc.str)
+        .flatMap { t =>
+          val ts = t.split(" ", -1)
+          Iterator.range(0, math.max(ts.length - 1, 0))
+            .map(i => ts(i) + " " + ts(i + 1))
+        }(graft.Enc.str)
+        .distinct()
+        .collect() // reference-slice-bounded: the t8 broadcast contract
+        .toSet
+      val bc = s.sparkContext.broadcast(ref)
+      docs.filter(col("source") =!= "src1")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .fanOut // single-row-group scan: spread the count kernel
+        .as[(Long, String)](graft.Enc.longStr)
+        .map { case (id, t) =>
+          val ts = t.split(" ", -1)
+          var n = 0L
+          var novel = 0L
+          var i = 0
+          while (i < ts.length - 1) {
+            n += 1
+            if (!bc.value.contains(ts(i) + " " + ts(i + 1))) novel += 1
+            i += 1
+          }
+          (id, n, novel)
+        }(graft.Enc.longLongLong)
+        .filter(_._2 > 0L)
+        .toDF("doc_id", "n_bigrams", "n_novel")
+        .withColumn("novel_frac",
+          round(col("n_novel") * lit(1.0) / col("n_bigrams"), 4))
+        .orderedRows(col("doc_id")) // one row per train doc: scales
     }
   )
 
