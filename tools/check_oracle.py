@@ -63,6 +63,28 @@ def main(sf_dir, out_dir):
             print(f"  ~ {name}: no oracle (rows={len(got_rows)})")
             continue
         try:
+            # HUGEINT guard: DuckDB widens SUM over integers to HUGEINT
+            # (and keeps the width through //). The DRIVER's fetch path
+            # renders HUGEINT differently than BIGINT even on equal
+            # values (the r7/r8 t7 failure), while this harness's
+            # str(int) canonicalization hides it — so detect the TYPE
+            # and fail loudly: any sum-derived integer output column
+            # needs an explicit CAST(... AS BIGINT). DESCRIBE runs
+            # BEFORE the oracle on this shared cursor (a second
+            # execute() would clobber the pending result set).
+            wide = []
+            try:
+                desc = con.execute(
+                    f"DESCRIBE {oracle[name]}").fetchall()
+                wide = [c for (c, t, *_) in desc if "HUGEINT" in t.upper()]
+            except Exception:
+                pass  # DESCRIBE unsupported for this statement shape
+            if wide:
+                print(f"  ✗ {name}: HUGEINT ORACLE COLUMN(S) {wide} — "
+                      "the driver renders these differently than BIGINT; "
+                      "add CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             exp = con.execute(oracle[name])
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
