@@ -172,6 +172,51 @@ class BinlogBinarySpec extends AnyFunSuite {
     }
   }
 
+  test("GTID/XID/ROTATE framing: rotated two-file stream matches the text FSM") {
+    import BinlogBinaryFixture._
+    // A real 5.6+ binlog frames every transaction: PREVIOUS_GTIDS after
+    // the FDE, GTID + BEGIN before each transaction's rows, XID at each
+    // commit, ROTATE at the file boundary, STOP at server shutdown.
+    // Both decode paths must skip all of them — same row payloads, same
+    // real byte positions — across the file rotation.
+    val file1 = Seq(PreviousGtids,
+      Gtid(1), Begin, Insert(20, "txn1_a", Some(0.5)),
+      Insert(21, "txn1_b", None), Xid(101),
+      Gtid(2), Begin,
+      Update((20, "txn1_a", Some(0.5)), (20, "txn1_a2", Some(1.5))), Xid(102),
+      Ddl("testdb", "alter table t_pk add column framed int"),
+      Rotate("binlog.000002"))
+    val file2 = Seq(PreviousGtids,
+      Gtid(3), Begin, Delete(21, "txn1_b", None), Xid(103),
+      Stop)
+    def canon(r: graft.cdc.RawChange) =
+      (r.seq, r.startPos, r.stopPos, r.startPosRaw, r.stopPosRaw, r.dtRaw,
+        r.db, r.table, r.op, r.beforeOrds.toSeq, r.beforeVals.toSeq,
+        r.afterOrds.toSeq, r.afterVals.toSeq, Option(r.ddl))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rot")
+    for ((evs, name) <- Seq((file1, "binlog.000001"), (file2, "binlog.000002"))) {
+      val (b, t) = BinlogBinaryFixture.render(evs)
+      java.nio.file.Files.write(dir.resolve(name), b)
+      val fromBin = BinlogBinary.parseBytes(name, b, includeDdl = true)
+      val fromText = BinlogFsm.parse(name, t.linesIterator, includeDdl = true).toSeq
+      assert(fromBin.nonEmpty)
+      assert(fromBin.map(canon) == fromText.map(canon), s"mismatch in $name")
+    }
+    // framing events contribute ZERO changes; row/DDL order is intact
+    val (b1, _) = render(file1)
+    assert(BinlogBinary.parseBytes("f1", b1, includeDdl = true).map(_.op) ==
+      Seq("insert", "insert", "update", "ddl"))
+    val (b2, _) = render(file2)
+    assert(BinlogBinary.parseBytes("f2", b2).map(_.op) == Seq("delete"))
+    // DataFrame path over the rotated directory: per-file tasks, all
+    // five changes survive, (file, seq) gives the stream order
+    val df = BinlogBinary.parse(spark, dir.toString, includeDdl = true)
+    assert(df.count() == 5)
+    val ops = df.orderBy("file", "seq").select("op")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("insert", "insert", "update", "ddl", "delete"))
+  }
+
   test("binary pipeline renders the same SQL as the text pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bbin")
     val binPath = dir.resolve("binlog.000001")
