@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff smoke for the shuffle-heavy dedup family (VERDICT r8
+  * item 7): build a 10×-sf0.1 ("sf1") documents corpus ONCE under
+  * /tmp and run d1/d4/d5/l6/p2 against it, printing per-entry wall
+  * times next to their sf0.1 times. The sf0.1 extras all fit in one
+  * shuffle wave at local[32]; this checks nothing falls off a cliff
+  * (pair explosion, skewed bucket, driver materialization) when the
+  * corpus is 10× bigger than the bench SF.
+  *
+  * The scaled corpus keeps the near-dup density CONSTANT instead of
+  * clone-exploding it: copy 0 is sf0.1 verbatim; copy k>0 suffixes
+  * every word with k (word-3-gram shingles ⇒ within-copy Jaccard is
+  * preserved exactly, cross-copy overlap is zero) and offsets doc_id
+  * by k·10⁷. So the planted near-dup pairs replicate 10× — the same
+  * per-partition load a real 10× corpus would carry — without every
+  * LSH bucket degenerating into a 10-clone clique.
+  */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.checkpointDir", "/tmp/graft_sf1_ckpt")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = "/root/testdata/sf0.1"
+    val dir = "/tmp/graft_sf1"
+    val docsPath = new java.io.File(s"$dir/documents.parquet")
+    if (!docsPath.exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val copies = (0 until 10).map { k =>
+        if (k == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + k.toString))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      copies.reduce(_.unionAll(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"built $dir/documents.parquet")
+    }
+
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("d1_minhash_neardup", "d4_neardup_clusters",
+        "d5_dedup_survivors", "l6_span_dedup", "p2_manifest_pipeline")
+    def time(n: String, d: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, d).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    // warm both dirs once so scan/codegen warmup doesn't skew the ratio
+    names.foreach { n => time(n, src); time(n, dir) }
+    println(f"${"entry"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio  rows(sf1)")
+    var worst = 0.0
+    for (n <- names) {
+      val (t01, _) = time(n, src)
+      val (t1, rows) = time(n, dir)
+      worst = math.max(worst, t1 / t01)
+      println(f"$n%-22s $t01%7.2fs $t1%7.2fs  ${t1 / t01}%5.1fx  $rows%d")
+    }
+    println(f"worst 10x-data time ratio: $worst%.1fx (cliff if >> 10x)")
+    spark.stop()
+  }
+}
