@@ -48,5 +48,6 @@ object Enc {
   val longLongLongStr: Encoder[(Long, Long, Long, String)] = ExpressionEncoder()
   val longLongLong: Encoder[(Long, Long, Long)] = ExpressionEncoder()
   val str: Encoder[String] = ExpressionEncoder()
+  val longLongLongDouble: Encoder[(Long, Long, Long, Double)] = ExpressionEncoder()
   val longStrDoubleStr: Encoder[(Long, String, Double, String)] = ExpressionEncoder()
 }

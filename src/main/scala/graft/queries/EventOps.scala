@@ -217,6 +217,56 @@ object EventOps {
           approx_count_distinct("user_id", 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderedSmall(col("event_type"))
+    },
+
+    // s14: per-key ORDER-DEPENDENT RECURRENCE — the exponential moving
+    // average ema_i = 0.2·v_i + 0.8·ema_{i−1} per user over the event
+    // stream. A linear recurrence is the one per-key scan no window
+    // frame expresses (the closed form Σ 0.2·0.8^(i−j)·v_j needs pow()
+    // terms that over/underflow on long series), so this is the
+    // documented mapPartitions case: the SECONDARY-SORT pattern —
+    // repartition by key, sortWithinPartitions by (key, ts, id), then
+    // ONE sequential pass holding O(1) state per partition (current
+    // key + running ema), never a per-key row materialization. One
+    // exchange + one sort, the exact shape a 100 TB sessionized scan
+    // wants. The oracle computes the same recurrence via WITH
+    // RECURSIVE; both sides evaluate the identical IEEE expression
+    // 0.2·v + 0.8·ema in doubles, so the rounded outputs hash-match.
+    // Ties on (ts, event_id) can only be full-row duplicates, which
+    // are interchangeable in the recurrence.
+    QueryDef("s14_ema_recurrence",
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS ema FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.event_id, t.rn, 0.2 * t.value + 0.8 * r.ema
+        |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT event_id, user_id, ROUND(ema, 4) AS ema
+        |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+          col("event_id"), col("value"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "tsu", "event_id")
+        .as[(Long, Long, Long, Double)](graft.Enc.longLongLongDouble)
+        .mapPartitions { it =>
+          var cur = Long.MinValue
+          var ema = 0.0
+          it.map { case (uid, _, eid, v) =>
+            if (uid != cur) { cur = uid; ema = v }
+            else ema = 0.2 * v + 0.8 * ema
+            (eid, uid, ema)
+          }
+        }(graft.Enc.longLongDouble)
+        .toDF("event_id", "user_id", "ema_raw")
+        .select(col("event_id"), col("user_id"),
+          round(col("ema_raw"), 4).as("ema"))
+        .orderedRows(col("event_id")) // one row per event: scales
     }
   )
 

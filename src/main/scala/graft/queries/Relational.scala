@@ -686,6 +686,87 @@ object Relational {
         .withColumn("n_1h", expr(s"COUNT(*) $over").cast("long"))
         .select("event_id", "user_id", "sv_1h", "n_1h")
         .orderedRows(col("event_id")) // one row per event: scales
+    },
+
+    // q26: LATERAL explode with ordinality — the table-function join
+    // (UNNEST WITH ORDINALITY / posexplode): one row per (row,
+    // position) of a split column, re-aggregated by position. Spark's
+    // posexplode runs inside whole-stage codegen as a Generate — no
+    // join, no shuffle until the aggregate; the explode multiplies
+    // rows map-side, so at 100× data the only exchange still carries
+    // (pos, word) partial counts, not the exploded rows.
+    QueryDef("q26_lateral_explode",
+      """SELECT CAST(i + 1 AS BIGINT) AS pos, ts[i+1] AS word,
+        |       CAST(COUNT(*) AS BIGINT) AS c
+        |FROM (SELECT STRING_SPLIT(p_type, ' ') AS ts FROM part),
+        |     UNNEST(range(0, LEN(ts))) AS u(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(posexplode(split(col("p_type"), " ")))
+        .groupBy((col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
+        .agg(count(lit(1)).as("c"))
+        .orderedSmall(col("pos"), col("word")) // positions × type vocab: bounded
+    },
+
+    // q27: correlated SCALAR subqueries in the SELECT list (count +
+    // conditional average per outer row) under an EXISTS row filter —
+    // the de-correlation surface q05 (semi/anti) and q15 (correlated
+    // comparison) don't cover. Catalyst rewrites each scalar subquery
+    // to an aggregate-then-left-outer-join on the correlation key and
+    // the EXISTS to a left-semi join; with nation as the outer side
+    // all three joins broadcast the 25-row frame — zero wide shuffles
+    // of customer/supplier beyond their own pre-aggregates.
+    QueryDef("q27_scalar_subquery",
+      """SELECT n_name,
+        |  CAST((SELECT COUNT(*) FROM customer c
+        |        WHERE c.c_nationkey = n.n_nationkey) AS BIGINT) AS n_cust,
+        |  ROUND(COALESCE((SELECT AVG(c_acctbal) FROM customer c
+        |                  WHERE c.c_nationkey = n.n_nationkey
+        |                    AND c_acctbal > 0), 0), 2) AS avg_pos_bal
+        |FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM supplier s
+        |              WHERE s.s_nationkey = n.n_nationkey)
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      // scalar subqueries have no DataFrame-API form — like q25,
+      // registered views + spark.sql is the idiomatic expression
+      Tables.nation(s, d).createOrReplaceTempView("graft_q27_nation")
+      Tables.customer(s, d).createOrReplaceTempView("graft_q27_customer")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q27_supplier")
+      s.sql(
+        """SELECT n_name,
+          |  (SELECT COUNT(*) FROM graft_q27_customer c
+          |   WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+          |  ROUND(COALESCE((SELECT AVG(c_acctbal) FROM graft_q27_customer c
+          |                  WHERE c.c_nationkey = n.n_nationkey
+          |                    AND c_acctbal > 0), 0), 2) AS avg_pos_bal
+          |FROM graft_q27_nation n
+          |WHERE EXISTS (SELECT 1 FROM graft_q27_supplier s
+          |              WHERE s.s_nationkey = n.n_nationkey)""".stripMargin)
+        .orderedSmall(col("n_name")) // ≤ nation rows: bounded
+    },
+
+    // q28: MULTI-DISTINCT aggregation — several COUNT(DISTINCT ·) over
+    // DIFFERENT columns plus a SUM(DISTINCT) and a plain COUNT in one
+    // GROUP BY. Spark plans this with one Expand (row replicated per
+    // distinct group, non-distinct aggregates computed on one replica)
+    // feeding a two-phase aggregate — still a single wide exchange on
+    // the group key, which is the shape that survives 100×; the naive
+    // alternative (one aggregation per distinct column + join) would
+    // be N shuffles + N−1 joins.
+    QueryDef("q28_multi_distinct",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS dp,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ds,
+        |  ROUND(SUM(DISTINCT l_quantity), 2) AS sdq,
+        |  CAST(COUNT(*) AS BIGINT) AS c
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("dp"),
+          countDistinct("l_suppkey").as("ds"),
+          round(sum_distinct(col("l_quantity")), 2).as("sdq"),
+          count(lit(1)).as("c"))
+        .orderedSmall(col("l_returnflag")) // return-flag arity: bounded
     }
   )
 }

@@ -202,6 +202,24 @@ object StreamingQueries {
       .map(_.toSeq).toSeq
   }
 
+  /** s6b feed: the WHOLE event table in (ts, event_id, user_id) order,
+    * chunked into fixed-size batches. Ties on the full sort key can
+    * only be full-row duplicates, which are interchangeable for
+    * counting — the per-(user, batch) event counts, and therefore the
+    * counter updates, are a pure function of the data no matter which
+    * duplicate lands on which side of a batch boundary. */
+  private def eventFeedAll(spark: SparkSession, dir: String,
+      nBatches: Int): Seq[Seq[EventRow]] = {
+    val rows = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id", "user_id")
+      .collect()
+      .map(r => EventRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+      .map(_.toSeq).toSeq
+  }
+
   /** [[runScenario]]'s twin over keyed delta rows (the s10 ingest
     * stream). */
   private def runKeyedScenario(spark: SparkSession, mode: String,
@@ -231,6 +249,30 @@ object StreamingQueries {
       import s.implicits._
       runScenario(s, "update", s6Batches)(df =>
         StreamingOps.runningCounter(df.as[EventRow]).toDF())
+    },
+
+    // s6b over the REAL event stream (the c9→c10 pattern applied to
+    // arbitrary keyed state): mapGroupsWithState running counters fed
+    // the whole events table in (ts, event_id, user_id) order across
+    // 6 fixed-size batches. The update-mode sink keeps one row per
+    // key per batch TOUCHED — the counter's per-batch snapshots —
+    // which batch SQL expresses exactly: assign each row its batch by
+    // global row number over the same total order, then the cumulative
+    // per-user count at the end of each touched batch. State-across-
+    // batch semantics at exact boundaries stay golden-pinned in s6.
+    QueryDef("s6b_counter_stream",
+      """WITH e AS (SELECT user_id,
+        |             ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id, user_id) - 1 AS rn,
+        |             COUNT(*) OVER () AS nt
+        |           FROM events),
+        |eb AS (SELECT user_id, rn // ((nt + 5) // 6) AS b FROM e),
+        |pb AS (SELECT user_id, b, COUNT(*) AS c FROM eb GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n
+        |FROM pb ORDER BY user_id, n""".stripMargin) { (s, d) =>
+      import s.implicits._
+      runScenario(s, "update", eventFeedAll(s, d, 6))(df =>
+        StreamingOps.runningCounter(df.as[EventRow]).toDF())
+        .orderedRows(col("user_id"), col("n"))
     },
 
     // s7 over the REAL corpus: the streaming preprocessing pipeline

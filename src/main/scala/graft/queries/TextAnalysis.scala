@@ -880,8 +880,57 @@ object TextAnalysis {
         .withColumn("novel_frac",
           round(col("n_novel") * lit(1.0) / col("n_bigrams"), 4))
         .orderedRows(col("doc_id")) // one row per train doc: scales
+    },
+
+    // t20: CORPUS-WIDE DUPLICATED-N-GRAM FRACTION — the Gopher-rules
+    // quality axis the within-doc (t9) and eval-set (t8/t8b) checks
+    // miss: what fraction of each doc's 8-gram positions carry a gram
+    // that also appears in ANOTHER doc. High-fraction docs are
+    // boilerplate/mirror candidates even when no single pair crosses
+    // the near-dup threshold. Unlike t19's broadcast set, the gram
+    // dictionary here is CORPUS-sized, so the only correct scale shape
+    // is keyed: explode grams map-side (Generate, no shuffle), one
+    // exchange on gram for the distinct-doc count, join the positions
+    // back on that same gram partitioning (boilerplate grams are the
+    // textbook hot keys — AQE skew-join splits them), then one
+    // exchange on doc_id for the per-doc fraction. Docs shorter than
+    // the gram width have no positions and are absent on both sides.
+    QueryDef("t20_dup_ngram_fraction",
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(lower(text),' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ts[i+1:i+8],' ') AS gram
+        |      FROM tok, UNNEST(range(0, GREATEST(LEN(ts)-7, 0))) AS u(i)),
+        |gc AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+        |FROM g JOIN gc USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dupNgramFraction(
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .fanOut, // single-row-group scan: spread the explode kernel
+        8)
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** Corpus-wide duplicated-n-gram fraction over a (doc_id, ts:
+    * array&lt;string&gt;) frame — see the t20 entry above for semantics
+    * and the scale shape. Requires every row to carry ≥ n tokens. */
+  private[queries] def dupNgramFraction(tok: DataFrame, n: Int): DataFrame = {
+    val grams = tok.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(ts) - $n)," +
+        s" i -> concat_ws(' ', slice(ts, i + 1, $n)))")).as("gram"))
+    val gramDocs = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+    grams.join(gramDocs, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        round(col("n_shared") * lit(1.0) / col("n_grams"), 4))
+  }
 
   /** Exact two-pass heavy hitters over a single string column: tokens
     * whose count exceeds total/k. Pass 1 = per-partition Misra–Gries

@@ -1028,6 +1028,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tok == docs.map(_._2 + 1).sum)
   }
 
+  test("t20 dup-ngram fraction: planted shared runs; within-doc repeats don't count") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " a1 a2 a3 a4"), // 12 toks → 5 grams; pos 0 shared
+      (2L, "b1 b2 b3 b4 " + shared), // 12 toks → 5 grams; pos 4 shared
+      (3L, (1 to 12).map(i => s"c$i").mkString(" ")), // unique: 0 shared
+      (4L, (1 to 8).map(i => s"r$i").mkString(" ") + " " +
+        (1 to 8).map(i => s"r$i").mkString(" "))) // self-repeat only
+      .toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+    val out = TextAnalysis.dupNgramFraction(tok, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((5L, 1L)) && out(2L) == ((5L, 1L)))
+    assert(out(3L) == ((5L, 0L)))
+    // doc 4's duplicated run appears in ONE doc: nd=1, never "shared" —
+    // within-doc repetition is t9's axis, not t20's
+    assert(out(4L) == ((9L, 0L)))
+  }
+
+  test("s14 EMA recurrence: differential vs in-memory ordered replay") {
+    val q = EventOps.defs.find(_.name == "s14_ema_recurrence").get
+    val got = q.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        // microsecond-exact ordering key (getTime alone floors to ms)
+        val micros = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getLong(0), micros, r.getLong(2), r.getDouble(3))
+      }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      var ema = 0.0
+      rs.sortBy(t => (t._2, t._3)).zipWithIndex.map { case ((_, _, eid, v), i) =>
+        ema = if (i == 0) v else 0.2 * v + 0.8 * ema
+        eid -> BigDecimal(ema).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq
+    }
+    assert(got.size == rows.length)
+    assert(expected.forall { case (eid, e) => got(eid) == e })
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

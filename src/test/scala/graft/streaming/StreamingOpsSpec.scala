@@ -107,6 +107,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(latest == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("s6b pattern: update log equals in-memory per-batch cumulative replay") {
+    // the promoted s6b oracle asserts exactly this shape over the real
+    // events table; pin the mechanism on a randomized feed — one
+    // update row per (user, batch touched) carrying the cumulative
+    // count at that batch's end
+    val rnd = new scala.util.Random(11)
+    val batches = Seq.fill(4)(Seq.fill(8)(
+      ev(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d",
+        userId = rnd.nextInt(3) + 1)))
+    val in = MemoryStream[EventRow]
+    val out = runToMemory("s6b_t", StreamingOps.runningCounter(in.toDS()).toDF(),
+      "update", stream = Some(in), data = batches)
+    val got = out.as[(Long, Long)].collect().sorted.toSeq
+    val cum = collection.mutable.Map.empty[Long, Long]
+    val expected = batches.flatMap { b =>
+      b.groupBy(_.user_id).toSeq.map { case (u, rs) =>
+        cum(u) = cum.getOrElse(u, 0L) + rs.size
+        (u, cum(u))
+      }
+    }.sorted
+    assert(got == expected)
+  }
+
   test("S2 streaming sliding matches the batch equivalent on a slice") {
     val in = MemoryStream[EventRow]
     val rows = Seq(ev("2024-01-01 10:20:00"), ev("2024-01-01 10:50:00"))
