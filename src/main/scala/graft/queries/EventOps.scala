@@ -267,8 +267,48 @@ object EventOps {
         .select(col("event_id"), col("user_id"),
           round(col("ema_raw"), 4).as("ema"))
         .orderedRows(col("event_id")) // one row per event: scales
+    },
+
+    // s15: CUMULATIVE-UNIQUES curve — "total distinct users through
+    // hour h", the growth metric a COUNT(DISTINCT) OVER (ORDER BY ts)
+    // would need (which neither engine supports over a running frame,
+    // and which would hold unbounded state). The exact rewrite: flag
+    // each user's FIRST event (row_number over the user partition),
+    // bucket to hours, then a running sum of first-flags — distinct
+    // counting becomes two bounded exchanges (user-keyed window,
+    // hour-keyed aggregate) plus a cumsum over the HOURS frame, which
+    // is time-range-bounded, so the unpartitioned final window is a
+    // non-issue at any corpus width.
+    QueryDef("s15_cumulative_uniques",
+      """WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |           FROM events),
+        |h AS (SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS h,
+        |             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS nu,
+        |             COUNT(*) AS n FROM f GROUP BY 1)
+        |SELECT h, CAST(nu AS BIGINT) AS new_users, CAST(n AS BIGINT) AS events,
+        |       CAST(SUM(nu) OVER (ORDER BY h) AS BIGINT) AS cum_users
+        |FROM h ORDER BY h""".stripMargin) { (s, d) =>
+      cumulativeUniques(Tables.events(s, d))
+        .orderedSmall(col("h")) // one row per hour: time-bounded
     }
   )
+
+  /** Hourly new/cumulative distinct-user curve over a (user_id, ts,
+    * event_id, …) frame — see the s15 entry above for semantics and
+    * the scale shape. */
+  def cumulativeUniques(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("new_users"),
+        count(lit(1)).as("events"))
+      .withColumn("cum_users", sum("new_users").over(
+        Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 
   /** Strict-order funnel counts over a (user_id, event_id, ts,
     * event_type) frame — see the s11 entry above for semantics and the

@@ -467,6 +467,56 @@ object SimilarityOps {
           size(filter(col("codes"), _ === 0)).cast("long").as("n_lo"),
           size(filter(col("codes"), _ === 255)).cast("long").as("n_hi"))
         .orderedRows(col("vec_id")) // one row per vector: scales
+    },
+
+    // a7: k-NN MAJORITY-VOTE classification — the auto-labeling /
+    // label-propagation primitive of a training-data pipeline: predict
+    // each query vector's label from its 5 nearest neighbors' labels
+    // (majority, ties → votes desc then label asc), audited against
+    // the true label. Rides a1's exact top-k kernel (per-partition
+    // heaps, broadcast queries — no N² shuffle); the vote/argmax
+    // stages then operate on nQueries×k rows, and the label attach is
+    // a plain keyed join (broadcast here; at corpus-scale query sets
+    // it becomes the standard shuffle join on cid). The oracle
+    // re-derives the whole chain — ranking, vote counts, argmax —
+    // from raw embeddings in SQL.
+    QueryDef("a7_knn_classify",
+      """WITH scored AS (
+        |  SELECT a.vec_id qid, a.label tl, b.vec_id cid, b.label nl,
+        |         LIST_COSINE_SIMILARITY(a.embedding, b.embedding) sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT qid, tl, nl,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+        |  FROM scored),
+        |votes AS (SELECT qid, tl, nl, COUNT(*) AS votes
+        |          FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
+        |best AS (SELECT qid, tl, nl, votes,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nl) vr
+        |         FROM votes)
+        |SELECT qid, CAST(tl AS BIGINT) AS true_label,
+        |       CAST(nl AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      knnClassify(Tables.embeddings(s, d), nQueries = 50, k = 5)
+        .orderedSmall(col("qid")) // nQueries rows: bounded
     }
   )
+
+  /** k-NN majority-vote label prediction over a (vec_id, embedding,
+    * label) frame — see the a7 entry above for semantics and the
+    * scale shape. */
+  private[queries] def knnClassify(emb: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val nn = graft.functions.VectorOps.annTopK(emb, nQueries, k)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("l"))
+    nn.join(labels.select(col("vec_id").as("cid"), col("l").as("nl")), "cid")
+      .groupBy("qid", "nl")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("nl"))))
+      .filter(col("vr") === 1)
+      .join(labels.select(col("vec_id").as("qid"), col("l").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"), col("nl").as("pred_label"),
+        col("votes"))
+  }
 }

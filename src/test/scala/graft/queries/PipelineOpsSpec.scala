@@ -1071,6 +1071,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expected.forall { case (eid, e) => got(eid) == e })
   }
 
+  test("a7 knn classify: planted neighborhoods; majority and tie rules") {
+    import spark.implicits._
+    // query 0 = e1; neighbors at controlled cosines cos(v_i, q) = c_i
+    // via v_i = c_i·e1 + sqrt(1−c_i²)·e2 — ranking is exactly c_i desc
+    def v(c: Double): Array[Float] =
+      Array(c.toFloat, math.sqrt(1 - c * c).toFloat, 0f, 0f)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 9),
+      (1L, v(0.9), 1), (2L, v(0.8), 1),
+      (3L, v(0.7), 2), (4L, v(0.6), 2), (5L, v(0.5), 2),
+      (6L, v(0.1), 1)) // outside k=5
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.knnClassify(emb, nQueries = 1, k = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // labels among the 5 NN: [1,1,2,2,2] → majority 2; true label rides
+    assert(r.getAs[Long]("true_label") == 9L)
+    assert(r.getAs[Long]("pred_label") == 2L)
+    assert(r.getAs[Long]("votes") == 3L)
+    // 2–2 vote tie at k=4 → smaller label wins (votes desc, label asc)
+    val tied = SimilarityOps.knnClassify(
+      Seq((0L, Array(1f, 0f, 0f, 0f), 9),
+        (1L, v(0.9), 5), (2L, v(0.8), 5),
+        (3L, v(0.7), 3), (4L, v(0.6), 3))
+        .toDF("vec_id", "embedding", "label"),
+      nQueries = 1, k = 4).collect().head
+    assert(tied.getAs[Long]("pred_label") == 3L)
+    assert(tied.getAs[Long]("votes") == 2L)
+  }
+
+  test("s15 cumulative uniques: hand-computed curve on planted hours") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), 101L),
+      (1L, t("2024-01-01 10:30:00"), 102L),
+      (2L, t("2024-01-01 10:45:00"), 103L),
+      (1L, t("2024-01-01 11:10:00"), 104L),
+      (3L, t("2024-01-01 11:20:00"), 105L),
+      (3L, t("2024-01-01 13:05:00"), 106L)) // hour gap; no new users
+      .toDF("user_id", "ts", "event_id")
+    val got = EventOps.cumulativeUniques(events)
+      .orderBy("h").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 2L, 3L, 2L),
+      ("2024-01-01 11:00:00.0", 1L, 2L, 3L),
+      ("2024-01-01 13:00:00.0", 0L, 1L, 3L)))
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
