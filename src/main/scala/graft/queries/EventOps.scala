@@ -292,6 +292,36 @@ object EventOps {
         |FROM h ORDER BY h""".stripMargin) { (s, d) =>
       cumulativeUniques(Tables.events(s, d))
         .orderedSmall(col("h")) // one row per hour: time-bounded
+    },
+
+    // s16: LOCF forward fill — "last observation carried forward", the
+    // time-series repair every feature pipeline needs: at each event,
+    // the user's most recent purchase value (or −1 before any). The
+    // IGNORE NULLS running last_value is the one-pass form — a single
+    // user-keyed sort+exchange, WindowExec streams the frame with O(1)
+    // state per row; the join-based alternative (each event to its
+    // latest prior purchase) would be an extra as-of join per fill
+    // column. Ties on (ts, event_id) can only be full-row duplicates,
+    // which carry the same fill value.
+    QueryDef("s16_locf",
+      """WITH f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |       ROUND(COALESCE(LAST_VALUE(pv IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 2)
+        |         AS last_purchase
+        |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .withColumn("last_purchase",
+          round(coalesce(last("pv", ignoreNulls = true).over(w), lit(-1.0)), 2))
+        .select("event_id", "user_id", "last_purchase")
+        .orderedRows(col("event_id")) // one row per event: scales
     }
   )
 

@@ -1121,6 +1121,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("2024-01-01 13:00:00.0", 0L, 1L, 3L)))
   }
 
+  test("s16 LOCF: -1 before first purchase; carries across later events") {
+    // drive through the real entry against sf0.001 and replay in memory
+    val q = EventOps.defs.find(_.name == "s16_locf").get
+    val got = q.fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        val micros = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getLong(0), micros, r.getLong(2), r.getString(3), r.getDouble(4))
+      }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      var lastP = -1.0
+      rs.sortBy(t => (t._2, t._3)).map { case (_, _, eid, et, v) =>
+        if (et == "purchase") lastP = v
+        eid -> BigDecimal(lastP).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq
+    }
+    assert(got.size == rows.length)
+    assert(expected.forall { case (eid, e) => got(eid) == e })
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
