@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSession
   * /root/reference/log2sql.py:29,40-42). Omitted → built-in fixture.
   *
   *   --binlog PATH          binlog text file or rotated-file directory
+  *   --format text|binary|auto  which decoder reads it: `mysqlbinlog
+  *                          -vv` text (the reference's contract), raw
+  *                          `.binlog` bytes (this engine's built-in
+  *                          decoder — no mysqlbinlog step), or
+  *                          magic-byte auto-detection (default)
   *   --catalog COLS,STATS   information_schema snapshot CSVs
   *   --catalog-jdbc URL     live catalog over JDBC (MySQL dialect);
   *                          credentials via --catalog-user/--catalog-password
@@ -67,6 +72,8 @@ object CdcMain {
       |  --sql-type insert,update,delete
       |  -B, --flashback                     inverse SQL, newest first
       |  -K, --no-primary-key                strip PK cols from INSERTs
+      |  --format text|binary|auto           input decoder: mysqlbinlog -vv text,
+      |                                      raw .binlog bytes, or magic-sniffed
       |  --only-dml                          accepted (always-on in the reference)
       |  --back-interval F                   pause F sec per 1000 flashback stmts
       |  --include-ddl                       emit DDL statements too
@@ -165,6 +172,12 @@ object CdcMain {
           // many seconds between 1000-statement flashback chunks
           // (bytes unchanged, so reference parity is unaffected)
           cfg = cfg.copy(backInterval = operand(f).toDouble)
+        case f @ "--format" =>
+          val v = operand(f)
+          if (!Set("text", "binary", "auto").contains(v))
+            throw new IllegalArgumentException(
+              s"--format must be text, binary or auto (got $v)")
+          cfg = cfg.copy(format = v)
         case "--only-dml" => i += 1 // reference quirk: always-true no-op
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
@@ -190,6 +203,29 @@ object CdcMain {
         jdbcUser = Some(user.getOrElse("root")),
         jdbcPassword = Some(password.getOrElse("")))
     (binlog, catalog, cfg, out)
+  }
+
+  /** `--format auto`: does the first file under `path` open with the
+    * binlog magic (0xFE 'b' 'i' 'n')? Reads 4 bytes of ONE file via
+    * the Hadoop filesystem (works for local paths and cluster stores
+    * alike); a rotated directory is probed by its lexicographically
+    * first file — binlog directories are homogeneous by contract. */
+  private[graft] def sniffBinary(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val first =
+      if (st.isDirectory) {
+        val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        if (files.isEmpty) return false
+        files.minBy(_.getName)
+      } else p
+    val in = fs.open(first)
+    try {
+      val b = new Array[Byte](4)
+      val n = in.read(b, 0, 4)
+      n == 4 && b(0) == 0xFE.toByte && b(1) == 'b' && b(2) == 'i' && b(3) == 'n'
+    } finally in.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -218,7 +254,14 @@ object CdcMain {
         Catalog.fromJdbc(spark, url, catalogSrc.jdbcUser, catalogSrc.jdbcPassword)
       case (None, None) => Catalog.fixture(spark)
     }
-    val sql = CdcJob.run(spark, binlog, catalog, cfg)
+    val binary = cfg.format match {
+      case "binary" => true
+      case "text" => false
+      case _ => sniffBinary(spark, binlog)
+    }
+    val sql = (if (binary)
+        graft.sources.BinlogBinary.run(spark, binlog, catalog, cfg)
+      else CdcJob.run(spark, binlog, catalog, cfg))
       .select("sql")
     // --back-interval: pace flashback emission in 1000-statement
     // chunks (the upstream binlog2sql throttle the reference's dead

@@ -115,4 +115,11 @@ final case class CdcConfig(
       * the upstream binlog2sql semantic it copied). Implemented here:
       * output bytes are identical (parity-safe), only emission pacing
       * changes, and only when `flashback` is set. */
-    backInterval: Double = 0.0)
+    backInterval: Double = 0.0,
+    /** `--format text|binary|auto` (beyond the reference): which
+      * decoder reads `--binlog`. `auto` (default) sniffs the first
+      * file's magic bytes — raw `.binlog` files (0xFE 'b' 'i' 'n')
+      * take the binary decoder, everything else the `mysqlbinlog -vv`
+      * text FSM — so a user can point the CLI straight at the
+      * server's binlog directory and skip the mysqlbinlog step. */
+    format: String = "auto")

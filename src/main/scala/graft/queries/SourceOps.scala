@@ -76,6 +76,17 @@ object SourceOps {
     CsvPath
   }
 
+  private val OrcPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_events_orc"
+
+  private def ensureOrc(s: SparkSession, d: String): String = {
+    writeIfStale(OrcPath, d) {
+      eventsSlice(s, d).coalesce(2)
+        .write.mode("overwrite").orc(OrcPath)
+    }
+    OrcPath
+  }
+
   private val DirtyJsonlPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_dirty_jsonl"
 
@@ -175,6 +186,33 @@ object SourceOps {
           when(clean, col("value")).otherwise(lit(0.0)).as("value"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedSmall(col("event_type"))
+    },
+
+    // i4: ORC ingestion — the OTHER columnar format a lakehouse reads
+    // (Hive-era tables are overwhelmingly ORC). DuckDB has no ORC
+    // reader, so this entry uses the storage-family (w1–w4) oracle
+    // pattern instead of the cross-engine-parse one: the SAME
+    // aggregate over the raw parquet table — the format must change
+    // the plan, never the answer, so the hash certifies a lossless
+    // round-trip (bit-exact doubles, exact strings with embedded
+    // quotes/braces) through Spark's native vectorized ORC path.
+    // Explicit schema, same as i1/i2: no inference pass at ingest
+    // scale; ORC splits by stripe exactly as parquet splits by row
+    // group, and ts-range predicates push to stripe stats the same
+    // way (asserted in the spec).
+    QueryDef("i4_orc_source",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(value), 2) AS sv,
+        |       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureOrc(s, d)
+      s.read.schema(sliceSchema).orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
+          sum(length(col("props"))).as("props_chars"),
+          max("event_id").as("max_id"))
         .orderedSmall(col("event_type"))
     },
 

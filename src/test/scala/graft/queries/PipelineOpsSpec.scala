@@ -1144,6 +1144,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expected.forall { case (eid, e) => got(eid) == e })
   }
 
+  test("i4 ORC: adversarial strings round-trip; predicate pushes to the scan") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a\"b,{c}", 1.5, "x\\y\"z"),
+      (2L, "plain", -0.25, ""),
+      (3L, " padded ", 1e-300, "{\"k\": \"v,w\"}"))
+      .toDF("event_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    rows.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(rows.schema).orc(dir)
+    assert(back.collect().toSet == rows.collect().toSet)
+    // stripe-stat pushdown: the range predicate must reach the ORC scan
+    val plan = back.filter(col("event_id") > 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(event_id"), plan.takeRight(400))
+  }
+
   test("s11 funnel: randomized differential vs in-memory replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.cdc.{BinlogFsm, Catalog, CdcConfig, CdcJob}
+import graft.cdc.{BinlogFsm, Catalog, CdcConfig, CdcJob, CdcMain}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -215,6 +215,26 @@ class BinlogBinarySpec extends AnyFunSuite {
     val ops = df.orderBy("file", "seq").select("op")
       .collect().map(_.getString(0)).toSeq
     assert(ops == Seq("insert", "insert", "update", "ddl", "delete"))
+  }
+
+  test("--format auto: magic sniffing routes raw binlog input to the binary decoder") {
+    val bdir = java.nio.file.Files.createTempDirectory("graft_sniff_bin")
+    java.nio.file.Files.write(bdir.resolve("binlog.000001"), bin)
+    // directory of raw .binlog files AND a single raw file both sniff binary
+    assert(CdcMain.sniffBinary(spark, bdir.toString))
+    assert(CdcMain.sniffBinary(spark, bdir.resolve("binlog.000001").toString))
+    // mysqlbinlog -vv text sniffs text
+    val tdir = java.nio.file.Files.createTempDirectory("graft_sniff_txt")
+    java.nio.file.Files.writeString(tdir.resolve("binlog.000001.txt"), text)
+    assert(!CdcMain.sniffBinary(spark, tdir.toString))
+    // flag surface: default auto, explicit values parse, junk rejected
+    assert(CdcMain.parseArgs(Array("--binlog", "x"))._3.format == "auto")
+    assert(CdcMain.parseArgs(
+      Array("--binlog", "x", "--format", "binary"))._3.format == "binary")
+    assert(CdcMain.parseArgs(
+      Array("--binlog", "x", "--format=text"))._3.format == "text")
+    intercept[IllegalArgumentException](
+      CdcMain.parseArgs(Array("--binlog", "x", "--format", "orc")))
   }
 
   test("binary pipeline renders the same SQL as the text pipeline") {
