@@ -767,6 +767,95 @@ object Relational {
           round(sum_distinct(col("l_quantity")), 2).as("sdq"),
           count(lit(1)).as("c"))
         .orderedSmall(col("l_returnflag")) // return-flag arity: bounded
+    },
+
+    // q29: UNPIVOT (melt) — the wide→long reshape every long-form
+    // analytics stack leans on (pandas melt / SQL UNPIVOT). Spark's
+    // native `unpivot` generates the long rows INSIDE the scan stage
+    // (an Expand, codegen'd — never a union of N self-scans, which
+    // would re-read the fact table once per measure), and the melt
+    // feeds straight into a per-(measure, flag) aggregate so only
+    // measures×flags partial rows reach the exchange. At 100 TB the
+    // 4× row expansion exists only inside map tasks, never on the
+    // wire.
+    QueryDef("q29_unpivot",
+      """SELECT measure, l_returnflag, ROUND(SUM(val), 2) AS sv,
+        |       CAST(COUNT(*) AS BIGINT) AS c
+        |FROM (
+        |  SELECT l_returnflag, measure, val
+        |  FROM lineitem
+        |  UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice,
+        |                               l_discount, l_tax))
+        |)
+        |GROUP BY measure, l_returnflag
+        |ORDER BY measure, l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+        .groupBy("measure", "l_returnflag")
+        .agg(round(sum("val"), 2).as("sv"), count(lit(1)).as("c"))
+        .orderedSmall(col("measure"), col("l_returnflag")) // 4×flags: bounded
+    },
+
+    // q30: EXACT percentiles — median/quartiles per group, the
+    // reporting primitive approx sketches (k1's HLL cousin
+    // percentile_approx) trade away. Spark's `percentile` aggregate
+    // buffers per-group value counts (bounded here by the group's
+    // distinct-value count, ~50 quantities) and both engines share the
+    // linear-interpolation definition at index p·(n−1), so
+    // integer-valued inputs at quarter fractions are IEEE-exact across
+    // engines — no rounding tolerance in the hash. One map-side-combined
+    // exchange on the group key.
+    QueryDef("q30_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_med,
+        |  CAST(COUNT(*) AS BIGINT) AS c
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_med"),
+          count(lit(1)).as("c"))
+        .orderedSmall(col("l_returnflag")) // return-flag arity: bounded
+    },
+
+    // q31: DISTRIBUTION window functions — percent_rank / cume_dist /
+    // dense_rank, the rank-normalization family q22's navigation set
+    // left out. All three ride ONE window spec = one sort+exchange;
+    // the outputs are exact small-integer rationals ((rank−1)/(n−1),
+    // peers/n) so both engines' doubles agree bit-for-bit. Ties in
+    // o_totalprice are genuine (value-based peers share percent_rank
+    // and cume_dist) — the final total order breaks them by orderkey
+    // on both sides.
+    QueryDef("q31_window_distribution",
+      """SELECT o_orderkey, o_custkey,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS dr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("dr", dense_rank().over(w).cast("long"))
+        // per-row output scales with the corpus → parallel range sort
+        .orderedRows(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "pr", "cd", "dr")
     }
   )
 }

@@ -1280,6 +1280,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 unpivot: melted rows conserve each measure's sum and count") {
+    // The Expand-based melt must neither drop nor duplicate rows: per
+    // measure, the long-form aggregate equals the direct column sum.
+    val sf1 = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, sf1)
+    val direct = li.agg(
+      round(sum("l_quantity"), 2), round(sum("l_extendedprice"), 2),
+      round(sum("l_discount"), 2), round(sum("l_tax"), 2), count(lit(1)))
+      .collect().head
+    val n = direct.getLong(4)
+    val melted = Relational.defs.find(_.name == "q29_unpivot").get
+      .fn(spark, sf1).collect()
+      .groupBy(_.getString(0))
+      .map { case (m, rows) =>
+        m -> ((rows.map(r => BigDecimal(r.getDouble(2))).sum, rows.map(_.getLong(3)).sum)) }
+    assert(melted.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    for ((m, want) <- Seq("l_quantity" -> direct.getDouble(0),
+        "l_extendedprice" -> direct.getDouble(1),
+        "l_discount" -> direct.getDouble(2), "l_tax" -> direct.getDouble(3))) {
+      val (sv, c) = melted(m)
+      assert(c == n, s"$m count=$c want=$n")
+      // group-level ROUND(·,2) values re-sum exactly in BigDecimal
+      assert((sv - BigDecimal(want)).abs <= BigDecimal("0.04"), s"$m sum=$sv want=$want")
+    }
+  }
+
+  test("q30 percentile: linear interpolation at p*(n-1), hand-computed") {
+    import spark.implicits._
+    // 4 values → p25 index 0.75: 10 + 0.75*(20-10) = 17.5; p50 = 25;
+    // p75 index 2.25: 30 + 0.25*(40-30) = 32.5. Odd group: exact middle.
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+      ("b", 1.0), ("b", 5.0), ("b", 9.0)).toDF("g", "v")
+    val got = df.groupBy("g").agg(
+      expr("percentile(v, 0.25)").as("p25"),
+      expr("percentile(v, 0.5)").as("p50"),
+      expr("percentile(v, 0.75)").as("p75"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((17.5, 25.0, 32.5)))
+    assert(got("b") == ((3.0, 5.0, 7.0)))
+  }
+
+  test("q31 window distribution: ties share percent_rank/cume_dist; singleton group is 0/1") {
+    import spark.implicits._
+    val df = Seq((1L, 100.0), (2L, 100.0), (3L, 200.0), (4L, 300.0))
+      .map { case (k, v) => (k, 7L, v) }
+      .toDF("id", "g", "v")
+      .union(Seq((9L, 8L, 50.0)).toDF("id", "g", "v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")
+    val got = df.select(col("id"),
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"),
+      dense_rank().over(w).cast("long").as("dr"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // peers (ids 1,2) share rank 1 → pr 0, cd 2/4; dense ranks compact
+    assert(got(1L) == ((0.0, 0.5, 1L)) && got(2L) == ((0.0, 0.5, 1L)))
+    assert(got(3L) == ((2.0 / 3.0, 0.75, 2L)))
+    assert(got(4L) == ((1.0, 1.0, 3L)))
+    // singleton partition: percent_rank defined as 0, cume_dist 1
+    assert(got(9L) == ((0.0, 1.0, 1L)))
+  }
+
   test("k1 sketch distinct: error bound vs exact, layout-independent") {
     import spark.implicits._
     val base = (1 to 20000).map(i => (s"t${i % 4}", (i * 2654435761L) % 3000))
