@@ -27,11 +27,16 @@ import scala.collection.mutable
   *
   * Column-type subset (extensible by one case per type code): the
   * integer family TINY(1)/SHORT(2)/INT24(9)/LONG(3)/LONGLONG(8), all
-  * signed; DOUBLE(5) f64; VARCHAR/VARSTRING(15) length-prefixed.
-  * Values render as
-  * `mysqlbinlog -vv` literals (ints bare, strings quoted, `NULL`
-  * bare, doubles shortest-decimal) so images are byte-identical to
-  * the text path's verbatim capture.
+  * signed; FLOAT(4) f32 / DOUBLE(5) f64; VARCHAR/VARSTRING(15)
+  * length-prefixed; the temporal family DATE(10), YEAR(13), and the
+  * 5.6.4+ packed forms TIMESTAMP2(17)/DATETIME2(18) with fractional
+  * seconds per the TABLE_MAP's fsp metadata; NEWDECIMAL(246) packed
+  * base-10^9 decimals (precision/scale from metadata). Values render
+  * as `mysqlbinlog -vv` literals (ints/epochs/years/decimals bare,
+  * strings and datetimes quoted, `NULL` bare, floats/doubles
+  * shortest-decimal, DATE with mysqlbinlog's colon-separated
+  * `'YYYY:MM:DD'` quirk — log_event.cc's log_event_print_value) so
+  * images are byte-identical to the text path's verbatim capture.
   *
   * Totality matches the text FSM: a truncated trailing event is
   * discarded, unknown event types are skipped.
@@ -66,6 +71,17 @@ object BinlogBinary {
     def bytes(n: Int): Array[Byte] = {
       val r = java.util.Arrays.copyOfRange(b, off, off + n); off += n; r
     }
+    /** Big-endian unsigned read of n ≤ 7 bytes — the 5.6.4+ packed
+      * temporal formats (DATETIME2/TIMESTAMP2 + fractional-second
+      * tails) are the protocol's only big-endian fields, chosen so
+      * memcmp order equals temporal order for index prefix use. */
+    def beN(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+      off += n
+      v
+    }
     def lenenc(): Long = {
       val first = u8()
       if (first < 0xFB) first
@@ -79,6 +95,57 @@ object BinlogBinary {
         f"invalid length-encoded integer prefix 0x$first%02X")
     }
     def str(n: Int): String = new String(bytes(n), "UTF-8")
+  }
+
+  /** Fractional-second tail of a packed temporal value: fsp digits in
+    * ⌈fsp/2⌉ big-endian bytes, rendered `.d…d` zero-padded to fsp
+    * (empty at fsp 0). */
+  private def fracStr(cur: Cursor, fsp: Int): String =
+    if (fsp == 0) ""
+    else ("." + ("%0" + fsp + "d").format(cur.beN((fsp + 1) / 2)))
+
+  /** Bytes occupied by n ≤ 9 leading/trailing decimal digits of a
+    * NEWDECIMAL group (the protocol's dig2bytes table). */
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** NEWDECIMAL(precision, scale): base-10^9 groups, 4 bytes per full
+    * 9-digit group big-endian with partial lead/tail groups in
+    * `Dig2Bytes` bytes; sign carried in the first byte's high bit
+    * (set = non-negative) with negative values stored as the
+    * one's-complement of the positive image. Rendered bare with
+    * exactly `scale` fractional digits — decimal2string's output
+    * shape, which is what mysqlbinlog -vv prints. */
+  private def newDecimal(cur: Cursor, precision: Int, scale: Int): String = {
+    val intg = precision - scale
+    val size = (intg / 9) * 4 + Dig2Bytes(intg % 9) +
+      (scale / 9) * 4 + Dig2Bytes(scale % 9)
+    val raw = cur.bytes(size)
+    val positive = (raw(0) & 0x80) != 0
+    raw(0) = (raw(0) ^ 0x80).toByte
+    if (!positive) { var i = 0; while (i < size) { raw(i) = (~raw(i)).toByte; i += 1 } }
+    var p = 0
+    def group(nDigits: Int): Long = {
+      val nb = Dig2Bytes(nDigits)
+      var v = 0L
+      var i = 0
+      while (i < nb) { v = (v << 8) | (raw(p + i) & 0xFFL); i += 1 }
+      p += nb
+      v
+    }
+    val sb = new StringBuilder
+    if (intg % 9 != 0) sb.append(group(intg % 9).toString)
+    for (_ <- 0 until intg / 9) {
+      val g = group(9)
+      sb.append(if (sb.isEmpty) g.toString else "%09d".format(g))
+    }
+    // strip leading zeros of the integer part (keep one digit)
+    val ip0 = sb.toString.dropWhile(_ == '0')
+    val ip = if (ip0.isEmpty) "0" else ip0
+    val fb = new StringBuilder
+    for (_ <- 0 until scale / 9) fb.append("%09d".format(group(9)))
+    if (scale % 9 != 0)
+      fb.append(("%0" + (scale % 9) + "d").format(group(scale % 9)))
+    (if (positive) "" else "-") + ip + (if (scale > 0) "." + fb else "")
   }
 
   /** Decode one binlog file's bytes into change events. Eager per
@@ -184,6 +251,32 @@ object BinlogBinary {
             case 15 =>
               val n = if (td.meta(ci) < 256) cur.u8() else cur.u16()
               "'" + cur.str(n) + "'"
+            case 4 =>
+              // FLOAT: decode at FLOAT precision (shortest-decimal of
+              // the f32, not of its f64 widening), integral bare
+              val f = java.lang.Float.intBitsToFloat(cur.i32())
+              if (f == f.toLong.toFloat) f.toLong.toString else f.toString
+            case 10 => // DATE, 3 LE bytes: day:5 | month:4 | year:15.
+              // mysqlbinlog prints dates COLON-separated ('2024:03:15')
+              // — log_event_print_value's long-standing quirk, kept for
+              // byte parity with the text path.
+              val v = cur.u8() | (cur.u8() << 8) | (cur.u8() << 16)
+              f"'${v >> 9}%04d:${(v >> 5) & 0xF}%02d:${v & 0x1F}%02d'"
+            case 13 => // YEAR: u8 offset from 1900; raw 0 is SQL's 0000
+              val v = cur.u8()
+              if (v == 0) "0000" else (1900 + v).toString
+            case 17 => // TIMESTAMP2: BE u32 epoch seconds + fsp frac.
+              // mysqlbinlog prints the raw epoch (bare), with the
+              // fractional digits appended when fsp > 0.
+              val secs = cur.beN(4)
+              secs.toString + fracStr(cur, td.meta(ci))
+            case 18 => // DATETIME2: 5 BE bytes + fsp frac (see beN doc)
+              val v = cur.beN(5)
+              val ym = ((v >> 22) & 0x1FFFF).toInt
+              f"'${ym / 13}%04d-${ym % 13}%02d-${(v >> 17) & 0x1F}%02d " +
+                f"${(v >> 12) & 0x1F}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d" +
+                fracStr(cur, td.meta(ci)) + "'"
+            case 246 => newDecimal(cur, td.meta(ci) >> 8, td.meta(ci) & 0xFF)
             case t => throw new IllegalArgumentException(s"unsupported column type $t")
           }
 
@@ -220,8 +313,11 @@ object BinlogBinary {
             c.lenenc() // metadata block length
             val meta = types.map {
               case 1 | 2 | 3 | 8 | 9 => 0 // integer family: no metadata
-              case 5 => c.u8() // size byte (8)
+              case 10 | 13 => 0 // DATE / YEAR: no metadata
+              case 4 | 5 => c.u8() // size byte (4 / 8)
               case 15 => c.u16() // max length
+              case 17 | 18 => c.u8() // fractional-second precision
+              case 246 => (c.u8() << 8) | c.u8() // precision, scale
               case t => throw new IllegalArgumentException(s"unsupported column type $t")
             }
             tables(tid) = TableDef(db, tbl, types, meta)

@@ -43,6 +43,48 @@ class BinlogBinarySpec extends AnyFunSuite {
       assert(canon(b) == canon(t), s"binary $b != text $t")
   }
 
+  test("extended type matrix (DATE/DATETIME2/TIMESTAMP2/FLOAT/YEAR/NEWDECIMAL) matches the text FSM") {
+    import BinlogBinaryFixture._
+    import java.time.{LocalDate, LocalDateTime}
+    val full = TypedRow(1,
+      date = Some(LocalDate.of(2024, 12, 31)),
+      dt = Some((LocalDateTime.of(2024, 2, 29, 23, 59, 58), 42)), // frac .0042
+      ts = Some((1700000000L, 7)), // .07 — leading-zero centis
+      f = Some(2.5f), year = Some(2024),
+      dec = Some(BigDecimal("1234567890.1234"))) // fills DECIMAL(14,4)
+    val negDec = full.copy(id = 2, f = Some(8f), // integral float prints bare
+      year = Some(0), // SQL YEAR 0000
+      dec = Some(BigDecimal("-0.5")), date = Some(LocalDate.of(1999, 1, 1)))
+    val allNull = TypedRow(3, None, None, None, None, None, None)
+    val evs = Seq(
+      Gtid(1L), Begin,
+      TypedInsert(full),
+      Insert(7, "classic", Some(1.5)), // both table maps live in one stream
+      TypedUpdate(full, negDec),
+      TypedInsert(allNull),
+      TypedDelete(negDec),
+      Xid(9L))
+    val (b, t) = render(evs)
+    val fromBin = BinlogBinary.parseBytes("f", b)
+    val fromText = graft.cdc.BinlogFsm.parse("f", t.linesIterator).toSeq
+    assert(fromBin.size == 5 && fromText.size == 5)
+    def canon(r: graft.cdc.RawChange) =
+      (r.seq, r.startPos, r.stopPos, r.db, r.table, r.op,
+        r.beforeOrds.toSeq, r.beforeVals.toSeq, r.afterOrds.toSeq, r.afterVals.toSeq)
+    for ((bb, tt) <- fromBin.zip(fromText))
+      assert(canon(bb) == canon(tt), s"binary $bb != text $tt")
+    // spot-pin the literal forms (the -vv rendering contract itself):
+    val ins = fromBin.find(r => r.op == "insert" && r.table == "t_types").get
+    assert(ins.afterVals.toSeq == Seq("1", "'2024:12:31'",
+      "'2024-02-29 23:59:58.0042'", "1700000000.07", "2.5", "2024",
+      "1234567890.1234"))
+    val upd = fromBin.find(_.op == "update").get
+    assert(upd.afterVals.toSeq == Seq("2", "'1999:01:01'",
+      "'2024-02-29 23:59:58.0042'", "1700000000.07", "8", "0000", "-0.5000"))
+    val nulls = fromBin.find(r => r.op == "insert" && r.afterVals.head == "3").get
+    assert(nulls.afterVals.toSeq == Seq("3", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL"))
+  }
+
   test("integer type family decodes signed TINY/SHORT/INT24/LONGLONG") {
     // hand-assembled stream: FDE(no checksum) + TABLE_MAP(4 int cols)
     // + one WRITE_ROWS v2 with negative values in every width
