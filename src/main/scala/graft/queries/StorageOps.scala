@@ -124,6 +124,56 @@ object StorageOps {
     path
   }
 
+  /** Morton (Z-order) interleave of two 8-bit dimension ranks as a
+    * pure column expression (16 codegen'd shift/mask terms — no UDF):
+    * bit i of `u` lands at 2i+1, bit i of `t` at 2i, so a sort by the
+    * result alternates the dimensions' bits and row groups get tight
+    * min/max zones on BOTH columns at once. 8 bits per dimension is
+    * the practical choice (256 ranks per dim bounds the interleave
+    * depth; finer ranks only refine order WITHIN zones). */
+  private def morton8(u: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(u, i).bitwiseAND(1), 2 * i + 1) +
+        shiftleft(shiftright(t, i).bitwiseAND(1), 2 * i)
+    }.reduce(_ + _)
+
+  /** Z-ORDERED events layout for w5: sorted by the Morton interleave
+    * of (user_id, ts) ranks. A single-column sort (w3) gives row-group
+    * skipping on ONE column; the space-filling-curve sort preserves
+    * locality in BOTH dimensions, so predicates on either (or both)
+    * skip row groups — the multi-dimensional data-skipping layout
+    * (Delta's Z-ORDER). Dimension ranks are normalized against the
+    * table's min/max (one bounded 1-row aggregate at write time). */
+  private[queries] def ensureZordered(s: SparkSession, d: String): String = {
+    val path = s"$WarehouseBase/events_z"
+    writeIfStale("zordered", d) {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "TIMESTAMP_MICROS") // INT96 has no stats (w3)
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val b = ev.agg(min("user_id"), max("user_id"),
+          min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .collect().head // bounded: one row of table stats
+        val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val uRank = least(lit(255),
+          floor((col("user_id") - u0) * 256.0 / (u1 - u0 + 1))).cast("int")
+        val tRank = least(lit(255),
+          floor((unix_micros(col("ts")) - t0) * 256.0 / (t1 - t0 + 1))).cast("int")
+        ev.withColumn("zkey", morton8(uRank, tRank))
+          .repartitionByRange(4, col("zkey"))
+          .sortWithinPartitions("zkey")
+          .drop("zkey")
+          .write.mode("overwrite")
+          .option("parquet.block.size", 8 * 1024)
+          .parquet(path)
+      } finally s.conf.set(key, prev)
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // w1: fact-fact join over tables BUCKETED on the join key — the
@@ -207,6 +257,34 @@ object StorageOps {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val path = ensureCompacted(s, d)
       s.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedSmall(col("event_type")) // one row per type: bounded
+    },
+
+    // w5: Z-ORDER (space-filling-curve) layout — multi-dimensional
+    // data skipping, the layout lever for the dashboard/point-lookup
+    // shape "one user band × one time window" that neither w2's
+    // single-column partitioning nor w3's single-column sort serves:
+    // sorting by ts leaves user_id zones spanning the full domain
+    // (and vice versa), while the Morton-interleaved sort keeps row
+    // groups tight in BOTH dimensions, so each predicate skips groups
+    // independently and their conjunction multiplies (spec-audited at
+    // the parquet footers). Oracle reads the raw table: the curve
+    // changes I/O, never answers.
+    QueryDef("w5_zorder_scan",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(value), 2) AS sv
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 9
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = ensureZordered(s, d)
+      s.read.parquet(path)
+        .filter(col("user_id").between(4, 9) &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedSmall(col("event_type")) // one row per type: bounded

@@ -862,6 +862,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("w5 z-order layout: BOTH dimension predicates skip row groups; answers unchanged") {
+    import scala.jdk.CollectionConverters._
+    val path = StorageOps.ensureZordered(spark, sf)
+    def utcMicros(s: String): Long = java.time.LocalDateTime
+      .parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val (loT, hiT) = (utcMicros("2024-01-10T00:00:00"), utcMicros("2024-01-15T00:00:00"))
+    // both predicates must reach the scan for footer skipping to fire
+    val q = spark.read.parquet(path)
+      .filter(col("user_id").between(4, 9) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("user_id") && pushed.contains("ts"), pushed)
+    // footer audit: under the Morton sort each row group's zone is
+    // tight in BOTH dims, so each predicate alone already skips a
+    // majority of groups — a single-column sort can only do one.
+    val conf = spark.sessionState.newHadoopConf()
+    var total = 0; var hitU = 0; var hitT = 0; var hitBoth = 0
+    for (f <- new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet"))) {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        for (b <- rdr.getFooter.getBlocks.asScala) {
+          total += 1
+          def stats(name: String) = {
+            val st = b.getColumns.asScala.find(_.getPath.toDotString == name).get.getStatistics
+            (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          }
+          val (uMn, uMx) = stats("user_id")
+          val (tMn, tMx) = stats("ts")
+          val u = uMx >= 4L && uMn <= 9L
+          val t = tMx >= loT && tMn < hiT
+          if (u) hitU += 1
+          if (t) hitT += 1
+          if (u && t) hitBoth += 1
+        }
+      } finally rdr.close()
+    }
+    assert(total >= 16, s"expected many small row groups, got $total")
+    assert(hitU.toDouble / total <= 0.5, s"user zones too loose: $hitU/$total")
+    assert(hitT.toDouble / total <= 0.5, s"ts zones too loose: $hitT/$total")
+    assert(hitBoth.toDouble / total <= 0.3, s"conjunction should multiply: $hitBoth/$total")
+    // layout must not change the answer
+    val a = q.agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    val b = graft.Tables.events(spark, sf)
+      .filter(col("user_id").between(4, 9) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    assert(a == b)
+  }
+
   test("w4 compaction: >=16x file reduction; answers unchanged") {
     val frag = StorageOps.fragmentedFileCount(spark, sf)
     val comp = StorageOps.compactedFileCount(spark, sf)
