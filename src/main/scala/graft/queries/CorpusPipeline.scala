@@ -259,6 +259,83 @@ object CorpusPipeline {
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderedSmall(col("source"), col("split")) // sources×3: bounded
+    },
+
+    // p4: PRETRAINING-BATCH MATERIALIZATION — the capstone after the
+    // manifest pipelines: gate → exact-dedup → epoch shuffle order
+    // (t15) → global token-stream prefix sum (t16's two-pass
+    // distributed scheme) → slice into fixed 512-token blocks → the
+    // PER-BLOCK manifest a data loader reads (spans touching the
+    // block, tokens filled, source mix). Every block's token count is
+    // derived by clipping each doc+EOD span [tok_start,
+    // tok_start+n_tok+1) against the block's [512b, 512(b+1)) window,
+    // so Σ tok_filled equals the whole stream length — conservation
+    // is spec-asserted. Cost shape at 100 TB: one content-hash window
+    // shuffle (dedup), one range sort (the epoch order), a
+    // |partitions|-row collect for the prefix offsets, and a
+    // block-keyed aggregate over the ~n_tok/512-fold span explosion —
+    // no corpus-sized collect, no single-task window.
+    QueryDef("p4_block_manifest",
+      """WITH g AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 5),
+        |dd AS (SELECT * FROM g
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1),
+        |o AS (SELECT doc_id, source, n_tok,
+        |        CAST(COALESCE(SUM(n_tok + 1) OVER (
+        |          ORDER BY (doc_id * 2654435761) % 1048576, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS tok_start
+        |      FROM dd),
+        |b AS (SELECT o.*, CAST(u.b AS BIGINT) AS block_id
+        |      FROM o, UNNEST(generate_series(tok_start // 512,
+        |                       (tok_start + n_tok) // 512)) AS u(b))
+        |SELECT block_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(LEAST(tok_start + n_tok + 1, (block_id + 1) * 512)
+        |           - GREATEST(tok_start, block_id * 512)) AS BIGINT) AS tok_filled,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val wDedup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val sorted = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 5) // gate below the dedup shuffle
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tok"), col("source"))
+        .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1048576L)))
+        .orderBy(col("h"), col("doc_id"))
+        .select("doc_id", "n_tok", "source")
+        .as[(Long, Long, String)](graft.Enc.longLongStr)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two-pass distributed prefix sum over the epoch-ordered stream
+      // (t16): per-partition token totals, then broadcast offsets
+      val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var toks = 0L
+        it.foreach { case (_, nt, _) => toks += nt + 1 }
+        Iterator((i, toks))
+      }.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(
+        totals.scanLeft(0L)(_ + _._2).dropRight(1))
+      sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var tok = bc.value(i)
+        it.map { case (id, nt, src) =>
+          val st = tok; tok += nt + 1; (id, st, nt, src)
+        }
+      }.toDF("doc_id", "tok_start", "n_tok", "source")
+        // span → touched blocks: bounded ~n_tok/512-fold Generate
+        .select(col("source"), col("tok_start"), col("n_tok"),
+          explode(sequence(expr("tok_start div 512"),
+            expr("(tok_start + n_tok) div 512"))).as("block_id"))
+        .groupBy("block_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(least(col("tok_start") + col("n_tok") + 1, (col("block_id") + 1) * 512)
+            - greatest(col("tok_start"), col("block_id") * 512)).as("tok_filled"),
+          countDistinct("source").as("n_sources"))
+        .orderedRows(col("block_id")) // blocks scale with the stream
     }
   )
 

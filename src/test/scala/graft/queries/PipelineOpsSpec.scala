@@ -862,6 +862,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("p4 block manifest: token conservation; every non-final block filled to exactly 512") {
+    val rows = CorpusPipeline.defs.find(_.name == "p4_block_manifest").get
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // blocks are the contiguous prefix 0..max of the token stream
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
+    // the stream is gapless: every block except the last holds exactly
+    // 512 tokens, and the total equals the gated+deduped stream length
+    rows.dropRight(1).foreach { case (b, _, filled, _) =>
+      assert(filled == 512L, s"block $b filled=$filled") }
+    val streamLen = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 5)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .agg(sum(col("n_tok") + 1)).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == streamLen)
+    assert(rows.last._3 == streamLen - 512L * (rows.length - 1))
+  }
+
   test("w5 z-order layout: BOTH dimension predicates skip row groups; answers unchanged") {
     import scala.jdk.CollectionConverters._
     val path = StorageOps.ensureZordered(spark, sf)
