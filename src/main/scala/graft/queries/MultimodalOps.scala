@@ -284,6 +284,11 @@ object MultimodalOps {
       .toDF("media_id", "w", "h", "px_sum", "rz_sum")
   }
 
+  private val MediaSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_media_snapshot"
+  private val mediaSnapshotSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val defs: Seq[QueryDef] = Seq(
 
     // m1: REAL decoded-pixel histogram for images, stub byte histogram
@@ -438,6 +443,122 @@ object MultimodalOps {
         |WHERE d <= 3 ORDER BY ia, ib""".stripMargin) { (s, d) =>
       phashPairs(mediaTable(s, d))
         .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
+    },
+
+    // m6: CONTAINER metadata + structural audit — the ingest-side
+    // triage pass a media corpus runs BEFORE any decode: sniff the
+    // container by magic bytes, read the header fields (PNG IHDR
+    // dims/depth/color), walk the chunk framing end-to-end, and flag
+    // rows whose structure doesn't close (truncated upload, wrong
+    // extension, bit rot) — all without paying a pixel decode. One
+    // row-wise kernel, no shuffle; the engine's walk ADDITIONALLY
+    // verifies each chunk's CRC32 (spec-planted corruption proves the
+    // stricter check, equal on well-formed data). The oracle re-walks
+    // the same payload bytes from the engine-written snapshot in pure
+    // SQL — a recursive CTE over the hex image with big-endian field
+    // extraction — so the hash certifies the container parse itself,
+    // cross-engine.
+    QueryDef("m6_container_meta",
+      s"""WITH RECURSIVE m AS (
+         |  SELECT media_id, kind, hex(payload) AS hx,
+         |         CAST(octet_length(payload) AS BIGINT) AS n
+         |  FROM read_parquet('$MediaSnapshot/*.parquet')),
+         |walk AS (
+         |  SELECT media_id, hx, n, CAST(9 AS BIGINT) AS pos,
+         |         CAST(0 AS BIGINT) AS n_chunks, CAST(0 AS BIGINT) AS idat,
+         |         '' AS last_t
+         |  FROM m WHERE substr(hx, 1, 16) = '89504E470D0A1A0A'
+         |  UNION ALL
+         |  SELECT media_id, hx, n, pos + 12 + len, n_chunks + 1,
+         |         idat + CASE WHEN typ = '49444154' THEN len ELSE 0 END, typ
+         |  FROM (SELECT media_id, hx, n, pos, n_chunks, idat,
+         |          CAST(CAST('0x' || substr(hx, CAST((pos-1)*2+1 AS INT), 8) AS INTEGER) AS BIGINT) AS len,
+         |          substr(hx, CAST((pos+3)*2+1 AS INT), 8) AS typ
+         |        FROM walk WHERE pos + 8 <= n + 1)),
+         |done AS (
+         |  SELECT media_id, MAX(pos) AS fin,
+         |         MAX_BY(n_chunks, pos) AS n_chunks, MAX_BY(idat, pos) AS idat,
+         |         MAX_BY(last_t, pos) AS last_t, MAX(n) AS n
+         |  FROM walk GROUP BY media_id),
+         |png AS (
+         |  SELECT m.media_id, m.kind, 'png' AS container,
+         |    CAST(CAST('0x' || substr(hx, 33, 8) AS INTEGER) AS BIGINT) AS width,
+         |    CAST(CAST('0x' || substr(hx, 41, 8) AS INTEGER) AS BIGINT) AS height,
+         |    CAST(CAST('0x' || substr(hx, 49, 2) AS INTEGER) AS BIGINT) AS bit_depth,
+         |    CAST(CAST('0x' || substr(hx, 51, 2) AS INTEGER) AS BIGINT) AS color_type,
+         |    d.n_chunks, d.idat AS idat_bytes,
+         |    (d.fin = d.n + 1 AND d.last_t = '49454E44') AS ok
+         |  FROM m JOIN done d USING (media_id)),
+         |raw AS (
+         |  SELECT media_id, kind, 'raw' AS container,
+         |    CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         |    CAST(NULL AS BIGINT) AS bit_depth, CAST(NULL AS BIGINT) AS color_type,
+         |    CAST(0 AS BIGINT) AS n_chunks, CAST(0 AS BIGINT) AS idat_bytes,
+         |    TRUE AS ok
+         |  FROM m WHERE substr(hx, 1, 16) <> '89504E470D0A1A0A')
+         |SELECT * FROM (SELECT * FROM png UNION ALL SELECT * FROM raw)
+         |ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = mediaTable(s, d)
+      writeMediaSnapshotIfStale(s, d, media)
+      containerMeta(media).orderedRows(col("media_id")) // one row per item
     }
   )
+
+  private def writeMediaSnapshotIfStale(s: SparkSession, d: String,
+      media: DataFrame): Unit = synchronized {
+    if (mediaSnapshotSf.get(MediaSnapshot) != d) {
+      media.select(col("media_id"), col("meta.kind").as("kind"), col("payload"))
+        .write.mode("overwrite").parquet(MediaSnapshot)
+      mediaSnapshotSf.put(MediaSnapshot, d)
+    }
+  }
+
+  /** Container-structure kernel: magic sniff, PNG IHDR fields, full
+    * chunk walk with per-chunk CRC32 verification (the engine-side
+    * extra the SQL oracle can't model — strictly more rejections on
+    * corrupt data, equal on well-formed). Bounds-checked throughout:
+    * a truncated container yields ok=false, never an exception. */
+  private[queries] def containerMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    media.select(col("media_id"), col("meta.kind").as("kind"), col("payload"))
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, kind, p) =>
+        def be32(off: Int): Long =
+          ((p(off) & 0xFFL) << 24) | ((p(off + 1) & 0xFFL) << 16) |
+            ((p(off + 2) & 0xFFL) << 8) | (p(off + 3) & 0xFFL)
+        val isPng = p.length >= 33 && PngSig.indices.forall(i => p(i) == PngSig(i))
+        if (!isPng)
+          (id, kind, "raw", None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], 0L, 0L, true)
+        else {
+          val width = be32(16); val height = be32(20)
+          val bitDepth = (p(24) & 0xFF).toLong; val colorType = (p(25) & 0xFF).toLong
+          var pos = 8 // 0-based: first chunk length field
+          var nChunks = 0L; var idat = 0L; var last = ""; var ok = true
+          while (ok && pos + 8 <= p.length) {
+            val len = be32(pos)
+            if (pos + 12 + len > p.length) { ok = false }
+            else {
+              val typ = new String(p, pos + 4, 4, "US-ASCII")
+              val crc = new java.util.zip.CRC32
+              crc.update(p, pos + 4, 4 + len.toInt)
+              if (crc.getValue != be32(pos + 8 + len.toInt)) ok = false
+              else {
+                if (typ == "IDAT") idat += len
+                nChunks += 1; last = typ; pos += 12 + len.toInt
+              }
+            }
+          }
+          ok = ok && pos == p.length && last == "IEND"
+          (id, kind, "png", Some(width), Some(height), Some(bitDepth),
+            Some(colorType), nChunks, idat, ok)
+        }
+      }
+      .toDF("media_id", "kind", "container", "width", "height",
+        "bit_depth", "color_type", "n_chunks", "idat_bytes", "ok")
+  }
 }

@@ -862,6 +862,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("m6 container audit: valid PNG parses; CRC flip, truncation, trailing bytes all flagged") {
+    import spark.implicits._
+    val png = MultimodalOps.encodeGrayPng(Array.tabulate(16 * 16)(_.toByte), 16, 16)
+    // flip one byte inside the first IDAT chunk's data: the structure
+    // still walks (lengths untouched) — only the CRC check catches it
+    def be32(p: Array[Byte], off: Int): Long =
+      ((p(off) & 0xFFL) << 24) | ((p(off + 1) & 0xFFL) << 16) |
+        ((p(off + 2) & 0xFFL) << 8) | (p(off + 3) & 0xFFL)
+    var pos = 8
+    while (new String(png, pos + 4, 4, "US-ASCII") != "IDAT")
+      pos += 12 + be32(png, pos).toInt
+    val crcFlip = png.clone(); crcFlip(pos + 8) = (crcFlip(pos + 8) ^ 0x01).toByte
+    val truncated = png.take(png.length - 7)
+    val trailing = png ++ Array[Byte](1, 2, 3)
+    val rows = Seq(
+      (0L, 0, png), (1L, 0, crcFlip), (2L, 0, truncated), (3L, 0, trailing),
+      (4L, 1, "not a png at all".getBytes("UTF-8")))
+      .map { case (id, k, p) => (id, p, MultimodalOps.MediaMeta(k, 16, 16, p.length)) }
+      .toDF("media_id", "payload", "meta")
+    val got = MultimodalOps.containerMeta(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(9),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(7)))).toMap
+    val (c0, ok0, w0, nc0) = got(0L)
+    assert(c0 == "png" && ok0 && w0 == 16L && nc0 >= 3L) // IHDR+IDAT+IEND
+    assert(got(1L)._1 == "png" && !got(1L)._2) // CRC flip: structure walks, audit fails
+    assert(got(2L)._1 == "png" && !got(2L)._2) // truncated
+    assert(got(3L)._1 == "png" && !got(3L)._2) // trailing junk after IEND
+    assert(got(4L)._1 == "raw" && got(4L)._2)  // non-container kinds pass through
+  }
+
   test("p4 block manifest: token conservation; every non-final block filled to exactly 512") {
     val rows = CorpusPipeline.defs.find(_.name == "p4_block_manifest").get
       .fn(spark, "/root/testdata/sf0.001")
