@@ -856,6 +856,42 @@ object Relational {
         // per-row output scales with the corpus → parallel range sort
         .orderedRows(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
         .select("o_orderkey", "o_custkey", "pr", "cd", "dr")
+    },
+
+    // q32: CALENDAR-FUNCTION family — day-of-week, ISO week, month-end
+    // arithmetic, leap-year handling: the semantics every reporting
+    // query leans on and every engine numbers differently (Spark's
+    // dayofweek is 1=Sunday, DuckDB's 0=Sunday — the entry pins the
+    // mapping explicitly rather than hoping). All derived values are
+    // small integers aggregated per (year, quarter), so the hash
+    // certifies the calendar math exactly; one map-side-combined
+    // exchange.
+    QueryDef("q32_calendar",
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        |       CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+        |       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+        |                last_day(CAST(o_orderdate AS DATE)))) AS BIGINT)
+        |         AS sum_to_month_end,
+        |       CAST(SUM(CASE WHEN weekofyear(o_orderdate) = 1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_isoweek1,
+        |       CAST(SUM(CASE WHEN DAY(last_day(CAST(o_orderdate AS DATE))) = 29
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leap_feb
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val dd = to_date(col("o_orderdate"))
+      Tables.orders(s, d)
+        .groupBy(year(dd).cast("long").as("y"), quarter(dd).cast("long").as("q"))
+        .agg(
+          count(lit(1)).as("n"),
+          // Spark dayofweek: 1=Sunday…7=Saturday; DuckDB: 0=Sunday
+          sum(when(dayofweek(dd).isin(1, 7), 1L).otherwise(0L)).as("n_weekend"),
+          sum(datediff(last_day(dd), dd).cast("long")).as("sum_to_month_end"),
+          // both engines number weeks ISO-8601
+          sum(when(weekofyear(dd) === 1, 1L).otherwise(0L)).as("n_isoweek1"),
+          sum(when(dayofmonth(last_day(dd)) === 29, 1L).otherwise(0L)).as("n_leap_feb"))
+        .orderedSmall(col("y"), col("q")) // years×4: bounded
     }
   )
 }

@@ -862,6 +862,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("q32 calendar: dow numbering, ISO week edges, leap February, month-end arithmetic") {
+    import spark.implicits._
+    val got = Seq("2024-01-07", // Sunday, ISO week 1
+      "2024-12-30", // Monday, ISO week 1 of 2025 (year-end edge)
+      "2024-02-05", // leap February: last_day = 29th, 24 days to end
+      "2023-02-05", // non-leap February
+      "2024-01-06") // Saturday
+      .toDF("s").select(to_date(col("s")).as("d"))
+      .select(col("d"), dayofweek(col("d")).as("dow"),
+        weekofyear(col("d")).as("w"),
+        datediff(last_day(col("d")), col("d")).as("toEnd"),
+        dayofmonth(last_day(col("d"))).as("lastDom"))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got("2024-01-07") == ((1, 1, 24, 31)))  // Sunday = 1 in Spark
+    assert(got("2024-01-06") == ((7, 1, 25, 31)))  // Saturday = 7
+    assert(got("2024-12-30")._2 == 1)              // ISO week wraps to 1
+    assert(got("2024-02-05") == ((2, 6, 24, 29)))  // leap year
+    assert(got("2023-02-05") == ((1, 5, 23, 28)))  // non-leap
+  }
+
   test("m6 container audit: valid PNG parses; CRC flip, truncation, trailing bytes all flagged") {
     import spark.implicits._
     val png = MultimodalOps.encodeGrayPng(Array.tabulate(16 * 16)(_.toByte), 16, 16)
