@@ -275,6 +275,44 @@ object StreamingQueries {
         .orderedRows(col("user_id"), col("n"))
     },
 
+    // s17: DYNAMIC-GAP sessionization — flatMapGroupsWithState logic
+    // session_window can't express (the idle gap after each event
+    // depends on that event's type: purchase 60 min, else 30), run
+    // over the REAL events table in global ts order with a sentinel
+    // final batch closing tail sessions (the finite-replay stand-in
+    // for watermark advance). Sessions emit exactly once, on close.
+    // The oracle is the dynamic-gap gaps-and-islands rewrite: a new
+    // session starts where the wait since the PREVIOUS event exceeds
+    // that previous event's allowance; identical ms arithmetic on
+    // both engines.
+    QueryDef("s17_dynamic_sessions",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |             event_type FROM events),
+        |l AS (SELECT *, LAG(t) OVER w AS pt, LAG(event_type) OVER w AS ptype
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |brk AS (SELECT *, CASE WHEN pt IS NULL OR
+        |          epoch_ms(t) - epoch_ms(pt) >
+        |            CASE WHEN ptype = 'purchase' THEN 3600000 ELSE 1800000 END
+        |          THEN 1 ELSE 0 END AS is_new FROM l),
+        |sess AS (SELECT *, SUM(is_new) OVER (
+        |           PARTITION BY user_id ORDER BY t, event_id) AS sid FROM brk)
+        |SELECT user_id,
+        |  CAST(epoch_ms(MIN(t)) AS BIGINT) AS start_ms,
+        |  CAST(epoch_ms(MAX(t)) AS BIGINT) AS end_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val batches = eventFeedAll(s, d, 6)
+      val sentinel = batches.flatten.map(_.user_id).distinct.sorted
+        .map(u => EventRow(-1L, new java.sql.Timestamp(0L), u, "__end__", 0.0, ""))
+      runScenario(s, "append", batches :+ sentinel)(df =>
+        StreamingOps.dynamicSessions(df.as[EventRow]).toDF())
+        .orderedRows(col("user_id"), col("start_ms")) // sessions scale
+    },
+
     // s7 over the REAL corpus: the streaming preprocessing pipeline
     // (p1's stages in the operator's order — gates → mix-sample →
     // keep-first dedup state → broadcast decontamination vs the src1

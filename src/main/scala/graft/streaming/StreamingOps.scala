@@ -18,6 +18,15 @@ final case class DocRow(doc_id: Long, source: String, text: String)
 /** Row shape for the s10 delta-ingest stream (id, dedup key). */
 final case class KeyedRow(id: Long, key: String)
 
+/** One CLOSED session from [[StreamingOps.dynamicSessions]]. */
+final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+    n_events: Long, n_purchases: Long)
+
+/** Open-session state for [[StreamingOps.dynamicSessions]]: O(1) per
+  * key — never buffers events. */
+final case class SessionAcc(startMs: Long, lastMs: Long, lastType: String,
+    n: Long, nPurch: Long)
+
 /** Streaming surface S1–S6 (SURVEY.md §2.3): the same logical ops as
   * the EventOps batch equivalents, expressed over an unbounded source.
   * Each takes a *streaming* DataFrame with the events schema (from
@@ -129,6 +138,56 @@ object StreamingOps {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           UserCount(uid, n)
+      }
+  }
+
+  /** S17: DYNAMIC-GAP sessionization via flatMapGroupsWithState — the
+    * state logic `session_window` cannot express: the allowed idle gap
+    * after each event depends on THAT event's type (a purchase keeps
+    * the session alive [[purchaseGapMs]]; anything else
+    * [[baseGapMs]]), and a session emits EXACTLY ONCE, when it closes.
+    * Per-key state is one open session (O(1) — never the event
+    * backlog); a batch's rows for a key are sorted by (ts, event_id)
+    * inside the function, so the fold is a pure function of the data
+    * whatever order the shuffle delivered them, provided batches
+    * arrive in global ts order (the feed's contract — out-of-order
+    * ACROSS batches would need an event-time-timeout buffer instead).
+    * A row with event_type `__end__` is the end-of-stream sentinel:
+    * it closes the key's open session without opening a new one —
+    * the finite-replay stand-in for the watermark-advance that closes
+    * tail sessions on a live stream. */
+  def dynamicSessions(events: Dataset[EventRow],
+      baseGapMs: Long = 1800000L,
+      purchaseGapMs: Long = 3600000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionAcc]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          def close(): Unit = if (st != null) {
+            out += SessionOut(uid, st.startMs, st.lastMs, st.n, st.nPurch)
+            st = null
+          }
+          for (r <- sorted) {
+            if (r.event_type == "__end__") close()
+            else {
+              val t = r.ts.getTime
+              if (st != null) {
+                val gap = if (st.lastType == "purchase") purchaseGapMs else baseGapMs
+                if (t - st.lastMs > gap) close()
+              }
+              val p = if (r.event_type == "purchase") 1L else 0L
+              st =
+                if (st == null) SessionAcc(t, t, r.event_type, 1L, p)
+                else SessionAcc(st.startMs, t, r.event_type, st.n + 1, st.nPurch + p)
+            }
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.iterator
       }
   }
 

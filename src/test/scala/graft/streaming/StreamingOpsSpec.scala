@@ -107,6 +107,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(latest == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("s17 dynamic sessions: purchase extends the gap; state crosses batches; sentinel flushes") {
+    def ts(t: String) = Timestamp.valueOf(t).getTime
+    val in = MemoryStream[EventRow]
+    val endRow = EventRow(-1L, Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "__end__", 0.0, "")
+    val out = runToMemory("s17t",
+      StreamingOps.dynamicSessions(in.toDS()).toDF(), "append",
+      stream = Some(in),
+      data = Seq(
+        // batch 1: session A opens (10:00, 10:20 — 20 min ≤ 30 min)
+        Seq(ev("2024-01-01 10:00:00"), ev("2024-01-01 10:20:00")),
+        // batch 2: 11:30 is 70 min after a click → session A closes,
+        // B opens; 11:40 purchase joins B
+        Seq(ev("2024-01-01 11:30:00"), ev("2024-01-01 11:40:00", eventType = "purchase")),
+        // batch 3: 12:30 is 50 min after a PURCHASE (≤ 60) → still B;
+        // 13:40 is 70 min after a click → B closes, C opens
+        Seq(ev("2024-01-01 12:30:00"), ev("2024-01-01 13:40:00")),
+        // sentinel: C flushes without opening anything
+        Seq(endRow)))
+    val got = out.select("user_id", "start_ms", "end_ms", "n_events", "n_purchases")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 2L, 0L),
+      (1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:30:00"), 3L, 1L),
+      (1L, ts("2024-01-01 13:40:00"), ts("2024-01-01 13:40:00"), 1L, 0L)))
+  }
+
   test("s6b pattern: update log equals in-memory per-batch cumulative replay") {
     // the promoted s6b oracle asserts exactly this shape over the real
     // events table; pin the mechanism on a randomized feed — one
