@@ -873,6 +873,52 @@ object DedupOps {
       semanticDedupSurvivors(assigned)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .orderedRows(col("vec_id")) // survivors scale with corpus
+    },
+
+    // d8: BLOCKED EDIT-DISTANCE near-dup — the record-linkage family
+    // the set-similarity ladder (Jaccard d1/l2, SimHash d2, embedding
+    // d3/d7) doesn't cover: character-level edits, where a one-char
+    // typo keeps Levenshtein small but can flip every shingle it
+    // touches. The classic two-phase shape: a cheap BLOCKING key
+    // (the 16-char length band) turns the quadratic pair space
+    // into one equi-join shuffle whose blocks are small by
+    // construction — with ±1-band overlap on ONE side so near-dups
+    // straddling a band border still meet (and meet exactly once:
+    // only side a explodes, so |Δband| ≤ 1 matches at a single key) —
+    // then the expensive verifier, Levenshtein over a fixed 64-char
+    // prefix (the bounded-cost variant a 100 TB pass must use, since
+    // full-text DP is O(len²) per pair), runs in-stream on candidates
+    // only. Both engines compute the identical key, so the oracle is
+    // the same join + verify verbatim.
+    QueryDef("d8_edit_distance_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, text, n_chars // 16 AS lb FROM documents),
+        |e AS (SELECT doc_id, text, lb, lb + u.off AS band
+        |      FROM d CROSS JOIN UNNEST([-1, 0, 1]) AS u(off))
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT)
+        |    AS dist
+        |FROM e a JOIN d b
+        |  ON a.band = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 8
+        |ORDER BY ia, ib""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), expr("n_chars div 16").as("lb"))
+      // symmetric ±1-band coverage with each pair meeting EXACTLY once:
+      // only side a explodes to {lb−1, lb, lb+1}, side b joins on its
+      // own band — |Δband| ≤ 1 is matched at one (band, lb) key
+      val a = base.select(col("doc_id").as("ia"), col("text").as("ta"),
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("band"))
+      val b = base.select(col("doc_id").as("ib"),
+        col("lb").as("band"), col("text").as("tb"))
+      a.join(b, Seq("band"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("dist",
+          levenshtein(substring(col("ta"), 1, 64), substring(col("tb"), 1, 64))
+            .cast("long"))
+        .filter(col("dist") <= 8)
+        .select("ia", "ib", "dist")
+        .orderedRows(col("ia"), col("ib")) // pairs scale with corpus
     }
   )
 

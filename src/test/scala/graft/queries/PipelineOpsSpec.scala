@@ -862,6 +862,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("d8 edit-distance pairs: typo pairs found across band borders, each exactly once") {
+    val base = "word" * 40 // 160 chars → band 10
+    // planted: (1,2) same band, 1-char typo; (3,4) straddle a band
+    // border (160 vs 166 chars → bands 10/10 vs 10/[after pad]);
+    // (5) unrelated long doc
+    val docs = Seq(
+      (1L, base),
+      (2L, base.updated(10, 'X').toString),
+      (3L, base + " extra"), // 166 chars → band 10
+      (4L, base + " extra padding!"), // 175 chars → band 10 — make it straddle:
+      (5L, "z" * 200))
+    // adjust doc 4 to land one band over (176+ chars → band 11)
+    val docs2 = docs.updated(3, (4L, base + " extra padding xx")) // 177 chars
+    import spark.implicits._
+    val df = docs2.map { case (id, t) => (id, t, "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    // run the same plan as the entry over a temp frame: reproduce via
+    // the entry's logic by writing a parquet dir Tables can read
+    val dir = java.nio.file.Files.createTempDirectory("graft_d8_spec").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.defs.find(_.name == "d8_edit_distance_pairs").get
+      .fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val asMap = got.toMap
+    assert(got.length == asMap.size, s"pair emitted twice: ${got.toSeq}") // exactly-once
+    assert(asMap.get((1L, 2L)).contains(1L)) // 1-char typo
+    assert(asMap.contains((3L, 4L))) // bands 10 vs 11: ±1 overlap catches it
+    assert(!asMap.keys.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated: no pair
+  }
+
   test("q32 calendar: dow numbering, ISO week edges, leap February, month-end arithmetic") {
     import spark.implicits._
     val got = Seq("2024-01-07", // Sunday, ISO week 1
