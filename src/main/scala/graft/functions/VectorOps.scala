@@ -182,10 +182,21 @@ object VectorOps {
 
   /** Exact top-k neighbors for each of the first `nQueries` vec_ids:
     * queries broadcast, candidates scanned partition-parallel. */
-  def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def annTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    annTopKOver(emb, emb, nQueries, k)
+
+  /** [[annTopK]] with a separate CANDIDATE frame — the filtered-search
+    * form: queries still come from the first `nQueries` vec_ids of
+    * `emb`, but only `candidates` rows may appear as neighbors. The
+    * metadata predicate belongs on the candidate SCAN (pre-filtering),
+    * never as a post-filter on an unfiltered top-k — post-filtering
+    * returns fewer than k (or zero) survivors whenever the filter is
+    * selective, which is the filtered-search correctness trap. */
+  def annTopKOver(emb: DataFrame, candidates: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding"))
+    def widened(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         // float→double widening in a JIT'd loop (the Catalyst
@@ -195,8 +206,9 @@ object VectorOps {
         while (i < e.length) { v(i) = e(i); i += 1 }
         (id, v)
       }(graft.Enc.longDoubleArr)
+    val vecs = widened(candidates)
     val queries = spark.sparkContext.broadcast(
-      vecs.filter(_._1 < nQueries).collect().map {
+      widened(emb).filter(_._1 < nQueries).collect().map {
         case (id, v) => (id, v, normOf(v))
       })
     val scored = vecs.mapPartitions { it =>

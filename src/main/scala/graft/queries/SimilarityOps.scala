@@ -499,6 +499,31 @@ object SimilarityOps {
         |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
       knnClassify(Tables.embeddings(s, d), nQueries = 50, k = 5)
         .orderedSmall(col("qid")) // nQueries rows: bounded
+    },
+
+    // a8: FILTERED vector search — top-k under a metadata predicate
+    // (here: candidates restricted to label 1), the RAG/vector-DB
+    // query shape every serving stack needs. The predicate PRE-filters
+    // the candidate scan (it reaches the parquet reader as a pushed
+    // filter), and the exact top-k kernel runs over survivors only —
+    // the correct semantics AND the cheap plan; post-filtering an
+    // unfiltered top-k would return < k (often 0) rows whenever the
+    // filter is selective. Queries need not satisfy the filter.
+    QueryDef("a8_filtered_ann",
+      """WITH scored AS (
+        |  SELECT a.vec_id qid, b.vec_id cid,
+        |         CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE) sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND b.label = 1),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+        |  FROM scored)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, ROUND(sim,5) AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.functions.VectorOps.annTopKOver(
+        emb, emb.filter(col("label") === 1), nQueries = 10, k = 5)
     }
   )
 

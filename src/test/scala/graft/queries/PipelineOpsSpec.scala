@@ -862,6 +862,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("a8 filtered ANN: only predicate survivors appear; equals filtered brute force") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SimilarityOps.defs.find(_.name == "a8_filtered_ann").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 50) // 10 queries × k=5 — label-1 pool is large enough
+    assert(got.forall { case (_, _, cid) => labels(cid) == 1 })
+    // differential vs post-filtering a DEEP unfiltered top-k: the
+    // filtered search's neighbor set equals the label-1 survivors of
+    // exact ranking (computed via the unfiltered kernel at large k)
+    val deep = graft.functions.VectorOps.annTopK(emb, nQueries = 10, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantTop = deep.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._2).map(_._3).filter(labels(_) == 1).take(5).toSeq }
+    val gotTop = got.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(gotTop == wantTop)
+  }
+
   test("d8 edit-distance pairs: typo pairs found across band borders, each exactly once") {
     val base = "word" * 40 // 160 chars → band 10
     // planted: (1,2) same band, 1-char typo; (3,4) straddle a band
