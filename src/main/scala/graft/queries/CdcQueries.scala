@@ -112,6 +112,21 @@ object CdcQueries {
   private val StateOracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_stateevents_cur"
 
+  /** c11's streaming parquet sink + its checkpoint. */
+  private val SinkPath =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_sink_cur"
+  private val SinkCkpt =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_sink_ckpt_cur"
+
+  private[queries] def deleteRecursively(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .foreach(f => deleteRecursively(f.getAbsolutePath))
+      root.delete(): Unit
+    }
+  }
+
   /** Value of image ordinal `ord` in a (ords, vals) parallel-array
     * column pair, null when the image lacks that ordinal (absent side
     * of an insert/delete, short rows). */
@@ -321,6 +336,42 @@ object CdcQueries {
         .start()
       try q.processAllAvailable() finally q.stop()
       stateView(state.get).orderedRows(col("db"), col("table"), col("id"))
+    },
+
+    // c11: EXACTLY-ONCE streaming parquet sink — the CDC event LAKE:
+    // the binlog stream lands as parquet via foreachBatch with
+    // epoch-keyed OVERWRITE directories, the standard idempotent-sink
+    // recipe (a replayed micro-batch after failure/restart rewrites
+    // its own epoch=N dir instead of appending duplicates; the
+    // checkpoint pins the file→epoch assignment). The entry runs the
+    // stream to completion against the rotated fixture, then
+    // aggregates the SINK READ-BACK — and the oracle is DuckDB
+    // reading THE SINK FILES THEMSELVES: the hash certifies the
+    // streaming writer's output is complete and cross-engine
+    // readable, not just internally consistent. Restart/idempotence
+    // semantics (no new epochs on empty restart, incremental files
+    // land in new epochs, totals equal batch parse) are spec'd in
+    // CdcStreamSpec.
+    QueryDef("c11_sink_parquet",
+      s"""SELECT db, "table", op, COUNT(*) AS c
+         |FROM read_parquet('$SinkPath/*/*.parquet')
+         |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
+      val src = fixturePath(d)
+      writeSnapshotIfStale(SinkPath, d) {
+        deleteRecursively(SinkPath); deleteRecursively(SinkCkpt)
+        val q = graft.streaming.CdcStream.events(s, src)
+          .writeStream
+          .option("checkpointLocation", SinkCkpt)
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            batch.write.mode("overwrite").parquet(s"$SinkPath/epoch=$epoch")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(SinkPath)
+        .groupBy("db", "table", "op")
+        .agg(count(lit(1)).as("c"))
+        .orderedSmall(col("db"), col("table"), col("op")) // tables×ops: bounded
     }
   )
 

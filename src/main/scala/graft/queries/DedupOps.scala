@@ -906,17 +906,34 @@ object DedupOps {
         .select(col("doc_id"), col("text"), expr("n_chars div 16").as("lb"))
       // symmetric ±1-band coverage with each pair meeting EXACTLY once:
       // only side a explodes to {lb−1, lb, lb+1}, side b joins on its
-      // own band — |Δband| ≤ 1 is matched at one (band, lb) key
+      // own band — |Δband| ≤ 1 is matched at one (band, lb) key.
+      // SALT the key 16-fold: bands are few (~length-range/16 distinct
+      // values) and length-peaked corpora concentrate most docs in a
+      // handful of them, so the raw band join runs its DP work in a
+      // few hot tasks (and bench sessions pin AQE off, so skew-join
+      // can't save it). Side a takes ONE deterministic salt from its
+      // doc id, side b replicates across all 16 — each pair still
+      // meets exactly once, at (band, salt(a)); the replicated side is
+      // docs×16 rows, trivial next to the pair stream it spreads.
+      val Salt = 16
       val a = base.select(col("doc_id").as("ia"), col("text").as("ta"),
         explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("band"))
+        .withColumn("g", pmod(xxhash64(col("ia")), lit(Salt)).cast("int"))
       val b = base.select(col("doc_id").as("ib"),
         col("lb").as("band"), col("text").as("tb"))
-      a.join(b, Seq("band"))
+        .withColumn("g", explode(sequence(lit(0), lit(Salt - 1))))
+      a.join(b, Seq("band", "g"))
         .filter(col("ia") < col("ib"))
+        // THRESHOLD Levenshtein: the banded O(k·n) DP (Ukkonen) that
+        // abandons a pair the moment its distance provably exceeds 8
+        // and returns −1 — ~8× less work than the full O(n²) table on
+        // the overwhelmingly-dissimilar candidate majority. Output is
+        // identical to full-DP-then-filter (the oracle's form): every
+        // surviving pair's distance is exact.
         .withColumn("dist",
-          levenshtein(substring(col("ta"), 1, 64), substring(col("tb"), 1, 64))
-            .cast("long"))
-        .filter(col("dist") <= 8)
+          levenshtein(substring(col("ta"), 1, 64), substring(col("tb"), 1, 64),
+            8).cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= 8)
         .select("ia", "ib", "dist")
         .orderedRows(col("ia"), col("ib")) // pairs scale with corpus
     }

@@ -54,6 +54,51 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("c11 sink: epoch-keyed parquet sink is exactly-once across stop/restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_c11_src")
+    val sink = Files.createTempDirectory("graft_c11_sink").toString
+    val ckpt = Files.createTempDirectory("graft_c11_ckpt").toString
+    def writeFile(name: String): Unit =
+      Files.write(dir.resolve(name),
+        BinlogFixture.representative.getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = graft.streaming.CdcStream.events(spark, dir.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/epoch=$epoch")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def epochDirs(): Set[String] =
+      Option(new java.io.File(sink).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSet
+    writeFile("binlog.000000.txt")
+    runOnce()
+    val after1 = epochDirs()
+    assert(after1.nonEmpty)
+    val count1 = spark.read.parquet(sink).count()
+    // restart with NO new data: checkpoint says everything is
+    // committed — no new epochs, sink bytes untouched
+    runOnce()
+    assert(epochDirs() == after1 && spark.read.parquet(sink).count() == count1)
+    // restart with a rotated file: it lands in NEW epoch dirs only
+    writeFile("binlog.000001.txt")
+    runOnce()
+    assert(after1.subsetOf(epochDirs()) && epochDirs() != after1)
+    // the sink accumulates to exactly the batch parse of the full dir
+    val sunk = spark.read.parquet(sink)
+      .groupBy("db", "table", "op").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val batch = CdcJob.parse(spark, dir.toString)
+      .groupBy("db", "table", "op").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(sunk == batch)
+  }
+
   test("binary binlog stream renders identically to the binary batch path") {
     val dir = Files.createTempDirectory("graft_cdcstream_bin")
     import graft.sources.{BinlogBinary, BinlogBinaryFixture}

@@ -85,6 +85,46 @@ class BinlogBinarySpec extends AnyFunSuite {
     assert(nulls.afterVals.toSeq == Seq("3", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL"))
   }
 
+  test("typed-column differential fuzz: random rows decode identically on both paths (3 seeds x 60)") {
+    import BinlogBinaryFixture._
+    import java.time.{LocalDate, LocalDateTime}
+    def genRow(rnd: scala.util.Random, id: Int): TypedRow = {
+      def opt[T](v: => T): Option[T] = if (rnd.nextInt(4) == 0) None else Some(v)
+      TypedRow(id,
+        date = opt(LocalDate.of(1900 + rnd.nextInt(256), 1 + rnd.nextInt(12),
+          1 + rnd.nextInt(28))),
+        dt = opt((LocalDateTime.of(1 + rnd.nextInt(9998), 1 + rnd.nextInt(12),
+          1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60), rnd.nextInt(60)),
+          rnd.nextInt(10000))),
+        ts = opt((rnd.nextLong(1L << 32), rnd.nextInt(100))),
+        f = opt(java.lang.Float.intBitsToFloat(
+          // finite floats only: clear the exponent's all-ones pattern
+          rnd.nextInt() & ~0x7F800000 | (rnd.nextInt(0xFE) << 23))),
+        year = opt(if (rnd.nextInt(8) == 0) 0 else 1901 + rnd.nextInt(255)),
+        dec = opt(BigDecimal(BigInt(rnd.nextLong(100000000000000L))
+          * (if (rnd.nextBoolean()) 1 else -1), 4)))
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val evs: Seq[Ev] = (0 until 60).map { i =>
+        rnd.nextInt(3) match {
+          case 0 => TypedInsert(genRow(rnd, i))
+          case 1 => TypedUpdate(genRow(rnd, i), genRow(rnd, i + 1000))
+          case _ => TypedDelete(genRow(rnd, i))
+        }
+      }
+      val (b, t) = render(evs)
+      val fromBin = BinlogBinary.parseBytes("f", b)
+      val fromText = graft.cdc.BinlogFsm.parse("f", t.linesIterator).toSeq
+      assert(fromBin.size == fromText.size && fromBin.nonEmpty, s"seed=$seed")
+      def canon(r: graft.cdc.RawChange) =
+        (r.seq, r.startPos, r.stopPos, r.db, r.table, r.op,
+          r.beforeOrds.toSeq, r.beforeVals.toSeq, r.afterOrds.toSeq, r.afterVals.toSeq)
+      for ((bb, tt) <- fromBin.zip(fromText))
+        assert(canon(bb) == canon(tt), s"seed=$seed: binary $bb != text $tt")
+    }
+  }
+
   test("integer type family decodes signed TINY/SHORT/INT24/LONGLONG") {
     // hand-assembled stream: FDE(no checksum) + TABLE_MAP(4 int cols)
     // + one WRITE_ROWS v2 with negative values in every width
