@@ -322,6 +322,69 @@ object EventOps {
           round(coalesce(last("pv", ignoreNulls = true).over(w), lit(-1.0)), 2))
         .select("event_id", "user_id", "last_purchase")
         .orderedRows(col("event_id")) // one row per event: scales
+    },
+
+    // s18: INTERVAL SWEEP-LINE concurrency — "how many activity
+    // intervals are open at once", the capacity/ops metric (peak
+    // concurrent sessions per hour) that no plain aggregate computes:
+    // each event opens a 30-min interval, intervals become +1/−1
+    // sweep deltas, and the per-hour MAX of the running count is the
+    // answer. The scale shape: intervals are CLIPPED at midnight (a
+    // piece never crosses a day), so the sweep partitions by DAY —
+    // each day's running sum is self-contained, no cross-partition
+    // carry (at extreme per-day volume the same clipping recurses to
+    // hours with a t16-style carry pass; the partition key is the
+    // knob, not the algorithm). End deltas landing exactly on the
+    // next midnight are dropped: the day's sweep never reads past its
+    // last event, and the new day re-opens crossing pieces itself.
+    // Ties at one timestamp order (t, delta) with −1 first — touching
+    // half-open intervals never overlap — and within equal (t, delta)
+    // groups any order yields the same intermediate-value SET, so the
+    // hourly MAX is deterministic on both engines.
+    QueryDef("s18_concurrency",
+      """WITH iv AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS st,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS en
+        |  FROM events),
+        |p AS (
+        |  SELECT st AS ps,
+        |         LEAST(en, CAST(CAST(st AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY) AS pe
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT CAST(CAST(st AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY, en
+        |  FROM iv
+        |  WHERE en > CAST(CAST(st AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY),
+        |del AS (
+        |  SELECT ps AS t, 1 AS d FROM p
+        |  UNION ALL
+        |  SELECT pe, -1 FROM p WHERE CAST(pe AS DATE) = CAST(ps AS DATE)),
+        |sweep AS (
+        |  SELECT t, SUM(d) OVER (PARTITION BY CAST(t AS DATE) ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+        |  FROM del)
+        |SELECT TIME_BUCKET(INTERVAL 1 HOUR, t) AS h,
+        |       CAST(MAX(cur) AS BIGINT) AS peak,
+        |       CAST(COUNT(*) AS BIGINT) AS n_changes
+        |FROM sweep GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d)
+        .select(col("ts").as("st"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+      def dayEnd(c: org.apache.spark.sql.Column) =
+        to_date(c).cast("timestamp") + expr("INTERVAL 1 DAY")
+      val pieces = iv
+        .select(col("st").as("ps"), least(col("en"), dayEnd(col("st"))).as("pe"))
+        .union(iv.filter(col("en") > dayEnd(col("st")))
+          .select(dayEnd(col("st")).as("ps"), col("en").as("pe")))
+      val deltas = pieces.select(col("ps").as("t"), lit(1).as("d"))
+        .union(pieces.filter(to_date(col("pe")) === to_date(col("ps")))
+          .select(col("pe").as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy(to_date(col("t"))).orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("cur", sum("d").over(w).cast("long"))
+        .groupBy(date_trunc("hour", col("t")).as("h"))
+        .agg(max("cur").as("peak"), count(lit(1)).as("n_changes"))
+        .orderedSmall(col("h")) // one row per hour: time-bounded
     }
   )
 

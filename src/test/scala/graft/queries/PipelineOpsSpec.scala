@@ -862,6 +862,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("s18 concurrency: hand-computed peaks; midnight crossing; half-open touch never overlaps") {
+    import spark.implicits._
+    val ev = Seq(
+      // three overlapping intervals in hour 10: peak 3
+      "2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01 10:20:00",
+      // half-open touch: starts exactly when the 10:20 interval ends
+      // (10:50) — the -1 processes first, so hour-10 peak stays 3
+      "2024-01-01 10:50:00",
+      // crosses midnight: open 23:45-00:15 → hour 0 of Jan 2 sees it
+      "2024-01-01 23:45:00",
+      "2024-01-02 00:05:00") // overlaps the carried piece → peak 2
+      .zipWithIndex.map { case (t, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s18_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.defs.find(_.name == "s18_concurrency").get
+      .fn(spark, dir).collect()
+      .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2024-01-01 10:00:00.0")._1 == 3L) // overlap peak; touch does not bump it
+    // hour 11 holds only the 10:50 interval's END point — the sweep
+    // samples at change points, so its hourly max is the post-close 0
+    assert(got("2024-01-01 11:00:00.0") == ((0L, 1L)))
+    assert(got("2024-01-01 23:00:00.0")._1 == 1L)
+    assert(got("2024-01-02 00:00:00.0")._1 == 2L) // carried piece + 00:05 interval
+  }
+
   test("a8 filtered ANN: only predicate survivors appear; equals filtered brute force") {
     val emb = graft.Tables.embeddings(spark, sf)
     val labels = emb.select("vec_id", "label").collect()
