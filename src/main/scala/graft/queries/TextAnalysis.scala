@@ -630,6 +630,32 @@ object TextAnalysis {
         .orderedRows(col("token")) // ≤ k rows by the threshold: bounded
     },
 
+    // k3: token FREQUENCY-OF-FREQUENCIES — "how many distinct tokens
+    // occur exactly c times", the Zipf audit / Good–Turing smoothing
+    // input (N_c drives every held-out probability estimate) and the
+    // fastest tokenizer-health check there is (a spike at c=1 means
+    // junk vocabulary). Two aggregates: the token counts collapse
+    // map-side (the full-vocab pass is inherent to EXACT
+    // count-of-counts — k2's Misra–Gries is the bounded-memory answer
+    // when exactness can be traded), and the histogram over counts is
+    // distinct-frequency-sized (≈ O(√corpus) under Zipf), tiny on the
+    // second exchange.
+    QueryDef("k3_count_of_counts",
+      """WITH w AS (SELECT UNNEST(STRING_SPLIT(text,' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM w GROUP BY 1)
+        |SELECT CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(cnt * COUNT(*) AS BIGINT) AS mass
+        |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .groupBy("cnt").agg(count(lit(1)).as("n_tokens"))
+        .withColumn("mass", col("cnt") * col("n_tokens"))
+        .select("cnt", "n_tokens", "mass")
+        .orderedRows(col("cnt")) // distinct frequencies: ~√corpus rows
+    },
+
     // t14: temperature-scaled source MIXING WEIGHTS — the sampling-
     // ratio computation a multi-source pretraining run starts from
     // (α = 0.5 upweights small high-quality sources, the standard

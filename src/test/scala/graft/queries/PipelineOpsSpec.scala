@@ -862,6 +862,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("k3 count-of-counts: masses sum to the token stream; bins sum to the vocabulary") {
+    val rows = TextAnalysis.defs.find(_.name == "k3_count_of_counts").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall { case (c, n, m) => m == c * n })
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+    assert(rows.map(_._3).sum == toks.count())
+    assert(rows.map(_._2).sum == toks.distinct().count())
+  }
+
   test("s18 concurrency: hand-computed peaks; midnight crossing; half-open touch never overlaps") {
     import spark.implicits._
     val ev = Seq(
