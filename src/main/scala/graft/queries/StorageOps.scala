@@ -174,6 +174,36 @@ object StorageOps {
     path
   }
 
+  /** Bloom-filtered events layout for w6: written in ARRIVAL (ts)
+    * order with a parquet BLOOM FILTER on user_id — the point-lookup
+    * lever when the data is NOT sorted by the lookup key (w3/w5 zone
+    * maps need sort locality; on a scattered key every row group's
+    * [min,max] spans the domain and prunes nothing, while a bloom
+    * answers "is this key possibly here?" per row group in O(1)
+    * regardless of layout). Small row groups make the per-group
+    * effect observable at test scale, as in w3. */
+  private[queries] def ensureBloomed(s: SparkSession, d: String): String = {
+    val path = s"$WarehouseBase/events_bf"
+    writeIfStale("bloomed", d) {
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts") // key scattered: ts order, NOT user order
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        // dictionary OFF for the key column: parquet-mr (correctly)
+        // skips the bloom when a chunk is fully dictionary-encoded —
+        // the dictionary already answers exact membership. The bloom
+        // regime is HIGH-cardinality keys whose dictionaries overflow
+        // to plain encoding; the test corpus's key space is small, so
+        // this write pins that regime explicitly.
+        .option("parquet.enable.dictionary#user_id", "false")
+        .option("parquet.block.size", 8 * 1024)
+        .parquet(path)
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // w1: fact-fact join over tables BUCKETED on the join key — the
@@ -288,6 +318,29 @@ object StorageOps {
         .groupBy("event_type")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedSmall(col("event_type")) // one row per type: bounded
+    },
+
+    // w6: BLOOM-FILTERED point lookup — the sixth storage lever, for
+    // the key the layout is NOT sorted by: zone maps (w3/w5) prune by
+    // [min,max] locality, which a scattered key never has, while a
+    // per-row-group bloom filter answers the membership probe
+    // directly — equality/IN predicates skip groups whose bloom says
+    // "definitely absent" (no false negatives, so never a wrong
+    // answer; FPs cost a decode, not correctness — d6's Bloom
+    // contract at the storage layer). The probe list mixes a present
+    // and an absent key: the absent one is the bloom's whole value
+    // (an unindexed scan decodes every group to learn "not here").
+    QueryDef("w6_bloom_scan",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(value), 2) AS sv
+        |FROM events WHERE user_id IN (7, 999999)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = ensureBloomed(s, d)
+      s.read.parquet(path)
+        .filter(col("user_id").isin(7, 999999))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedSmall(col("user_id")) // probe-list arity: bounded
     }
   )
 

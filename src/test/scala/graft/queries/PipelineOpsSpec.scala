@@ -1082,6 +1082,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("w6 bloom scan: blooms present; zone maps useless on the scattered key; bloom alone prunes absent keys") {
+    import scala.jdk.CollectionConverters._
+    val path = StorageOps.ensureBloomed(spark, sf)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet"))
+    // 1. every row group carries a user_id bloom; 2. the ts-ordered
+    // layout scatters user_id, so [min,max] zones cover the probe key
+    // in nearly every group — zone maps cannot serve this lookup
+    var total = 0; var bloomed = 0; var zoneHit = 0
+    for (f <- files) {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try for (b <- rdr.getFooter.getBlocks.asScala) {
+        total += 1
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == "user_id").get
+        if (c.getBloomFilterOffset >= 0) bloomed += 1
+        val st = c.getStatistics
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+        if (mn <= 7L && mx >= 7L) zoneHit += 1
+      } finally rdr.close()
+    }
+    assert(total >= 16 && bloomed == total, s"blooms $bloomed/$total")
+    assert(zoneHit.toDouble / total >= 0.9, s"zones should be useless: $zoneHit/$total")
+    // 3. parquet-mr row-group selection under the BLOOM alone (stats
+    // and dictionary filtering off): an absent key drops every group,
+    // the present key keeps some — the exact I/O the layout buys
+    def groupsFor(key: Long): Int = {
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.filter2.compat.FilterCompat
+      val pred = FilterApi.eq(FilterApi.longColumn("user_id"),
+        java.lang.Long.valueOf(key))
+      files.map { f =>
+        val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+          .withRecordFilter(FilterCompat.get(pred))
+          .useBloomFilter(true).useStatsFilter(false)
+          .useDictionaryFilter(false).build()
+        val rdr = new org.apache.parquet.hadoop.ParquetFileReader(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf), opts)
+        try rdr.getRowGroups.size finally rdr.close()
+      }.sum
+    }
+    assert(groupsFor(999999L) == 0, "bloom must drop every group for an absent key")
+    assert(groupsFor(7L) > 0)
+    // 4. layout must not change the answer
+    val a = spark.read.parquet(path).filter(col("user_id").isin(7, 999999))
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    val b = graft.Tables.events(spark, sf).filter(col("user_id").isin(7, 999999))
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    assert(a == b)
+  }
+
   test("w4 compaction: >=16x file reduction; answers unchanged") {
     val frag = StorageOps.fragmentedFileCount(spark, sf)
     val comp = StorageOps.compactedFileCount(spark, sf)
