@@ -28,6 +28,7 @@ object Enc {
   val longIntLong: Encoder[(Long, Int, Long)] = ExpressionEncoder()
   val longLongArrLong: Encoder[(Long, Array[Long], Long)] = ExpressionEncoder()
   val longStrLong: Encoder[(Long, String, Long)] = ExpressionEncoder()
+  val longStrBool: Encoder[(Long, String, Boolean)] = ExpressionEncoder()
   val longLongStr: Encoder[(Long, Long, String)] = ExpressionEncoder()
   val strLong: Encoder[(String, Long)] = ExpressionEncoder()
   val longLongArrIntLong: Encoder[(Long, Array[Long], Int, Long)] = ExpressionEncoder()

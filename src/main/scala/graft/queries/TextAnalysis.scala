@@ -549,6 +549,47 @@ object TextAnalysis {
         .orderedRows(col("doc_id")) // one row per doc: scales
     },
 
+    // t21: ACCENT FOLDING (diacritic-insensitive normalization) — the
+    // matching/dedup-key pass t12's NFC doesn't cover: NFC makes equal
+    // strings byte-equal, folding makes café/café/CAFE collide, which
+    // is what search keys, user lookups, and cross-crawl dedup of
+    // accented corpora need. Kernel = NFD decompose → strip combining
+    // marks → ROOT lowercase, one JIT'd typed map, zero shuffle. The
+    // oracle folds with DuckDB's INDEPENDENT `strip_accents` + lower —
+    // the hash certifies the two engines' folds agree STRING-for-
+    // string (probed equivalent across the Latin accent repertoire
+    // incl. the non-decomposables ł/ø/æ/œ/ß both leave alone). The
+    // accented inputs are constructed identically on both sides
+    // (translate over even doc_ids), t12's synthesis pattern.
+    QueryDef("t21_fold_accents",
+      """WITH acc AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN translate(text, 'aeouncAEOUNC', 'àéöüñçÀÉÖÜÑÇ')
+        |              ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id, lower(strip_accents(t)) AS folded,
+        |       (t <> lower(strip_accents(t))) AS changed
+        |FROM acc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            translate(col("text"), "aeouncAEOUNC", "àéöüñçÀÉÖÜÑÇ"))
+            .otherwise(col("text")).as("t"))
+        .as[(Long, String)](graft.Enc.longStr)
+        .map { case (id, t) =>
+          val folded = java.text.Normalizer
+            .normalize(t, java.text.Normalizer.Form.NFD)
+            .replaceAll("\\p{M}", "")
+            .toLowerCase(java.util.Locale.ROOT)
+          (id, folded, t != folded)
+        }(graft.Enc.longStrBool)
+        .toDF("doc_id", "folded", "changed")
+        .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
     // t13: REAL byte-pair encoding — train on the corpus, tokenize the
     // corpus: the subword segmentation step of every LLM data
     // pipeline, not the whitespace/regex proxy (t1). Scale shape: the

@@ -862,6 +862,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("t21 accent folding: fold undoes the injected accents; raw docs unchanged") {
+    val got = TextAnalysis.defs.find(_.name == "t21_fold_accents").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val raw = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == raw.size)
+    for ((id, folded, changed) <- got) {
+      // the injection only accents fold-reversible chars, so folding
+      // an even doc returns exactly the lowercased raw text
+      assert(folded == raw(id).toLowerCase(java.util.Locale.ROOT), s"doc $id")
+      if (id % 2 != 0) // odd docs were never accented: changed iff case-bearing
+        assert(changed == (raw(id) != raw(id).toLowerCase(java.util.Locale.ROOT)))
+    }
+  }
+
   test("k3 count-of-counts: masses sum to the token stream; bins sum to the vocabulary") {
     val rows = TextAnalysis.defs.find(_.name == "k3_count_of_counts").get
       .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
