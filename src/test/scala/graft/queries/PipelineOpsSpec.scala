@@ -862,6 +862,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("late-r9 plan shapes: q29 melts in one Expand over one scan; q30 one exchange; q31 one window") {
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    // static plans: an AdaptiveSparkPlanExec wrapper hides its inner
+    // tree from collect() until execution
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    def planOf(name: String) = Relational.defs.find(_.name == name).get
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    try {
+    // q29: the melt must be ONE Expand inside ONE scan's stage — a
+    // union-of-four-projections rewrite would re-read the fact table
+    // once per measure
+    val q29 = planOf("q29_unpivot")
+    assert(q29.collect { case e: ExpandExec => e }.size == 1, q29)
+    assert(q29.collect { case s: FileSourceScanExec => s }.size == 1, q29)
+    // q30: percentile aggregates ride one map-side-combined exchange
+    val q30 = planOf("q30_percentile")
+    assert(q30.collect { case e: ShuffleExchangeLike => e }.size == 1, q30)
+    // q31: all three distribution functions share ONE window operator
+    // (one sort+exchange), plus only the output range sort
+    val q31 = planOf("q31_window_distribution")
+    assert(q31.collect { case w: WindowExec => w }.size == 1, q31)
+    assert(q31.collect { case e: ShuffleExchangeLike => e }.size <= 2, q31)
+    } finally spark.conf.set(aqeKey, aqePrev)
+  }
+
   test("t21 accent folding: fold undoes the injected accents; raw docs unchanged") {
     val got = TextAnalysis.defs.find(_.name == "t21_fold_accents").get
       .fn(spark, sf).collect()
