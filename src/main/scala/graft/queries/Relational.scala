@@ -892,6 +892,57 @@ object Relational {
           sum(when(weekofyear(dd) === 1, 1L).otherwise(0L)).as("n_isoweek1"),
           sum(when(dayofmonth(last_day(dd)) === 29, 1L).otherwise(0L)).as("n_leap_feb"))
         .orderedSmall(col("y"), col("q")) // years×4: bounded
+    },
+
+    // q33: NULL semantics — ordering, null-safe equality, and
+    // aggregate treatment, the cross-engine trap zone (engines
+    // default NULLS to opposite ends; <=> vs IS NOT DISTINCT FROM;
+    // COUNT skips NULLs while COUNT(*) doesn't; AVG ignores them).
+    // Nulls are CONSTRUCTED identically on both sides (every third
+    // quantity), then: a pinned NULLS-LAST ordered projection, a
+    // null-safe self-match count (NULL <=> NULL is TRUE where = is
+    // UNKNOWN), and the aggregate family over the nullable column in
+    // one entry — any divergence in any rule breaks the hash.
+    QueryDef("q33_null_semantics",
+      """WITH n AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN (l_orderkey + l_linenumber) % 3 = 0 THEN NULL
+        |              ELSE l_quantity END AS q
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT l_orderkey, l_linenumber, q,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY q ASC NULLS LAST, l_linenumber) AS rn
+        |  FROM n)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(q) AS BIGINT) AS n_vals,
+        |  CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  ROUND(AVG(q), 4) AS avg_vals,
+        |  ROUND(SUM(q), 2) AS sum_vals,
+        |  CAST(SUM(CASE WHEN q IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nsafe_null_matches,
+        |  CAST(SUM(CASE WHEN rn = 1 AND q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_firsts
+        |FROM ord""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("q").asc_nulls_last, col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when((col("l_orderkey") + col("l_linenumber")) % 3 === 0, lit(null))
+            .otherwise(col("l_quantity")).as("q"))
+        .withColumn("rn", row_number().over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("q")).as("n_vals"), // COUNT(col) skips NULLs
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          round(avg("q"), 4).as("avg_vals"), // AVG over non-nulls only
+          round(sum("q"), 2).as("sum_vals"),
+          // null-safe equality: NULL <=> NULL is TRUE, NULL = NULL is not
+          sum(when(col("q") <=> lit(null), 1L).otherwise(0L))
+            .as("nsafe_null_matches"),
+          // NULLS LAST: a NULL can head a group only if it's all-NULL
+          sum(when(col("rn") === 1 && col("q").isNull, 1L).otherwise(0L))
+            .as("null_firsts"))
     }
   )
 }
