@@ -52,6 +52,15 @@ object BinlogBinaryFixture {
   final case class TypedUpdate(before: TypedRow, after: TypedRow) extends Ev
   final case class TypedDelete(row: TypedRow) extends Ev
 
+  /** Mid-stream SCHEMA EVOLUTION: re-emit t_pk's TABLE_MAP with an
+    * added 4th column (INT `extra`) — the shape a server produces
+    * after ALTER TABLE, since every row event resolves against the
+    * most recent map for its table id. Row events after the remap use
+    * [[InsertWide]] (4-column images). */
+  case object RemapWide extends Ev
+  final case class InsertWide(id: Int, name: String, score: Option[Double],
+      extra: Option[Int]) extends Ev
+
   private val TableId = 108L
   private val TypedTableId = 109L
 
@@ -258,6 +267,47 @@ object BinlogBinaryFixture {
     for (ev <- events) {
       epoch += 1
       ev match {
+        case RemapWide =>
+          // same table id, evolved column list: INT, VARSTRING(160),
+          // DOUBLE, INT — decoders must resolve subsequent row events
+          // against THIS map (mysqlbinlog prints nothing for maps)
+          val p = new Buf
+          p.u48(TableId); p.u16(1)
+          p.u8(6); p.str("testdb"); p.u8(0)
+          p.u8(4); p.str("t_pk"); p.u8(0)
+          p.u8(4)
+          Seq(3, 15, 5, 3).foreach(p.u8)
+          p.u8(3) // metadata: VARSTRING 2B + DOUBLE 1B
+          p.u16(160); p.u8(8)
+          p.u8(0)
+          val start = out.b.length
+          header(TABLE_MAP_TYPE, p.b.length)
+          out ++= p.toArray
+          seal(start)
+        case InsertWide(id, name, score, extra) =>
+          val p = new Buf
+          p.u48(TableId); p.u16(1); p.u16(2)
+          p.u8(4); p.u8(0x0F) // col count 4; all included
+          var bm = 0
+          if (score.isEmpty) bm |= 4
+          if (extra.isEmpty) bm |= 8
+          p.u8(bm)
+          p.u32(id.toLong)
+          p.u8(name.getBytes("UTF-8").length); p.str(name)
+          score.foreach(p.f64)
+          extra.foreach(e => p.u32(e.toLong))
+          val start = out.b.length
+          val (at, logPos) = header(WRITE_V2_TYPE, p.b.length)
+          out ++= p.toArray; seal(start)
+          val lits = Seq(id.toString, "'" + name + "'",
+            score.map(d => if (d == d.toLong.toDouble) d.toLong.toString
+              else d.toString).getOrElse("NULL"),
+            extra.map(_.toString).getOrElse("NULL"))
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tWrite_rows: table id $TableId flags: STMT_END_F\n"
+          text ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+          text ++= lits.zipWithIndex.map { case (v, i) => s"###   @${i + 1}=$v" }
+            .mkString("\n") + "\n"
         case TypedInsert(row) =>
           val p = new Buf
           p.u48(TypedTableId); p.u16(1); p.u16(2)

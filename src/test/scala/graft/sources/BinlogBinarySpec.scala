@@ -85,6 +85,28 @@ class BinlogBinarySpec extends AnyFunSuite {
     assert(nulls.afterVals.toSeq == Seq("3", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL"))
   }
 
+  test("schema evolution: mid-stream TABLE_MAP widens the table; later events decode 4 columns") {
+    import BinlogBinaryFixture._
+    val evs = Seq(
+      Insert(1, "before", Some(1.5)), // 3-column schema
+      Ddl("testdb", "alter table t_pk add column extra int"),
+      RemapWide, // the server re-emits the map after ALTER
+      InsertWide(2, "after", Some(2.5), Some(42)),
+      InsertWide(3, "nulls", None, None))
+    val (b, t) = render(evs)
+    val fromBin = BinlogBinary.parseBytes("f", b, includeDdl = true)
+    val fromText = graft.cdc.BinlogFsm.parse("f", t.linesIterator, includeDdl = true).toSeq
+    assert(fromBin.size == 4 && fromText.size == 4) // 2+1 DDL+2 minus map
+    def canon(r: graft.cdc.RawChange) =
+      (r.seq, r.db, r.table, r.op, r.afterOrds.toSeq, r.afterVals.toSeq, Option(r.ddl))
+    for ((bb, tt) <- fromBin.zip(fromText))
+      assert(canon(bb) == canon(tt), s"binary $bb != text $tt")
+    val rows = fromBin.filter(_.op == "insert")
+    assert(rows(0).afterVals.toSeq == Seq("1", "'before'", "1.5"))
+    assert(rows(1).afterVals.toSeq == Seq("2", "'after'", "2.5", "42"))
+    assert(rows(2).afterVals.toSeq == Seq("3", "'nulls'", "NULL", "NULL"))
+  }
+
   test("typed-column differential fuzz: random rows decode identically on both paths (3 seeds x 60)") {
     import BinlogBinaryFixture._
     import java.time.{LocalDate, LocalDateTime}
