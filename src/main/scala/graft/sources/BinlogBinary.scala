@@ -46,6 +46,9 @@ object BinlogBinary {
   private val QUERY = 2
   private val FORMAT_DESC = 15
   private val TABLE_MAP = 19
+  private val WRITE_V1 = 23
+  private val UPDATE_V1 = 24
+  private val DELETE_V1 = 25
   private val WRITE_V2 = 30
   private val UPDATE_V2 = 31
   private val DELETE_V2 = 32
@@ -321,25 +324,33 @@ object BinlogBinary {
               case t => throw new IllegalArgumentException(s"unsupported column type $t")
             }
             tables(tid) = TableDef(db, tbl, types, meta)
-          case WRITE_V2 | UPDATE_V2 | DELETE_V2 =>
+          case WRITE_V1 | UPDATE_V1 | DELETE_V1 |
+              WRITE_V2 | UPDATE_V2 | DELETE_V2 =>
             val tid = c.u48(); c.u16()
-            val extraLen = c.u16(); if (extraLen > 2) c.bytes(extraLen - 2)
+            // v1 (5.1-era, types 23-25) has NO variable extra-data
+            // field after the flags; v2 prefixes one with its length
+            if (etype >= WRITE_V2) {
+              val extraLen = c.u16(); if (extraLen > 2) c.bytes(extraLen - 2)
+            }
             val td = tables.getOrElse(tid,
               throw new IllegalArgumentException(s"rows event for unmapped table $tid"))
             val nCols = c.lenenc().toInt
+            val isUpdate = etype == UPDATE_V1 || etype == UPDATE_V2
             val (op, inc1, inc2) = etype match {
-              case WRITE_V2 => ("insert", bitmap(c, nCols), null)
-              case DELETE_V2 => ("delete", bitmap(c, nCols), null)
+              case WRITE_V1 | WRITE_V2 => ("insert", bitmap(c, nCols), null)
+              case DELETE_V1 | DELETE_V2 => ("delete", bitmap(c, nCols), null)
               case _ => ("update", bitmap(c, nCols), bitmap(c, nCols))
             }
             while (c.off < bodyEnd) {
               val (o1, v1) = image(td, inc1, c)
               val (o2, v2) =
-                if (etype == UPDATE_V2) image(td, inc2, c)
+                if (isUpdate) image(td, inc2, c)
                 else (Array.emptyIntArray, Array.empty[String])
               val (bo, bv, ao, av) = etype match {
-                case WRITE_V2 => (Array.emptyIntArray, Array.empty[String], o1, v1)
-                case DELETE_V2 => (o1, v1, Array.emptyIntArray, Array.empty[String])
+                case WRITE_V1 | WRITE_V2 =>
+                  (Array.emptyIntArray, Array.empty[String], o1, v1)
+                case DELETE_V1 | DELETE_V2 =>
+                  (o1, v1, Array.emptyIntArray, Array.empty[String])
                 case _ => (o1, v1, o2, v2)
               }
               out += RawChange(file, seq, startPos, logPos, startPosRaw,

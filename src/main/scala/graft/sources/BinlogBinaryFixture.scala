@@ -166,7 +166,19 @@ object BinlogBinaryFixture {
   }
 
   /** Write events to `path` (binary) and return (bytes, text twin). */
-  def render(events: Seq[Ev], baseEpoch: Long = 1786856400L): (Array[Byte], String) = {
+  /** `rowsV1 = true` emits the classic t_pk row events in the 5.1-era
+    * v1 framing (types 23-25: no post-flags extra-data field) — the
+    * pre-5.6 logs a long-lived deployment still replays. Text twins
+    * are unchanged (mysqlbinlog prints the same section shapes). */
+  def render(events: Seq[Ev], baseEpoch: Long = 1786856400L,
+      rowsV1: Boolean = false): (Array[Byte], String) = {
+    require(!rowsV1 || !events.exists {
+      case _: TypedInsert | _: TypedUpdate | _: TypedDelete => true
+      case _ => false
+    }, "typed rows model 5.6.4+ column formats — no v1 framing for them")
+    val (wType, uType, dType) =
+      if (rowsV1) (WRITE_V1_TYPE, UPDATE_V1_TYPE, DELETE_V1_TYPE)
+      else (WRITE_V2_TYPE, UPDATE_V2_TYPE, DELETE_V2_TYPE)
     val out = new Buf
     out ++= Array(0xFE.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
     val text = new StringBuilder
@@ -286,7 +298,8 @@ object BinlogBinaryFixture {
           seal(start)
         case InsertWide(id, name, score, extra) =>
           val p = new Buf
-          p.u48(TableId); p.u16(1); p.u16(2)
+          p.u48(TableId); p.u16(1)
+          if (!rowsV1) p.u16(2) // v2-only extra-data length
           p.u8(4); p.u8(0x0F) // col count 4; all included
           var bm = 0
           if (score.isEmpty) bm |= 4
@@ -297,7 +310,7 @@ object BinlogBinaryFixture {
           score.foreach(p.f64)
           extra.foreach(e => p.u32(e.toLong))
           val start = out.b.length
-          val (at, logPos) = header(WRITE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(wType, p.b.length)
           out ++= p.toArray; seal(start)
           val lits = Seq(id.toString, "'" + name + "'",
             score.map(d => if (d == d.toLong.toDouble) d.toLong.toString
@@ -314,7 +327,7 @@ object BinlogBinaryFixture {
           p.u8(7); p.u8(0x7F) // col count; included bitmap (all 7)
           typedImage(p, row)
           val start = out.b.length
-          val (at, logPos) = header(WRITE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(wType, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tWrite_rows: table id $TypedTableId flags: STMT_END_F\n"
@@ -326,7 +339,7 @@ object BinlogBinaryFixture {
           p.u8(7); p.u8(0x7F)
           typedImage(p, row)
           val start = out.b.length
-          val (at, logPos) = header(DELETE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(dType, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tDelete_rows: table id $TypedTableId flags: STMT_END_F\n"
@@ -338,7 +351,7 @@ object BinlogBinaryFixture {
           p.u8(7); p.u8(0x7F); p.u8(0x7F)
           typedImage(p, before); typedImage(p, after)
           val start = out.b.length
-          val (at, logPos) = header(UPDATE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(uType, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tUpdate_rows: table id $TypedTableId flags: STMT_END_F\n"
@@ -347,11 +360,12 @@ object BinlogBinaryFixture {
           text ++= typedImageText(after) + "\n"
         case Insert(id, name, score) =>
           val p = new Buf
-          p.u48(TableId); p.u16(1); p.u16(2)
+          p.u48(TableId); p.u16(1)
+          if (!rowsV1) p.u16(2) // v2-only extra-data length
           p.u8(3); p.u8(0x07) // col count; included bitmap (all 3)
           image(p, (id, name, score))
           val start = out.b.length
-          val (at, logPos) = header(WRITE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(wType, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tWrite_rows: table id $TableId flags: STMT_END_F\n"
@@ -359,11 +373,12 @@ object BinlogBinaryFixture {
           text ++= imageText((id, name, score)) + "\n"
         case Delete(id, name, score) =>
           val p = new Buf
-          p.u48(TableId); p.u16(1); p.u16(2)
+          p.u48(TableId); p.u16(1)
+          if (!rowsV1) p.u16(2) // v2-only extra-data length
           p.u8(3); p.u8(0x07)
           image(p, (id, name, score))
           val start = out.b.length
-          val (at, logPos) = header(DELETE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(dType, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tDelete_rows: table id $TableId flags: STMT_END_F\n"
@@ -371,11 +386,12 @@ object BinlogBinaryFixture {
           text ++= imageText((id, name, score)) + "\n"
         case Update(before, after) =>
           val p = new Buf
-          p.u48(TableId); p.u16(1); p.u16(2)
+          p.u48(TableId); p.u16(1)
+          if (!rowsV1) p.u16(2) // v2-only extra-data length
           p.u8(3); p.u8(0x07); p.u8(0x07) // before + after bitmaps
           image(p, before); image(p, after)
           val start = out.b.length
-          val (at, logPos) = header(UPDATE_V2_TYPE, p.b.length)
+          val (at, logPos) = header(uType, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tUpdate_rows: table id $TableId flags: STMT_END_F\n"
@@ -476,6 +492,9 @@ object BinlogBinaryFixture {
   private val PREVIOUS_GTIDS_TYPE = 35
   private val TABLE_MAP_TYPE = 19
   private val QUERY_TYPE = 2
+  private val WRITE_V1_TYPE = 23
+  private val UPDATE_V1_TYPE = 24
+  private val DELETE_V1_TYPE = 25
   private val WRITE_V2_TYPE = 30
   private val UPDATE_V2_TYPE = 31
   private val DELETE_V2_TYPE = 32

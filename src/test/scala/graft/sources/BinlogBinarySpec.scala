@@ -85,6 +85,27 @@ class BinlogBinarySpec extends AnyFunSuite {
     assert(nulls.afterVals.toSeq == Seq("3", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL"))
   }
 
+  test("v1 rows events (5.1-era framing): decode equals the text FSM and the v2 stream") {
+    import BinlogBinaryFixture._
+    val evs = Seq(
+      Insert(7, "name_7", None),
+      Update((7, "name_7", None), (7, "renamed_7", Some(3.5))),
+      Insert(8, "with=eq", Some(1.5)),
+      Delete(7, "renamed_7", Some(3.5)))
+    val (b1, t1) = render(evs, rowsV1 = true)
+    val fromBin = BinlogBinary.parseBytes("f", b1)
+    val fromText = graft.cdc.BinlogFsm.parse("f", t1.linesIterator).toSeq
+    assert(fromBin.size == 4 && fromText.size == 4)
+    def values(r: graft.cdc.RawChange) =
+      (r.op, r.beforeVals.toSeq, r.afterVals.toSeq)
+    for ((bb, tt) <- fromBin.zip(fromText))
+      assert(values(bb) == values(tt), s"v1 binary $bb != text $tt")
+    // same logical stream under v2 framing: identical images/ops
+    // (positions differ — v2 events carry the 2-byte extra field)
+    val fromV2 = BinlogBinary.parseBytes("f", render(evs)._1)
+    assert(fromBin.map(values) == fromV2.map(values))
+  }
+
   test("schema evolution: mid-stream TABLE_MAP widens the table; later events decode 4 columns") {
     import BinlogBinaryFixture._
     val evs = Seq(
