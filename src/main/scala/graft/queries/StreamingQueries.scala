@@ -8,7 +8,7 @@ import graft.QueryDef.SmallOrdered
 import graft.streaming.{DocRow, EventRow, KeyedRow, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Driver-visible entries for the streaming surface.
   *
@@ -311,6 +311,23 @@ object StreamingQueries {
       runScenario(s, "append", batches :+ sentinel)(df =>
         StreamingOps.dynamicSessions(df.as[EventRow]).toDF())
         .orderedRows(col("user_id"), col("start_ms")) // sessions scale
+    },
+
+    // s19: COMPLETE-mode streaming top-k — the live-dashboard shape
+    // (leaderboard over an unbounded stream) and the one OutputMode
+    // the surface didn't yet exercise: the sink holds the FULL
+    // re-ranked answer after every trigger, not a delta — which is
+    // exactly why it composes with streaming sort+limit (forbidden in
+    // append, where a global order can never close). State = the
+    // per-user aggregate, NOT the stream; the final snapshot after
+    // the last batch must equal the batch SQL over everything.
+    QueryDef("s19_complete_topk",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+        |GROUP BY 1 ORDER BY c DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      runScenario(s, "complete", eventFeedAll(s, d, 6))(df =>
+        df.groupBy("user_id").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("user_id")).limit(10))
+        .orderedSmall(col("c").desc, col("user_id")) // k rows: bounded
     },
 
     // s7 over the REAL corpus: the streaming preprocessing pipeline
