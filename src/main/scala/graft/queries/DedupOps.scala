@@ -769,6 +769,44 @@ object DedupOps {
       clusterPairs(minhashPairs(Tables.documents(s, d)).select("ia", "ib"))
     },
 
+    // d10: DUPLICATE-MULTIPLICITY distribution — the dedup TELEMETRY
+    // a corpus report leads with ("what fraction of the corpus is
+    // duplicated, and at what multiplicities?"): cluster the near-dup
+    // pairs (d4's machinery) and histogram the CLUSTER SIZES, with
+    // singletons (unclustered docs) as the size-1 bin so the doc mass
+    // sums back to the corpus. The histogram runs on cluster-count
+    // rows (pairs-sized, tiny next to the corpus) after one
+    // label-keyed aggregate; the corpus contributes only its total.
+    QueryDef("d10_cluster_sizes",
+      ComponentsCte +
+        """,
+          |comp AS (SELECT u, MIN(m) AS m FROM walk GROUP BY u),
+          |sizes AS (SELECT m, COUNT(*) AS sz FROM comp GROUP BY m),
+          |hist AS (
+          |  SELECT sz, COUNT(*) AS n_clusters FROM sizes GROUP BY sz
+          |  UNION ALL
+          |  SELECT 1, (SELECT COUNT(*) FROM documents)
+          |             - (SELECT COUNT(*) FROM comp))
+          |SELECT CAST(sz AS BIGINT) AS sz,
+          |       CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+          |       CAST(sz * SUM(n_clusters) AS BIGINT) AS n_docs
+          |FROM hist GROUP BY sz ORDER BY sz""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = clusterPairs(minhashPairs(docs).select("ia", "ib"))
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val nDocs = docs.count()
+      val nClustered = clusters.count()
+      val spark = s
+      import spark.implicits._
+      sizes
+        .unionAll(Seq((1L, nDocs - nClustered)).toDF("sz", "n_clusters"))
+        .groupBy("sz").agg(sum("n_clusters").as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .orderedSmall(col("sz")) // distinct multiplicities: bounded
+    },
+
     // The dedup pipeline's END PRODUCT: the surviving corpus after
     // near-dup collapse — every unclustered doc plus one
     // representative (min doc_id) per cluster. pairs → components →

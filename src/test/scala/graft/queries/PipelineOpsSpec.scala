@@ -862,6 +862,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("d10 cluster sizes: doc mass conserved; singletons fill the size-1 bin") {
+    val rows = DedupOps.defs.find(_.name == "d10_cluster_sizes").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (sz, n, docs) => docs == sz * n })
+    assert(rows.map(_._3).sum == graft.Tables.documents(spark, sf).count())
+    // clusters come from pairs → every non-singleton bin has size ≥ 2,
+    // and the corpus's planted near-dups guarantee at least one
+    assert(rows.exists { case (sz, n, _) => sz >= 2 && n > 0 })
+  }
+
   test("late-r9 plan shapes: q29 melts in one Expand over one scan; q30 one exchange; q31 one window") {
     import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
