@@ -62,6 +62,19 @@ object SourceOps {
     JsonlPath
   }
 
+  private val GzJsonlPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_jsonl_gz"
+
+  private def ensureGzJsonl(s: SparkSession, d: String): String = {
+    writeIfStale(GzJsonlPath, d) {
+      eventsSlice(s, d).coalesce(2)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(GzJsonlPath)
+    }
+    GzJsonlPath
+  }
+
   private def ensureCsv(s: SparkSession, d: String): String = {
     writeIfStale(CsvPath, d) {
       eventsSlice(s, d).coalesce(2)
@@ -137,6 +150,31 @@ object SourceOps {
          |                value: 'DOUBLE', props: 'VARCHAR'})
          |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val path = ensureJsonl(s, d)
+      s.read.schema(sliceSchema).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
+          sum(length(col("props"))).as("props_chars"))
+        .orderedSmall(col("event_type"))
+    },
+
+    // i5: COMPRESSED text ingestion — gzip JSONL, the way text
+    // corpora actually ship (a 100 TB crawl is never stored raw).
+    // gzip is NOT splittable: each .json.gz file is one task on every
+    // engine, so the writer's file count IS the read parallelism — the
+    // operational knob this entry pins (production rotates many
+    // ~100 MB-compressed files for exactly this reason). Reading is
+    // transparent on both engines; the oracle certifies the
+    // compressed bytes themselves are cross-engine readable with
+    // identical content, props escaping included.
+    QueryDef("i5_jsonl_gzip",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         |       ROUND(SUM(value), 2) AS sv,
+         |       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars
+         |FROM read_json('$GzJsonlPath/*.json.gz', format='newline_delimited',
+         |       columns={event_id: 'BIGINT', event_type: 'VARCHAR',
+         |                value: 'DOUBLE', props: 'VARCHAR'})
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureGzJsonl(s, d)
       s.read.schema(sliceSchema).json(path)
         .groupBy("event_type")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
