@@ -450,6 +450,37 @@ object StreamingQueries {
       runScenario(s, "append", eventFeed(s, d, 6))(
         StreamingOps.viewPurchaseJoin(_, joinType = "left_outer"))
         .orderedRows(col("view_id"), col("purchase_id"))
+    },
+
+    // s20: stream-stream FULL OUTER join — the remaining join mode:
+    // BOTH sides' unmatched rows emit exactly once, each when the
+    // join watermark proves its own match window closed. A view's
+    // null-row emits once no purchase can follow (s13's predicate:
+    // vts + 30 min below the watermark); a purchase's null-row emits
+    // once no view can still precede it (every matching view has
+    // vts < pts, and new arrivals sit above the watermark — so pts
+    // below the watermark closes it). Open rows on either side stay
+    // withheld at end-of-stream; random microseconds keep the
+    // boundary off every row, as in s13.
+    QueryDef("s20_stream_full_outer",
+      """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST((SELECT MAX(vts) FROM v), (SELECT MAX(pts) FROM p))
+        |              - INTERVAL 10 MINUTE AS w),
+        |j AS (SELECT COALESCE(user_id, p_user) AS user_id, view_id,
+        |             purchase_id, vts, pts
+        |      FROM v FULL JOIN p ON user_id = p_user
+        |        AND pts > vts AND pts <= vts + INTERVAL 30 MINUTE)
+        |SELECT user_id, view_id, purchase_id, vts, pts FROM j
+        |WHERE (view_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |   OR (purchase_id IS NULL AND vts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+        |   OR (view_id IS NULL AND pts < (SELECT w FROM wm))
+        |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
+      runScenario(s, "append", eventFeed(s, d, 6))(
+        StreamingOps.viewPurchaseJoin(_, joinType = "full_outer"))
+        .orderedRows(col("view_id"), col("purchase_id")) // Spark asc = NULLS FIRST
     }
   )
 }

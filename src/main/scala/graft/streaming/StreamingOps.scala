@@ -123,8 +123,10 @@ object StreamingOps {
     views.join(purchases,
       expr("""v_user = p_user AND
               pts > vts AND pts <= vts + INTERVAL 30 MINUTES"""), joinType)
-      .select(col("v_user").as("user_id"), col("view_id"),
-        col("purchase_id"), col("vts"), col("pts"))
+      // coalesce: under full_outer an unmatched purchase has no
+      // v_user; inner/left_outer rows always carry it (no-op there)
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("view_id"), col("purchase_id"), col("vts"), col("pts"))
   }
 
   /** S6: per-user running event counter via mapGroupsWithState — the
