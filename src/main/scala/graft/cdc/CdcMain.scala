@@ -79,6 +79,10 @@ object CdcMain {
       |  --include-ddl                       emit DDL statements too
       |  --bug-compatible                    byte-parity with the reference
       |  -o, --output PATH                   write SQL to a file
+      |  --output-parquet DIR                materialize the filtered change
+      |                                      EVENTS as parquet (the CDC event
+      |                                      lake); SQL still renders to
+      |                                      -o/stdout only if -o was given
       |  --help                              this message
       |""".stripMargin
 
@@ -89,7 +93,7 @@ object CdcMain {
       jdbcPassword: Option[String] = None)
 
   def parseArgs(rawArgs: Array[String]): (String, CatalogSource,
-      CdcConfig, Option[String]) = {
+      CdcConfig, Option[String], Option[String]) = {
     // argparse-compatible token forms so the reference README's exact
     // invocations parse unchanged (main.py:41-53): `--flag=value`
     // splits, and attached short options (`-uroot`, `-h127.0.0.1`)
@@ -104,6 +108,7 @@ object CdcMain {
     var binlog: String = null
     var catalog = CatalogSource()
     var out: Option[String] = None
+    var outParquet: Option[String] = None
     var cfg = CdcConfig()
     // reference connection flags (-h -u -p -P, main.py:46-53): kept to
     // build the --catalog-jdbc URL so log2sql invocations are drop-in
@@ -182,6 +187,7 @@ object CdcMain {
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
         case f @ ("-o" | "--output") => out = Some(operand(f))
+        case f @ "--output-parquet" => outParquet = Some(operand(f))
         case "--help" => throw new HelpRequested
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -202,7 +208,18 @@ object CdcMain {
           s"${port.getOrElse("3306")}/information_schema"),
         jdbcUser = Some(user.getOrElse("root")),
         jdbcPassword = Some(password.getOrElse("")))
-    (binlog, catalog, cfg, out)
+    (binlog, catalog, cfg, out, outParquet)
+  }
+
+  /** `--output-parquet` sink body: the filtered change EVENTS as
+    * parquet (the lakehouse batch form of c11's streaming sink). */
+  private[graft] def writeEventLake(spark: SparkSession, binlog: String,
+      binary: Boolean, cfg: CdcConfig, dir: String): Unit = {
+    val ev = if (binary)
+      graft.sources.BinlogBinary.parse(spark, binlog, cfg.includeDdl)
+    else CdcJob.parse(spark, binlog, cfg.includeDdl)
+    CdcJob.applyFilters(ev, cfg)
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** `--format auto`: does the first file under `path` open with the
@@ -231,7 +248,7 @@ object CdcMain {
   def main(args: Array[String]): Unit = {
     // like the reference: empty args or --help → usage, exit 1
     // (main.py:18-23)
-    val (binlog, catalogSrc, cfg, out) =
+    val (binlog, catalogSrc, cfg, out, outParquet) =
       try {
         if (args.isEmpty) throw new HelpRequested
         parseArgs(args)
@@ -259,6 +276,12 @@ object CdcMain {
       case "text" => false
       case _ => sniffBinary(spark, binlog)
     }
+    // --output-parquet: the event-lake sink — filtered change EVENTS
+    // (not rendered SQL) land as parquet, the lakehouse batch form of
+    // c11's streaming sink; rendering is skipped entirely unless -o
+    // also asked for SQL
+    outParquet.foreach(writeEventLake(spark, binlog, binary, cfg, _))
+    if (outParquet.nonEmpty && out.isEmpty) { spark.stop(); return }
     val sql = (if (binary)
         graft.sources.BinlogBinary.run(spark, binlog, catalog, cfg)
       else CdcJob.run(spark, binlog, catalog, cfg))

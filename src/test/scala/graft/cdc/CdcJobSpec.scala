@@ -160,7 +160,7 @@ class CdcJobSpec extends AnyFunSuite {
   }
 
   test("CdcMain CLI parses the reference's flag surface") {
-    val (binlog, cat, cfg, out) = CdcMain.parseArgs(Array(
+    val (binlog, cat, cfg, out, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-d", "testdb", "-t", "t_pk,t_uniq",
       "--start-position", "100", "--stop-position", "900",
       "--start-datetime", "2026-08-12 05:00:00",
@@ -174,13 +174,13 @@ class CdcJobSpec extends AnyFunSuite {
       startPos = Some(100L), stopPos = Some(900L),
       startDatetime = Some("2026-08-12 05:00:00"),
       flashback = true, bugCompatible = true, backInterval = 0.5))
-    val (_, _, cfgK, _) = CdcMain.parseArgs(Array(
+    val (_, _, cfgK, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-K"))
     assert(cfgK == CdcConfig(noPk = true))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
     // reference-name alias and always-true quirk flag
-    val (b2, _, cfg2, _) = CdcMain.parseArgs(Array(
+    val (b2, _, cfg2, _, _) = CdcMain.parseArgs(Array(
       "--start-file", "/x/c.txt", "--only-dml"))
     assert(b2 == "/x/c.txt" && cfg2 == CdcConfig())
     intercept[CdcMain.HelpRequested](CdcMain.parseArgs(Array("--help")))
@@ -189,12 +189,29 @@ class CdcJobSpec extends AnyFunSuite {
       "--binlog", "/x/b.txt", "-B", "-K")))
   }
 
+  test("--output-parquet: the CLI's event-lake sink equals the batch parse under filters") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_lake").toString
+    val src = BinlogFixture.materializeDir("dml_10k", 4, 2500)
+    val (_, _, cfg, _, outPq) = CdcMain.parseArgs(Array(
+      "--binlog", src, "--sql-type", "insert", "--output-parquet", dir))
+    assert(outPq.contains(dir) && cfg.sqlTypes == Seq("insert"))
+    CdcMain.writeEventLake(spark, src, binary = false, cfg, dir)
+    val lake = spark.read.parquet(dir)
+    val want = CdcJob.applyFilters(CdcJob.parse(spark, src), cfg)
+    assert(lake.count() == want.count() && lake.count() > 0)
+    assert(lake.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("insert"))
+    // row-level equality on the scalar columns
+    assert(lake.select("file", "seq", "db", "table", "op").except(
+      want.select("file", "seq", "db", "table", "op")).isEmpty)
+  }
+
   test("CdcMain accepts the reference README invocation verbatim") {
     // README: python3 main.py --start-position=4 --stop-position=1024
     //   --start-file mysql-bin.000057 -h 127.0.0.1 --port 3306 -uroot -p
     //   --database='log_test' -t 'a' 'd'
     // (shell strips the quotes; -h/-u/-p/-P build the live-catalog URL)
-    val (binlog, cat, cfg, _) = CdcMain.parseArgs(Array(
+    val (binlog, cat, cfg, _, _) = CdcMain.parseArgs(Array(
       "--start-position=4", "--stop-position=1024",
       "--start-file", "mysql-bin.000057",
       "-h", "127.0.0.1", "--port", "3306", "-uroot", "-p",
@@ -206,7 +223,7 @@ class CdcJobSpec extends AnyFunSuite {
     assert(cfg == CdcConfig(database = "log_test", tables = Seq("a", "d"),
       startPos = Some(4L), stopPos = Some(1024L)))
     // an explicit catalog wins over connection flags
-    val (_, cat2, _, _) = CdcMain.parseArgs(Array(
+    val (_, cat2, _, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-h", "db.internal",
       "--catalog-jdbc", "jdbc:mysql://other:3306/information_schema"))
     assert(cat2.jdbcUrl.contains("jdbc:mysql://other:3306/information_schema"))
