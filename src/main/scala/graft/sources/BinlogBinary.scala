@@ -25,15 +25,21 @@ import scala.collection.mutable
   *   WRITE/UPDATE/DELETE_ROWS v2 (30/31/32) carry bitmapped row
   *   images; QUERY (2) carries DDL with its schema context.
   *
-  * Column-type subset (extensible by one case per type code): the
-  * integer family TINY(1)/SHORT(2)/INT24(9)/LONG(3)/LONGLONG(8), all
-  * signed; FLOAT(4) f32 / DOUBLE(5) f64; VARCHAR/VARSTRING(15)
-  * length-prefixed; the temporal family DATE(10), YEAR(13), and the
-  * 5.6.4+ packed forms TIMESTAMP2(17)/DATETIME2(18) with fractional
-  * seconds per the TABLE_MAP's fsp metadata; NEWDECIMAL(246) packed
-  * base-10^9 decimals (precision/scale from metadata). Values render
-  * as `mysqlbinlog -vv` literals (ints/epochs/years/decimals bare,
-  * strings and datetimes quoted, `NULL` bare, floats/doubles
+  * Column types: the integer family TINY(1)/SHORT(2)/INT24(9)/
+  * LONG(3)/LONGLONG(8), all signed; FLOAT(4) f32 / DOUBLE(5) f64; the
+  * full string family — VARCHAR(15)/VAR_STRING(253) and CHAR (on-wire
+  * STRING 254, incl. the >255-byte split-metadata form) length-
+  * prefixed, BLOB/TEXT(252) in all four prefix widths — plus
+  * ENUM(247)/SET(248) (real types carried in STRING metadata),
+  * BIT(16); the temporal family DATE(10), YEAR(13), and the 5.6.4+
+  * packed forms TIMESTAMP2(17)/DATETIME2(18)/TIME2(19) with
+  * fractional seconds per the TABLE_MAP's fsp metadata (odd fsp
+  * stores a spare trailing digit that is divided back out);
+  * NEWDECIMAL(246) packed base-10^9 decimals; JSON(245) binary
+  * documents decoded to text by [[JsonBinary]]. Values render as
+  * `mysqlbinlog -vv` literals (ints/epochs/years/decimals/ENUM
+  * indexes bare, BIT/SET as `b'…'`, strings `my_b_write_quoted`-
+  * escaped, datetimes/times quoted, `NULL` bare, floats/doubles
   * shortest-decimal, DATE with mysqlbinlog's colon-separated
   * `'YYYY:MM:DD'` quirk — log_event.cc's log_event_print_value) so
   * images are byte-identical to the text path's verbatim capture.
@@ -100,12 +106,78 @@ object BinlogBinary {
     def str(n: Int): String = new String(bytes(n), "UTF-8")
   }
 
-  /** Fractional-second tail of a packed temporal value: fsp digits in
-    * ⌈fsp/2⌉ big-endian bytes, rendered `.d…d` zero-padded to fsp
-    * (empty at fsp 0). */
+  /** Fractional-second tail of a packed temporal value: the server
+    * stores 2·⌈fsp/2⌉ digits in ⌈fsp/2⌉ big-endian bytes, so an ODD
+    * fsp carries one spare trailing digit (always 0 — values are
+    * truncated to fsp digits before storage) that mysqlbinlog divides
+    * back out before printing exactly fsp digits (my_datetime_to_str's
+    * `sec_part / log_10_int[6 - dec]` scaling). Rendered `.d…d`
+    * zero-padded to fsp; empty at fsp 0. */
   private def fracStr(cur: Cursor, fsp: Int): String =
     if (fsp == 0) ""
-    else ("." + ("%0" + fsp + "d").format(cur.beN((fsp + 1) / 2)))
+    else {
+      val stored = cur.beN((fsp + 1) / 2)
+      val v = if (fsp % 2 == 1) stored / 10 else stored
+      "." + ("%0" + fsp + "d").format(v)
+    }
+
+  /** mysqlbinlog's `my_b_write_quoted` (log_event.cc): every string
+    * family (CHAR/VARCHAR/VAR_STRING/BLOB/TEXT) prints single-quoted
+    * with bytes > 0x1F passed through raw — multi-byte UTF-8 sequences
+    * survive byte-for-byte — and control bytes, the quote, and the
+    * backslash as `\xNN`. Escaping control bytes is also what keeps
+    * every literal on ONE text line for the line-oriented FSM path. */
+  private def quoted(bs: Array[Byte]): String = {
+    val out = new java.io.ByteArrayOutputStream(bs.length + 2)
+    out.write('\'')
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xFF
+      if (b > 0x1F && b != '\'' && b != '\\') out.write(b)
+      else { out.write('\\'); out.write('x')
+        out.write(Character.forDigit(b >> 4, 16))
+        out.write(Character.forDigit(b & 0xF, 16)) }
+      i += 1
+    }
+    out.write('\'')
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** mysqlbinlog's `my_b_write_bit`: BIT and SET values print as
+    * `b'…'` — `nbits` bits of the storage bytes in byte order, MSB
+    * first, skipping the leading pad bits of a partial first byte. */
+  private def bitLiteral(bs: Array[Byte], nbits: Int): String = {
+    val sb = new StringBuilder(nbits + 3)
+    sb.append("b'")
+    val nbits8 = bs.length * 8
+    var bit = nbits8 - nbits
+    while (bit < nbits8) {
+      sb.append(if (((bs(bit / 8) >> (7 - bit % 8)) & 1) != 0) '1' else '0')
+      bit += 1
+    }
+    sb.append('\'').result()
+  }
+
+  /** TIME2 (5.6.4+ packed TIME): the (3 + ⌈fsp/2⌉) big-endian bytes
+    * are one sign-offset integer `2^(bits−1) + V` where
+    * `V = ±(hms·2^(8·fb) + frac-units)`, hms packing hour:10 | min:6 |
+    * sec:6. This single-integer view is algebraically identical to
+    * MySQL's two-field decode with its negative-fraction borrow
+    * (my_time_packed_from_binary's `intpart++; frac -= 0x100`).
+    * Odd fsp stores one spare trailing digit like DATETIME2. Rendered
+    * as mysqlbinlog does: `'[-]HH:MM:SS[.ffff]'` (hour up to 838,
+    * two-digit minimum). */
+  private def time2(cur: Cursor, fsp: Int): String = {
+    val fb = (fsp + 1) / 2
+    val v = cur.beN(3 + fb) - (1L << (8 * (3 + fb) - 1))
+    val sign = if (v < 0) "-" else ""
+    val a = math.abs(v)
+    val fu0 = if (fb == 0) 0L else a & ((1L << (8 * fb)) - 1)
+    val hms = a >> (8 * fb)
+    val fu = if (fsp % 2 == 1) fu0 / 10 else fu0
+    val frac = if (fsp == 0) "" else "." + ("%0" + fsp + "d").format(fu)
+    f"'$sign%s${(hms >> 12) & 0x3FF}%02d:${(hms >> 6) & 0x3F}%02d:${hms & 0x3F}%02d$frac%s'"
+  }
 
   /** Bytes occupied by n ≤ 9 leading/trailing decimal digits of a
     * NEWDECIMAL group (the protocol's dig2bytes table). */
@@ -251,9 +323,39 @@ object BinlogBinary {
               // fractional ones shortest-decimal
               val d = cur.f64()
               if (d == d.toLong.toDouble) d.toLong.toString else d.toString
-            case 15 =>
+            case 15 | 253 | 254 =>
+              // VARCHAR / VAR_STRING / CHAR: the length prefix is one
+              // byte iff the declared max BYTE length fits one (CHAR's
+              // real type + >255 length split was normalized into
+              // types/meta at TABLE_MAP decode)
               val n = if (td.meta(ci) < 256) cur.u8() else cur.u16()
-              "'" + cur.str(n) + "'"
+              quoted(cur.bytes(n))
+            case 247 => // ENUM: mysqlbinlog prints the bare index
+              (if (td.meta(ci) == 1) cur.u8() else cur.u16()).toString
+            case 248 => // SET: pack-length-byte bitmap printed b'…'
+              bitLiteral(cur.bytes(td.meta(ci)), td.meta(ci) * 8)
+            case 252 =>
+              // BLOB/TEXT family: meta = length-prefix width (TINY 1,
+              // regular 2, MEDIUM 3, LONG 4), then the raw bytes
+              val n = (td.meta(ci) match {
+                case 1 => cur.u8().toLong
+                case 2 => cur.u16().toLong
+                case 3 => (cur.u8() | (cur.u8() << 8) | (cur.u8() << 16)).toLong
+                case _ => cur.u32()
+              }).toInt
+              quoted(cur.bytes(n))
+            case 16 => // BIT: meta = bit_len | bytes_in_rec<<8, BE bytes
+              val nbits = (td.meta(ci) >> 8) * 8 + (td.meta(ci) & 0xFF)
+              bitLiteral(cur.bytes((nbits + 7) / 8), nbits)
+            case 19 => time2(cur, td.meta(ci)) // TIME2, meta = fsp
+            case 245 =>
+              // JSON: meta-byte-wide LE length + binary JSON document,
+              // decoded to its text form (MySQL 8.0 mysqlbinlog parses
+              // and prints the document; 5.7 dumped raw bytes) and
+              // quoted like the other string families so embedded
+              // quotes/control bytes stay escaped and single-line
+              val n = (0 until td.meta(ci)).map(i => cur.u8().toLong << (8 * i)).sum.toInt
+              quoted(JsonBinary.toText(cur.bytes(n)).getBytes("UTF-8"))
             case 4 =>
               // FLOAT: decode at FLOAT precision (shortest-decimal of
               // the f32, not of its f64 widening), integral bare
@@ -314,14 +416,33 @@ object BinlogBinary {
             val nCols = c.lenenc().toInt
             val types = Array.fill(nCols)(c.u8())
             c.lenenc() // metadata block length
-            val meta = types.map {
-              case 1 | 2 | 3 | 8 | 9 => 0 // integer family: no metadata
-              case 10 | 13 => 0 // DATE / YEAR: no metadata
-              case 4 | 5 => c.u8() // size byte (4 / 8)
-              case 15 => c.u16() // max length
-              case 17 | 18 => c.u8() // fractional-second precision
-              case 246 => (c.u8() << 8) | c.u8() // precision, scale
-              case t => throw new IllegalArgumentException(s"unsupported column type $t")
+            val meta = new Array[Int](nCols)
+            var ci = 0
+            while (ci < nCols) {
+              meta(ci) = types(ci) match {
+                case 1 | 2 | 3 | 8 | 9 => 0 // integer family: no metadata
+                case 10 | 13 => 0 // DATE / YEAR: no metadata
+                case 4 | 5 => c.u8() // size byte (4 / 8)
+                case 15 | 253 => c.u16() // max byte length
+                case 17 | 18 | 19 => c.u8() // fractional-second precision
+                case 245 | 252 => c.u8() // JSON / BLOB: length-prefix width
+                case 16 => c.u8() | (c.u8() << 8) // BIT: bit_len, bytes_in_rec
+                case 254 =>
+                  // STRING carries its REAL type (CHAR 254 / ENUM 247 /
+                  // SET 248) in meta byte 0; a CHAR byte-length > 255
+                  // folds its high bits into byte 0 by XOR against the
+                  // type's 0x30 bits (Field_string::
+                  // do_save_field_metadata) — normalize both into
+                  // types/meta so `literal` dispatches on real types
+                  val m0 = c.u8(); val m1 = c.u8()
+                  if ((m0 & 0x30) != 0x30) {
+                    types(ci) = m0 | 0x30
+                    m1 | (((m0 & 0x30) ^ 0x30) << 4)
+                  } else { types(ci) = m0; m1 }
+                case 246 => (c.u8() << 8) | c.u8() // precision, scale
+                case t => throw new IllegalArgumentException(s"unsupported column type $t")
+              }
+              ci += 1
             }
             tables(tid) = TableDef(db, tbl, types, meta)
           case WRITE_V1 | UPDATE_V1 | DELETE_V1 |

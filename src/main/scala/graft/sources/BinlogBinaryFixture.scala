@@ -52,6 +52,40 @@ object BinlogBinaryFixture {
   final case class TypedUpdate(before: TypedRow, after: TypedRow) extends Ev
   final case class TypedDelete(row: TypedRow) extends Ev
 
+  /** JSON document AST shared by the binary encoder and the text twin
+    * (BinlogBinary decodes binary JSON back to this text). `large`
+    * forces the u32-field container variant a server emits for
+    * documents whose offsets outgrow u16. */
+  sealed trait J extends Serializable
+  final case class JObj(fields: Seq[(String, J)], large: Boolean = false) extends J
+  final case class JArr(items: Seq[J], large: Boolean = false) extends J
+  final case class JStr(s: String) extends J
+  final case class JInt(v: Long) extends J
+  final case class JDbl(v: Double) extends J
+  final case class JBool(v: Boolean) extends J
+  case object JNull extends J
+
+  /** One row of the wide-type matrix table `testdb.t_wide` — the
+    * string/BLOB/ENUM/SET/BIT/TIME2/JSON column families plus the
+    * odd-fsp temporal forms. None = SQL NULL. */
+  final case class WideRow(
+      id: Int,
+      ch: Option[String] = None, // CHAR(12) — ≤12 bytes
+      chBig: Option[String] = None, // CHAR, 300-byte column (split meta)
+      vs: Option[String] = None, // VAR_STRING, max 400 bytes
+      txt: Option[String] = None, // TEXT (BLOB, 2-byte prefix)
+      tiny: Option[String] = None, // TINYTEXT (BLOB, 1-byte prefix)
+      en: Option[Int] = None, // ENUM index (1-byte pack)
+      st: Option[Int] = None, // SET bitmap (2-byte pack → 16 bits)
+      bits: Option[Int] = None, // BIT(10)
+      tm0: Option[(Boolean, Int, Int, Int)] = None, // TIME: (neg, h, m, s)
+      tm3: Option[(Boolean, Int, Int, Int, Int)] = None, // TIME(3): + millis
+      dt1: Option[(java.time.LocalDateTime, Int)] = None, // DATETIME(1): + tenths
+      js: Option[J] = None) extends Serializable
+  final case class WideInsert(row: WideRow) extends Ev
+  final case class WideUpdate(before: WideRow, after: WideRow) extends Ev
+  final case class WideDelete(row: WideRow) extends Ev
+
   /** Mid-stream SCHEMA EVOLUTION: re-emit t_pk's TABLE_MAP with an
     * added 4th column (INT `extra`) — the shape a server produces
     * after ALTER TABLE, since every row event resolves against the
@@ -63,6 +97,7 @@ object BinlogBinaryFixture {
 
   private val TableId = 108L
   private val TypedTableId = 109L
+  private val WideTableId = 110L
 
   private def le(n: Long, bytes: Int): Array[Byte] =
     Array.tabulate(bytes)(i => ((n >>> (8 * i)) & 0xFF).toByte)
@@ -105,6 +140,197 @@ object BinlogBinaryFixture {
     if (neg) for (i <- out.indices) out(i) = (~out(i)).toByte
     out.toArray
   }
+
+  /** Binary-JSON encode of a [[J]] value → (type byte, payload) per
+    * the public format [[JsonBinary]] decodes. */
+  private def encJson(j: J): (Int, Array[Byte]) = j match {
+    case JNull => (0x04, Array[Byte](0))
+    case JBool(v) => (0x04, Array[Byte](if (v) 1 else 2))
+    case JInt(v) if v >= Short.MinValue && v <= Short.MaxValue => (0x05, le(v, 2))
+    case JInt(v) if v >= Int.MinValue && v <= Int.MaxValue => (0x07, le(v, 4))
+    case JInt(v) => (0x09, le(v, 8))
+    case JDbl(d) => (0x0B, le(java.lang.Double.doubleToLongBits(d), 8))
+    case JStr(s) =>
+      val bs = s.getBytes("UTF-8")
+      (0x0C, jsonVarlen(bs.length) ++ bs)
+    case JArr(items, large) =>
+      (if (large) 0x03 else 0x02, encJsonContainer(None, items, large))
+    case JObj(fields, large) =>
+      (if (large) 0x01 else 0x00,
+        encJsonContainer(Some(fields.map(_._1)), fields.map(_._2), large))
+  }
+
+  private def jsonVarlen(n0: Int): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    var n = n0
+    do {
+      val b = n & 0x7F; n >>>= 7
+      out += (if (n != 0) b | 0x80 else b).toByte
+    } while (n != 0)
+    out.toArray
+  }
+
+  /** [count][size][key entries][value entries][keys][values] with
+    * u16 (small) / u32 (large) fields; literals and 16-bit ints (and
+    * 32-bit in large) inline in the offset slot; offsets relative to
+    * the container's data start. */
+  private def encJsonContainer(keys: Option[Seq[String]], items: Seq[J],
+      large: Boolean): Array[Byte] = {
+    val w = if (large) 4 else 2
+    val n = items.length
+    val isObj = keys.isDefined
+    val keyBytes = keys.getOrElse(Nil).map(_.getBytes("UTF-8"))
+    val headerLen = 2 * w + (if (isObj) n * (w + 2) else 0) + n * (1 + w)
+    val keyOffs = keyBytes.scanLeft(headerLen)(_ + _.length)
+    val enc = items.map(encJson)
+    var off = keyOffs.last
+    val entries = enc.map { case (t, payload) =>
+      val inline = t match {
+        case 0x04 | 0x05 | 0x06 => true
+        case 0x07 | 0x08 => large
+        case _ => false
+      }
+      if (inline) (t, Left(payload))
+      else { val o = off; off += payload.length; (t, Right(o)) }
+    }
+    val out = new Buf
+    def fld(v: Int): Unit = out ++= le(v.toLong, w)
+    fld(n); fld(off) // count, total data size
+    if (isObj) keyBytes.indices.foreach { i =>
+      fld(keyOffs(i)); out.u16(keyBytes(i).length)
+    }
+    entries.foreach {
+      case (t, Left(payload)) =>
+        out.u8(t); out ++= payload
+        (payload.length until w).foreach(_ => out.u8(0)) // pad slot
+      case (t, Right(o)) => out.u8(t); fld(o)
+    }
+    keyBytes.foreach(out ++= _)
+    entries.zip(enc).foreach {
+      case ((_, Right(_)), (_, payload)) => out ++= payload
+      case _ => ()
+    }
+    out.toArray
+  }
+
+  /** MySQL Json_dom-style text of a [[J]] — what [[graft.sources
+    * .JsonBinary.toText]] produces for the encoded form. */
+  def jsonText(j: J): String = j match {
+    case JNull => "null"
+    case JBool(v) => if (v) "true" else "false"
+    case JInt(v) => v.toString
+    case JDbl(d) => d.toString
+    case JStr(s) => jsonEscape(s)
+    case JArr(items, _) => items.map(jsonText).mkString("[", ", ", "]")
+    case JObj(fields, _) => fields
+      .map { case (k, v) => jsonEscape(k) + ": " + jsonText(v) }
+      .mkString("{", ", ", "}")
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').result()
+  }
+
+  /** Text-twin form of my_b_write_quoted (see BinlogBinary.quoted). */
+  private def quotedText(bs: Array[Byte]): String = {
+    val out = new java.io.ByteArrayOutputStream(bs.length + 2)
+    out.write('\'')
+    bs.foreach { b0 =>
+      val b = b0 & 0xFF
+      if (b > 0x1F && b != '\'' && b != '\\') out.write(b)
+      else out.write(f"\\x$b%02x".getBytes("US-ASCII"))
+    }
+    out.write('\'')
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** Text-twin form of my_b_write_bit (see BinlogBinary.bitLiteral). */
+  private def bitText(bs: Array[Byte], nbits: Int): String = {
+    val nbits8 = bs.length * 8
+    "b'" + (nbits8 - nbits until nbits8)
+      .map(bit => if (((bs(bit / 8) >> (7 - bit % 8)) & 1) != 0) '1' else '0')
+      .mkString + "'"
+  }
+
+  /** One t_wide row image: 2-byte null bitmap over the 13 included
+    * columns, then each non-null column in its packed binlog
+    * encoding. TIME2 encodes via the sign-offset single-integer view
+    * (see BinlogBinary.time2); odd-fsp fractions store their spare
+    * trailing digit as 0. */
+  private def wideImage(buf: Buf, r: WideRow): Unit = {
+    val nulls = Seq(false, r.ch.isEmpty, r.chBig.isEmpty, r.vs.isEmpty,
+      r.txt.isEmpty, r.tiny.isEmpty, r.en.isEmpty, r.st.isEmpty,
+      r.bits.isEmpty, r.tm0.isEmpty, r.tm3.isEmpty, r.dt1.isEmpty,
+      r.js.isEmpty)
+    var bm = 0
+    nulls.zipWithIndex.foreach { case (isNull, i) => if (isNull) bm |= 1 << i }
+    buf.u8(bm & 0xFF); buf.u8((bm >> 8) & 0xFF)
+    buf.u32(r.id.toLong)
+    r.ch.foreach { s => val b = s.getBytes("UTF-8"); buf.u8(b.length); buf ++= b }
+    r.chBig.foreach { s => val b = s.getBytes("UTF-8"); buf.u16(b.length); buf ++= b }
+    r.vs.foreach { s => val b = s.getBytes("UTF-8"); buf.u16(b.length); buf ++= b }
+    r.txt.foreach { s => val b = s.getBytes("UTF-8"); buf.u16(b.length); buf ++= b }
+    r.tiny.foreach { s => val b = s.getBytes("UTF-8"); buf.u8(b.length); buf ++= b }
+    r.en.foreach(buf.u8)
+    r.st.foreach(buf.u16) // SET: LE integer of pack-length bytes
+    r.bits.foreach(v => buf ++= be(v.toLong, 2)) // BIT: BE storage
+    r.tm0.foreach { case (neg, h, m, s) =>
+      val hms = (h.toLong << 12) | (m << 6) | s
+      buf ++= be((if (neg) -hms else hms) + (1L << 23), 3)
+    }
+    r.tm3.foreach { case (neg, h, m, s, milli) =>
+      val hms = (h.toLong << 12) | (m << 6) | s
+      val mag = (hms << 16) + milli * 10L // frac stored in 1e-4 units
+      buf ++= be((if (neg) -mag else mag) + (1L << 39), 5)
+    }
+    r.dt1.foreach { case (t, tenths) =>
+      val packed = (1L << 39) |
+        ((t.getYear * 13L + t.getMonthValue) << 22) |
+        (t.getDayOfMonth.toLong << 17) | (t.getHour.toLong << 12) |
+        (t.getMinute.toLong << 6) | t.getSecond.toLong
+      buf ++= be(packed, 5); buf.u8(tenths * 10) // hundredths, spare digit 0
+    }
+    r.js.foreach { j =>
+      val (t, payload) = encJson(j)
+      buf.u32((1 + payload.length).toLong)
+      buf.u8(t); buf ++= payload
+    }
+  }
+
+  /** Text-twin literals for a t_wide row — byte-identical to the
+    * binary decoder's mysqlbinlog-style rendering. */
+  private def wideLit(r: WideRow): Seq[String] = Seq(
+    r.id.toString,
+    r.ch.map(s => quotedText(s.getBytes("UTF-8"))).getOrElse("NULL"),
+    r.chBig.map(s => quotedText(s.getBytes("UTF-8"))).getOrElse("NULL"),
+    r.vs.map(s => quotedText(s.getBytes("UTF-8"))).getOrElse("NULL"),
+    r.txt.map(s => quotedText(s.getBytes("UTF-8"))).getOrElse("NULL"),
+    r.tiny.map(s => quotedText(s.getBytes("UTF-8"))).getOrElse("NULL"),
+    r.en.map(_.toString).getOrElse("NULL"),
+    r.st.map(v => bitText(le(v.toLong, 2), 16)).getOrElse("NULL"),
+    r.bits.map(v => bitText(be(v.toLong, 2), 10)).getOrElse("NULL"),
+    r.tm0.map { case (neg, h, m, s) =>
+      f"'${if (neg) "-" else ""}%s$h%02d:$m%02d:$s%02d'" }.getOrElse("NULL"),
+    r.tm3.map { case (neg, h, m, s, milli) =>
+      f"'${if (neg) "-" else ""}%s$h%02d:$m%02d:$s%02d.$milli%03d'" }
+      .getOrElse("NULL"),
+    r.dt1.map { case (t, tenths) =>
+      f"'${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+        f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d.$tenths%d'" }
+      .getOrElse("NULL"),
+    r.js.map(j => quotedText(jsonText(j).getBytes("UTF-8"))).getOrElse("NULL"))
 
   /** One t_types row image: null bitmap over the 7 included columns,
     * then each non-null column in its packed binlog encoding
@@ -174,8 +400,9 @@ object BinlogBinaryFixture {
       rowsV1: Boolean = false): (Array[Byte], String) = {
     require(!rowsV1 || !events.exists {
       case _: TypedInsert | _: TypedUpdate | _: TypedDelete => true
+      case _: WideInsert | _: WideUpdate | _: WideDelete => true
       case _ => false
-    }, "typed rows model 5.6.4+ column formats — no v1 framing for them")
+    }, "typed/wide rows model 5.6.4+ column formats — no v1 framing for them")
     val (wType, uType, dType) =
       if (rowsV1) (WRITE_V1_TYPE, UPDATE_V1_TYPE, DELETE_V1_TYPE)
       else (WRITE_V2_TYPE, UPDATE_V2_TYPE, DELETE_V2_TYPE)
@@ -273,8 +500,45 @@ object BinlogBinaryFixture {
       seal(start)
     }
 
+    // TABLE_MAP for testdb.t_wide — the string/BLOB/ENUM/SET/BIT/
+    // TIME2/JSON matrix. On-wire types: CHAR/ENUM/SET all travel as
+    // STRING(254) with the real type in metadata byte 0; the 300-byte
+    // CHAR folds its length high bits into byte 0 (XOR split).
+    if (events.exists {
+      case _: WideInsert | _: WideUpdate | _: WideDelete => true
+      case _ => false
+    }) {
+      val p = new Buf
+      p.u48(WideTableId); p.u16(1)
+      p.u8(6); p.str("testdb"); p.u8(0)
+      p.u8(6); p.str("t_wide"); p.u8(0)
+      p.u8(13) // column count
+      Seq(3, 254, 254, 253, 252, 252, 254, 254, 16, 19, 19, 18, 245).foreach(p.u8)
+      p.u8(18) // metadata block length
+      p.u8(254); p.u8(12) // CHAR(12 bytes)
+      p.u8(254 ^ ((300 & 0x300) >> 4)); p.u8(300 & 0xFF) // CHAR, 300 bytes
+      p.u16(400) // VAR_STRING max length
+      p.u8(2) // TEXT: 2-byte length prefix
+      p.u8(1) // TINYTEXT: 1-byte length prefix
+      p.u8(247); p.u8(1) // ENUM, 1-byte pack
+      p.u8(248); p.u8(2) // SET, 2-byte pack
+      p.u8(2); p.u8(1) // BIT(10): bit_len 2, bytes_in_rec 1
+      p.u8(0) // TIME2 fsp 0
+      p.u8(3) // TIME2 fsp 3 (odd)
+      p.u8(1) // DATETIME2 fsp 1 (odd)
+      p.u8(4) // JSON: 4-byte length prefix
+      p.u8(0); p.u8(0) // null bitmap, 2 bytes (decoder ignores)
+      val start = out.b.length
+      header(TABLE_MAP_TYPE, p.b.length)
+      out ++= p.toArray
+      seal(start)
+    }
+
     def typedImageText(r: TypedRow): String =
       typedLit(r).zipWithIndex.map { case (v, i) => s"###   @${i + 1}=$v" }.mkString("\n")
+
+    def wideImageText(r: WideRow): String =
+      wideLit(r).zipWithIndex.map { case (v, i) => s"###   @${i + 1}=$v" }.mkString("\n")
 
     for (ev <- events) {
       epoch += 1
@@ -321,6 +585,43 @@ object BinlogBinaryFixture {
           text ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
           text ++= lits.zipWithIndex.map { case (v, i) => s"###   @${i + 1}=$v" }
             .mkString("\n") + "\n"
+        case WideInsert(row) =>
+          val p = new Buf
+          p.u48(WideTableId); p.u16(1); p.u16(2)
+          p.u8(13); p.u8(0xFF); p.u8(0x1F) // col count; included bitmap
+          wideImage(p, row)
+          val start = out.b.length
+          val (at, logPos) = header(wType, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tWrite_rows: table id $WideTableId flags: STMT_END_F\n"
+          text ++= "### INSERT INTO `testdb`.`t_wide`\n### SET\n"
+          text ++= wideImageText(row) + "\n"
+        case WideDelete(row) =>
+          val p = new Buf
+          p.u48(WideTableId); p.u16(1); p.u16(2)
+          p.u8(13); p.u8(0xFF); p.u8(0x1F)
+          wideImage(p, row)
+          val start = out.b.length
+          val (at, logPos) = header(dType, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tDelete_rows: table id $WideTableId flags: STMT_END_F\n"
+          text ++= "### DELETE FROM `testdb`.`t_wide`\n### WHERE\n"
+          text ++= wideImageText(row) + "\n"
+        case WideUpdate(before, after) =>
+          val p = new Buf
+          p.u48(WideTableId); p.u16(1); p.u16(2)
+          p.u8(13); p.u8(0xFF); p.u8(0x1F); p.u8(0xFF); p.u8(0x1F)
+          wideImage(p, before); wideImage(p, after)
+          val start = out.b.length
+          val (at, logPos) = header(uType, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tUpdate_rows: table id $WideTableId flags: STMT_END_F\n"
+          text ++= "### UPDATE `testdb`.`t_wide`\n### WHERE\n"
+          text ++= wideImageText(before) + "\n### SET\n"
+          text ++= wideImageText(after) + "\n"
         case TypedInsert(row) =>
           val p = new Buf
           p.u48(TypedTableId); p.u16(1); p.u16(2)

@@ -1,0 +1,161 @@
+package graft.sources
+
+/** MySQL binary JSON → JSON text. MYSQL_TYPE_JSON (245) row values
+  * carry the server's in-table binary document format (public wire
+  * format: MySQL internals "JSON binary format" / json_binary.h); an
+  * 8.0 `mysqlbinlog -vv` parses it and prints the document text
+  * (json_binary::parse_binary → Json_dom serialization), which is the
+  * behavior [[BinlogBinary]] reproduces.
+  *
+  * Layout: one type byte, then the value. Containers hold
+  * [count][size][key entries][value entries][keys][values] with u16
+  * fields in the `small` variants and u32 in `large`; value entries
+  * are (type u8, offset-or-inline) where literals and 16-bit ints
+  * (and 32-bit ints in large containers) are stored inline in the
+  * offset slot; offsets are relative to the container's data start.
+  * Strings carry a 7-bit-groups varlen. Text rendering follows MySQL's
+  * Json_dom: `{"k": v, …}` / `[v, …]` with ", "/": " separators,
+  * JSON-escaped strings, bare numbers, `null`/`true`/`false`.
+  * Doubles use Java's shortest-decimal (matches my_gcvt on the
+  * common repertoire; scientific-notation corners can differ and are
+  * excluded from fixtures).
+  *
+  * Failures throw IllegalArgumentException — [[BinlogBinary]]'s
+  * containment wraps them with file/offset context.
+  */
+object JsonBinary {
+
+  private val SmallObj = 0x00
+  private val LargeObj = 0x01
+  private val SmallArr = 0x02
+  private val LargeArr = 0x03
+  private val Lit = 0x04
+  private val I16 = 0x05
+  private val U16 = 0x06
+  private val I32 = 0x07
+  private val U32 = 0x08
+  private val I64 = 0x09
+  private val U64 = 0x0A
+  private val Dbl = 0x0B
+  private val Str = 0x0C
+
+  def toText(doc: Array[Byte]): String = {
+    // an empty value is how the server stores JSON `null` assignments
+    // from some paths; render as the null literal
+    if (doc.isEmpty) return "null"
+    val sb = new java.lang.StringBuilder
+    value(doc, doc(0) & 0xFF, 1, sb)
+    sb.toString
+  }
+
+  private def u16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], p: Int): Long =
+    (u16(b, p).toLong | (u16(b, p + 2).toLong << 16)) & 0xFFFFFFFFL
+  private def i64(b: Array[Byte], p: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v |= (b(p + i) & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** 7-bits-per-byte little-endian length with high-bit continuation
+    * → (length, position after it). */
+  private def varlen(b: Array[Byte], pos: Int): (Int, Int) = {
+    var len = 0L; var p = pos; var shift = 0
+    var cont = true
+    while (cont) {
+      val v = b(p) & 0xFF
+      len |= (v & 0x7FL) << shift
+      cont = (v & 0x80) != 0
+      shift += 7; p += 1
+    }
+    (len.toInt, p)
+  }
+
+  /** Inline-in-the-offset-slot types (json_binary's inlined_type). */
+  private def inlined(tpe: Int, large: Boolean): Boolean = tpe match {
+    case Lit | I16 | U16 => true
+    case I32 | U32 => large
+    case _ => false
+  }
+
+  private def value(b: Array[Byte], tpe: Int, pos: Int,
+      sb: java.lang.StringBuilder): Unit = tpe match {
+    case SmallObj => container(b, pos, large = false, isObj = true, sb)
+    case LargeObj => container(b, pos, large = true, isObj = true, sb)
+    case SmallArr => container(b, pos, large = false, isObj = false, sb)
+    case LargeArr => container(b, pos, large = true, isObj = false, sb)
+    case Lit => sb.append((b(pos) & 0xFF) match {
+      case 0 => "null"
+      case 1 => "true"
+      case 2 => "false"
+      case v => throw new IllegalArgumentException(s"bad JSON literal $v")
+    }): Unit
+    case I16 => sb.append(u16(b, pos).toShort.toInt): Unit
+    case U16 => sb.append(u16(b, pos)): Unit
+    case I32 => sb.append(u32(b, pos).toInt): Unit
+    case U32 => sb.append(u32(b, pos)): Unit
+    case I64 => sb.append(i64(b, pos)): Unit
+    case U64 => sb.append(java.lang.Long.toUnsignedString(i64(b, pos))): Unit
+    case Dbl =>
+      sb.append(java.lang.Double.toString(
+        java.lang.Double.longBitsToDouble(i64(b, pos)))): Unit
+    case Str =>
+      val (len, p) = varlen(b, pos)
+      appendJsonString(b, p, len, sb)
+    case t => throw new IllegalArgumentException(
+      f"unsupported JSON binary type 0x$t%02X")
+  }
+
+  private def container(b: Array[Byte], pos: Int, large: Boolean,
+      isObj: Boolean, sb: java.lang.StringBuilder): Unit = {
+    val w = if (large) 4 else 2
+    def field(p: Int): Int =
+      if (large) u32(b, p).toInt else u16(b, p)
+    val count = field(pos)
+    val keyEntries = pos + 2 * w // after count + size
+    val valEntries = keyEntries + (if (isObj) count * (w + 2) else 0)
+    sb.append(if (isObj) '{' else '[')
+    var i = 0
+    while (i < count) {
+      if (i > 0) sb.append(", ")
+      if (isObj) {
+        val keyOff = field(keyEntries + i * (w + 2))
+        val keyLen = u16(b, keyEntries + i * (w + 2) + w)
+        appendJsonString(b, pos + keyOff, keyLen, sb)
+        sb.append(": ")
+      }
+      val e = valEntries + i * (1 + w)
+      val vType = b(e) & 0xFF
+      if (inlined(vType, large)) value(b, vType, e + 1, sb)
+      else value(b, vType, pos + field(e + 1), sb)
+      i += 1
+    }
+    sb.append(if (isObj) '}' else ']'): Unit
+  }
+
+  /** JSON string serialization (Json_dom style): double-quoted, with
+    * `"` `\` and control chars escaped (named escapes where JSON has
+    * them, `\u00NN` otherwise). */
+  private def appendJsonString(b: Array[Byte], pos: Int, len: Int,
+      sb: java.lang.StringBuilder): Unit = {
+    val s = new String(b, pos, len, "UTF-8")
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"'): Unit
+  }
+}
