@@ -118,6 +118,45 @@ object CdcQueries {
   private val SinkCkpt =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_sink_ckpt_cur"
 
+  /** c12's (id, json) snapshot — the raw JSON text recovered from the
+    * decoded after-images, which DuckDB re-queries with its own JSON
+    * extractor. */
+  private val JsonOracleSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_jsonevents_cur"
+
+  /** Binary binlog whose t_wide rows carry JSON documents (users,
+    * tag arrays, numeric/bool fields, empty arrays, JSON nulls, NULL
+    * columns) — deterministic, SF-independent: c12 certifies the
+    * JSON decode + extraction semantics, not volume. */
+  private def wideJsonFixturePath(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_binwide_v1")
+    if (!java.nio.file.Files.isDirectory(p)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binwide")
+      import graft.sources.BinlogBinaryFixture._
+      def doc(k: Int): J = JObj(Seq(
+        "user" -> JObj(Seq("id" -> JInt(k.toLong), "name" -> JStr(s"user_$k"))),
+        "tags" -> (if (k % 5 == 0) JArr(Seq())
+          else JArr(Seq(JStr(s"tag${k % 7}"), JStr("common")))),
+        "score" -> JDbl((k % 40) / 4.0 + 0.25),
+        "active" -> JBool(k % 3 == 0))
+        ++ (if (k % 11 == 0) Seq("extra" -> JNull) else Seq()))
+      val events: Seq[Ev] = (0 until 400).map { i =>
+        val row = WideRow(i, js = if (i % 13 == 0) None else Some(doc(i)))
+        i % 4 match {
+          case 0 | 1 => WideInsert(row)
+          case 2 => WideUpdate(WideRow(i, js = Some(doc(i + 5000))), row)
+          case _ => WideDelete(row)
+        }
+      }
+      val (bytes, _) = render(events)
+      java.nio.file.Files.write(tmp.resolve("binlog.000001"), bytes)
+      try java.nio.file.Files.move(tmp, p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    p.toString
+  }
+
   private[queries] def deleteRecursively(path: String): Unit = {
     val root = new java.io.File(path)
     if (root.exists()) {
@@ -211,6 +250,51 @@ object CdcQueries {
       events.groupBy("db", "table", "op")
         .agg(count(lit(1)).as("c"))
         .orderBy("db", "table", "op")
+    },
+
+    // c12: JSON columns through the WHOLE binary path — MYSQL_TYPE_JSON
+    // documents decoded from binlog bytes to text, recovered from the
+    // after-images, and field-extracted with Spark's codegen'd
+    // get_json_object; DuckDB independently re-extracts the same paths
+    // from the recovered JSON text with ITS json extension, so the
+    // binary JSON codec, the literal quoting, and the path semantics
+    // (nested fields, array index on possibly-empty arrays, bool/num
+    // tokens, NULL columns) are all cross-engine certified. Scale
+    // shape: pure map-side — per-file decode tasks, no shuffle before
+    // the output sort.
+    QueryDef("c12_json_extract",
+      s"""SELECT CAST(id AS BIGINT) AS id,
+         |  json_extract_string(json, '$$.user.id') AS uid,
+         |  json_extract_string(json, '$$.user.name') AS uname,
+         |  json_extract_string(json, '$$.tags[0]') AS tag0,
+         |  json_extract_string(json, '$$.score') AS score,
+         |  json_extract_string(json, '$$.active') AS active
+         |FROM read_parquet('$JsonOracleSnapshot/*.parquet')
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      val events = graft.sources.BinlogBinary.parse(s, wideJsonFixturePath())
+      // after-image ordinals: 1 = id, 13 = the JSON column; deletes
+      // have no after image and drop out with the null id. The decoded
+      // literal is '<json>' (no escapes by fixture construction) or
+      // the bare NULL — strip the quotes back to raw JSON text.
+      val flat = events.filter(col("table") === "t_wide")
+        .select(
+          imgVal("afterOrds", "afterVals", 1).cast("long").as("id"),
+          imgVal("afterOrds", "afterVals", 13).as("js_lit"))
+        .filter(col("id").isNotNull)
+        .select(col("id"),
+          when(col("js_lit") === "NULL", lit(null).cast("string"))
+            .otherwise(expr("substring(js_lit, 2, length(js_lit) - 2)"))
+            .as("json"))
+      writeSnapshotIfStale(JsonOracleSnapshot, d) {
+        flat.write.mode("overwrite").parquet(JsonOracleSnapshot)
+      }
+      flat.select(col("id"),
+        get_json_object(col("json"), "$.user.id").as("uid"),
+        get_json_object(col("json"), "$.user.name").as("uname"),
+        get_json_object(col("json"), "$.tags[0]").as("tag0"),
+        get_json_object(col("json"), "$.score").as("score"),
+        get_json_object(col("json"), "$.active").as("active"))
+        .orderBy("id")
     },
 
     QueryDef.noOracle("c2_forward_sql") { (s, d) =>
