@@ -212,14 +212,26 @@ object CdcMain {
   }
 
   /** `--output-parquet` sink body: the filtered change EVENTS as
-    * parquet (the lakehouse batch form of c11's streaming sink). */
+    * parquet (the lakehouse batch form of c11's streaming sink),
+    * PARTITIONED by (db, table) via derived `p_db`/`p_table` columns
+    * so downstream per-table consumers (state materialization, c9's
+    * shape) prune directories instead of scanning the whole lake.
+    * Deriving keeps the real db/table columns inside the files —
+    * empty values (DDL rows) would otherwise round-trip as NULL
+    * through hive partition encoding. */
+  private[graft] def writeEventLake(events: org.apache.spark.sql.DataFrame,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    events.withColumn("p_db", col("db")).withColumn("p_table", col("table"))
+      .write.mode("overwrite").partitionBy("p_db", "p_table").parquet(dir)
+  }
+
   private[graft] def writeEventLake(spark: SparkSession, binlog: String,
       binary: Boolean, cfg: CdcConfig, dir: String): Unit = {
     val ev = if (binary)
       graft.sources.BinlogBinary.parse(spark, binlog, cfg.includeDdl)
     else CdcJob.parse(spark, binlog, cfg.includeDdl)
-    CdcJob.applyFilters(ev, cfg)
-      .write.mode("overwrite").parquet(dir)
+    writeEventLake(CdcJob.applyFilters(ev, cfg), dir)
   }
 
   /** `--format auto`: does the first file under `path` open with the
@@ -276,16 +288,21 @@ object CdcMain {
       case "text" => false
       case _ => sniffBinary(spark, binlog)
     }
+    // Parse + filter ONCE and share the event frame between the two
+    // sinks — with both --output-parquet and -o the binlog used to be
+    // decoded twice (ADVICE r9). Cache only when both are live.
+    val events = CdcJob.applyFilters(
+      if (binary) graft.sources.BinlogBinary.parse(spark, binlog, cfg.includeDdl)
+      else CdcJob.parse(spark, binlog, cfg.includeDdl), cfg)
+    val shared =
+      if (outParquet.nonEmpty && out.nonEmpty) events.cache() else events
     // --output-parquet: the event-lake sink — filtered change EVENTS
-    // (not rendered SQL) land as parquet, the lakehouse batch form of
-    // c11's streaming sink; rendering is skipped entirely unless -o
-    // also asked for SQL
-    outParquet.foreach(writeEventLake(spark, binlog, binary, cfg, _))
+    // (not rendered SQL) land as (db, table)-partitioned parquet, the
+    // lakehouse batch form of c11's streaming sink; rendering is
+    // skipped entirely unless -o also asked for SQL
+    outParquet.foreach(writeEventLake(shared, _))
     if (outParquet.nonEmpty && out.isEmpty) { spark.stop(); return }
-    val sql = (if (binary)
-        graft.sources.BinlogBinary.run(spark, binlog, catalog, cfg)
-      else CdcJob.run(spark, binlog, catalog, cfg))
-      .select("sql")
+    val sql = CdcJob.render(shared, catalog, cfg).select("sql")
     // --back-interval: pace flashback emission in 1000-statement
     // chunks (the upstream binlog2sql throttle the reference's dead
     // code intended) — applied at the SINK, where order is already

@@ -436,9 +436,16 @@ object CdcQueries {
     // semantics (no new epochs on empty restart, incremental files
     // land in new epochs, totals equal batch parse) are spec'd in
     // CdcStreamSpec.
+    // The sink directories are epoch=N/p_db=…/p_table=… — the event
+    // LAKE layout (CdcMain.writeEventLake's batch twin): per-table
+    // consumers prune partitions instead of scanning the whole lake
+    // (plan-asserted in CdcStreamSpec), and the oracle's deeper glob
+    // proves the partitioned layout stays cross-engine readable (the
+    // real db/table columns live inside the files; p_* are the
+    // directory keys).
     QueryDef("c11_sink_parquet",
       s"""SELECT db, "table", op, COUNT(*) AS c
-         |FROM read_parquet('$SinkPath/*/*.parquet')
+         |FROM read_parquet('$SinkPath/*/*/*/*.parquet')
          |GROUP BY db, "table", op ORDER BY db, "table", op""".stripMargin) { (s, d) =>
       val src = fixturePath(d)
       writeSnapshotIfStale(SinkPath, d) {
@@ -447,7 +454,7 @@ object CdcQueries {
           .writeStream
           .option("checkpointLocation", SinkCkpt)
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            batch.write.mode("overwrite").parquet(s"$SinkPath/epoch=$epoch")
+            CdcMain.writeEventLake(batch, s"$SinkPath/epoch=$epoch")
           }
           .start()
         try q.processAllAvailable() finally q.stop()

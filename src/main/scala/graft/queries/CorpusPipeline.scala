@@ -312,30 +312,38 @@ object CorpusPipeline {
         .as[(Long, Long, String)](graft.Enc.longLongStr)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // two-pass distributed prefix sum over the epoch-ordered stream
-      // (t16): per-partition token totals, then broadcast offsets
-      val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-        var toks = 0L
-        it.foreach { case (_, nt, _) => toks += nt + 1 }
-        Iterator((i, toks))
-      }.collect().sortBy(_._1)
-      val bc = s.sparkContext.broadcast(
-        totals.scanLeft(0L)(_ + _._2).dropRight(1))
-      sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-        var tok = bc.value(i)
-        it.map { case (id, nt, src) =>
-          val st = tok; tok += nt + 1; (id, st, nt, src)
-        }
-      }.toDF("doc_id", "tok_start", "n_tok", "source")
-        // span → touched blocks: bounded ~n_tok/512-fold Generate
-        .select(col("source"), col("tok_start"), col("n_tok"),
-          explode(sequence(expr("tok_start div 512"),
-            expr("(tok_start + n_tok) div 512"))).as("block_id"))
-        .groupBy("block_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(least(col("tok_start") + col("n_tok") + 1, (col("block_id") + 1) * 512)
-            - greatest(col("tok_start"), col("block_id") * 512)).as("tok_filled"),
-          countDistinct("source").as("n_sources"))
-        .orderedRows(col("block_id")) // blocks scale with the stream
+      // (t16): per-partition token totals, then broadcast offsets.
+      // Both passes must see the SAME range-partitioned sort sample,
+      // hence the persist; the eager localCheckpoint below pins the
+      // blocks-sized manifest so the events-sized cache can be
+      // released immediately (ADVICE r9: repeated bench passes were
+      // accumulating never-unpersisted blocks for the JVM's lifetime).
+      try {
+        val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+          var toks = 0L
+          it.foreach { case (_, nt, _) => toks += nt + 1 }
+          Iterator((i, toks))
+        }.collect().sortBy(_._1)
+        val bc = s.sparkContext.broadcast(
+          totals.scanLeft(0L)(_ + _._2).dropRight(1))
+        sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+          var tok = bc.value(i)
+          it.map { case (id, nt, src) =>
+            val st = tok; tok += nt + 1; (id, st, nt, src)
+          }
+        }.toDF("doc_id", "tok_start", "n_tok", "source")
+          // span → touched blocks: bounded ~n_tok/512-fold Generate
+          .select(col("source"), col("tok_start"), col("n_tok"),
+            explode(sequence(expr("tok_start div 512"),
+              expr("(tok_start + n_tok) div 512"))).as("block_id"))
+          .groupBy("block_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(least(col("tok_start") + col("n_tok") + 1, (col("block_id") + 1) * 512)
+              - greatest(col("tok_start"), col("block_id") * 512)).as("tok_filled"),
+            countDistinct("source").as("n_sources"))
+          .localCheckpoint() // eager — runs pass 2 while `sorted` is cached
+          .orderedRows(col("block_id")) // blocks scale with the stream
+      } finally sorted.unpersist(blocking = false)
     }
   )
 

@@ -457,7 +457,12 @@ object MultimodalOps {
     // the same payload bytes from the engine-written snapshot in pure
     // SQL — a recursive CTE over the hex image with big-endian field
     // extraction — so the hash certifies the container parse itself,
-    // cross-engine.
+    // cross-engine. ORACLE PRECONDITION: the SQL walk has no CRC
+    // check and labels any magic-prefixed payload png, so it matches
+    // the stricter engine only on well-formed corpora — true here by
+    // construction (PNGs are engine-encoded) and PINNED by the m6
+    // spec's corpus audit; on hostile data the engine is the
+    // authority and the spec's planted corruptions prove it rejects.
     QueryDef("m6_container_meta",
       s"""WITH RECURSIVE m AS (
          |  SELECT media_id, kind, hex(payload) AS hx,

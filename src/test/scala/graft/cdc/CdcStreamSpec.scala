@@ -68,7 +68,7 @@ class CdcStreamSpec extends AnyFunSuite {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
-          batch.write.mode("overwrite").parquet(s"$sink/epoch=$epoch")
+          CdcMain.writeEventLake(batch, s"$sink/epoch=$epoch")
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -97,6 +97,19 @@ class CdcStreamSpec extends AnyFunSuite {
       .groupBy("db", "table", "op").count()
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
     assert(sunk == batch)
+    // the lake is (p_db, p_table)-partitioned: a per-table consumer's
+    // filter becomes directory pruning (PartitionFilters), not a scan
+    // + post-filter — the property that keeps a 100 TB event lake
+    // queryable per table. AQE would hide the scan node from collect.
+    val pruned = spark.read.parquet(sink)
+      .filter(org.apache.spark.sql.functions.col("p_table") === "t_pk")
+    assert(pruned.count() > 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "p_table")),
+      s"expected a p_table partition filter, got ${scan.partitionFilters}")
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "p_table")))
   }
 
   test("binary binlog stream renders identically to the binary batch path") {

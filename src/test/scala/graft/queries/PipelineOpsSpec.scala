@@ -1054,6 +1054,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == "png" && !got(2L)._2) // truncated
     assert(got(3L)._1 == "png" && !got(3L)._2) // trailing junk after IEND
     assert(got(4L)._1 == "raw" && got(4L)._2)  // non-container kinds pass through
+    // ORACLE PRECONDITION (ADVICE r9): m6's SQL oracle walks chunk
+    // framing without CRC checks and labels any magic-prefixed payload
+    // 'png', so oracle == engine only on a corpus whose PNG rows are
+    // well-formed. The media table's PNGs are engine-encoded, so this
+    // holds by construction — pin it: every magic-prefixed row parses
+    // ok (audit true), and no stub row carries the magic.
+    val media = MultimodalOps.mediaTable(spark, "/root/testdata/sf0.001")
+    val corpus = MultimodalOps.containerMeta(media).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      if (r.getString(2) == "png")
+        assert(r.getBoolean(9), s"malformed PNG in media corpus: ${r.getLong(0)}")
+      else assert(r.getString(2) == "raw")
+    }
+    // …and no 'raw' row smuggles a magic prefix (the engine calls a
+    // <33-byte magic payload raw where the oracle would say png)
+    val magic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    media.select("payload").collect().foreach { r =>
+      val p = r.getAs[Array[Byte]](0)
+      if (p.length >= 8 && p.take(8).sameElements(magic))
+        assert(p.length >= 33, "magic-prefixed payload shorter than IHDR")
+    }
   }
 
   test("p4 block manifest: token conservation; every non-final block filled to exactly 512") {
