@@ -687,6 +687,99 @@ object DedupOps {
       }
     }
 
+  /** d2's DuckDB oracle: re-derives the 64-bit SimHash from the raw
+    * documents in PURE SQL — including the token hash itself. The
+    * engine hashes tokens with xxHash64 seed 0 (HashOps.hash, Spark's
+    * own XXH64); DuckDB has no xxhash64, so the oracle IMPLEMENTS it:
+    * 64-bit wrapping arithmetic runs in HUGEINT with an explicit
+    * mod-2^64 after every multiply (32-bit-split schoolbook product —
+    * DuckDB's UBIGINT multiply errors on overflow rather than
+    * wrapping), rotates as divide/multiply by powers of two, XOR via
+    * UBIGINT. Corpus tokens are ≤ 8 bytes (whitespace-split synthetic
+    * words), so only xxh64's short path (one 8-byte lane / one 4-byte
+    * lane / ≤3 tail bytes / avalanche) is emitted, FULLY UNROLLED as
+    * chained CTE stages; a >8-byte token raises error() at evaluation
+    * — the oracle fails LOUDLY rather than diverging silently if the
+    * corpus ever grows longer words. Bit votes fan out over
+    * UNNEST(range(64)),
+    * the signature reassembles via BIGINT shifts with bit 63 as the
+    * sign value (the m5 technique — `**` would route through DOUBLE
+    * and shed low bits), and pairs brute-force with bit_count(xor)
+    * ≤ 3, which the engine's chunk-pigeonhole join provably equals. */
+  private val SimhashOracleSql: String = {
+    val M = "18446744073709551616"
+    val (p1, p2, p3, p5) = ("11400714785074694791", "14029467366897019727",
+      "1609587929392839161", "2870177450012600261")
+    val p4 = "9650029242287828579"
+    def mul64(a: String, b: String): String =
+      s"((($a)%4294967296)*(($b)%4294967296)" +
+        s" + ((((($a)//4294967296)%4294967296)*(($b)%4294967296)" +
+        s" + (($a)%4294967296)*(((($b)//4294967296)%4294967296))) % 4294967296)" +
+        s" * 4294967296) % $M"
+    def rotl(x: String, r: Int): String =
+      s"(((($x) % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r}) + (($x) // ${BigInt(1) << (64 - r)}))"
+    def xor64(a: String, b: String): String =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+    def shr(x: String, n: Int): String = s"(($x) // ${BigInt(1) << n})"
+    val bytes = (1 to 8).map { p =>
+      s"CASE WHEN n >= $p THEN CAST(16*(strpos('0123456789ABCDEF', substr(hx,${2 * p - 1},1))-1)" +
+        s" + strpos('0123456789ABCDEF', substr(hx,${2 * p},1))-1 AS HUGEINT)" +
+        s" ELSE CAST(0 AS HUGEINT) END AS b$p"
+    }.mkString(",\n    ")
+    val u64 = "(b1 + b2*256 + b3*65536 + b4*16777216 + b5*4294967296" +
+      " + b6*1099511627776 + b7*281474976710656 + b8*72057594037927936)"
+    s"""WITH tb AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id, hex(encode(tok)) AS hx,
+       |         CAST(octet_length(encode(tok)) AS BIGINT) AS n FROM tb),
+       |tbytes AS (
+       |  SELECT doc_id, n,
+       |    $bytes
+       |  FROM th),
+       |s0 AS (SELECT doc_id, n, $u64 AS u64,
+       |        (b1 + b2*256 + b3*65536 + b4*16777216) AS u32a,
+       |        b1, b2, b3, b5, b6, b7,
+       |        CAST($p5 AS HUGEINT) + n AS h0 FROM tbytes),
+       |s1 AS (SELECT *, CASE WHEN n = 8 THEN
+       |          (${mul64(rotl(xor64("h0", mul64(rotl(mul64("u64", p2), 31), p1)), 27), p1)} + $p4) % $M
+       |        WHEN n >= 4 THEN
+       |          (${mul64(rotl(xor64("h0", mul64("u32a", p1)), 23), p2)} + $p3) % $M
+       |        ELSE h0 END AS h1,
+       |        CASE WHEN n = 8 THEN 0 WHEN n >= 4 THEN n - 4 ELSE n END AS tl,
+       |        CASE WHEN n >= 4 AND n < 8 THEN b5 ELSE b1 END AS ta,
+       |        CASE WHEN n >= 4 AND n < 8 THEN b6 ELSE b2 END AS tbb,
+       |        CASE WHEN n >= 4 AND n < 8 THEN b7 ELSE b3 END AS tc
+       |       FROM s0),
+       |s2 AS (SELECT *, CASE WHEN tl > 0 THEN ${mul64(rotl(xor64("h1", mul64("ta", p5)), 11), p1)} ELSE h1 END AS h2 FROM s1),
+       |s3 AS (SELECT *, CASE WHEN tl > 1 THEN ${mul64(rotl(xor64("h2", mul64("tbb", p5)), 11), p1)} ELSE h2 END AS h3 FROM s2),
+       |s4 AS (SELECT *, CASE WHEN tl > 2 THEN ${mul64(rotl(xor64("h3", mul64("tc", p5)), 11), p1)} ELSE h3 END AS h4 FROM s3),
+       |a1 AS (SELECT doc_id, n, ${mul64(xor64("h4", shr("h4", 33)), p2)} AS g1 FROM s4),
+       |a2 AS (SELECT doc_id, n, ${mul64(xor64("g1", shr("g1", 29)), p3)} AS g2 FROM a1),
+       |tokh AS (SELECT doc_id, CASE WHEN n <= 8
+       |           THEN xor(CAST((g2) AS UBIGINT), CAST((g2) // 4294967296 AS UBIGINT))
+       |           ELSE CAST(error('simhash oracle: token > 8 bytes needs xxh64 long path') AS UBIGINT)
+       |           END AS h FROM a2),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN ((h >> b) & CAST(1 AS UBIGINT)) = CAST(1 AS UBIGINT)
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM tokh, UNNEST(range(64)) AS u(b) GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v >= 0 AND b < 63 THEN CAST(1 AS BIGINT) << b
+       |             ELSE CAST(0 AS BIGINT) END)
+       |      + SUM(CASE WHEN b = 63 AND v >= 0
+       |            THEN CAST(-9223372036854775808 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT ia, ib, CAST(d AS INT) AS hamming FROM (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |         bit_count(xor(a.hash, b.hash)) AS d
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |WHERE d <= 3 ORDER BY ia, ib""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // d1 shares the exact operator's oracle: 100% recall at τ=0.8
     // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
@@ -703,7 +796,10 @@ object DedupOps {
     QueryDef("d1b_minhash_salted", TextOps.JaccardPairsSql) { (s, d) =>
       minhashPairs(Tables.documents(s, d), saltGroups = 3)
     },
-    QueryDef.noOracle("d2_simhash_neardup") { (s, d) =>
+    // Promoted from golden to a full SQL oracle in r10: DuckDB
+    // re-derives xxHash64, the bit votes, the 64-bit signature, and
+    // the Hamming-≤3 pairs from the raw text (SimhashOracleSql).
+    QueryDef("d2_simhash_neardup", SimhashOracleSql) { (s, d) =>
       simhashPairs(Tables.documents(s, d))
     },
 
