@@ -40,8 +40,11 @@ object GoldenHashes {
     "a6_ann_pq" -> "ab280efc92e9b2775c42e4963161abf8a0fae191574436250ba82e42fbc1d877",
     // t13: BPE trains on the aggregated word dict (lexicographic tie
     // break) and encodes greedily by merge priority — both pure
-    // functions of the corpus; hash verified at local[3]/[8]/[32]
-    "t13_bpe_tokenize" -> "106ba118a38fc3968a77723be4afcef8d4a381fab94123a7f6191aa3385075c9",
+    // functions of the corpus; hash verified at local[3]/[8]/[32].
+    // RE-PINNED r10: the incremental trainer raised nMerges 40 → 1024
+    // (BpeTrainer equivalence spec proves old == new selection at the
+    // shared prefix, so the pin moved DELIBERATELY with the vocab).
+    "t13_bpe_tokenize" -> "8e5f4be06a054e8bb4124de30a70091a5f97a2da1ecf222adfbe9a72cbf1868e",
     // k1: HLL++ registers merge by max (commutative/idempotent), so the
     // estimate is a pure function of the value set — pinned hash
     // verified identical at local[3]/local[8]/local[32]

@@ -621,7 +621,10 @@ object TextAnalysis {
         .limit(vocabCap)
         .as[(String, Long)](graft.Enc.strLong)
         .collect().sortBy(_._1).toSeq
-      val merges = bpeTrain(wc, nMerges = 40)
+      // 1024 merges — a realistic (if small) vocabulary, affordable
+      // because the r10 trainer is incremental; the recount trainer
+      // was O(dict · merges) and driver-bound beyond a few dozen
+      val merges = bpeTrain(wc, nMerges = 1024)
       val rank = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
         rank.put(a + " " + b, Integer.valueOf(i)) }
@@ -1077,8 +1080,102 @@ object TextAnalysis {
     * one word-count aggregation (map-side combined), and the dict a
     * trainer consumes is language-bounded (a production run caps it
     * with a frequency cutoff, same contract as the IVF/langid bounded
-    * samples). Returns merges in priority order. */
+    * samples). Returns merges in priority order.
+    *
+    * INCREMENTAL (the shape of Sennrich's reference learn_bpe): pair
+    * counts and a pair→words index are maintained across merges and
+    * only the words CONTAINING the merged pair are rewritten (full
+    * pair-multiset diff per rewritten word), with the selection order
+    * kept in a TreeSet of (count, a, b) snapshots updated alongside —
+    * O(affected words · word length + log V) per merge instead of the
+    * recount trainer's O(dict · word length), which is what makes a
+    * realistic ≥1k-merge vocabulary train in seconds rather than
+    * driver-bound hours. Selection is IDENTICAL to the recount
+    * trainer ((-count, a, b) minimum; BpeTrainerEquivalenceSpec pins
+    * old == new). */
   private[queries] def bpeTrain(wordCounts: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val sorted = wordCounts.sortBy(_._1)
+    val words: Array[Array[String]] =
+      sorted.map { case (w, _) => w.map(_.toString).toArray }.toArray
+    val wc: Array[Long] = sorted.map(_._2).toArray
+
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // (count, a, b) snapshots ordered by count desc, then (a, b) asc —
+    // exactly the recount trainer's minBy((-c, a, b))
+    val tree = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) c
+          else { val a = x._2.compareTo(y._2)
+            if (a != 0) a else x._3.compareTo(y._3) }
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c0 = stats.getOrElse(p, 0L)
+      if (c0 != 0L) tree.remove((c0, p._1, p._2))
+      val c1 = c0 + delta
+      if (c1 == 0L) stats.remove(p)
+      else { stats(p) = c1; tree.add((c1, p._1, p._2)) }
+      (): Unit
+    }
+    def pairCounts(syms: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    var wi = 0
+    while (wi < words.length) {
+      for ((p, occ) <- pairCounts(words(wi))) {
+        bump(p, occ * wc(wi))
+        where.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      }
+      wi += 1
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    while (it < nMerges && !tree.isEmpty) {
+      val bestEntry = tree.first()
+      val best = (bestEntry._2, bestEntry._3)
+      merges += best
+      // rewrite only the words that contain the pair; diff their pair
+      // multisets so stats/tree/index stay exact
+      val affected = where.getOrElse(best, mutable.BitSet.empty).toArray
+      var k = 0
+      while (k < affected.length) {
+        val w = affected(k)
+        val before = pairCounts(words(w))
+        words(w) = bpeMergePair(words(w), best._1, best._2)
+        val after = pairCounts(words(w))
+        for ((p, c0) <- before) {
+          val c1 = after.getOrElse(p, 0L)
+          if (c1 != c0) bump(p, (c1 - c0) * wc(w))
+          if (c1 == 0L) where.get(p).foreach(_ -= w)
+        }
+        for ((p, c1) <- after) if (!before.contains(p)) {
+          bump(p, c1 * wc(w))
+          where.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        }
+        k += 1
+      }
+      it += 1
+    }
+    merges.toSeq
+  }
+
+  /** The pre-r10 full-recount trainer, kept as the EQUIVALENCE ORACLE
+    * for [[bpeTrain]]: rebuilds every pair count from scratch each
+    * merge — trivially correct, O(dict · word length) per merge. */
+  private[queries] def bpeTrainRecount(wordCounts: Seq[(String, Long)],
       nMerges: Int): Seq[(String, String)] = {
     var words = wordCounts.sortBy(_._1)
       .map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray

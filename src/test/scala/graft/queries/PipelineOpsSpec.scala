@@ -1288,6 +1288,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       new java.util.HashMap[String, Integer]()).toSeq == Seq("a", "b", "c"))
   }
 
+  test("t13 BPE: incremental trainer equals the recount oracle (corpus dict + fuzz) and handles 1k merges") {
+    import spark.implicits._
+    // (a) old == new on the REAL corpus dictionary at the pre-r10
+    // merge count — the equivalence that justified swapping trainers
+    val wc = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(TextAnalysis.bpeTrain(wc, 40) == TextAnalysis.bpeTrainRecount(wc, 40))
+    // (b) randomized dicts: skewed counts force plenty of ties, words
+    // share prefixes/suffixes so merges cascade
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dict = (0 until 120).map { _ =>
+        val w = (0 until 1 + rnd.nextInt(8))
+          .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        w -> (1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, vs) => (w, vs.map(_._2).sum) }.toSeq
+      assert(TextAnalysis.bpeTrain(dict, 60) ==
+        TextAnalysis.bpeTrainRecount(dict, 60), s"seed=$seed")
+    }
+    // (c) the r10 merge count trains fast (the recount trainer could
+    // not): 1024 merges on the corpus dict — also proves the trainer
+    // terminates early-and-clean if the dict exhausts
+    val t0 = System.nanoTime()
+    val big = TextAnalysis.bpeTrain(wc, 1024)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(big.size == 1024 || big.size < 1024) // exhaustion allowed
+    assert(big.take(40) == TextAnalysis.bpeTrainRecount(wc, 40))
+    assert(secs < 60.0, f"1k merges took $secs%.1f s — trainer regressed")
+  }
+
   test("t13 BPE: capped vocab equals uncapped on the corpus; cap keeps top-K by (count desc, word asc)") {
     import spark.implicits._
     // (a) the 2^16 production cap never cuts the test corpus, so the
