@@ -49,6 +49,28 @@ object ProbeScale {
       println(s"built $dir/documents.parquet")
     }
 
+    // 10× embeddings for the ANN family (VERDICT r9 item 8): copy 0
+    // verbatim; copy k>0 offsets vec_id and ROTATES the vector left by
+    // k dimensions — norm (and the int8 quantization grid) preserved,
+    // direction changed, so copies land in DIFFERENT LSH/IVF/PQ cells
+    // and bucket density stays constant instead of 10-clone cliques,
+    // the load profile a genuinely 10×-bigger corpus has.
+    val embPath = new java.io.File(s"$dir/embeddings.parquet")
+    if (!embPath.exists()) {
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val copies = (0 until 10).map { k =>
+        if (k == 0) base
+        else base
+          .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+          .withColumn("embedding", concat(
+            expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+            expr(s"slice(embedding, 1, $k)")))
+      }
+      copies.reduce(_.unionAll(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"built $dir/embeddings.parquet")
+    }
+
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d1_minhash_neardup", "d4_neardup_clusters",
         "d5_dedup_survivors", "l6_span_dedup", "p2_manifest_pipeline")
