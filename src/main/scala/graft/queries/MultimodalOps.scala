@@ -289,6 +289,210 @@ object MultimodalOps {
   private val mediaSnapshotSf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** m7's (media_id, payload) WAV snapshot for the DuckDB re-parse. */
+  private val WavSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_wav_snapshot"
+
+  /** Encode 16-bit PCM as a REAL RIFF/WAVE container: RIFF size
+    * header, optional odd-sized LIST chunk (exercising the RIFF
+    * even-byte padding rule), canonical 16-byte `fmt ` chunk
+    * (PCM format 1), LE `data` chunk. `truncateBytes` drops the tail
+    * AFTER sizes are written — the classic interrupted-upload shape
+    * whose declared data length exceeds the file. */
+  private[queries] def encodeWav(samples: Array[Short], rate: Int,
+      channels: Int, listChunk: Boolean, truncateBytes: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Long): Unit = { var i = 0
+      while (i < 4) { out.write(((v >> (8 * i)) & 0xFF).toInt); i += 1 } }
+    val dataLen = samples.length * 2
+    val listLen = if (listChunk) 8 + 7 + 1 else 0 // odd size + pad byte
+    ascii("RIFF"); u32(4L + listLen + 24 + 8 + dataLen); ascii("WAVE")
+    if (listChunk) { ascii("LIST"); u32(7L); ascii("INFOxyz"); out.write(0) }
+    ascii("fmt "); u32(16L)
+    u16(1); u16(channels); u32(rate.toLong)
+    u32(rate.toLong * channels * 2); u16(channels * 2); u16(16)
+    ascii("data"); u32(dataLen.toLong)
+    samples.foreach(s => u16(s & 0xFFFF))
+    val b = out.toByteArray
+    if (truncateBytes > 0) java.util.Arrays.copyOf(b, b.length - truncateBytes)
+    else b
+  }
+
+  /** Deterministic PCM WAV corpus from the documents table — the
+    * audio twin of [[mediaTable]]'s PNG path, REAL at the container/
+    * sample level (RIFF walk + PCM16 decode need no codec; compressed
+    * audio stays out of scope — no JVM codec exists here). Rates,
+    * channel counts, lengths, LIST-chunk presence, and a truncated
+    * minority all vary by doc_id so the parser's branches all carry
+    * corpus rows. */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1) // the media table's audio kind
+      .select(col("doc_id"), col("text"))
+      .fanOut
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val channels = if (id % 5 == 0) 2 else 1
+          val rate = Array(8000, 16000, 44100)(((id / 3) % 3).toInt)
+          val nFrames = 200 + ((id / 3) % 10).toInt * 50
+          val n = nFrames * channels
+          val samples = Array.tabulate(n) { i =>
+            val b = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+            (((b - 128) * 241) + ((i * 31) % 128)).toShort
+          }
+          (id, encodeWav(samples, rate, channels,
+            listChunk = id % 4 == 1,
+            truncateBytes = if (id % 17 == 0) 16 else 0))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** RIFF/WAVE parse + PCM16 sample statistics — one row-wise kernel,
+    * no shuffle. Walks the chunk list (honoring the RIFF even-byte
+    * padding rule), reads the canonical fmt fields, and when the data
+    * chunk is complete decodes the LE int16 samples for integer-exact
+    * stats (peak magnitude + sum of squares — the energy measures; a
+    * float RMS would not hash cross-engine). A malformed row (bad
+    * magic, missing chunks, truncated data, non-PCM16) reports
+    * ok=false with zeroed stats — exactly mirrored by the oracle. */
+  def wavFeatures(wavs: DataFrame): DataFrame = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    wavs.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+          def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xFFFFFFFFL
+          def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+          var fmtPos, dataPos = -1L
+          var dataLen = -1L
+          val riff = b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE"
+          if (riff) {
+            var pos = 12L
+            while (pos + 8 <= b.length) {
+              val t = tag(pos.toInt)
+              val len = u32(pos.toInt + 4)
+              if (t == "fmt ") fmtPos = pos + 8
+              if (t == "data") { dataPos = pos + 8; dataLen = len }
+              pos += 8 + len + (len % 2)
+            }
+          }
+          // 16 fmt bytes must fit (0-based offsets; the oracle's
+          // 1-based equivalent is fmt_pos + 15 <= n)
+          val fmtOk = fmtPos > 0 && fmtPos + 16 <= b.length
+          val (afmt, channels, rate, bits) =
+            if (fmtOk) (u16(fmtPos.toInt), u16(fmtPos.toInt + 2),
+              u32(fmtPos.toInt + 4), u16(fmtPos.toInt + 14))
+            else (0, 0, 0L, 0)
+          val ok = fmtOk && afmt == 1 && bits == 16 && channels > 0 &&
+            rate > 0 && dataPos > 0 && dataLen >= 0 &&
+            dataPos + dataLen <= b.length
+          if (!ok) (id, false, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          else {
+            val ns = (dataLen / 2).toInt
+            var peak = 0L
+            var sumsq = 0L
+            var i = 0
+            while (i < ns) {
+              val s = u16(dataPos.toInt + 2 * i).toShort.toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumsq += s * s
+              i += 1
+            }
+            val frames = ns / channels
+            (id, true, rate, channels.toLong, bits.toLong, ns.toLong,
+              frames * 1000L / rate, peak, sumsq)
+          }
+        }
+      }
+      .toDF("media_id", "ok", "sample_rate", "channels", "bits",
+        "n_samples", "duration_ms", "peak", "sumsq")
+  }
+
+  /** m7's DuckDB oracle: re-parse the WAV payload bytes — recursive
+    * chunk walk with the RIFF even-byte pad rule, little-endian field
+    * extraction via reversed hex pairs, signed-int16 PCM decode with
+    * integer-exact peak / sum-of-squares. Mirrors `wavFeatures`' ok
+    * predicate exactly (magic, fmt bounds, PCM16, data-fits). */
+  private val WavOracleSql: String = {
+    def pair(q: String) = s"substr(hx, CAST((($q)-1)*2+1 AS INT), 2)"
+    def u16le(p: String) =
+      s"CAST('0x' || ${pair(s"($p)+1")} || ${pair(p)} AS BIGINT)"
+    def u32le(p: String) =
+      s"CAST('0x' || ${pair(s"($p)+3")} || ${pair(s"($p)+2")} || " +
+        s"${pair(s"($p)+1")} || ${pair(p)} AS BIGINT)"
+    val sample = // sample i: lo byte at data_pos+2i, hi at +2i+1 (1-based)
+      s"((CAST('0x' || ${pair("data_pos+2*i+1")} || ${pair("data_pos+2*i")} " +
+        "AS BIGINT) + 32768) % 65536) - 32768"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT media_id, hex(payload) AS hx,
+       |         CAST(octet_length(payload) AS BIGINT) AS n
+       |  FROM read_parquet('$WavSnapshot/*.parquet')),
+       |walk AS (
+       |  SELECT media_id, hx, n, CAST(13 AS BIGINT) AS pos,
+       |         CAST(0 AS BIGINT) AS fmt_pos, CAST(0 AS BIGINT) AS data_pos,
+       |         CAST(-1 AS BIGINT) AS data_len
+       |  FROM m WHERE n >= 12 AND substr(hx, 1, 8) = '52494646'
+       |    AND substr(hx, 17, 8) = '57415645'
+       |  UNION ALL
+       |  SELECT media_id, hx, n, pos + 8 + len + (len % 2),
+       |         CASE WHEN typ = '666D7420' THEN pos + 8 ELSE fmt_pos END,
+       |         CASE WHEN typ = '64617461' THEN pos + 8 ELSE data_pos END,
+       |         CASE WHEN typ = '64617461' THEN len ELSE data_len END
+       |  FROM (SELECT media_id, hx, n, pos, fmt_pos, data_pos, data_len,
+       |          substr(hx, CAST((pos-1)*2+1 AS INT), 8) AS typ,
+       |          ${u32le("pos + 4")} AS len
+       |        FROM walk WHERE pos + 8 <= n + 1)),
+       |done AS (
+       |  SELECT media_id, MAX_BY(fmt_pos, pos) AS fmt_pos,
+       |         MAX_BY(data_pos, pos) AS data_pos,
+       |         MAX_BY(data_len, pos) AS data_len
+       |  FROM walk GROUP BY media_id),
+       |flds AS (
+       |  SELECT m.media_id, m.hx, m.n,
+       |    COALESCE(d.fmt_pos, 0) AS fmt_pos,
+       |    COALESCE(d.data_pos, 0) AS data_pos,
+       |    COALESCE(d.data_len, -1) AS data_len,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u16le("d.fmt_pos")} ELSE 0 END AS afmt,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u16le("d.fmt_pos + 2")} ELSE 0 END AS channels,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u32le("d.fmt_pos + 4")} ELSE 0 END AS rate,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u16le("d.fmt_pos + 14")} ELSE 0 END AS bits
+       |  FROM m LEFT JOIN done d USING (media_id)),
+       |okc AS (
+       |  SELECT *, (fmt_pos > 0 AND afmt = 1 AND bits = 16 AND channels > 0
+       |             AND rate > 0 AND data_pos > 0 AND data_len >= 0
+       |             AND data_pos + data_len - 1 <= n) AS ok
+       |  FROM flds),
+       |sam AS (
+       |  SELECT media_id, ok, rate, channels, bits,
+       |    CASE WHEN ok THEN data_len // 2 ELSE 0 END AS ns,
+       |    CASE WHEN ok THEN list_transform(range(data_len // 2),
+       |           i -> $sample)
+       |         ELSE [] END AS ss
+       |  FROM okc)
+       |SELECT media_id, ok,
+       |  CASE WHEN ok THEN rate ELSE 0 END AS sample_rate,
+       |  CASE WHEN ok THEN channels ELSE 0 END AS channels,
+       |  CASE WHEN ok THEN bits ELSE 0 END AS bits,
+       |  CAST(ns AS BIGINT) AS n_samples,
+       |  CASE WHEN ok THEN (ns // channels) * 1000 // rate ELSE 0 END AS duration_ms,
+       |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS BIGINT) AS peak,
+       |  CAST(COALESCE(list_sum(list_transform(ss, x -> x * x)), 0) AS BIGINT) AS sumsq
+       |FROM sam ORDER BY media_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // m1: REAL decoded-pixel histogram for images, stub byte histogram
@@ -507,8 +711,35 @@ object MultimodalOps {
       val media = mediaTable(s, d)
       writeMediaSnapshotIfStale(s, d, media)
       containerMeta(media).orderedRows(col("media_id")) // one row per item
+    },
+
+    // m7: REAL audio — RIFF/WAVE container walk + PCM16 sample decode
+    // (r10; closes the "audio is a byte-histogram stub" gap at the
+    // container/sample level: WAV needs no codec, compressed audio
+    // would). The corpus varies rates, channel counts, lengths,
+    // odd-sized LIST chunks (RIFF pad rule), and plants truncated
+    // uploads; the oracle RE-PARSES the same payload bytes in DuckDB —
+    // recursive-CTE chunk walk with little-endian field extraction,
+    // signed-int16 sample lists via list_transform, integer-exact
+    // peak/sum-of-squares — so container framing, fmt fields, padding,
+    // bounds checks, and the PCM decode are all cross-engine
+    // certified. Scale shape: pure map-side kernel, no shuffle before
+    // the output sort.
+    QueryDef("m7_wav_features", WavOracleSql) { (s, d) =>
+      val wavs = wavTable(s, d)
+      writeWavSnapshotIfStale(s, d, wavs)
+      wavFeatures(wavs).orderedRows(col("media_id")) // one row per clip
     }
   )
+
+  private def writeWavSnapshotIfStale(s: SparkSession, d: String,
+      wavs: DataFrame): Unit = synchronized {
+    if (mediaSnapshotSf.get(WavSnapshot) != d) {
+      wavs.select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(WavSnapshot)
+      mediaSnapshotSf.put(WavSnapshot, d)
+    }
+  }
 
   private def writeMediaSnapshotIfStale(s: SparkSession, d: String,
       media: DataFrame): Unit = synchronized {

@@ -1078,6 +1078,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m7 WAV parse: hand-built PCM cases — extremes, LIST padding, stereo, truncation, bad magic") {
+    import spark.implicits._
+    def feats(rows: Seq[(Long, Array[Byte])]) =
+      MultimodalOps.wavFeatures(rows.toDF("media_id", "payload"))
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+          r.getLong(3), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+        .toMap
+    val extremes = Array[Short](Short.MinValue, Short.MaxValue, 0, 100)
+    val mono = MultimodalOps.encodeWav(extremes, 8000, 1, listChunk = false)
+    val withList = MultimodalOps.encodeWav(extremes, 8000, 1, listChunk = true)
+    val stereo = MultimodalOps.encodeWav(
+      Array.tabulate[Short](16000)(i => (i - 8000).toShort), 8000, 2,
+      listChunk = false)
+    val truncated = MultimodalOps.encodeWav(extremes, 8000, 1,
+      listChunk = false, truncateBytes = 3)
+    val badMagic = { val b = mono.clone(); b(0) = 'X'.toByte; b }
+    val got = feats(Seq(1L -> mono, 2L -> withList, 3L -> stereo,
+      4L -> truncated, 5L -> badMagic))
+    val sq = 32768L * 32768 + 32767L * 32767 + 100L * 100
+    // extremes: int16 min/max decode signed; 4 frames at 8 kHz → 0 ms
+    assert(got(1L) == ((true, 8000L, 1L, 4L, 0L, 32768L, sq)))
+    // an odd-sized LIST chunk (RIFF pad rule) changes nothing downstream
+    assert(got(2L) == got(1L))
+    // stereo: 16000 samples = 8000 frames at 8 kHz → exactly 1000 ms
+    val (okS, rateS, chS, nsS, durS, peakS, _) = got(3L)
+    assert(okS && rateS == 8000L && chS == 2L && nsS == 16000L &&
+      durS == 1000L && peakS == 8000L)
+    // truncated data (declared > available) and bad magic: loud not-ok
+    assert(got(4L) == ((false, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((false, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("p4 block manifest: token conservation; every non-final block filled to exactly 512") {
     val rows = CorpusPipeline.defs.find(_.name == "p4_block_manifest").get
       .fn(spark, "/root/testdata/sf0.001")
