@@ -353,6 +353,133 @@ object MultimodalOps {
       .toDF("media_id", "payload")
   }
 
+  /** m8's (media_id, payload) AVI snapshot for the DuckDB re-parse. */
+  private val AviSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_avi_snapshot"
+
+  /** Encode a minimal REAL AVI container: RIFF('AVI ') → LIST(hdrl)
+    * holding the canonical 56-byte `avih` main header → LIST(movi)
+    * holding the frame chunks ('00dc', variable odd/even sizes so the
+    * RIFF pad rule is exercised) → `idx1` index stub. `declaredFrames`
+    * may differ from the chunks actually written (interrupted write —
+    * the audit case). */
+  private[queries] def encodeAvi(usPerFrame: Int, width: Int, height: Int,
+      frameSizes: Seq[Int], declaredFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = { var i = 0
+      while (i < 4) { out.write(((v >> (8 * i)) & 0xFF).toInt); i += 1 } }
+    def chunkLen(sz: Int): Int = 8 + sz + (sz % 2)
+    val avihLen = chunkLen(56)
+    val hdrlLen = 4 + avihLen
+    val moviLen = 4 + frameSizes.map(chunkLen).sum
+    val idxLen = chunkLen(16 * frameSizes.length)
+    ascii("RIFF"); u32(4L + (8 + hdrlLen) + (8 + moviLen) + idxLen); ascii("AVI ")
+    ascii("LIST"); u32(hdrlLen.toLong); ascii("hdrl")
+    ascii("avih"); u32(56L)
+    u32(usPerFrame.toLong); u32(width.toLong * height * 4) // maxBytesPerSec
+    u32(0L); u32(0x10L) // padding, flags (HASINDEX)
+    u32(declaredFrames.toLong); u32(0L); u32(1L); u32(0L) // frames, initial, streams, sugBuf
+    u32(width.toLong); u32(height.toLong)
+    (0 until 4).foreach(_ => u32(0L)) // reserved
+    ascii("LIST"); u32(moviLen.toLong); ascii("movi")
+    frameSizes.zipWithIndex.foreach { case (sz, i) =>
+      ascii("00dc"); u32(sz.toLong)
+      var k = 0
+      while (k < sz) { out.write((i * 31 + k * 7) & 0xFF); k += 1 }
+      if (sz % 2 == 1) out.write(0) // RIFF pad
+    }
+    ascii("idx1"); u32(16L * frameSizes.length)
+    frameSizes.indices.foreach { i =>
+      ascii("00dc"); u32(0x10L); u32(0L); u32(frameSizes(i).toLong) }
+    out.toByteArray
+  }
+
+  /** Deterministic AVI corpus from the documents table — the video
+    * twin of [[wavTable]]: REAL at the container level (RIFF framing,
+    * avih header, frame-chunk census; the frame PAYLOADS stay opaque —
+    * decoding them needs a video codec this JVM lacks). */
+  def aviTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2) // the media table's video kind
+      .select(col("doc_id"), col("text"))
+      .fanOut
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val usPerFrame = Array(33333, 40000, 16667)(((id / 3) % 3).toInt)
+          val nFrames = 5 + ((id / 3) % 12).toInt * 2
+          val sizes = Seq.tabulate(nFrames) { i =>
+            val b = if (bytes.isEmpty) 7 else bytes(i % bytes.length) & 0x3F
+            17 + b // odd AND even sizes both occur
+          }
+          // a minority of interrupted writes: header declares more
+          // frames than the movi list carries
+          val declared = if (id % 19 == 0) nFrames + 3 else nFrames
+          (id, encodeAvi(usPerFrame, 64 + (id % 8).toInt * 16,
+            48 + (id % 4).toInt * 16, sizes, declared))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** AVI container audit — RIFF walk DESCENDING into LIST chunks (a
+    * LIST header is entered, 12 bytes, instead of skipped — visits
+    * every nested chunk in order with no stack; identical rule in the
+    * oracle), avih main-header fields, and a census of the movi frame
+    * chunks ('00dc'/'01wb'): count + payload bytes. ok ⇔ well-formed
+    * RIFF('AVI '), avih present, and the census matches the declared
+    * frame count — the "interrupted upload" audit the ingest side
+    * runs before paying any decode. */
+  def aviMeta(avis: DataFrame): DataFrame = {
+    val spark = avis.sparkSession
+    import spark.implicits._
+    avis.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          def u32(p: Int): Long = {
+            var v = 0L; var i = 0
+            while (i < 4) { v |= (b(p + i) & 0xFFL) << (8 * i); i += 1 }
+            v
+          }
+          def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+          val riff = b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI "
+          var avihPos = -1L
+          var framesFound = 0L
+          var frameBytes = 0L
+          if (riff) {
+            var pos = 12L
+            while (pos + 8 <= b.length) {
+              val t = tag(pos.toInt)
+              val len = u32(pos.toInt + 4)
+              if (t == "LIST") pos += 12 // descend
+              else {
+                if (t == "avih") avihPos = pos + 8
+                if (t == "00dc" || t == "01wb") {
+                  framesFound += 1; frameBytes += len
+                }
+                pos += 8 + len + (len % 2)
+              }
+            }
+          }
+          val avihOk = avihPos > 0 && avihPos + 56 <= b.length
+          val (usf, streams, declared, w, h) =
+            if (avihOk) (u32(avihPos.toInt), u32(avihPos.toInt + 24),
+              u32(avihPos.toInt + 16), u32(avihPos.toInt + 32),
+              u32(avihPos.toInt + 36))
+            else (0L, 0L, -1L, 0L, 0L)
+          val ok = riff && avihOk && usf > 0 && framesFound == declared
+          (id, ok, usf, streams, w, h, declared, framesFound, frameBytes,
+            if (ok) declared * usf / 1000L else 0L)
+        }
+      }
+      .toDF("media_id", "ok", "us_per_frame", "n_streams", "width", "height",
+        "declared_frames", "frames_found", "frame_bytes", "duration_ms")
+  }
+
   /** RIFF/WAVE parse + PCM16 sample statistics — one row-wise kernel,
     * no shuffle. Walks the chunk list (honoring the RIFF even-byte
     * padding rule), reads the canonical fmt fields, and when the data
