@@ -71,9 +71,35 @@ object ProbeScale {
       println(s"built $dir/embeddings.parquet")
     }
 
+    // 10× relational tables for the BINDING set's smoke (VERDICT r10
+    // task 8): facts scale 10× with copy-k key offsets high above the
+    // real keyspace (orderkey < 10⁷ at sf0.1) so lineitem⋈orders
+    // still joins 1:1 within each copy; dims stay fixed — 10× facts
+    // per dim row, the load profile of a 10× day over a stable
+    // customer base. Dims + events copy verbatim so Tables resolves.
+    val relPath = new java.io.File(s"$dir/orders.parquet")
+    if (!relPath.exists()) {
+      def scaleFact(table: String, key: String): Unit = {
+        val base = spark.read.parquet(s"$src/$table.parquet")
+        (0 until 10).map { k =>
+          if (k == 0) base
+          else base.withColumn(key, col(key) + lit(k * 100000000L))
+        }.reduce(_.unionAll(_)).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      }
+      scaleFact("lineitem", "l_orderkey")
+      scaleFact("orders", "o_orderkey")
+      for (t <- Seq("customer", "supplier", "part", "nation", "region", "events"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      println(s"built $dir relational tables")
+    }
+
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d1_minhash_neardup", "d4_neardup_clusters",
-        "d5_dedup_survivors", "l6_span_dedup", "p2_manifest_pipeline")
+        "d5_dedup_survivors", "l6_span_dedup", "p2_manifest_pipeline",
+        // the queries the binding 2× bar is computed from (r11):
+        "q04_multi_join", "q06_window", "l2_jaccard_pairs", "l5_tfidf_top3")
     def time(n: String, d: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, d).count()

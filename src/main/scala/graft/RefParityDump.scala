@@ -12,6 +12,7 @@ object RefParityDump {
     val binlog = args(0)
     val out = args(1)
     val flashback = args.contains("--flashback")
+    val includeDdl = args.contains("--include-ddl")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +20,8 @@ object RefParityDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = cdc.CdcJob.run(spark, binlog, cdc.Catalog.fixture(spark),
-      cdc.CdcConfig(flashback = flashback, bugCompatible = true))
+      cdc.CdcConfig(flashback = flashback, bugCompatible = true,
+        includeDdl = includeDdl))
     val text = df.select("sql").collect().map(_.getString(0)).mkString("\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), text + "\n")
     spark.stop()

@@ -62,13 +62,16 @@ object BinlogFsm {
     // `use`/`SET TIMESTAMP` lines between the header and the statement.
     private var lastAtRaw, lastStopRaw, lastDtRaw = ""
     private var lastAtPos, lastStopPos = 0L
+    // GTID framing scope (uuid:gno) — set by the SET @@SESSION
+    // .GTID_NEXT line, carried onto every event until the next one
+    private var curGtid = ""
 
     private def flushDml(): Unit = {
       if (op != null) {
         pending.enqueue(RawChange(file, seqNo, startPos, stopPos, startPosRaw,
           stopPosRaw, dtRaw, db, table, op,
           before.map(_.ord).toArray, before.map(_.v).toArray,
-          after.map(_.ord).toArray, after.map(_.v).toArray, null))
+          after.map(_.ord).toArray, after.map(_.v).toArray, null, curGtid))
         seqNo += 1
         before.clear(); after.clear()
         op = null; section = 0
@@ -167,6 +170,14 @@ object BinlogFsm {
         if (line.startsWith("# at ")) {
           lastAtRaw = atRawOf(line)
           lastAtPos = longOf(lastAtRaw)
+        } else if (line.startsWith("SET @@SESSION.GTID_NEXT=")) {
+          // mysqlbinlog prints the GTID framing event as
+          // `SET @@SESSION.GTID_NEXT= 'uuid:gno'/*!*/;` — capture the
+          // quoted value; AUTOMATIC/ANONYMOUS reset the scope
+          val q1 = line.indexOf('\'')
+          val q2 = if (q1 >= 0) line.indexOf('\'', q1 + 1) else -1
+          val v = if (q2 > q1) line.substring(q1 + 1, q2) else ""
+          curGtid = if (v.contains(':')) v.toLowerCase else ""
         } else if (line.startsWith("#") && line.contains("end_log_pos")) {
           val (stopRaw, dtR) = headerRawOf(line)
           lastStopRaw = stopRaw
@@ -194,7 +205,7 @@ object BinlogFsm {
               pending.enqueue(RawChange(file, seqNo, lastAtPos, lastStopPos,
                 lastAtRaw, lastStopRaw, lastDtRaw, "", "",
                 "ddl", Array.emptyIntArray, Array.empty[String],
-                Array.emptyIntArray, Array.empty[String], text))
+                Array.emptyIntArray, Array.empty[String], text, curGtid))
               seqNo += 1
               useDb = ""
               inDdl = false

@@ -33,7 +33,7 @@ object CdcJob {
       col("stopPos").as("stop_pos"), col("pos_comment"), col("ts"),
       col("db"), col("table"), col("op"),
       col("beforeOrds"), col("beforeVals"),
-      col("afterOrds"), col("afterVals"), col("ddl"))
+      col("afterOrds"), col("afterVals"), col("ddl"), col("gtid"))
 
   /** Parse binlog text files into a change-event DataFrame. */
   def parse(spark: SparkSession, path: String,
@@ -74,6 +74,22 @@ object CdcJob {
       (col("ts").isNull || col("ts") >= to_timestamp(lit(t))))
     cfg.stopDatetime.foreach(t => bounds = bounds &&
       (col("ts").isNull || col("ts") < to_timestamp(lit(t))))
+    // GTID-set filters: a pure Catalyst disjunction over the parsed
+    // intervals (uuid equality + gno range) — codegen'd, pushes to the
+    // scan like every other predicate here; interval counts are tiny
+    // (human-written CLI sets). Include drops GTID-less events (they
+    // cannot be proven in-set); exclude keeps them.
+    def inSet(spec: String): org.apache.spark.sql.Column = {
+      val uuid = substring_index(col("gtid"), ":", 1)
+      val gno = substring_index(col("gtid"), ":", -1).cast("long")
+      val m = GtidSet.parse(spec).toSeq.sortBy(_._1).flatMap {
+        case (u, ivs) => ivs.map { case (lo, hi) =>
+          uuid === u && gno >= lo && gno <= hi }
+      }.reduce(_ || _)
+      coalesce(m, lit(false)) // empty/odd gtid strings never match
+    }
+    cfg.includeGtids.foreach(s => bounds = bounds && inSet(s))
+    cfg.excludeGtids.foreach(s => bounds = bounds && !inSet(s))
     events.filter((isDdl || dml) && bounds)
   }
 

@@ -74,6 +74,8 @@ object CdcMain {
       |  -K, --no-primary-key                strip PK cols from INSERTs
       |  --format text|binary|auto           input decoder: mysqlbinlog -vv text,
       |                                      raw .binlog bytes, or magic-sniffed
+      |  --include-gtids SET  --exclude-gtids SET
+      |                                      GTID-set filters (uuid:i[-j],...)
       |  --only-dml                          accepted (always-on in the reference)
       |  --back-interval F                   pause F sec per 1000 flashback stmts
       |  --include-ddl                       emit DDL statements too
@@ -183,6 +185,14 @@ object CdcMain {
             throw new IllegalArgumentException(
               s"--format must be text, binary or auto (got $v)")
           cfg = cfg.copy(format = v)
+        case f @ "--include-gtids" =>
+          val v = operand(f)
+          GtidSet.parse(v): Unit // validate eagerly: fail at the CLI
+          cfg = cfg.copy(includeGtids = Some(v))
+        case f @ "--exclude-gtids" =>
+          val v = operand(f)
+          GtidSet.parse(v): Unit
+          cfg = cfg.copy(excludeGtids = Some(v))
         case "--only-dml" => i += 1 // reference quirk: always-true no-op
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1

@@ -53,7 +53,16 @@ object SqlRender {
       catalogCols: Seq[(Int, String)], keyColsSeq: Seq[String],
       flashback: Boolean, bugCompatible: Boolean,
       noPk: Boolean = false): String = {
-    if (op == "ddl") return if (ddl == null) null else ddl
+    if (op == "ddl") return {
+      if (ddl == null) null
+      // Q29 bug-compatibility: the reference joins a DDL statement's
+      // captured lines (use-context included) with NO separator
+      // (log2sql.py:79 `"".join(sql_info_all[1:-1]) + ";"`); the
+      // engine default joins with newline. Parts carry no newlines
+      // themselves, so stripping them reproduces the join exactly.
+      else if (bugCompatible) ddl.replace("\n", "")
+      else ddl
+    }
     val schema = s"`$db`.`$table`"
     val cols = catalogCols.toMap
     val keyCols = keyColsSeq.toSet

@@ -38,7 +38,14 @@ final case class RawChange(
     beforeVals: Array[String],
     afterOrds: Array[Int],
     afterVals: Array[String],
-    ddl: String) {
+    ddl: String,
+    /** The transaction's GTID ("uuid:gno", lowercase uuid) from the
+      * GTID framing event preceding the row events — empty when the
+      * stream carries none (GTID_MODE=OFF / pre-5.6). Both decoders
+      * populate it: the binary path from GTID_LOG_EVENT, the text FSM
+      * from the `SET @@SESSION.GTID_NEXT` line mysqlbinlog prints for
+      * it. Drives `--include-gtids`/`--exclude-gtids`. */
+    gtid: String = "") {
 
   // Images are stored as parallel primitive arrays: the Catalyst
   // product encoder for ARRAY<STRUCT<...>> deserializes per-element
@@ -122,4 +129,33 @@ final case class CdcConfig(
       * take the binary decoder, everything else the `mysqlbinlog -vv`
       * text FSM — so a user can point the CLI straight at the
       * server's binlog directory and skip the mysqlbinlog step. */
-    format: String = "auto")
+    format: String = "auto",
+    /** `--include-gtids`/`--exclude-gtids` (beyond the reference; the
+      * mysqlbinlog flags the reference's delegation model would pass
+      * through): GTID-set syntax `uuid:i[-j][:k[-l]…][,uuid:…]`.
+      * Include keeps only row/DDL events whose framing GTID falls in
+      * the set (events with no GTID drop — they cannot match);
+      * exclude drops matching events and keeps GTID-less ones. */
+    includeGtids: Option[String] = None,
+    excludeGtids: Option[String] = None)
+
+/** Parsed GTID set (`uuid:1-5:8,uuid2:3`): uuid → closed intervals.
+  * Mirrors mysqlbinlog's Gtid_set text syntax (public format). */
+object GtidSet {
+  def parse(s: String): Map[String, Seq[(Long, Long)]] =
+    s.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { part =>
+      val ps = part.split(':')
+      require(ps.length >= 2, s"GTID set '$part' lacks an interval")
+      val ivs = ps.drop(1).toSeq.map { r =>
+        r.split('-') match {
+          case Array(a) => (a.trim.toLong, a.trim.toLong)
+          case Array(a, b) => (a.trim.toLong, b.trim.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"bad GTID interval '$r' in '$part'")
+        }
+      }
+      ps(0).trim.toLowerCase -> ivs
+    }.toSeq
+      // the same uuid may appear in several comma parts: union them
+      .groupBy(_._1).map { case (u, vs) => u -> vs.flatMap(_._2) }
+}

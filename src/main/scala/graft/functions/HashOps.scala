@@ -222,4 +222,92 @@ object HashOps {
     }
     if (w == n) hs else java.util.Arrays.copyOf(hs, w)
   }
+
+  /** Rolling-fingerprint constants, shared with the t4 DuckDB oracle
+    * (TextAnalysis.FingerprintOracleSql re-derives the identical math
+    * with HUGEINT multiply-adds mod 2^64). TokB is the per-token byte
+    * polynomial base; WinB combines token hashes into a window hash
+    * and chains the sketch into the doc fingerprint; Fp0 seeds the
+    * chain. Java `long` arithmetic wraps mod 2^64, which is exactly
+    * the oracle's `% 18446744073709551616`. */
+  final val FpTokB = 31L
+  final val FpWinB = 1000003L
+  final val Fp0 = 0x9747b28cL
+  private final val FpWinB3 = FpWinB * FpWinB * FpWinB // mod 2^64
+
+  /** Per-token polynomial hash: h = fold(h*31 + byte) over UTF-8. */
+  def tokenPolyHash(tok: String): Long = {
+    val b = tok.getBytes(UTF_8)
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = h * FpTokB + (b(i) & 0xff); i += 1 }
+    h
+  }
+
+  /** Sorted distinct ROLLING window hashes of the k-token shingles:
+    * token hashes combine as w = ((t0*B + t1)*B + t2)*B + t3 (k = 4
+    * shown), and each slide is O(1) — w' = (w − t_out·B^(k−1))·B +
+    * t_in — the Karp–Rabin update, so a w-token document costs
+    * O(w·bytes-per-token) regardless of k. Sorted+deduped like
+    * [[shingleHashes]] so min-k sketches are prefixes. */
+  def rollingShingleHashes(text: String, k: Int): Array[Long] = {
+    require(k == 4, "rolling fingerprint is pinned at k=4 (oracle parity)")
+    val toks = text.split(' ')
+    val n = toks.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = tokenPolyHash(toks(i)); i += 1 }
+    val hs = new Array[Long](n)
+    var w = ((th(0) * FpWinB + th(1)) * FpWinB + th(2)) * FpWinB + th(3)
+    hs(0) = w
+    i = 1
+    while (i < n) {
+      w = (w - th(i - 1) * FpWinB3) * FpWinB + th(i + k - 1)
+      hs(i) = w
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var ww = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(i - 1)) { hs(ww) = hs(i); ww += 1 }
+      i += 1
+    }
+    if (ww == n) hs else java.util.Arrays.copyOf(hs, ww)
+  }
+
+  /** Direct (non-rolling) recompute of the same window hashes, for the
+    * rolling-update equivalence spec only. */
+  def directShingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = text.split(' ')
+    val n = toks.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var w = tokenPolyHash(toks(i))
+      var j = 1
+      while (j < k) { w = w * FpWinB + tokenPolyHash(toks(i + j)); j += 1 }
+      hs(i) = w
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var ww = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(i - 1)) { hs(ww) = hs(i); ww += 1 }
+      i += 1
+    }
+    if (ww == n) hs else java.util.Arrays.copyOf(hs, ww)
+  }
+
+  /** Doc fingerprint: chain the (ascending, signed) min-8 sketch
+    * values through fp = fp·B + v starting from Fp0. */
+  def chainFingerprint(sketch: Array[Long]): Long = {
+    var fp = Fp0
+    var i = 0
+    while (i < sketch.length) { fp = fp * FpWinB + sketch(i); i += 1 }
+    fp
+  }
 }

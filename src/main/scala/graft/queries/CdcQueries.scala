@@ -124,13 +124,65 @@ object CdcQueries {
   private val JsonOracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_jsonevents_cur"
 
+  /** c14's partitioned stress-fixture event lake (p_db/p_table dirs,
+    * the writeEventLake layout) — both the engine's pruned streaming
+    * read and DuckDB's partition-glob oracle consume it. */
+  private val StressLakePath =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_stresslake_cur"
+
+  /** c13's (gtid, op, …) snapshot of the UNFILTERED gtid-framed
+    * stream — DuckDB re-applies the GTID-interval filter to it. */
+  private val GtidSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_gtidevents_cur"
+
+  /** The fixture SID (BinlogBinaryFixture writes 0xA0..0xAF). */
+  private val FixtureSid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
+
+  /** Rotated GTID-framed binary binlog: every transaction carries
+    * GTID/BEGIN/XID framing, gnos run 1..300 CONTINUOUSLY ACROSS the
+    * file rotation (the boundary sits mid-interval for c13's filter),
+    * and every 4th transaction is multi-row so one GTID covers
+    * several change events. SF-independent: c13 certifies filter
+    * semantics, not volume. */
+  private def gtidFixturePath(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bingtid_v1")
+    if (!java.nio.file.Files.isDirectory(p)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bingtid")
+      import graft.sources.BinlogBinaryFixture._
+      var gno = 0
+      for (f <- 0 until 2) {
+        val evs = scala.collection.mutable.ArrayBuffer[Ev](PreviousGtids)
+        for (t <- 0 until 150) {
+          gno += 1
+          val i = gno * 3
+          evs += Gtid(gno.toLong); evs += Begin
+          (t % 3: @unchecked) match {
+            case 0 => evs += Insert(i, s"g_$i", Some(i % 50 + 0.5))
+            case 1 => evs += Update((i, s"g_$i", Some(1.5)),
+              (i, s"g2_$i", Some(2.5)))
+            case 2 => evs += Delete(i, s"g_$i", None)
+          }
+          if (t % 4 == 0) evs += Insert(i + 1, s"h_$i", None)
+          evs += Xid(1000L + gno)
+        }
+        evs += (if (f == 0) Rotate("binlog.000002") else Stop)
+        val (bytes, _) = render(evs.toSeq)
+        java.nio.file.Files.write(tmp.resolve(f"binlog.${f + 1}%06d"), bytes)
+      }
+      try java.nio.file.Files.move(tmp, p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    p.toString
+  }
+
   /** Binary binlog whose t_wide rows carry JSON documents (users,
     * tag arrays, numeric/bool fields, empty arrays, JSON nulls, NULL
     * columns) — deterministic, SF-independent: c12 certifies the
     * JSON decode + extraction semantics, not volume. */
   private def wideJsonFixturePath(): String = {
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_binwide_v1")
+      System.getProperty("java.io.tmpdir"), "graft_binwide_v2")
     if (!java.nio.file.Files.isDirectory(p)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_binwide")
       import graft.sources.BinlogBinaryFixture._
@@ -139,7 +191,19 @@ object CdcQueries {
         "tags" -> (if (k % 5 == 0) JArr(Seq())
           else JArr(Seq(JStr(s"tag${k % 7}"), JStr("common")))),
         "score" -> JDbl((k % 40) / 4.0 + 0.25),
-        "active" -> JBool(k % 3 == 0))
+        "active" -> JBool(k % 3 == 0),
+        // opaque (0x0F) values — DATE/TIME/DATETIME/DECIMAL stored in
+        // documents (r11): every row carries all four so c12 pins
+        // their rendered literals via extraction on both engines
+        "born" -> JDate(1970 + k % 55, 1 + k % 12, 1 + k % 28),
+        "at" -> JDateTime(2020 + k % 6, 1 + k % 12, 1 + k % 28,
+          k % 24, k % 60, (k * 7) % 60, (k * 997) % 1000000),
+        "t" -> JTime(k % 9 == 3, k % 120, k % 60, (k * 3) % 60,
+          (k * 1009) % 1000000),
+        "price" -> JDecimal(BigDecimal(k * 25, 2) - 500, 12, 2))
+        ++ (if (k % 7 == 2)
+          Seq("blob" -> JOpaque(15, Array.tabulate[Byte](k % 9)(b =>
+            ((k * 31 + b * 7) & 0xFF).toByte))) else Seq())
         ++ (if (k % 11 == 0) Seq("extra" -> JNull) else Seq()))
       val events: Seq[Ev] = (0 until 400).map { i =>
         val row = WideRow(i, js = if (i % 13 == 0) None else Some(doc(i)))
@@ -268,7 +332,12 @@ object CdcQueries {
          |  json_extract_string(json, '$$.user.name') AS uname,
          |  json_extract_string(json, '$$.tags[0]') AS tag0,
          |  json_extract_string(json, '$$.score') AS score,
-         |  json_extract_string(json, '$$.active') AS active
+         |  json_extract_string(json, '$$.active') AS active,
+         |  json_extract_string(json, '$$.born') AS born,
+         |  json_extract_string(json, '$$.at') AS at_ts,
+         |  json_extract_string(json, '$$.t') AS t_tm,
+         |  CAST(json_extract_string(json, '$$.price') AS DOUBLE) AS price,
+         |  json_extract_string(json, '$$.blob') AS blob64
          |FROM read_parquet('$JsonOracleSnapshot/*.parquet')
          |ORDER BY id""".stripMargin) { (s, d) =>
       val events = graft.sources.BinlogBinary.parse(s, wideJsonFixturePath())
@@ -283,6 +352,15 @@ object CdcQueries {
         .filter(col("id").isNotNull)
         .select(col("id"),
           when(col("js_lit") === "NULL", lit(null).cast("string"))
+            // the quote-strip below is only sound while the decoded
+            // literal carries no my_b_write_quoted \xNN escapes — an
+            // invariant of the fixture alphabet. Fail loudly if a
+            // future fixture violates it, instead of extracting from
+            // corrupted JSON (ADVICE r10).
+            .when(col("js_lit").contains("\\x"),
+              raise_error(concat(lit("c12: js_lit carries a \\x escape, "
+                + "quote-strip would corrupt the JSON: "), col("js_lit")))
+                .cast("string"))
             .otherwise(expr("substring(js_lit, 2, length(js_lit) - 2)"))
             .as("json"))
       writeSnapshotIfStale(JsonOracleSnapshot, d) {
@@ -293,8 +371,46 @@ object CdcQueries {
         get_json_object(col("json"), "$.user.name").as("uname"),
         get_json_object(col("json"), "$.tags[0]").as("tag0"),
         get_json_object(col("json"), "$.score").as("score"),
-        get_json_object(col("json"), "$.active").as("active"))
+        get_json_object(col("json"), "$.active").as("active"),
+        // opaque (0x0F) values (r11): temporals extract as their
+        // quoted Json_dom literals; decimal compares as DOUBLE (both
+        // engines' extractors normalize trailing zeros differently —
+        // the decimal LITERAL itself is pinned byte-for-byte by the
+        // text-twin parity fixture and the wide-column fuzz)
+        get_json_object(col("json"), "$.born").as("born"),
+        get_json_object(col("json"), "$.at").as("at_ts"),
+        get_json_object(col("json"), "$.t").as("t_tm"),
+        get_json_object(col("json"), "$.price").cast("double").as("price"),
+        get_json_object(col("json"), "$.blob").as("blob64"))
         .orderBy("id")
+    },
+
+    // c13: GTID-interval filters (r11, VERDICT r10 task 4) — the
+    // engine decodes the GTID framing events (binary GTID_LOG_EVENT /
+    // the text twin's GTID_NEXT line), annotates every change event
+    // with its transaction's uuid:gno, and `--include-gtids`-filters
+    // through the REAL applyFilters path (a codegen'd interval
+    // disjunction). The include set's middle interval spans the file
+    // rotation (gnos run continuously across binlog.000001→2), and
+    // multi-row transactions share one GTID. DuckDB re-applies the
+    // same intervals to the unfiltered gtid-annotated snapshot.
+    // Scale shape: a scan-pushed predicate, one bounded group-by.
+    QueryDef("c13_gtid_filter",
+      s"""SELECT gtid, op, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM read_parquet('$GtidSnapshot/*.parquet')
+         |WHERE split_part(gtid, ':', 1) = '$FixtureSid'
+         |  AND (CAST(split_part(gtid, ':', 2) AS BIGINT) BETWEEN 40 AND 260
+         |    OR CAST(split_part(gtid, ':', 2) AS BIGINT) BETWEEN 290 AND 295)
+         |GROUP BY gtid, op ORDER BY gtid, op""".stripMargin) { (s, d) =>
+      val events = graft.sources.BinlogBinary.parse(s, gtidFixturePath())
+      writeSnapshotIfStale(GtidSnapshot, d) {
+        events.select("file", "seq", "gtid", "db", "table", "op")
+          .write.mode("overwrite").parquet(GtidSnapshot)
+      }
+      CdcJob.applyFilters(events,
+        CdcConfig(includeGtids = Some(s"$FixtureSid:40-260:290-295")))
+        .groupBy("gtid", "op").agg(count(lit(1)).as("n"))
+        .orderBy("gtid", "op")
     },
 
     QueryDef.noOracle("c2_forward_sql") { (s, d) =>
@@ -463,6 +579,70 @@ object CdcQueries {
         .groupBy("db", "table", "op")
         .agg(count(lit(1)).as("c"))
         .orderedSmall(col("db"), col("table"), col("op")) // tables×ops: bounded
+    },
+
+    // c14: state maintenance FROM THE PARTITIONED LAKE (r11, VERDICT
+    // r10 task 9 — closes the loop the r10 partitioning opened): the
+    // incremental c10-style fold now CONSUMES the (p_db, p_table)
+    // event lake through a streaming parquet read filtered to ONE
+    // table, so a per-table consumer replays only its own partition
+    // directories — directory pruning, not a whole-lake scan
+    // (PartitionFilters on the batch twin are plan-asserted in
+    // CdcStreamSpec; the file-stream LOG still lists all lake files,
+    // but non-matching files contribute zero-row scans). The oracle
+    // reads THE SAME partition glob in DuckDB, re-derives the
+    // flattened images from the raw ordinal/value arrays
+    // (list_position — the imgVal twin) and the last-writer state by
+    // (file, seq, rnk). Scale shape: one keyed shuffle per batch over
+    // one table's events; the lake's other tables are never read.
+    QueryDef("c14_lake_state",
+      s"""WITH snap AS (
+         |  SELECT file, seq, op, db, "table",
+         |    CASE WHEN list_position(beforeOrds, 1) IS NOT NULL
+         |         THEN beforeVals[list_position(beforeOrds, 1)] END AS before_id,
+         |    CASE WHEN list_position(afterOrds, 1) IS NOT NULL
+         |         THEN afterVals[list_position(afterOrds, 1)] END AS after_id,
+         |    CASE WHEN list_position(afterOrds, 2) IS NOT NULL
+         |         THEN afterVals[list_position(afterOrds, 2)] END AS after_c2,
+         |    CASE WHEN list_position(afterOrds, 3) IS NOT NULL
+         |         THEN afterVals[list_position(afterOrds, 3)] END AS after_c3
+         |  FROM read_parquet('$StressLakePath/p_db=logdb/p_table=audit/*.parquet')),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, c2, c3
+         |FROM last WHERE rn = 1 AND keep = 1
+         |ORDER BY db, "table", id""".stripMargin) { (s, d) =>
+      val src = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      writeSnapshotIfStale(StressLakePath, d) {
+        deleteRecursively(StressLakePath)
+        CdcMain.writeEventLake(CdcJob.parse(s, src), StressLakePath)
+      }
+      val lakeSchema = s.read.parquet(StressLakePath).schema
+      var state: Option[DataFrame] = None
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_c14_cp").toString
+      val q = s.readStream.schema(lakeSchema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(StressLakePath)
+        .filter(col("p_db") === "logdb" && col("p_table") === "audit")
+        .drop("p_db", "p_table")
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = Some(
+            mergeState(state, flattenImages(batch)).localCheckpoint())
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      stateView(state.get).orderedRows(col("db"), col("table"), col("id"))
     }
   )
 

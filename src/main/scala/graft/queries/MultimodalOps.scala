@@ -353,18 +353,18 @@ object MultimodalOps {
       .toDF("media_id", "payload")
   }
 
-  /** m8's (media_id, payload) AVI snapshot for the DuckDB re-parse. */
+  /** m9's (media_id, payload) AVI snapshot for the DuckDB re-parse. */
   private val AviSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_avi_snapshot"
 
   /** Encode a minimal REAL AVI container: RIFF('AVI ') → LIST(hdrl)
     * holding the canonical 56-byte `avih` main header → LIST(movi)
-    * holding the frame chunks ('00dc', variable odd/even sizes so the
-    * RIFF pad rule is exercised) → `idx1` index stub. `declaredFrames`
-    * may differ from the chunks actually written (interrupted write —
-    * the audit case). */
+    * holding the frame chunks ('00dc', caller-supplied payloads of
+    * variable odd/even sizes so the RIFF pad rule is exercised) →
+    * `idx1` index stub. `declaredFrames` may differ from the chunks
+    * actually written (interrupted write — the audit case). */
   private[queries] def encodeAvi(usPerFrame: Int, width: Int, height: Int,
-      frameSizes: Seq[Int], declaredFrames: Int): Array[Byte] = {
+      frames: Seq[Array[Byte]], declaredFrames: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def u32(v: Long): Unit = { var i = 0
@@ -372,8 +372,8 @@ object MultimodalOps {
     def chunkLen(sz: Int): Int = 8 + sz + (sz % 2)
     val avihLen = chunkLen(56)
     val hdrlLen = 4 + avihLen
-    val moviLen = 4 + frameSizes.map(chunkLen).sum
-    val idxLen = chunkLen(16 * frameSizes.length)
+    val moviLen = 4 + frames.map(f => chunkLen(f.length)).sum
+    val idxLen = chunkLen(16 * frames.length)
     ascii("RIFF"); u32(4L + (8 + hdrlLen) + (8 + moviLen) + idxLen); ascii("AVI ")
     ascii("LIST"); u32(hdrlLen.toLong); ascii("hdrl")
     ascii("avih"); u32(56L)
@@ -383,15 +383,14 @@ object MultimodalOps {
     u32(width.toLong); u32(height.toLong)
     (0 until 4).foreach(_ => u32(0L)) // reserved
     ascii("LIST"); u32(moviLen.toLong); ascii("movi")
-    frameSizes.zipWithIndex.foreach { case (sz, i) =>
-      ascii("00dc"); u32(sz.toLong)
-      var k = 0
-      while (k < sz) { out.write((i * 31 + k * 7) & 0xFF); k += 1 }
-      if (sz % 2 == 1) out.write(0) // RIFF pad
+    frames.foreach { f =>
+      ascii("00dc"); u32(f.length.toLong)
+      out.write(f, 0, f.length)
+      if (f.length % 2 == 1) out.write(0) // RIFF pad
     }
-    ascii("idx1"); u32(16L * frameSizes.length)
-    frameSizes.indices.foreach { i =>
-      ascii("00dc"); u32(0x10L); u32(0L); u32(frameSizes(i).toLong) }
+    ascii("idx1"); u32(16L * frames.length)
+    frames.indices.foreach { i =>
+      ascii("00dc"); u32(0x10L); u32(0L); u32(frames(i).length.toLong) }
     out.toByteArray
   }
 
@@ -418,11 +417,117 @@ object MultimodalOps {
           // a minority of interrupted writes: header declares more
           // frames than the movi list carries
           val declared = if (id % 19 == 0) nFrames + 3 else nFrames
+          val frames = sizes.zipWithIndex.map { case (sz, i) =>
+            Array.tabulate(sz)(k => ((i * 31 + k * 7) & 0xFF).toByte) }
           (id, encodeAvi(usPerFrame, 64 + (id % 8).toInt * 16,
-            48 + (id % 4).toInt * 16, sizes, declared))
+            48 + (id % 4).toInt * 16, frames, declared))
         }
       }
       .toDF("media_id", "payload")
+  }
+
+  /** m8's raster dims: every PNG frame is FrmW×FrmH 8-bit gray. */
+  private val FrmW = 8
+  private val FrmH = 8
+
+  /** Video corpus with REAL coded frames: each movi chunk is a
+    * complete PNG image (MJPEG-style intra-only coding, with PNG as
+    * the per-frame codec since it is the one this JVM carries). Frame
+    * f's raster is a pure function of the document text — pixel j =
+    * text byte ((f·64 + j) mod n), zero for empty docs — which is
+    * what lets the DuckDB oracle certify the DECODED pixels without a
+    * SQL inflate: PNG is lossless, so re-deriving the raster from the
+    * text equals decoding the frame, and any container-walk or codec
+    * error breaks the hash. */
+  def pngAviTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2) // the media table's video kind
+      .select(col("doc_id"), col("text"))
+      .fanOut
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val usPerFrame = Array(33333, 40000, 16667)(((id / 3) % 3).toInt)
+          val nFrames = 5 + ((id / 3) % 12).toInt * 2
+          val frames = Seq.tabulate(nFrames) { f =>
+            val px = new Array[Byte](FrmW * FrmH)
+            if (bytes.nonEmpty) {
+              var j = 0
+              while (j < px.length) {
+                px(j) = bytes((f * 64 + j) % bytes.length); j += 1
+              }
+            }
+            encodeGrayPng(px, FrmW, FrmH)
+          }
+          (id, encodeAvi(usPerFrame, FrmW, FrmH, frames, nFrames))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Every k-th frame of each PNG-coded AVI, DECODED: the m6-style
+    * container walk locates the '00dc' chunks, the m4 image codec
+    * decodes each sampled frame, and the features are integer-exact
+    * pixel statistics over the DECODED raster (sum, sum of squares,
+    * min, max) — hashable cross-engine. One row-wise kernel, no
+    * shuffle; frames beyond the container bound are ignored (the
+    * walk, not the header, is the census). */
+  def aviFrameFeatures(avis: DataFrame, k: Int = 3): DataFrame = {
+    val spark = avis.sparkSession
+    import spark.implicits._
+    avis.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, b) =>
+          def u32(p: Int): Long = {
+            var v = 0L; var i = 0
+            while (i < 4) { v |= (b(p + i) & 0xFFL) << (8 * i); i += 1 }
+            v
+          }
+          def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+          val riff = b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI "
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int, Long, Long, Int, Int)]
+          if (riff) {
+            var pos = 12L
+            var fIdx = 0
+            while (pos + 8 <= b.length) {
+              val t = tag(pos.toInt)
+              val len = u32(pos.toInt + 4)
+              if (t == "LIST") pos += 12 // descend
+              else {
+                if (t == "00dc" && pos + 8 + len <= b.length) {
+                  if (fIdx % k == 0) {
+                    val png = java.util.Arrays.copyOfRange(
+                      b, pos.toInt + 8, (pos + 8 + len).toInt)
+                    val (w, h, px) = decodeGrayPng(png, s"media $id frame $fIdx: ")
+                    var s = 0L; var sq = 0L
+                    var mn = 255; var mx = 0
+                    var i = 0
+                    while (i < px.length) {
+                      val v = px(i)
+                      s += v; sq += v.toLong * v
+                      if (v < mn) mn = v
+                      if (v > mx) mx = v
+                      i += 1
+                    }
+                    out += ((id, fIdx, w, h, s, sq, mn, mx))
+                  }
+                  fIdx += 1
+                }
+                pos += 8 + len + (len % 2)
+              }
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height",
+        "px_sum", "px_sq_sum", "px_min", "px_max")
   }
 
   /** AVI container audit — RIFF walk DESCENDING into LIST chunks (a
@@ -618,6 +723,93 @@ object MultimodalOps {
        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS BIGINT) AS peak,
        |  CAST(COALESCE(list_sum(list_transform(ss, x -> x * x)), 0) AS BIGINT) AS sumsq
        |FROM sam ORDER BY media_id""".stripMargin
+  }
+
+  /** m8's cross-engine oracle: the sampled frames' pixel statistics
+    * re-derived from FIRST PRINCIPLES — the raster rule (pixel j of
+    * frame f = text byte (f·64+j) mod n) applied to the documents
+    * table directly, never touching the AVI bytes. The engine side
+    * reads ONLY the container (RIFF walk → '00dc' chunks → PNG
+    * decode), so a hash match certifies the whole walk+codec path:
+    * PNG losslessness is the bridge between the two derivations. */
+  private val PngAviOracleSql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |         5 + ((doc_id // 3) % 12) * 2 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |frames AS (
+       |  SELECT doc_id, hx, n, f.f AS fi
+       |  FROM vids, UNNEST(generate_series(0, nf - 1)) AS f(f)
+       |  WHERE (f.f % 3) = 0),
+       |pxv AS (
+       |  SELECT doc_id, fi,
+       |    CASE WHEN n = 0 THEN 0 ELSE
+       |      CAST('0x' || substr(hx, CAST(((fi*64 + j.j) % n)*2 + 1 AS INT), 2) AS INTEGER)
+       |    END AS v
+       |  FROM frames, UNNEST(generate_series(0, 63)) AS j(j))
+       |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+       |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       |  CAST(SUM(v) AS BIGINT) AS px_sum, CAST(SUM(v*v) AS BIGINT) AS px_sq_sum,
+       |  CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+       |FROM pxv GROUP BY doc_id, fi ORDER BY media_id, frame_idx""".stripMargin
+
+  /** m9's oracle: DuckDB re-walks the AVI snapshot bytes — recursive
+    * chunk walk with the LIST-descend rule (a LIST header is entered,
+    * 12 bytes, identical to [[aviMeta]]), little-endian avih field
+    * extraction, '00dc'/'01wb' frame census — so the container audit
+    * (including the planted interrupted writes) is cross-engine
+    * certified byte-for-byte. */
+  private val AviOracleSql: String = {
+    def pair(q: String) = s"substr(hx, CAST((($q)-1)*2+1 AS INT), 2)"
+    def u32le(p: String) =
+      s"CAST('0x' || ${pair(s"($p)+3")} || ${pair(s"($p)+2")} || " +
+        s"${pair(s"($p)+1")} || ${pair(p)} AS BIGINT)"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT media_id, hex(payload) AS hx,
+       |         CAST(octet_length(payload) AS BIGINT) AS n
+       |  FROM read_parquet('$AviSnapshot/*.parquet')),
+       |walk AS (
+       |  SELECT media_id, hx, n, CAST(13 AS BIGINT) AS pos,
+       |         CAST(0 AS BIGINT) AS avih_pos,
+       |         CAST(0 AS BIGINT) AS ff, CAST(0 AS BIGINT) AS fb
+       |  FROM m WHERE n >= 12 AND substr(hx, 1, 8) = '52494646'
+       |    AND substr(hx, 17, 8) = '41564920'
+       |  UNION ALL
+       |  SELECT media_id, hx, n,
+       |         CASE WHEN typ = '4C495354' THEN pos + 12
+       |              ELSE pos + 8 + len + (len % 2) END,
+       |         CASE WHEN typ = '61766968' THEN pos + 8 ELSE avih_pos END,
+       |         ff + CASE WHEN typ IN ('30306463','30317762') THEN 1 ELSE 0 END,
+       |         fb + CASE WHEN typ IN ('30306463','30317762') THEN len ELSE 0 END
+       |  FROM (SELECT media_id, hx, n, pos, avih_pos, ff, fb,
+       |          substr(hx, CAST((pos-1)*2+1 AS INT), 8) AS typ,
+       |          ${u32le("pos + 4")} AS len
+       |        FROM walk WHERE pos + 8 <= n + 1)),
+       |done AS (
+       |  SELECT media_id, MAX_BY(avih_pos, pos) AS avih_pos,
+       |         MAX_BY(ff, pos) AS ff, MAX_BY(fb, pos) AS fb
+       |  FROM walk GROUP BY media_id),
+       |flds AS (
+       |  SELECT m.media_id, m.hx, m.n,
+       |    COALESCE(d.avih_pos, 0) AS ap,
+       |    COALESCE(d.ff, 0) AS ff, COALESCE(d.fb, 0) AS fb,
+       |    (COALESCE(d.avih_pos, 0) > 0 AND d.avih_pos + 56 <= m.n + 1) AS avih_ok
+       |  FROM m LEFT JOIN done d USING (media_id)),
+       |vals AS (
+       |  SELECT media_id, ff, fb, avih_ok,
+       |    CASE WHEN avih_ok THEN ${u32le("ap")} ELSE 0 END AS usf,
+       |    CASE WHEN avih_ok THEN ${u32le("ap + 24")} ELSE 0 END AS streams,
+       |    CASE WHEN avih_ok THEN ${u32le("ap + 16")} ELSE -1 END AS declared,
+       |    CASE WHEN avih_ok THEN ${u32le("ap + 32")} ELSE 0 END AS w,
+       |    CASE WHEN avih_ok THEN ${u32le("ap + 36")} ELSE 0 END AS h
+       |  FROM flds)
+       |SELECT media_id, (avih_ok AND usf > 0 AND ff = declared) AS ok,
+       |  usf AS us_per_frame, streams AS n_streams, w AS width, h AS height,
+       |  declared AS declared_frames, ff AS frames_found, fb AS frame_bytes,
+       |  CASE WHEN avih_ok AND usf > 0 AND ff = declared
+       |       THEN declared * usf // 1000 ELSE 0 END AS duration_ms
+       |FROM vals ORDER BY media_id""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -856,8 +1048,42 @@ object MultimodalOps {
       val wavs = wavTable(s, d)
       writeWavSnapshotIfStale(s, d, wavs)
       wavFeatures(wavs).orderedRows(col("media_id")) // one row per clip
+    },
+
+    // m8: REAL video frames (r11, VERDICT r10 task 2) — the corpus's
+    // AVIs carry PNG-coded movi chunks (intra-only/MJPEG-style, PNG as
+    // the per-frame codec), the engine walks the container, samples
+    // every 3rd frame, and DECODES it with the m4 image codec; the
+    // oracle re-derives the pixel stats from the raster rule over raw
+    // text (PngAviOracleSql — PNG losslessness makes the derivations
+    // equal). Scale shape: pure map-side walk+decode kernel, rows
+    // scale with frames, no shuffle before the output sort.
+    QueryDef("m8_video_frames", PngAviOracleSql) { (s, d) =>
+      aviFrameFeatures(pngAviTable(s, d), k = 3)
+        .orderedRows(col("media_id"), col("frame_idx"))
+    },
+
+    // m9: AVI container audit (wires the r10 AVI walk end-to-end —
+    // ADVICE r10): RIFF('AVI ') framing, avih main-header fields,
+    // '00dc'/'01wb' frame census vs the declared count — the
+    // interrupted-upload audit ingest runs before paying any decode.
+    // The oracle RE-WALKS the same payload bytes in DuckDB
+    // (AviOracleSql). Map-side kernel; one row per container.
+    QueryDef("m9_avi_audit", AviOracleSql) { (s, d) =>
+      val avis = aviTable(s, d)
+      writeAviSnapshotIfStale(s, d, avis)
+      aviMeta(avis).orderedRows(col("media_id"))
     }
   )
+
+  private def writeAviSnapshotIfStale(s: SparkSession, d: String,
+      avis: DataFrame): Unit = synchronized {
+    if (mediaSnapshotSf.get(AviSnapshot) != d) {
+      avis.select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(AviSnapshot)
+      mediaSnapshotSf.put(AviSnapshot, d)
+    }
+  }
 
   private def writeWavSnapshotIfStale(s: SparkSession, d: String,
       wavs: DataFrame): Unit = synchronized {

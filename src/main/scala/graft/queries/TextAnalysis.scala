@@ -121,6 +121,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("cand").as("predicted"))
   }
 
+  /** t4's cross-engine oracle: DuckDB re-derives the ROLLING polynomial
+    * fingerprint from raw text with HUGEINT multiply-adds mod 2^64
+    * (the d2/m5 integer technique — Java `long` wrap ≡ `% 2^64`).
+    * Per token: poly-31 over UTF-8 bytes (hex-decoded, list_reduce);
+    * per 4-token window: base-1000003 combine of the token hashes
+    * (the direct form — the engine's O(1) Karp–Rabin slide is spec'd
+    * equal to it); sketch = min-8 of the distinct SIGNED window
+    * hashes; fingerprint chains the sketch from seed 0x9747b28c.
+    * Constants are shared with [[graft.functions.HashOps]]. */
+  private val FingerprintOracleSql: String = {
+    val M = "18446744073709551616"
+    val H = "9223372036854775808"
+    val B = graft.functions.HashOps.FpWinB
+    val TB = graft.functions.HashOps.FpTokB
+    val F0 = graft.functions.HashOps.Fp0
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tpos AS (
+       |  SELECT doc_id, i, toks[i] AS tok
+       |  FROM tok, UNNEST(generate_series(1, len(toks))) AS g(i)
+       |  WHERE len(toks) >= 4),
+       |tb AS (
+       |  SELECT doc_id, i, hex(encode(tok)) AS hx,
+       |         octet_length(encode(tok)) AS n FROM tpos),
+       |thash AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+       |    ELSE list_reduce(
+       |      list_transform(generate_series(1, CAST(n AS BIGINT)), p ->
+       |        CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*p-1, 1))-1)
+       |           + strpos('0123456789ABCDEF', substr(hx, 2*p, 1))-1 AS HUGEINT)),
+       |      (a, b) -> (a*$TB + b) % $M) END AS th
+       |  FROM tb),
+       |ths AS (SELECT doc_id, list(th ORDER BY i) AS hs FROM thash GROUP BY doc_id),
+       |wh AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs)-3), i ->
+       |    (((((hs[i]*$B + hs[i+1]) % $M)*$B + hs[i+2]) % $M)*$B + hs[i+3]) % $M)) AS w
+       |  FROM ths),
+       |dw AS (SELECT DISTINCT doc_id, w FROM wh),
+       |sgn AS (SELECT doc_id,
+       |          CAST(CASE WHEN w >= $H THEN w - $M ELSE w END AS BIGINT) AS s FROM dw),
+       |rk AS (SELECT doc_id, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn FROM sgn),
+       |sk AS (SELECT doc_id, list(s ORDER BY s) AS sl,
+       |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY s) AS sketch
+       |       FROM rk WHERE rn <= 8 GROUP BY doc_id),
+       |fpu AS (SELECT doc_id, sketch,
+       |  list_reduce(
+       |    list_prepend(CAST($F0 AS HUGEINT), list_transform(sl, v -> CAST(v AS HUGEINT))),
+       |    (a, v) -> (a*$B + (v + $M) % $M) % $M) AS f
+       |  FROM sk)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN f >= $H THEN f - $M ELSE f END AS BIGINT) AS fingerprint,
+       |  sketch
+       |FROM fpu ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("t1_token_counts",
@@ -251,14 +308,19 @@ object TextAnalysis {
         .orderedSmall(col("lang"), col("predicted"))
     },
 
-    QueryDef.noOracle("t4_fingerprint") { (s, d) =>
+    QueryDef("t4_fingerprint", FingerprintOracleSql) { (s, d) =>
       import s.implicits._
-      // Rolling 4-token window hashes → min-8 sketch → one 64-bit doc
-      // fingerprint, all in one typed map (shingleHashes already
-      // returns the windows sorted + distinct, so the sketch is its
-      // first 8; the fingerprint chains XXH64 over the sketch values).
-      // Shuffle-free, JIT'd — the HOF form interpreted one xxhash64
-      // per window per element.
+      // TRUE rolling (Karp–Rabin) 4-token window hashes → min-8
+      // sketch → one 64-bit doc fingerprint, all in one typed map.
+      // Each window slide is O(1) (subtract the outgoing token's
+      // B^3 term, multiply, add the incoming token — HashOps
+      // .rollingShingleHashes), so cost is linear in tokens, not
+      // tokens×k. Promoted from golden to a full DuckDB oracle in
+      // r11: the oracle recomputes the identical mod-2^64 polynomial
+      // from raw text (FingerprintOracleSql), and a spec pins the
+      // rolling update equal to the direct recompute.
+      // Shuffle-free, JIT'd — the HOF form interpreted one hash per
+      // window per element.
       // Sketch emitted as CSV text: array columns break order-
       // canonicalizing result harnesses (pandas can't sort ndarray
       // cells), and the string form carries the same information.
@@ -267,17 +329,11 @@ object TextAnalysis {
         .fanOut // single-row-group scan: spread the window-hash kernel
         .as[(Long, String)](graft.Enc.longStr)
         .flatMap { case (id, text) =>
-          val wins = graft.functions.HashOps.shingleHashes(text, 4)
+          val wins = graft.functions.HashOps.rollingShingleHashes(text, 4)
           if (wins.isEmpty) Iterator.empty
           else {
             val sketch = wins.take(8)
-            var fp = 0x9747b28cL
-            var i = 0
-            while (i < sketch.length) {
-              fp = org.apache.spark.sql.catalyst.expressions.XXH64
-                .hashLong(sketch(i), fp)
-              i += 1
-            }
+            val fp = graft.functions.HashOps.chainFingerprint(sketch)
             Iterator.single((id, fp, sketch.mkString(",")))
           }
         }(graft.Enc.longLongStr)
@@ -621,10 +677,13 @@ object TextAnalysis {
         .limit(vocabCap)
         .as[(String, Long)](graft.Enc.strLong)
         .collect().sortBy(_._1).toSeq
-      // 1024 merges — a realistic (if small) vocabulary, affordable
-      // because the r10 trainer is incremental; the recount trainer
-      // was O(dict · merges) and driver-bound beyond a few dozen
-      val merges = bpeTrain(wc, nMerges = 1024)
+      // 8192 merges (r11; r10 trained 1024) — a realistic small-LM
+      // vocabulary, affordable because the trainer is incremental
+      // (TreeSet best-pair + inverted word index); the recount
+      // trainer was O(dict · merges) and driver-bound beyond a few
+      // dozen. The trainer stops early-and-clean if the dict
+      // exhausts its pairs first (PipelineOpsSpec pins the timing)
+      val merges = bpeTrain(wc, nMerges = 8192)
       val rank = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
         rank.put(a + " " + b, Integer.valueOf(i)) }

@@ -58,6 +58,7 @@ object BinlogBinary {
   private val WRITE_V2 = 30
   private val UPDATE_V2 = 31
   private val DELETE_V2 = 32
+  private val GTID = 33
 
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
 
@@ -190,11 +191,24 @@ object BinlogBinary {
     * one's-complement of the positive image. Rendered bare with
     * exactly `scale` fractional digits — decimal2string's output
     * shape, which is what mysqlbinlog -vv prints. */
-  private def newDecimal(cur: Cursor, precision: Int, scale: Int): String = {
+  /** Storage bytes of a NEWDECIMAL(precision, scale) image. Shared
+    * with [[JsonBinary]]'s opaque-decimal decode. */
+  private[sources] def decimalBinSize(precision: Int, scale: Int): Int = {
     val intg = precision - scale
-    val size = (intg / 9) * 4 + Dig2Bytes(intg % 9) +
+    (intg / 9) * 4 + Dig2Bytes(intg % 9) +
       (scale / 9) * 4 + Dig2Bytes(scale % 9)
-    val raw = cur.bytes(size)
+  }
+
+  private def newDecimal(cur: Cursor, precision: Int, scale: Int): String =
+    decimalToString(cur.bytes(decimalBinSize(precision, scale)),
+      precision, scale)
+
+  /** decimal2string over a (consumed, mutable) binary image — see
+    * [[newDecimal]]'s format notes. Shared with [[JsonBinary]]. */
+  private[sources] def decimalToString(raw: Array[Byte], precision: Int,
+      scale: Int): String = {
+    val intg = precision - scale
+    val size = raw.length
     val positive = (raw(0) & 0x80) != 0
     raw(0) = (raw(0) ^ 0x80).toByte
     if (!positive) { var i = 0; while (i < size) { raw(i) = (~raw(i)).toByte; i += 1 } }
@@ -242,6 +256,9 @@ object BinlogBinary {
     var off = 4
     var checksumLen = 0
     var seq = 0L
+    // GTID framing: the last GTID_LOG_EVENT's uuid:gno, carried onto
+    // every row/DDL event until the next one (transaction scope)
+    var curGtid = ""
     val tables = mutable.Map.empty[Long, TableDef]
 
     // `mysqlbinlog` header-comment datetime (yyMMdd %2d:%02d:%02d) in
@@ -409,6 +426,20 @@ object BinlogBinary {
         }
 
         try etype match {
+          case GTID =>
+            // GTID_LOG_EVENT: flags(1) + SID(16) + GNO(8 LE); the
+            // trailing logical-timestamp fields are not needed here
+            c.u8()
+            val sid = c.bytes(16)
+            val gno = {
+              var v = 0L; var i = 0
+              while (i < 8) { v |= (c.u8().toLong & 0xFF) << (8 * i); i += 1 }
+              v
+            }
+            val hex = sid.map(b => f"${b & 0xFF}%02x").mkString
+            curGtid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+              s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+              s"${hex.substring(20)}:$gno"
           case TABLE_MAP =>
             val tid = c.u48(); c.u16()
             val db = c.str(c.u8()); c.u8() // NUL
@@ -475,7 +506,8 @@ object BinlogBinary {
                 case _ => (o1, v1, o2, v2)
               }
               out += RawChange(file, seq, startPos, logPos, startPosRaw,
-                stopPosRaw, dtRaw, td.db, td.table, op, bo, bv, ao, av, null)
+                stopPosRaw, dtRaw, td.db, td.table, op, bo, bv, ao, av, null,
+                curGtid)
               seq += 1
             }
           case QUERY if includeDdl =>
@@ -494,7 +526,8 @@ object BinlogBinary {
               val text = Seq(useLine, query).filter(_.nonEmpty).mkString("\n") + ";"
               out += RawChange(file, seq, startPos, logPos, startPosRaw,
                 stopPosRaw, dtRaw, "", "", "ddl", Array.emptyIntArray,
-                Array.empty[String], Array.emptyIntArray, Array.empty[String], text)
+                Array.empty[String], Array.emptyIntArray, Array.empty[String],
+                text, curGtid)
               seq += 1
             }
           case _ => () // FDE handled above; rotate/xid/etc skipped

@@ -64,6 +64,15 @@ object BinlogBinaryFixture {
   final case class JDbl(v: Double) extends J
   final case class JBool(v: Boolean) extends J
   case object JNull extends J
+  // Opaque (0x0F) values — non-JSON MySQL types stored in documents
+  // (json_binary.h's opaque encoding; r11, VERDICT r10 task 3).
+  final case class JDate(y: Int, mo: Int, d: Int) extends J
+  final case class JTime(neg: Boolean, h: Int, mi: Int, s: Int,
+      micros: Int) extends J
+  final case class JDateTime(y: Int, mo: Int, d: Int, h: Int, mi: Int,
+      s: Int, micros: Int) extends J
+  final case class JDecimal(v: BigDecimal, precision: Int, scale: Int) extends J
+  final case class JOpaque(fieldType: Int, data: Array[Byte]) extends J
 
   /** One row of the wide-type matrix table `testdb.t_wide` — the
     * string/BLOB/ENUM/SET/BIT/TIME2/JSON column families plus the
@@ -153,12 +162,32 @@ object BinlogBinaryFixture {
     case JStr(s) =>
       val bs = s.getBytes("UTF-8")
       (0x0C, jsonVarlen(bs.length) ++ bs)
+    case JDate(y, mo, d) =>
+      val ymd = ((y * 13 + mo).toLong << 5) | d
+      (0x0F, opaquePayload(10, le(ymd << 17 << 24, 8)))
+    case JDateTime(y, mo, d, h, mi, s, us) =>
+      val ymd = ((y * 13 + mo).toLong << 5) | d
+      val hms = (h << 12) | (mi << 6) | s
+      (0x0F, opaquePayload(12, le((((ymd << 17) | hms) << 24) + us, 8)))
+    case JTime(neg, h, mi, s, us) =>
+      val hms = (h.toLong << 12) | (mi << 6) | s
+      val packed = (hms << 24) + us
+      (0x0F, opaquePayload(11, le(if (neg) -packed else packed, 8)))
+    case JDecimal(v, precision, scale) =>
+      (0x0F, opaquePayload(246,
+        Array[Byte](precision.toByte, scale.toByte) ++
+          encDecimal(v, precision, scale)))
+    case JOpaque(ft, data) => (0x0F, opaquePayload(ft, data))
     case JArr(items, large) =>
       (if (large) 0x03 else 0x02, encJsonContainer(None, items, large))
     case JObj(fields, large) =>
       (if (large) 0x01 else 0x00,
         encJsonContainer(Some(fields.map(_._1)), fields.map(_._2), large))
   }
+
+  /** Opaque value payload: [field_type u8][varlen len][data]. */
+  private def opaquePayload(fieldType: Int, data: Array[Byte]): Array[Byte] =
+    Array(fieldType.toByte) ++ jsonVarlen(data.length) ++ data
 
   private def jsonVarlen(n0: Int): Array[Byte] = {
     val out = mutable.ArrayBuffer.empty[Byte]
@@ -221,6 +250,17 @@ object BinlogBinaryFixture {
     case JInt(v) => v.toString
     case JDbl(d) => d.toString
     case JStr(s) => jsonEscape(s)
+    case JDate(y, mo, d) => f""""$y%04d-$mo%02d-$d%02d""""
+    case JDateTime(y, mo, d, h, mi, s, us) =>
+      f""""$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$us%06d""""
+    case JTime(neg, h, mi, s, us) =>
+      f""""${if (neg) "-" else ""}%s$h%02d:$mi%02d:$s%02d.$us%06d""""
+    // toPlainString: BigDecimal.toString flips to scientific notation
+    // below 1e-6, decimal2string never does
+    case JDecimal(v, _, scale) => v.setScale(scale).underlying.toPlainString
+    case JOpaque(ft, data) =>
+      "\"base64:type" + ft + ":" +
+        java.util.Base64.getEncoder.encodeToString(data) + "\""
     case JArr(items, _) => items.map(jsonText).mkString("[", ", ", "]")
     case JObj(fields, _) => fields
       .map { case (k, v) => jsonEscape(k) + ": " + jsonText(v) }

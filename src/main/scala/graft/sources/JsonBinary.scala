@@ -38,6 +38,7 @@ object JsonBinary {
   private val U64 = 0x0A
   private val Dbl = 0x0B
   private val Str = 0x0C
+  private val Opaque = 0x0F
 
   def toText(doc: Array[Byte]): String = {
     // an empty value is how the server stores JSON `null` assignments
@@ -103,8 +104,65 @@ object JsonBinary {
     case Str =>
       val (len, p) = varlen(b, pos)
       appendJsonString(b, p, len, sb)
+    case Opaque => opaque(b, pos, sb)
     case t => throw new IllegalArgumentException(
       f"unsupported JSON binary type 0x$t%02X")
+  }
+
+  /** JSONB_TYPE_OPAQUE (0x0F): [field_type u8][varlen len][data] — a
+    * non-JSON MySQL value stored inside a document (json_binary.h's
+    * opaque encoding). Rendering follows Json_dom:
+    *  - DATE/TIME/DATETIME/TIMESTAMP carry the 8-byte LE *packed*
+    *    temporal (TIME_to_longlong_*_packed: fractional micros in the
+    *    low 24 bits, ymd<<17|hms above for datetimes, hms alone for
+    *    times, sign by negation) and print as my_TIME_to_str with
+    *    dec=6 — quoted, DATE without a fraction, TIME/DATETIME with
+    *    exactly 6 fractional digits;
+    *  - NEWDECIMAL carries [precision u8][scale u8][decimal binary]
+    *    and prints as the bare decimal2string number;
+    *  - every other field type prints as the quoted
+    *    "base64:typeN:<base64 data>" string. */
+  private def opaque(b: Array[Byte], pos: Int,
+      sb: java.lang.StringBuilder): Unit = {
+    val fieldType = b(pos) & 0xFF
+    val (len, p) = varlen(b, pos + 1)
+    def packedDatetime(): (Int, Int, Int, Int, Int, Int, Int) = {
+      val a = math.abs(i64(b, p))
+      val micros = (a & 0xFFFFFF).toInt
+      val ymdhms = a >> 24
+      val ymd = (ymdhms >> 17).toInt
+      val hms = (ymdhms & 0x1FFFF).toInt
+      val ym = ymd >> 5
+      (ym / 13, ym % 13, ymd & 31,
+        hms >> 12, (hms >> 6) & 0x3F, hms & 0x3F, micros)
+    }
+    fieldType match {
+      case 10 => // MYSQL_TYPE_DATE
+        val (y, mo, d, _, _, _, _) = packedDatetime()
+        sb.append(f""""$y%04d-$mo%02d-$d%02d""""): Unit
+      case 12 | 7 => // MYSQL_TYPE_DATETIME / MYSQL_TYPE_TIMESTAMP
+        val (y, mo, d, h, mi, s, us) = packedDatetime()
+        sb.append(
+          f""""$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$us%06d""""): Unit
+      case 11 => // MYSQL_TYPE_TIME
+        val v = i64(b, p)
+        val a = math.abs(v)
+        val micros = (a & 0xFFFFFF).toInt
+        val hms = (a >> 24).toInt
+        val sign = if (v < 0) "-" else ""
+        sb.append(f""""$sign%s${(hms >> 12) & 0x3FF}%02d:${(hms >> 6) & 0x3F}%02d:${hms & 0x3F}%02d.$micros%06d""""): Unit
+      case 246 => // MYSQL_TYPE_NEWDECIMAL: [precision][scale][binary]
+        val precision = b(p) & 0xFF
+        val scale = b(p + 1) & 0xFF
+        val sz = BinlogBinary.decimalBinSize(precision, scale)
+        val raw = java.util.Arrays.copyOfRange(b, p + 2, p + 2 + sz)
+        sb.append(BinlogBinary.decimalToString(raw, precision, scale)): Unit
+      case ft =>
+        sb.append('"').append("base64:type").append(ft).append(':')
+          .append(java.util.Base64.getEncoder
+            .encodeToString(java.util.Arrays.copyOfRange(b, p, p + len)))
+          .append('"'): Unit
+    }
   }
 
   private def container(b: Array[Byte], pos: Int, large: Boolean,

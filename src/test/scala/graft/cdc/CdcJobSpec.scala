@@ -159,6 +159,48 @@ class CdcJobSpec extends AnyFunSuite {
       stopDatetime = Some("2026-08-12 05:00:02"))) == 1)
   }
 
+  test("GTID-interval filters: include/exclude, multi-interval sets, GTID-less events") {
+    import graft.sources.BinlogBinaryFixture._
+    val sid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
+    // 6 framed transactions (gnos 1..6), txn 2 is multi-row
+    val evs: Seq[Ev] = Seq(PreviousGtids) ++ (1 to 6).flatMap { g =>
+      val rows: Seq[Ev] =
+        if (g == 2) Seq(Insert(g * 10, s"a_$g", None),
+          Insert(g * 10 + 1, s"b_$g", None))
+        else Seq(Insert(g * 10, s"a_$g", Some(0.5)))
+      Seq(Gtid(g.toLong), Begin) ++ rows ++ Seq(Xid(100L + g))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("gtidflt")
+    java.nio.file.Files.write(dir.resolve("binlog.000001"),
+      graft.sources.BinlogBinaryFixture.render(evs)._1)
+    val events = graft.sources.BinlogBinary.parse(spark, dir.toString)
+    def gnos(cfg: CdcConfig): Seq[Long] =
+      CdcJob.applyFilters(events, cfg).select("gtid").collect()
+        .map(r => r.getString(0).split(':')(1).toLong).toSeq.sorted
+    // include: multi-interval set; gno 2's two rows both pass
+    assert(gnos(CdcConfig(includeGtids = Some(s"$sid:2-3:5"))) ==
+      Seq(2L, 2L, 3L, 5L))
+    // exclude is the complement on framed events
+    assert(gnos(CdcConfig(excludeGtids = Some(s"$sid:2-3:5"))) ==
+      Seq(1L, 4L, 6L))
+    // a different uuid never matches
+    assert(gnos(CdcConfig(includeGtids =
+      Some("ffffffff-0000-0000-0000-000000000000:1-100"))).isEmpty)
+    // GTID-less events (text fixture carries no GTID_NEXT lines):
+    // include drops them, exclude keeps them
+    val textPath = write("gtidless.txt", BinlogFixture.dmlStream(9))
+    val textEvents = CdcJob.parse(spark, textPath)
+    assert(CdcJob.applyFilters(textEvents,
+      CdcConfig(includeGtids = Some(s"$sid:1-100"))).count() == 0)
+    assert(CdcJob.applyFilters(textEvents,
+      CdcConfig(excludeGtids = Some(s"$sid:1-100"))).count() == 9)
+    // GtidSet.parse: intervals, singletons, duplicate-uuid union, junk
+    assert(GtidSet.parse(s"$sid:1-5:8,$sid:11") ==
+      Map(sid -> Seq((1L, 5L), (8L, 8L), (11L, 11L))))
+    intercept[IllegalArgumentException](GtidSet.parse("uuid-without-interval"))
+    intercept[IllegalArgumentException](GtidSet.parse(s"$sid:1-2-3"))
+  }
+
   test("CdcMain CLI parses the reference's flag surface") {
     val (binlog, cat, cfg, out, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-d", "testdb", "-t", "t_pk,t_uniq",
@@ -187,6 +229,15 @@ class CdcJobSpec extends AnyFunSuite {
     // the reference rejects -B with -K (main.py:28-29)
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-B", "-K")))
+    // GTID-set flags parse and validate EAGERLY at the CLI
+    val sid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
+    val (_, _, cfgG, _, _) = CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "--include-gtids", s"$sid:1-5:9",
+      "--exclude-gtids", s"$sid:3"))
+    assert(cfgG == CdcConfig(includeGtids = Some(s"$sid:1-5:9"),
+      excludeGtids = Some(s"$sid:3")))
+    intercept[IllegalArgumentException](CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "--include-gtids", "not-a-gtid-set")))
   }
 
   test("--output-parquet: the CLI's event-lake sink equals the batch parse under filters") {

@@ -112,6 +112,56 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(!scan.dataFilters.exists(_.references.exists(_.name == "p_table")))
   }
 
+  test("c14: lake-fed state stream prunes to its table's partition and equals the batch fold") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_c14src")
+    Files.writeString(src.resolve("binlog.000001.txt"),
+      BinlogFixture.stressStream(200))
+    val lake = Files.createTempDirectory("graft_c14lake").toString + "/lake"
+    CdcMain.writeEventLake(CdcJob.parse(spark, src.toString), lake)
+    // batch twin of the stream's read: the (p_db, p_table) filter is
+    // DIRECTORY pruning (PartitionFilters), never a data filter
+    val twin = spark.read.parquet(lake)
+      .filter(col("p_db") === "logdb" && col("p_table") === "audit")
+    assert(twin.count() > 0)
+    val scan = twin.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    for (c <- Seq("p_db", "p_table")) {
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == c)),
+        s"expected a $c partition filter, got ${scan.partitionFilters}")
+      assert(!scan.dataFilters.exists(_.references.exists(_.name == c)))
+    }
+    // the streamed incremental fold over the pruned lake equals the
+    // one-shot batch fold of the same partition
+    val schema = spark.read.parquet(lake).schema
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val cp = Files.createTempDirectory("graft_c14cp").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(lake)
+      .filter(col("p_db") === "logdb" && col("p_table") === "audit")
+      .drop("p_db", "p_table")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Some(graft.queries.CdcQueries
+          .mergeState(state, graft.queries.CdcQueries.flattenImages(b))
+          .localCheckpoint())
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("db", "table", "id").collect().map(_.toSeq).toSeq
+    val streamed = graft.queries.CdcQueries.stateView(state.get)
+    val batchFold = graft.queries.CdcQueries.stateView(
+      graft.queries.CdcQueries.mergeState(None,
+        graft.queries.CdcQueries.flattenImages(
+          twin.drop("p_db", "p_table"))))
+    assert(rows(streamed).nonEmpty && rows(streamed) == rows(batchFold))
+    // only audit rows ever entered the state
+    assert(streamed.select("db", "table").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("logdb", "audit")))
+  }
+
   test("binary binlog stream renders identically to the binary batch path") {
     val dir = Files.createTempDirectory("graft_cdcstream_bin")
     import graft.sources.{BinlogBinary, BinlogBinaryFixture}

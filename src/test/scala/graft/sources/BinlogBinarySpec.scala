@@ -182,6 +182,41 @@ class BinlogBinarySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JsonBinary.toText(Array[Byte](0x7E, 0)))
   }
 
+  test("JSON opaque values (0x0F): temporals/decimals/base64 pinned literal-for-literal") {
+    import BinlogBinaryFixture._
+    // literals pinned to MySQL's documented Json_dom rendering (the
+    // DATETIME example is verbatim from the JSON-type manual page;
+    // x'cafe' → base64:type15:yv4= likewise)
+    assert(jsonText(JDate(2015, 1, 15)) == "\"2015-01-15\"")
+    assert(jsonText(JDateTime(2015, 1, 15, 23, 24, 25, 0)) ==
+      "\"2015-01-15 23:24:25.000000\"")
+    assert(jsonText(JTime(neg = false, 23, 24, 25, 0)) == "\"23:24:25.000000\"")
+    assert(jsonText(JTime(neg = true, 1, 2, 3, 500000)) == "\"-01:02:03.500000\"")
+    assert(jsonText(JTime(neg = false, 838, 59, 59, 1)) == "\"838:59:59.000001\"")
+    assert(jsonText(JDecimal(BigDecimal("3.14"), 10, 2)) == "3.14")
+    assert(jsonText(JDecimal(BigDecimal("-0.5"), 8, 4)) == "-0.5000")
+    assert(jsonText(JOpaque(15, Array(0xCA.toByte, 0xFE.toByte))) ==
+      "\"base64:type15:yv4=\"")
+    // …and the BINARY path decodes to exactly those literals: the
+    // encoder/decoder round-trip through a full row image, opaques in
+    // scalar, object, and (large) array positions
+    val doc = JObj(Seq(
+      "d" -> JDate(2015, 1, 15),
+      "dt" -> JDateTime(2015, 1, 15, 23, 24, 25, 123456),
+      "t" -> JTime(neg = true, 100, 0, 59, 999999),
+      "dec" -> JDecimal(BigDecimal("-1234567.89"), 12, 2),
+      "blob" -> JOpaque(15, Array(0xCA.toByte, 0xFE.toByte)),
+      "arr" -> JArr(Seq(JDate(1, 1, 1), JDecimal(BigDecimal(0), 5, 0),
+        JOpaque(15, Array.empty[Byte])), large = true)))
+    val (bin, txt) = render(Seq(WideInsert(WideRow(1, js = Some(doc)))))
+    val fromBin = BinlogBinary.parseBytes("f", bin)
+    val fromTxt = graft.cdc.BinlogFsm.parse("f", txt.linesIterator).toSeq
+    assert(fromBin.map(_.afterVals.toSeq) == fromTxt.map(_.afterVals.toSeq))
+    assert(fromBin.head.afterVals.last == "'" + jsonText(doc) + "'")
+    assert(fromBin.head.afterVals.last.contains("\"2015-01-15\""))
+    assert(fromBin.head.afterVals.last.contains("-1234567.89"))
+  }
+
   test("v1 rows events (5.1-era framing): decode equals the text FSM and the v2 stream") {
     import BinlogBinaryFixture._
     val evs = Seq(
@@ -276,13 +311,37 @@ class BinlogBinarySpec extends AnyFunSuite {
     def genStr(rnd: scala.util.Random, maxLen: Int): String =
       (0 until rnd.nextInt(maxLen + 1))
         .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
-    def genJson(rnd: scala.util.Random, depth: Int): J = rnd.nextInt(8) match {
+    def genJson(rnd: scala.util.Random, depth: Int): J = rnd.nextInt(10) match {
       case 0 => JNull
       case 1 => JBool(rnd.nextBoolean())
       case 2 => JInt(rnd.nextLong() >> (rnd.nextInt(5) * 12))
       case 3 => JDbl(rnd.nextInt(1000) / 4.0)
       case 4 => JStr(genStr(rnd, 6))
-      case 5 | 6 if depth > 0 =>
+      // opaque (0x0F) values, every family: packed temporals (odd
+      // hours/micros extremes), signed decimals across precisions,
+      // and raw base64 opaques (empty data included)
+      case 5 => rnd.nextInt(5) match {
+        case 0 => JDate(1 + rnd.nextInt(9998), 1 + rnd.nextInt(12),
+          1 + rnd.nextInt(28))
+        case 1 => JDateTime(1 + rnd.nextInt(9998), 1 + rnd.nextInt(12),
+          1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60),
+          rnd.nextInt(60), rnd.nextInt(1000000))
+        case 2 =>
+          val (h, mi, s2, us) = (rnd.nextInt(839), rnd.nextInt(60),
+            rnd.nextInt(60), rnd.nextInt(1000000))
+          // -00:00:00.000000 is not a distinct TIME value
+          JTime(rnd.nextBoolean() && (h + mi + s2 + us) > 0, h, mi, s2, us)
+        case 3 =>
+          val scale = rnd.nextInt(6)
+          val digits = 1 + scale + rnd.nextInt(8)
+          val unscaled = BigInt(digits * 3 + 1, rnd) % BigInt(10).pow(digits)
+          val v = BigDecimal(unscaled, scale) *
+            (if (rnd.nextBoolean()) -1 else 1)
+          JDecimal(v, digits, scale)
+        case _ => JOpaque(15,
+          Array.fill[Byte](rnd.nextInt(8))(rnd.nextInt(256).toByte))
+      }
+      case 6 | 7 if depth > 0 =>
         JArr(Seq.fill(rnd.nextInt(4))(genJson(rnd, depth - 1)),
           large = rnd.nextInt(4) == 0)
       case _ if depth > 0 =>
@@ -483,7 +542,7 @@ class BinlogBinarySpec extends AnyFunSuite {
     def canon(r: graft.cdc.RawChange) =
       (r.seq, r.startPos, r.stopPos, r.startPosRaw, r.stopPosRaw, r.dtRaw,
         r.db, r.table, r.op, r.beforeOrds.toSeq, r.beforeVals.toSeq,
-        r.afterOrds.toSeq, r.afterVals.toSeq, Option(r.ddl))
+        r.afterOrds.toSeq, r.afterVals.toSeq, Option(r.ddl), r.gtid)
     val dir = java.nio.file.Files.createTempDirectory("graft_rot")
     for ((evs, name) <- Seq((file1, "binlog.000001"), (file2, "binlog.000002"))) {
       val (b, t) = BinlogBinaryFixture.render(evs)
@@ -493,6 +552,14 @@ class BinlogBinarySpec extends AnyFunSuite {
       assert(fromBin.nonEmpty)
       assert(fromBin.map(canon) == fromText.map(canon), s"mismatch in $name")
     }
+    // every event carries its transaction's GTID (uuid:gno), from both
+    // decoders, across the rotation — the DDL after Xid(102) has no
+    // framing GTID of its own and stays in gno 2's scope
+    val sid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
+    assert(BinlogBinary.parseBytes("f1", render(file1)._1, includeDdl = true)
+      .map(_.gtid) == Seq(s"$sid:1", s"$sid:1", s"$sid:2", s"$sid:2"))
+    assert(BinlogBinary.parseBytes("f2", render(file2)._1)
+      .map(_.gtid) == Seq(s"$sid:3"))
     // framing events contribute ZERO changes; row/DDL order is intact
     val (b1, _) = render(file1)
     assert(BinlogBinary.parseBytes("f1", b1, includeDdl = true).map(_.op) ==

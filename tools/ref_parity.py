@@ -47,27 +47,30 @@ class StubCursor:
 
 
 class Args:
-    def __init__(self, flashback):
+    def __init__(self, flashback, only_dml=True):
         self.sql_type = ["insert", "update", "delete"]
         self.flashback = flashback
         self.database = ""
         self.tables = ""
-        self.only_dml = True
+        self.only_dml = only_dml
 
 
-def run_reference(lines, flashback):
+def run_reference(lines, flashback, only_dml=True):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        log2sql.get_binlog(lines, StubCursor(), Args(flashback))
+        log2sql.get_binlog(lines, StubCursor(), Args(flashback, only_dml))
     return buf.getvalue().rstrip("\n").split("\n") if buf.getvalue() else []
 
 
 def main():
     binlog, dump = sys.argv[1], sys.argv[2]
     flashback = "--flashback" in sys.argv
+    # --include-ddl: exercise the reference's marker-0 DDL branch
+    # (only_dml=False) — c6's parity mode
+    only_dml = "--include-ddl" not in sys.argv
     with open(binlog) as f:
         lines = f.readlines()
-    ref = run_reference(lines, flashback)
+    ref = run_reference(lines, flashback, only_dml)
     with open(dump) as f:
         eng = f.read().rstrip("\n").split("\n")
     if ref == eng:
