@@ -161,6 +161,17 @@ object Bench {
     // and 8 ahead by 30-40% on the heavy set — so 8. A real cluster
     // sizes this to data volume; AQE coalesces either way.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // r11 re-A/B of 4-vs-8 on the binding block (interleaved subset
+    // runs, 2026-08-14): an initial 3-run sweep read 4 ahead by 3-6%,
+    // but a second interleaved pair put 8 ahead once and 4 ahead once
+    // with d8 flat across all — the difference dissolves into the
+    // subset protocol's ±8% JIT-cold noise, confirming the original
+    // "4 ≈ 8" A/B above. The per-block knob is kept for experiments
+    // (partition count is a PLAN-time setting, so the binding block
+    // can compile under its own value) but DEFAULTS to the global —
+    // no behavior change without evidence.
+    val baselineShuffle =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BASELINE", shuffleParts)
     // Shuffle/spill files on tmpfs when available: at bench SF the
     // shuffles are tiny, so file-creation latency (not bandwidth)
     // dominates — RAM-backed local dirs shave it. A real cluster
@@ -224,8 +235,17 @@ object Bench {
       * builder is action-free, legacy build+count otherwise. */
     final case class Runnable(name: String, run: () => Long)
 
+    // Per-block shuffle-partition selection (see baselineShuffle).
+    // Prepared plans bake the value at compile time (confFor runs
+    // before prepare/legacy construction below); legacy runnables
+    // build their plan inside the timed pass, so they re-assert it
+    // per run. Runs are strictly sequential — no conf races.
+    def confFor(name: String): Unit =
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (BaselineSet(name)) baselineShuffle else shuffleParts)
+
     def legacy(qd: QueryDef): Runnable =
-      Runnable(qd.name, () => qd.fn(spark, sfDir).count())
+      Runnable(qd.name, () => { confFor(qd.name); qd.fn(spark, sfDir).count() })
 
     // Builder-side job detector: jobs submitted while a query function
     // constructs its frame (driver-built kernels, k-means sampling,
@@ -321,6 +341,7 @@ object Bench {
 
     val defs = SparkEntry.allDefs.filter(qd => only.forall(_(qd.name)))
     val runnables = defs.map { qd =>
+      confFor(qd.name) // plan-time setting for the prepare path
       if (broken(qd.name)) brokenRunnable(qd.name)
       else if (prepOn) try prepare(qd) catch { case _: Throwable => legacy(qd) }
       else legacy(qd)
