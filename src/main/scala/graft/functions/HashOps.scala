@@ -310,4 +310,46 @@ object HashOps {
     while (i < sketch.length) { fp = fp * FpWinB + sketch(i); i += 1 }
     fp
   }
+
+  /** Content-defined chunking (l7): boundary AFTER byte p (1-based)
+    * whenever the poly-31 hash of the last CdcWin bytes has its low 6
+    * bits zero (expected chunk ≈ 64 B) — the LBFS/Rabin rule in its
+    * UNCONSTRAINED form (no min/max clamps: the boundary predicate is
+    * then a pure per-position function, which is what lets DuckDB
+    * re-derive every boundary; production chunkers add clamps, which
+    * only reset state at cuts). The window hash rolls in O(1)
+    * (subtract the outgoing byte's 31^16 term); each chunk's content
+    * hash is poly-31 over its bytes, all mod 2^64. */
+  final val CdcWin = 16
+  private final val CdcOutB: Long = {
+    var p = 1L; var i = 0
+    while (i < CdcWin) { p *= FpTokB; i += 1 }
+    p // 31^16 mod 2^64
+  }
+
+  /** (start, len, contentHash) per chunk of `text`'s UTF-8 bytes. */
+  def contentChunks(text: String): Array[(Int, Int, Long)] = {
+    val b = text.getBytes(UTF_8)
+    val n = b.length
+    if (n == 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var wh = 0L
+    var ch = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val v = (b(i) & 0xff).toLong
+      wh = wh * FpTokB + v
+      if (i >= CdcWin) wh -= (b(i - CdcWin) & 0xff).toLong * CdcOutB
+      ch = ch * FpTokB + v
+      val boundary = (i + 1 >= CdcWin) && (wh & 63L) == 0L
+      if (boundary || i == n - 1) {
+        out += ((start, i - start + 1, ch))
+        start = i + 1
+        ch = 0L
+      }
+      i += 1
+    }
+    out.toArray
+  }
 }

@@ -509,6 +509,69 @@ object SimilarityOps {
     // the correct semantics AND the cheap plan; post-filtering an
     // unfiltered top-k would return < k (often 0) rows whenever the
     // filter is selective. Queries need not satisfy the filter.
+    // a9: RANDOM-PROJECTION dimensionality reduction (r11) — the
+    // Johnson–Lindenstrauss preprocessing step an embedding pipeline
+    // runs before ANN indexing/storage: 64-d → 16-d via Achlioptas's
+    // sparse sign matrix (entries +1/−1/0 with prob 1/6,1/6,2/3,
+    // scaled √(3/k); Achlioptas JCSS'03 — database-friendly random
+    // projections). The matrix is a PURE INTEGER FUNCTION of (i, j)
+    // (no RNG state, no stored matrix): r = ((i·1000003 + j·37 + 17)
+    // · 2654435761) mod 6 → {+1, −1, 0} — reproducible on any
+    // executor at any parallelism, and re-derivable in SQL. Per-row
+    // kernel, zero shuffle before the output sort; doubles are
+    // IEEE-exact on both engines because BOTH evaluate the same
+    // 64-term product sum as a strict LEFT fold in dimension order
+    // (the q30 exact-double contract). Scale shape: 4× smaller
+    // vectors for every downstream index; the projection streams
+    // map-side at any corpus size.
+    QueryDef("a9_random_projection", {
+      def term(j: Int) =
+        s"(CASE ((i*1000003 + $j*37 + 17) * 2654435761) % 6" +
+          " WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)" +
+          " * CAST(embedding[i+1] AS DOUBLE)"
+      val cols = (0 until 16).map { j =>
+        s"list_reduce(list_transform(generate_series(0, 63), i -> ${term(j)}),\n" +
+          s"  (a, b) -> a + b) * sqrt(3.0/16.0) AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val k = 16
+      val dims = 64
+      val scale = math.sqrt(3.0 / 16.0)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+        .map { case (id, x) =>
+          val y = new Array[Double](k)
+          var j = 0
+          while (j < k) {
+            // strict left fold in dimension order — the oracle's
+            // list_reduce does exactly this, so the doubles match
+            // BITWISE (products of ±1/0 with exactly-widened floats,
+            // identical addition order, correctly-rounded sqrt):
+            // no ROUND needed, none taken
+            var sAcc = 0.0
+            var i = 0
+            while (i < dims) {
+              val r = ((i.toLong * 1000003L + j * 37L + 17L) * 2654435761L) % 6
+              val m = if (r == 0) 1.0 else if (r == 1) -1.0 else 0.0
+              val t = m * x(i)
+              if (i == 0) sAcc = t else sAcc += t
+              i += 1
+            }
+            y(j) = sAcc * scale
+            j += 1
+          }
+          (id, y)
+        }(graft.Enc.longDoubleArr)
+        .select(col("_1").as("vec_id") +:
+          (0 until k).map(j => col("_2").getItem(j).as(s"p$j")): _*)
+        .orderedRows(col("vec_id")) // one row per vector: scales
+    },
+
     QueryDef("a8_filtered_ann",
       """WITH scored AS (
         |  SELECT a.vec_id qid, b.vec_id cid,

@@ -296,6 +296,74 @@ object TextOps {
         |  COALESCE(STRING_AGG(span, ' ' ORDER BY ci) FILTER (WHERE keep), '') AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       spanDedup(Tables.documents(s, d), 8)
+    },
+
+    // l7: CONTENT-DEFINED CHUNKING dedup (r11) — the storage-layer
+    // dedup primitive (LBFS SOSP'01 / restic / data-lake blob dedup):
+    // each document's byte stream splits at content-defined
+    // boundaries (rolling 16-byte poly-31 window, cut when the low 6
+    // bits are zero → ~64 B expected chunks; the unconstrained Rabin
+    // rule — see HashOps.contentChunks), so an insertion early in a
+    // file only re-chunks its neighborhood instead of shifting every
+    // fixed-size block. Output is the corpus-wide chunk table:
+    // (chunk_hash, len) → occurrence count + distinct docs — the
+    // exact structure a dedup store keys its blobs by. The oracle
+    // re-derives EVERY boundary and chunk hash from raw bytes in SQL
+    // (per-position window hashes via hex-decoded list_reduce, chunk
+    // segmentation via lag over boundary positions). Scale shape:
+    // per-row chunking kernel, one (hash, len) group-by — the only
+    // shuffle — over chunk-grain rows.
+    QueryDef("l7_content_chunks", {
+      val M = "18446744073709551616"
+      val H = "9223372036854775808"
+      def byte(q: String) =
+        s"CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*($q)-1, 1))-1)" +
+          s" + strpos('0123456789ABCDEF', substr(hx, 2*($q), 1))-1 AS HUGEINT)"
+      s"""WITH d AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |pos AS (SELECT doc_id, hx, n, p.p AS p
+         |        FROM d, UNNEST(generate_series(1, n)) AS p(p)),
+         |wh AS (
+         |  SELECT doc_id, hx, n, p,
+         |    CASE WHEN p >= 16 THEN
+         |      list_reduce(list_transform(generate_series(p - 15, p), q -> ${byte("q")}),
+         |        (a, b) -> (a*31 + b) % $M)
+         |    ELSE NULL END AS w
+         |  FROM pos),
+         |ends AS (
+         |  SELECT doc_id, hx, p AS e FROM wh
+         |  WHERE (w IS NOT NULL AND w % 64 = 0) OR p = n),
+         |chunks AS (
+         |  SELECT doc_id, hx,
+         |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s, e
+         |  FROM ends),
+         |hashed AS (
+         |  SELECT doc_id, CAST(e - s + 1 AS BIGINT) AS len,
+         |    list_reduce(list_transform(generate_series(s, e), q -> ${byte("q")}),
+         |      (a, b) -> (a*31 + b) % $M) AS hu
+         |  FROM chunks)
+         |SELECT CAST(CASE WHEN hu >= $H THEN hu - $M ELSE hu END AS BIGINT) AS chunk_hash,
+         |  len, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM hashed GROUP BY 1, 2 ORDER BY chunk_hash, len""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .fanOut // single-row-group scan: spread the chunking kernel
+        .as[(Long, String)](graft.Enc.longStr)
+        .flatMap { case (id, text) =>
+          graft.functions.HashOps.contentChunks(text).iterator
+            .map { case (_, len, h) => (id, h, len) }
+        }(graft.Enc.longLongInt)
+        .toDF("doc_id", "chunk_hash", "len")
+        .withColumn("len", col("len").cast("long"))
+        .groupBy("chunk_hash", "len")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderedRows(col("chunk_hash"), col("len")) // chunk-grain: scales
     }
   )
 }

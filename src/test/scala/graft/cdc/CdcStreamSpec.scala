@@ -162,6 +162,37 @@ class CdcStreamSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("logdb", "audit")))
   }
 
+  test("GTID-interval filters apply on the streaming path (shared applyFilters)") {
+    import graft.sources.BinlogBinaryFixture._
+    val sid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
+    val evs: Seq[Ev] = (1 to 8).flatMap { g =>
+      Seq(Gtid(g.toLong), Begin,
+        Insert(g * 10, s"row_$g", Some(g + 0.5)), Xid(200L + g))
+    }
+    val dir = Files.createTempDirectory("gtidstream")
+    Files.write(dir.resolve("binlog.000001"),
+      graft.sources.BinlogBinaryFixture.render(evs)._1)
+    val cfg = CdcConfig(includeGtids = Some(s"$sid:2-4:7"))
+    val q = CdcStream.changesBinary(spark, dir.toString,
+      Catalog.fixture(spark), cfg)
+      .writeStream.format("memory").queryName("gtidstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gtidstream").orderBy("file", "seq")
+        .select("sql").collect().map(_.getString(0)).toSeq
+      // exactly the 4 in-set transactions, matching the batch path
+      assert(streamed.size == 4)
+      val batch = graft.sources.BinlogBinary
+        .run(spark, dir.toString, Catalog.fixture(spark), cfg)
+        .select("sql").collect().map(_.getString(0)).toSeq
+      assert(streamed == batch)
+      assert(streamed.forall(_.contains("INSERT INTO")))
+      for (g <- Seq(2, 3, 4, 7))
+        assert(streamed.exists(_.contains(s"'row_$g'")), s"gno $g missing")
+    } finally q.stop()
+  }
+
   test("binary binlog stream renders identically to the binary batch path") {
     val dir = Files.createTempDirectory("graft_cdcstream_bin")
     import graft.sources.{BinlogBinary, BinlogBinaryFixture}

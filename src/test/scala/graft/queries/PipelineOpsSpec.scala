@@ -61,6 +61,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits >= 7, s"top-1 recall $hits/10")
   }
 
+  test("a9 random projection: JL norm preservation, determinism, matrix sparsity") {
+    val a9 = SimilarityOps.defs.find(_.name == "a9_random_projection").get
+    val proj = a9.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (1 to 16).map(j => r.getDouble(j)).toArray).toMap
+    val orig = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(proj.keySet == orig.keySet && proj.nonEmpty)
+    // E[||y||^2] = ||x||^2 under the Achlioptas matrix: the MEAN ratio
+    // concentrates near 1 even at k=16; per-vector ratios spread with
+    // variance ~2/k but stay inside a wide safety band
+    val ratios = orig.collect { case (id, x) if x.map(v => v * v).sum > 0 =>
+      proj(id).map(v => v * v).sum / x.map(v => v * v).sum
+    }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.25, s"mean norm ratio $mean")
+    assert(ratios.count(r => r > 0.1 && r < 3.5).toDouble / ratios.size >= 0.95,
+      s"norm-ratio tail too fat: ${ratios.count(r => r <= 0.1 || r >= 3.5)}")
+    // deterministic: a second run is identical (pure function of data)
+    val again = a9.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(j => r.getDouble(j)).toArray).toMap
+    assert(proj.keys.forall(id => proj(id).sameElements(again(id))))
+    // the matrix really is the declared sparse sign family: ~2/3 zeros
+    val entries = for (i <- 0 until 64; j <- 0 until 16) yield {
+      ((i.toLong * 1000003L + j * 37L + 17L) * 2654435761L) % 6
+    }
+    val zeros = entries.count(r => r != 0 && r != 1).toDouble / entries.size
+    assert(zeros > 0.55 && zeros < 0.78, s"zero fraction $zeros")
+    // at least one +1 and one -1 per output dim (no dead components)
+    for (j <- 0 until 16) {
+      val col = (0 until 64).map(i =>
+        ((i.toLong * 1000003L + j * 37L + 17L) * 2654435761L) % 6)
+      assert(col.contains(0L) && col.contains(1L), s"dim $j degenerate")
+    }
+  }
+
   test("d3 embedding near-dup EQUALS exact threshold pairs (sf0.01 + sf0.1)") {
     // The d3 oracle is the exact-pair SQL, so banding must recall
     // every ≥τ pair (deterministic geometry — this asserts the claim
@@ -116,6 +154,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
     assert(a.values.toSet.size > a.size / 2) // not all collapsing
+  }
+
+  test("l7 content-defined chunking: lossless, shift-robust, boundary-deterministic") {
+    import graft.functions.HashOps
+    val rnd = new scala.util.Random(19)
+    def randText(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // lossless segmentation: chunks tile the byte stream exactly
+    for (t <- Seq("", "x", randText(40), randText(2000),
+      "naïve café 東京 " * 30)) {
+      val cs = HashOps.contentChunks(t)
+      val n = t.getBytes("UTF-8").length
+      if (n == 0) assert(cs.isEmpty)
+      else {
+        assert(cs.head._1 == 0 && cs.map(_._2).sum == n)
+        cs.sliding(2).foreach {
+          case Array((s1, l1, _), (s2, _, _)) => assert(s2 == s1 + l1)
+          case _ => ()
+        }
+      }
+    }
+    // a 2000-byte random text has boundaries w.h.p. (P(no cut) ≈
+    // (63/64)^1985 ≈ 3e-14 — and the seed is fixed anyway)
+    val base = randText(2000)
+    val cs = HashOps.contentChunks(base)
+    assert(cs.length >= 2, s"expected multiple chunks, got ${cs.length}")
+    // SHIFT ROBUSTNESS — the property fixed-size blocking lacks:
+    // appending a tail re-chunks only the final chunk
+    val tailed = HashOps.contentChunks(base + "zzz")
+    assert(tailed.dropRight(1).map(c => (c._2, c._3)).toSeq ==
+      cs.dropRight(1).map(c => (c._2, c._3)).toSeq)
+    // ...and an insertion near the END leaves every chunk before the
+    // insertion point's chunk identical (prefix stability)
+    val cut = cs.last._1 // start of the last chunk
+    val edited = base.substring(0, cut) + "INSERTED" + base.substring(cut)
+    val editedCs = HashOps.contentChunks(edited)
+    assert(editedCs.take(cs.length - 1).map(c => (c._2, c._3)).toSeq ==
+      cs.dropRight(1).map(c => (c._2, c._3)).toSeq)
+    // deterministic
+    assert(HashOps.contentChunks(base).toSeq == cs.toSeq)
+    // expected chunk size ≈ 64 B under the low-6-bit rule
+    val mean = cs.map(_._2).sum.toDouble / cs.length
+    assert(mean > 20 && mean < 200, s"mean chunk $mean")
   }
 
   test("t4 rolling window update equals the direct recompute (corpus + adversarial)") {
