@@ -31,6 +31,9 @@ object SourceOps {
     System.getProperty("java.io.tmpdir") + "/graft_src_events_jsonl"
   private val CsvPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_events_csv"
+  // declared ABOVE defs: oracle s-strings interpolate at defs init
+  private val EvoPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_events_evolved"
 
   /** Path → SF dir currently materialized (success-recorded AFTER the
     * write, like CdcQueries.writeSnapshotIfStale). */
@@ -275,6 +278,48 @@ object SourceOps {
           sum(length(col("props"))).as("props_chars"),
           max("event_id").as("max_id"))
         .orderedSmall(col("event_type"))
+    },
+
+    // i6 (r11): parquet SCHEMA EVOLUTION — the lake's ordinary
+    // condition: older files lack columns newer files carry, and a
+    // reader must union them without a rewrite. The fixture writes
+    // two batches of the events slice (batch 1 pre-evolution: no
+    // `props`; batch 2 evolved: with it), Spark reads the directory
+    // with mergeSchema=true (old rows surface NULL props), and DuckDB
+    // reads THE SAME FILES with union_by_name — so the null-filling,
+    // the per-file column resolution, and the aggregates over the
+    // mixed schema are cross-engine certified. Scale shape: schema
+    // merge is a footer-only planning step; the scan stays
+    // per-file-parallel with per-file projections.
+    QueryDef("i6_schema_merge",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         |  CAST(COALESCE(SUM(LENGTH(props)), 0) AS BIGINT) AS props_chars,
+         |  CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_pre_evolution
+         |FROM read_parquet('$EvoPath/*/*.parquet', union_by_name=true)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureEvolved(s, d)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+          coalesce(sum(length(col("props"))), lit(0L)).as("props_chars"),
+          count(when(col("props").isNull, 1)).as("n_pre_evolution"))
+        .orderedSmall(col("event_type"))
     }
   )
+
+  /** Two-generation parquet lake: batch=1 written BEFORE the `props`
+    * column existed (even event_ids), batch=2 after (odd ids). */
+  private def ensureEvolved(s: SparkSession, d: String): String = {
+    writeIfStale(EvoPath, d) {
+      val slice = eventsSlice(s, d)
+      slice.filter(col("event_id") % 2 === 0)
+        .drop("props").coalesce(1)
+        .write.mode("overwrite").parquet(s"$EvoPath/batch=1")
+      slice.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$EvoPath/batch=2")
+    }
+    EvoPath
+  }
 }

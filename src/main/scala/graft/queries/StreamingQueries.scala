@@ -8,7 +8,7 @@ import graft.QueryDef.SmallOrdered
 import graft.streaming.{DocRow, EventRow, KeyedRow, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, round, sum, when}
 
 /** Driver-visible entries for the streaming surface.
   *
@@ -481,6 +481,35 @@ object StreamingQueries {
       runScenario(s, "append", eventFeed(s, d, 6))(
         StreamingOps.viewPurchaseJoin(_, joinType = "full_outer"))
         .orderedRows(col("view_id"), col("purchase_id")) // Spark asc = NULLS FIRST
+    },
+
+    // s21 (r11): STREAM-STATIC dimension enrichment — the most common
+    // production streaming join: an unbounded event stream broadcast-
+    // joined to a bounded dimension table (user → customer → nation),
+    // stateless append (no watermark, no state store — the static
+    // side is a broadcast build per micro-batch). The whole events
+    // table streams through in 6 batches; the entry aggregates the
+    // enriched sink so the output is bounded, and the oracle is the
+    // plain batch join+aggregate over the same two tables — streamed
+    // enrichment must be row-for-row the batch join. `value` sums as
+    // exact integer cents so the aggregate is order-free. Scale
+    // shape: dims broadcast (the CDC catalog pattern); the stream
+    // never shuffles before the bounded final aggregate.
+    QueryDef("s21_stream_static_join",
+      """SELECT c.c_nationkey AS nation, e.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY nation, event_type""".stripMargin) { (s, d) =>
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      runScenario(s, "append", eventFeedAll(s, d, 6))(df =>
+        df.join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("c_nationkey").as("nation"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")))
+        .groupBy("nation", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderedSmall(col("nation"), col("event_type")) // nations×types: bounded
     }
   )
 }

@@ -1011,6 +1011,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(aqeKey, aqePrev)
   }
 
+  test("i6 schema merge: pre-evolution rows surface NULL props; generations partition by parity") {
+    val i6 = SourceOps.defs.find(_.name == "i6_schema_merge").get
+      .fn(spark, sf).collect()
+    assert(i6.nonEmpty)
+    // every type has pre-evolution rows, and they are exactly the
+    // even-event_id half of that type's events
+    val byType = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(when(col("event_id") % 2 === 0, 1)).as("evens"),
+        count(lit(1)).as("all"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (r <- i6) {
+      val (evens, all) = byType(r.getString(0))
+      assert(r.getLong(1) == all, s"${r.getString(0)} count")
+      assert(r.getLong(4) == evens, s"${r.getString(0)} pre-evolution rows")
+    }
+  }
+
   test("t21 accent folding: fold undoes the injected accents; raw docs unchanged") {
     val got = TextAnalysis.defs.find(_.name == "t21_fold_accents").get
       .fn(spark, sf).collect()
