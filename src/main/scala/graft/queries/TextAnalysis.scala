@@ -646,6 +646,38 @@ object TextAnalysis {
         .orderedRows(col("doc_id")) // one row per doc: scales
     },
 
+    // t22 (r11): held-out BIGRAM LM COVERAGE — the integer-exact core
+    // of LM-based quality filtering (CCNet/Gopher score docs by a
+    // language model; the coverage statistic — what fraction of a
+    // held-out doc's bigrams the training distribution has seen — is
+    // the model-free version whose arithmetic is exact, so the whole
+    // pipeline shape is certified without a float perplexity whose
+    // log arithmetic can't hash cross-engine). Train = 90% of the
+    // corpus (doc_id % 10 != 0): its DISTINCT bigram vocabulary;
+    // eval = the held-out 10%, scored by bigram counts and how many
+    // (with multiplicity) the train vocab contains. Scale shape: the
+    // train side never collects — eval bigram rows semi-join the
+    // distinct train vocab on the bigram key, ONE shuffle join + one
+    // per-doc aggregate; at 100 TB both sides shuffle on the bigram
+    // key and the heavy distinct combines map-side.
+    QueryDef("t22_bigram_coverage",
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS bigram
+        |       FROM tok, UNNEST(range(0, GREATEST(LEN(ts)-1, 0))) AS u(i)),
+        |train AS (SELECT DISTINCT bigram FROM bg WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT doc_id, bigram FROM bg WHERE doc_id % 10 = 0),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_known
+        |         FROM ev SEMI JOIN train USING (bigram) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(LEN(t.ts) AS BIGINT) AS n_tok,
+        |  CAST(GREATEST(LEN(t.ts)-1, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(h.n_known, 0) AS BIGINT) AS n_known
+        |FROM tok t LEFT JOIN hits h USING (doc_id)
+        |WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      bigramCoverage(Tables.documents(s, d))
+        .orderedRows(col("doc_id")) // one row per held-out doc: scales
+    },
+
     // t13: REAL byte-pair encoding — train on the corpus, tokenize the
     // corpus: the subword segmentation step of every LLM data
     // pipeline, not the whitespace/regex proxy (t1). Scale shape: the
@@ -1333,5 +1365,35 @@ object TextAnalysis {
       round(col("dup_trigram_n") * lit(1.0) / col("n_trigrams"), 4)
         .as("dup_trigram_frac"),
       (col("top_bigram_n") * 100 > col("n_bigrams") * 6).as("flagged"))
+  }
+
+  /** t22 kernel over any (doc_id, text) frame — see the entry for
+    * semantics (train = doc_id % 10 != 0 distinct bigrams; eval = the
+    * held-out rest, scored by bigram membership with multiplicity). */
+  def bigramCoverage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bigrams(part: DataFrame): DataFrame = part
+      .select(col("doc_id"), col("text"))
+      .fanOut
+      .as[(Long, String)](graft.Enc.longStr)
+      .flatMap { case (id, text) =>
+        val ts = text.split(" ", -1) // STRING_SPLIT semantics
+        Iterator.tabulate(math.max(ts.length - 1, 0))(i =>
+          (id, ts(i) + " " + ts(i + 1)))
+      }(graft.Enc.longStr)
+      .toDF("doc_id", "bigram")
+    val train = bigrams(docs.filter(col("doc_id") % 10 =!= 0))
+      .select("bigram").distinct()
+    val ev = bigrams(docs.filter(col("doc_id") % 10 === 0))
+    val hits = ev.join(train, Seq("bigram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .withColumn("n_bigrams", greatest(col("n_tok") - 1, lit(0L)))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
   }
 }

@@ -1011,6 +1011,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(aqeKey, aqePrev)
   }
 
+  test("t22 bigram coverage: planted known/unknown bigrams; conservation on the corpus") {
+    import spark.implicits._
+    // planted: train docs (ids 1,2) establish bigrams; eval doc 10
+    // repeats a known bigram twice and carries one unknown bigram
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // train: {alpha beta, beta gamma}
+      (2L, "beta gamma delta"), // train: {beta gamma, gamma delta}
+      (10L, "alpha beta alpha beta zz7"), // eval
+      (20L, ""), // eval: 1 empty token, 0 bigrams
+      (30L, "solo")) // eval: 1 token, 0 bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 10 bigrams: "alpha beta"(known), "beta alpha"(unknown),
+    // "alpha beta"(known again — multiplicity counts), "beta zz7"(unknown)
+    assert(got == Map(10L -> ((5L, 4L, 2L)), 20L -> ((1L, 0L, 0L)),
+      30L -> ((1L, 0L, 0L))), got.toString)
+    // corpus conservation: n_known <= n_bigrams = n_tok - 1, and the
+    // tiny-vocab corpus overlaps heavily (coverage mostly > 0)
+    val corpus = TextAnalysis.bigramCoverage(
+      graft.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { case (nt, nb, nk) => nb == nt - 1 && nk <= nb })
+    assert(corpus.count(_._3 > 0) * 2 > corpus.length)
+  }
+
   test("i6 schema merge: pre-evolution rows surface NULL props; generations partition by parity") {
     val i6 = SourceOps.defs.find(_.name == "i6_schema_merge").get
       .fn(spark, sf).collect()
