@@ -344,6 +344,55 @@ object CorpusPipeline {
           .localCheckpoint() // eager — runs pass 2 while `sorted` is cached
           .orderedRows(col("block_id")) // blocks scale with the stream
       } finally sorted.unpersist(blocking = false)
+    },
+
+    // p5 (r11): RENDEZVOUS (HRW) SHARDING — the data-placement
+    // primitive (Thaler & Ravishankar '98, the scheme behind
+    // consistent cache/shard assignment): each doc goes to the shard
+    // maximizing h(doc, shard), so GROWING the fleet 8 → 9 moves
+    // EXACTLY the docs the new shard wins (~1/9 of the corpus) and
+    // every mover lands ON the new shard — no doc ever moves between
+    // surviving shards, unlike doc_id % N where nearly all docs
+    // reassign. The hash is pure BIGINT arithmetic (one multiply-add
+    // round, one modular SQUARE for nonlinearity — an affine-in-shard
+    // hash fails the minimal-disruption property, measured — then a
+    // final multiply-add, all mod the prime 1e9+7, no 64-bit wrap
+    // anywhere), so both engines compute identical values and the
+    // argmax is exact. The entry emits both placements so the
+    // minimal-move property is IN the hashed output. Scale shape:
+    // pure per-row codegen expressions (array of structs + array_max
+    // — no UDF), zero shuffle before the output sort.
+    QueryDef("p5_rendezvous_shards", {
+      val P = 1000000007L
+      s"""WITH hs AS (
+         |  SELECT doc_id, j.j AS j,
+         |    (((doc_id*2654435761 + j.j*40503 + 7) % $P) *
+         |     ((doc_id*2654435761 + j.j*40503 + 7) % $P) % $P * 1000003 + j.j) % $P AS h
+         |  FROM documents, UNNEST(generate_series(0, 8)) AS j(j)),
+         |s8 AS (SELECT doc_id, j AS shard8 FROM
+         |       (SELECT doc_id, j, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, j DESC) rn
+         |        FROM hs WHERE j < 8) WHERE rn = 1),
+         |s9 AS (SELECT doc_id, j AS shard9 FROM
+         |       (SELECT doc_id, j, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, j DESC) rn
+         |        FROM hs) WHERE rn = 1)
+         |SELECT s8.doc_id, CAST(shard8 AS INT) AS shard8,
+         |       CAST(shard9 AS INT) AS shard9,
+         |       shard8 <> shard9 AS moved
+         |FROM s8 JOIN s9 USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val P = 1000000007L
+      def hExpr(j: Int): org.apache.spark.sql.Column = {
+        val x = (col("doc_id") * lit(2654435761L) + lit(j * 40503L + 7L)) % P
+        (x * x % P * lit(1000003L) + lit(j.toLong)) % P
+      }
+      def shardOf(n: Int) =
+        array_max(array((0 until n).map(j =>
+          struct(hExpr(j).as("h"), lit(j).as("j"))): _*)).getField("j")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          shardOf(8).as("shard8"), shardOf(9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
 

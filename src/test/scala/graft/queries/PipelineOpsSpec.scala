@@ -1011,6 +1011,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set(aqeKey, aqePrev)
   }
 
+  test("p5 rendezvous sharding: minimal disruption (movers land ONLY on the new shard), balance") {
+    val rows = CorpusPipeline.defs.find(_.name == "p5_rendezvous_shards").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // THE HRW property: growing 8 → 9 shards never moves a doc
+    // between surviving shards — every mover's new home is shard 8
+    val movers = rows.filter(_._4)
+    assert(movers.nonEmpty && movers.forall(_._3 == 8),
+      s"${movers.count(_._3 != 8)} docs moved between surviving shards")
+    // ...and the stable docs keep their shard verbatim
+    assert(rows.filterNot(_._4).forall(r => r._2 == r._3))
+    // moved fraction ≈ 1/9 (wide band: small corpus)
+    val frac = movers.length.toDouble / rows.length
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction $frac")
+    // balance: no shard holds more than 3× the ideal 1/8 share
+    val byShard = rows.groupBy(_._2).map(_._2.size)
+    assert(byShard.size == 8 && byShard.max <= rows.length * 3 / 8,
+      s"imbalanced: $byShard")
+    // deterministic
+    val again = CorpusPipeline.defs.find(_.name == "p5_rendezvous_shards").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("t22 bigram coverage: planted known/unknown bigrams; conservation on the corpus") {
     import spark.implicits._
     // planted: train docs (ids 1,2) establish bigrams; eval doc 10
