@@ -85,7 +85,7 @@ object CdcJob {
       val m = GtidSet.parse(spec).toSeq.sortBy(_._1).flatMap {
         case (u, ivs) => ivs.map { case (lo, hi) =>
           uuid === u && gno >= lo && gno <= hi }
-      }.reduce(_ || _)
+      }.reduceOption(_ || _).getOrElse(lit(false)) // empty spec matches nothing
       coalesce(m, lit(false)) // empty/odd gtid strings never match
     }
     cfg.includeGtids.foreach(s => bounds = bounds && inSet(s))

@@ -142,7 +142,9 @@ final case class CdcConfig(
 /** Parsed GTID set (`uuid:1-5:8,uuid2:3`): uuid → closed intervals.
   * Mirrors mysqlbinlog's Gtid_set text syntax (public format). */
 object GtidSet {
-  def parse(s: String): Map[String, Seq[(Long, Long)]] =
+  def parse(s: String): Map[String, Seq[(Long, Long)]] = {
+    require(s.split(',').exists(_.trim.nonEmpty),
+      s"empty GTID set '$s' — expected uuid:i[-j][,uuid:…]")
     s.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { part =>
       val ps = part.split(':')
       require(ps.length >= 2, s"GTID set '$part' lacks an interval")
@@ -158,4 +160,5 @@ object GtidSet {
     }.toSeq
       // the same uuid may appear in several comma parts: union them
       .groupBy(_._1).map { case (u, vs) => u -> vs.flatMap(_._2) }
+  }
 }

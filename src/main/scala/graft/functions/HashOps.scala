@@ -252,7 +252,7 @@ object HashOps {
     * [[shingleHashes]] so min-k sketches are prefixes. */
   def rollingShingleHashes(text: String, k: Int): Array[Long] = {
     require(k == 4, "rolling fingerprint is pinned at k=4 (oracle parity)")
-    val toks = text.split(' ')
+    val toks = text.split(" ", -1) // STRING_SPLIT semantics: keep trailing empties
     val n = toks.length - k + 1
     if (n <= 0) return Array.emptyLongArray
     val th = new Array[Long](toks.length)
@@ -280,7 +280,7 @@ object HashOps {
   /** Direct (non-rolling) recompute of the same window hashes, for the
     * rolling-update equivalence spec only. */
   def directShingleHashes(text: String, k: Int): Array[Long] = {
-    val toks = text.split(' ')
+    val toks = text.split(" ", -1) // STRING_SPLIT semantics: keep trailing empties
     val n = toks.length - k + 1
     if (n <= 0) return Array.emptyLongArray
     val hs = new Array[Long](n)

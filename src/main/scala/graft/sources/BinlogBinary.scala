@@ -59,6 +59,7 @@ object BinlogBinary {
   private val UPDATE_V2 = 31
   private val DELETE_V2 = 32
   private val GTID = 33
+  private val ANONYMOUS_GTID = 34
 
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
 
@@ -440,6 +441,12 @@ object BinlogBinary {
             curGtid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
               s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
               s"${hex.substring(20)}:$gno"
+          case ANONYMOUS_GTID =>
+            // ANONYMOUS_GTID_LOG_EVENT (GTID_MODE OFF/ON_PERMISSIVE):
+            // the transaction has NO gtid — reset the frame so it is
+            // not attributed to the previous GTID'd transaction (the
+            // text FSM resets via GTID_NEXT='ANONYMOUS' the same way)
+            curGtid = ""
           case TABLE_MAP =>
             val tid = c.u48(); c.u16()
             val db = c.str(c.u8()); c.u8() // NUL

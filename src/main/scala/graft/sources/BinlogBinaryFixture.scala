@@ -30,6 +30,9 @@ object BinlogBinaryFixture {
     * files): both decode paths must skip these without disturbing
     * positions or row payloads. */
   final case class Gtid(gno: Long) extends Ev
+  /** ANONYMOUS_GTID_LOG_EVENT (type 34): frames a transaction with NO
+    * gtid (GTID_MODE OFF/ON_PERMISSIVE) — must RESET the gtid scope. */
+  case object AnonymousGtid extends Ev
   case object Begin extends Ev
   final case class Xid(id: Long) extends Ev
   final case class Rotate(nextFile: String) extends Ev
@@ -754,6 +757,20 @@ object BinlogBinaryFixture {
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tGTID\tlast_committed=0\tsequence_number=$gno\trbr_only=yes\n"
           text ++= s"/*!50718 SET TRANSACTION ISOLATION LEVEL READ COMMITTED*//*!*/;\n"
           text ++= s"SET @@SESSION.GTID_NEXT= 'a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf:$gno'/*!*/;\n"
+        case AnonymousGtid =>
+          // same payload layout as GTID_LOG_EVENT, zeroed sid/gno; the
+          // text twin is GTID_NEXT= 'ANONYMOUS' (no colon -> FSM reset)
+          val p = new Buf
+          p.u8(1)
+          (0 until 16).foreach(_ => p.u8(0))
+          p ++= le(0L, 8)
+          p.u8(2); p ++= le(0L, 8); p ++= le(0L, 8)
+          val start = out.b.length
+          val (at, logPos) = header(ANONYMOUS_GTID_TYPE, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tAnonymous_GTID\tlast_committed=0\tsequence_number=0\trbr_only=yes\n"
+          text ++= "SET @@SESSION.GTID_NEXT= 'ANONYMOUS'/*!*/;\n"
         case Begin =>
           // a committed transaction opens with a QUERY event whose
           // statement is literally `BEGIN` — not DDL on either path
@@ -830,6 +847,7 @@ object BinlogBinaryFixture {
   private val ROTATE_TYPE = 4
   private val XID_TYPE = 16
   private val GTID_TYPE = 33
+  private val ANONYMOUS_GTID_TYPE = 34
   private val PREVIOUS_GTIDS_TYPE = 35
   private val TABLE_MAP_TYPE = 19
   private val QUERY_TYPE = 2

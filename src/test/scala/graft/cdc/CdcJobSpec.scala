@@ -199,6 +199,10 @@ class CdcJobSpec extends AnyFunSuite {
       Map(sid -> Seq((1L, 5L), (8L, 8L), (11L, 11L))))
     intercept[IllegalArgumentException](GtidSet.parse("uuid-without-interval"))
     intercept[IllegalArgumentException](GtidSet.parse(s"$sid:1-2-3"))
+    // empty/whitespace/comma-only specs fail EAGERLY at the CLI with a
+    // clear message, not later at query construction (ADVICE r11)
+    intercept[IllegalArgumentException](GtidSet.parse(""))
+    intercept[IllegalArgumentException](GtidSet.parse("  , ,"))
   }
 
   test("CdcMain CLI parses the reference's flag surface") {

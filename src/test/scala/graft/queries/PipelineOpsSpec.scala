@@ -217,6 +217,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(HashOps.rollingShingleHashes(t, 4).toSeq ==
         HashOps.directShingleHashes(t, 4).toSeq, s"text='$t'")
     }
+    // STRING_SPLIT parity: a trailing space keeps its empty token, so
+    // "a b c d " has 5 tokens -> 2 windows (DuckDB string_split keeps
+    // trailing empties; Java split(' ') would drop it -> 1 window)
+    assert(HashOps.rollingShingleHashes("a b c d ", 4).length == 2)
+    assert(HashOps.rollingShingleHashes("a b c", 4).isEmpty)
     // randomized: small alphabet forces window collisions (dedup path)
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {

@@ -538,6 +538,9 @@ class BinlogBinarySpec extends AnyFunSuite {
       Rotate("binlog.000002"))
     val file2 = Seq(PreviousGtids,
       Gtid(3), Begin, Delete(21, "txn1_b", None), Xid(103),
+      // ANONYMOUS transaction after a GTID'd one: must NOT inherit
+      // gno 3's scope (ADVICE r11 — both decoders reset the frame)
+      AnonymousGtid, Begin, Insert(22, "anon_row", Some(2.5)), Xid(104),
       Stop)
     def canon(r: graft.cdc.RawChange) =
       (r.seq, r.startPos, r.stopPos, r.startPosRaw, r.stopPosRaw, r.dtRaw,
@@ -559,20 +562,21 @@ class BinlogBinarySpec extends AnyFunSuite {
     assert(BinlogBinary.parseBytes("f1", render(file1)._1, includeDdl = true)
       .map(_.gtid) == Seq(s"$sid:1", s"$sid:1", s"$sid:2", s"$sid:2"))
     assert(BinlogBinary.parseBytes("f2", render(file2)._1)
-      .map(_.gtid) == Seq(s"$sid:3"))
+      .map(_.gtid) == Seq(s"$sid:3", ""))
     // framing events contribute ZERO changes; row/DDL order is intact
     val (b1, _) = render(file1)
     assert(BinlogBinary.parseBytes("f1", b1, includeDdl = true).map(_.op) ==
       Seq("insert", "insert", "update", "ddl"))
     val (b2, _) = render(file2)
-    assert(BinlogBinary.parseBytes("f2", b2).map(_.op) == Seq("delete"))
+    assert(BinlogBinary.parseBytes("f2", b2).map(_.op) ==
+      Seq("delete", "insert"))
     // DataFrame path over the rotated directory: per-file tasks, all
-    // five changes survive, (file, seq) gives the stream order
+    // six changes survive, (file, seq) gives the stream order
     val df = BinlogBinary.parse(spark, dir.toString, includeDdl = true)
-    assert(df.count() == 5)
+    assert(df.count() == 6)
     val ops = df.orderBy("file", "seq").select("op")
       .collect().map(_.getString(0)).toSeq
-    assert(ops == Seq("insert", "insert", "update", "ddl", "delete"))
+    assert(ops == Seq("insert", "insert", "update", "ddl", "delete", "insert"))
   }
 
   test("--format auto: magic sniffing routes raw binlog input to the binary decoder") {
