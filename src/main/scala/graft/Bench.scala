@@ -198,12 +198,22 @@ object Bench {
     // the suite total for BASELINE.md §3; every per-config rationale
     // stays documented at its line below.
     val defaultSession = sys.env.get("SPARK_GRAFT_SESSION").contains("default")
+    // Tiny-exchange elimination (TinyExchangeElimination): static
+    // single-partition plans for dim-sized inputs — the bench session
+    // has AQE off, so the adaptive coalescer cannot make this call at
+    // runtime; the rule makes it at plan time from file-scan stats.
+    // Interleaved A/B (r12, whole-function, 23 binding queries ×7):
+    // 3.60 s off → 2.96 s on, zero result diffs, l2's fan-out
+    // preserved. SPARK_GRAFT_TINY=off reverts for A/B.
+    val tinyOn = !sys.env.get("SPARK_GRAFT_TINY").contains("off")
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val spark = (if (defaultSession) b0 else b0
+      .config("spark.graft.tinyExchange.enabled", tinyOn.toString)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)

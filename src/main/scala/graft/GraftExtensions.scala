@@ -17,6 +17,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Physical-plan rule (conf-gated, default off): exchange-free plans
+    // for dim-sized inputs — see TinyExchangeElimination. Injected as a
+    // columnar-rule pre-transition because that is the one extension
+    // hook that runs AFTER EnsureRequirements on the non-adaptive path
+    // (QueryExecution.preparations order: …, EnsureRequirements, …,
+    // ApplyColumnarRulesAndInsertTransitions(sessionState.columnarRules),
+    // CollapseCodegenStages, ReuseExchangeAndSubquery).
+    ext.injectColumnar(_ => new org.apache.spark.sql.execution.ColumnarRule {
+      override def preColumnarTransitions
+          : org.apache.spark.sql.catalyst.rules.Rule[
+            org.apache.spark.sql.execution.SparkPlan] =
+        graft.plans.TinyExchangeElimination
+    })
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -7,11 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_TINY=on: validate the full oracle gate under the
+    // bench session's TinyExchangeElimination path (AQE must be off for
+    // the rule to apply). Default remains the untouched AQE-on session.
+    val tiny = sys.env.get("SPARK_GRAFT_TINY").contains("on")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.graft.tinyExchange.enabled", tiny.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", (!tiny).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
