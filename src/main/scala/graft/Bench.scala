@@ -485,7 +485,13 @@ object Bench {
     val scensMedian = scenSamples
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0) }
       .mkString("{", ",", "}")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"scenarios":$scens,"scenarios_median":$scensMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}"""
+    // Era stamp (VERDICT r11 item 7): the host's performance era moves
+    // BOTH engines by tens of percent (BASELINE.md §4), so a ratio is
+    // only meaningful between same-era runs. Every artifact carries its
+    // own run timestamp; tools/bench_duckdb.py stamps its output the
+    // same way and tools/pair_ratio.py refuses cross-era pairings.
+    val runUtc = java.time.Instant.now().toString
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","run_utc":"$runUtc","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"scenarios":$scens,"scenarios_median":$scensMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}"""
     println(jsonLine)
     // The binding 2× verdict lives in `value`/`total_whole_function` at
     // the FRONT of this (very long) line; two rounds of driver

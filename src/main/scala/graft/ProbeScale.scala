@@ -49,6 +49,30 @@ object ProbeScale {
       println(s"built $dir/documents.parquet")
     }
 
+    // d8 gets its own 10× corpus: the 1-digit word suffix above makes
+    // CROSS-COPY pairs edit-distance near-dups (each word differs by
+    // one substitution — ≤ 8 inside a 64-char prefix), so d8's true
+    // output grows 43× at 10× docs and any ratio measures output, not
+    // blocking. A 3-char suffix puts every cross-copy prefix pair
+    // > 8 edits apart (≥ 3 words × 3 chars), restoring the constant
+    // near-dup density every other family's scaled corpus keeps.
+    val dirD8 = "/tmp/graft_sf1_d8"
+    val d8Path = new java.io.File(s"$dirD8/documents.parquet")
+    if (!d8Path.exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val copies = (0 until 10).map { k =>
+        if (k == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + (k.toString * 3)))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      copies.reduce(_.unionAll(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$dirD8/documents.parquet")
+      println(s"built $dirD8/documents.parquet")
+    }
+
     // 10× embeddings for the ANN family (VERDICT r9 item 8): copy 0
     // verbatim; copy k>0 offsets vec_id and ROTATES the vector left by
     // k dimensions — norm (and the int8 quantization grid) preserved,
@@ -100,7 +124,8 @@ object ProbeScale {
         "d5_dedup_survivors", "l6_span_dedup", "p2_manifest_pipeline",
         // the queries the binding 2× bar is computed from (r11):
         "q04_multi_join", "q06_window", "l2_jaccard_pairs", "l5_tfidf_top3")
-    def time(n: String, d: String): (Double, Long) = {
+    def time(n: String, d0: String): (Double, Long) = {
+      val d = if (n == "d8_edit_distance_pairs" && d0 == dir) dirD8 else d0
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, d).count()
       ((System.nanoTime() - t0) / 1e9, rows)

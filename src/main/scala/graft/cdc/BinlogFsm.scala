@@ -29,6 +29,31 @@ object BinlogFsm {
 
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
 
+  /** Text twin of [[graft.sources.BinlogBinary.headerPrevGtids]]:
+    * mysqlbinlog prints the PREVIOUS_GTIDS_LOG_EVENT as a
+    * `…\tPrevious-GTIDs` header line followed by `# uuid:i-j[,…]`
+    * comment lines (or `# [empty]`). Scans only the file head; None =
+    * header absent/malformed → the file's content is unknown. */
+  def headerPrevGtids(lines: Iterator[String]): Option[GtidSet.Set] = {
+    var inSet = false
+    val parts = mutable.ArrayBuffer.empty[String]
+    def finish(): Option[GtidSet.Set] =
+      if (parts.isEmpty) Some(Map.empty)
+      else try Some(GtidSet.parse(parts.mkString(",")))
+      catch { case _: IllegalArgumentException => None }
+    var n = 0
+    while (lines.hasNext && n < 400) {
+      val line = lines.next(); n += 1
+      if (inSet) {
+        val body = line.stripPrefix("#").trim.stripSuffix(",").trim
+        if (line.startsWith("# at ") || !line.startsWith("#")) return finish()
+        else if (body == "[empty]") return Some(Map.empty)
+        else if (body.nonEmpty) parts += body
+      } else if (line.contains("\tPrevious-GTIDs")) inSet = true
+    }
+    if (inSet) finish() else None
+  }
+
   def parse(file: String, lines: Iterator[String],
       includeDdl: Boolean = false): Iterator[RawChange] = new Iterator[RawChange] {
 

@@ -37,10 +37,15 @@ object CdcJob {
 
   /** Parse binlog text files into a change-event DataFrame. */
   def parse(spark: SparkSession, path: String,
-      includeDdl: Boolean = false): DataFrame = {
+      includeDdl: Boolean = false): DataFrame =
+    parsePaths(spark, Seq(path), includeDdl)
+
+  private[cdc] def parsePaths(spark: SparkSession, paths: Seq[String],
+      includeDdl: Boolean): DataFrame = {
     import spark.implicits._
+    if (paths.isEmpty) return projectEvents(spark.emptyDataset[RawChange].toDF())
     projectEvents(
-      spark.read.option("wholetext", "true").text(path)
+      spark.read.option("wholetext", "true").text(paths: _*)
         .select(input_file_name().as("file"), col("value"))
         .as[(String, String)]
         .flatMap { case (file, text) =>
@@ -156,6 +161,15 @@ object CdcJob {
 
   /** Full pipeline: parse → filter → render. */
   def run(spark: SparkSession, path: String, catalog: DataFrame,
-      cfg: CdcConfig = CdcConfig()): DataFrame =
-    render(applyFilters(parse(spark, path, cfg.includeDdl), cfg), catalog, cfg)
+      cfg: CdcConfig = CdcConfig()): DataFrame = {
+    // GTID seek, not scan (GtidPrune): with --include-gtids, files whose
+    // PREVIOUS_GTIDS headers prove them disjoint from the requested set
+    // are dropped from the read list before any decode work.
+    val events = cfg.includeGtids match {
+      case Some(spec) =>
+        parsePaths(spark, GtidPrune.prune(spark, path, spec), cfg.includeDdl)
+      case None => parse(spark, path, cfg.includeDdl)
+    }
+    render(applyFilters(events, cfg), catalog, cfg)
+  }
 }

@@ -33,6 +33,13 @@ object CdcStream {
       "flashback reverses the whole stream and needs its end: batch-only " +
         "(CdcJob.run); a stream has no final event to start from")
     import spark.implicits._
+    // Streaming twin of GtidPrune's seek: a file-stream source cannot
+    // pre-prune a growing directory, but each arriving file's
+    // PREVIOUS_GTIDS header still proves "everything requested precedes
+    // this file" (S ⊆ P) during catch-up — skip the whole-file FSM walk
+    // at header cost. (Parsed once on the driver; the closure ships the
+    // tiny interval map.)
+    val includeSet: Option[GtidSet.Set] = cfg.includeGtids.map(GtidSet.parse)
     val parsed = CdcJob.projectEvents(
       spark.readStream
         .option("wholetext", "true")
@@ -40,7 +47,11 @@ object CdcStream {
         .select(input_file_name().as("file"), col("value"))
         .as[(String, String)]
         .flatMap { case (file, text) =>
-          BinlogFsm.parse(file, text.linesIterator, cfg.includeDdl)
+          val skip = includeSet.exists(s =>
+            BinlogFsm.headerPrevGtids(text.linesIterator)
+              .exists(p => GtidSet.isSubset(s, p)))
+          if (skip) Iterator.empty
+          else BinlogFsm.parse(file, text.linesIterator, cfg.includeDdl)
         }
         .toDF())
     CdcJob.renderUnordered(CdcJob.applyFilters(parsed, cfg), catalog, cfg)
@@ -62,6 +73,9 @@ object CdcStream {
     // is fixed by the format
     val binarySchema = org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    // same catch-up seek as the text stream: header-proven stale files
+    // (S ⊆ P) skip the full decode
+    val includeSet: Option[GtidSet.Set] = cfg.includeGtids.map(GtidSet.parse)
     val parsed = CdcJob.projectEvents(
       spark.readStream
         .format("binaryFile")
@@ -70,7 +84,11 @@ object CdcStream {
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .flatMap { case (file, bytes) =>
-          graft.sources.BinlogBinary.parseBytes(file, bytes, cfg.includeDdl)
+          val skip = includeSet.exists(s =>
+            graft.sources.BinlogBinary.headerPrevGtids(bytes)
+              .exists(p => GtidSet.isSubset(s, p)))
+          if (skip) Seq.empty[graft.cdc.RawChange]
+          else graft.sources.BinlogBinary.parseBytes(file, bytes, cfg.includeDdl)
         }
         .toDF())
     CdcJob.renderUnordered(CdcJob.applyFilters(parsed, cfg), catalog, cfg)

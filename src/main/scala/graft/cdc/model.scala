@@ -161,4 +161,50 @@ object GtidSet {
       // the same uuid may appear in several comma parts: union them
       .groupBy(_._1).map { case (u, vs) => u -> vs.flatMap(_._2) }
   }
+
+  type Set = Map[String, Seq[(Long, Long)]]
+
+  /** Sorted, coalesced interval list (closed intervals). */
+  private def norm(ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val s = ivs.filter(iv => iv._2 >= iv._1).sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    s.foreach { case (lo, hi) =>
+      if (out.nonEmpty && lo <= out.last._2 + 1)
+        out(out.size - 1) = (out.last._1, math.max(out.last._2, hi))
+      else out += ((lo, hi))
+    }
+    out.toSeq
+  }
+
+  /** Set algebra over GTID sets — drives the file-skip index
+    * (GtidPrune): a binlog file whose PREVIOUS_GTIDS header proves the
+    * requested set disjoint from the file's content is never decoded. */
+  def isEmpty(a: Set): Boolean =
+    a.forall { case (_, ivs) => norm(ivs).isEmpty }
+
+  def intersect(a: Set, b: Set): Set =
+    a.flatMap { case (u, ai) =>
+      b.get(u).map { bi =>
+        val bn = norm(bi)
+        u -> norm(ai).flatMap { case (lo, hi) =>
+          bn.collect { case (blo, bhi) if blo <= hi && lo <= bhi =>
+            (math.max(lo, blo), math.min(hi, bhi)) }
+        }
+      }
+    }.filter(_._2.nonEmpty)
+
+  def subtract(a: Set, b: Set): Set =
+    a.map { case (u, ai) =>
+      val bn = norm(b.getOrElse(u, Nil))
+      u -> norm(ai).flatMap { iv =>
+        bn.foldLeft(Seq(iv)) { (acc, cut) =>
+          acc.flatMap { case (lo, hi) =>
+            if (cut._2 < lo || cut._1 > hi) Seq((lo, hi))
+            else Seq((lo, cut._1 - 1), (cut._2 + 1, hi)).filter(p => p._2 >= p._1)
+          }
+        }
+      }
+    }.filter(_._2.nonEmpty)
+
+  def isSubset(a: Set, b: Set): Boolean = isEmpty(subtract(a, b))
 }

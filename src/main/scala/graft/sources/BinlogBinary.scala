@@ -60,6 +60,7 @@ object BinlogBinary {
   private val DELETE_V2 = 32
   private val GTID = 33
   private val ANONYMOUS_GTID = 34
+  private val PREVIOUS_GTIDS = 35
 
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
 
@@ -248,6 +249,75 @@ object BinlogBinary {
     * captures that output verbatim, so to match it on a non-UTC server
     * pass that server's zone here (the `parse` entry point wires the
     * Spark session timezone, which defaults to UTC in this engine). */
+  /** Header-only read of a file's PREVIOUS_GTIDS_LOG_EVENT (type 35):
+    * the GTID set executed BEFORE this file, which MySQL writes right
+    * after the FDE on every 5.6+ binlog. Walks only the leading
+    * framing events (FDE → Previous-GTIDs) and never decodes a row
+    * payload — a few KB of IO per file, the basis of GtidPrune's
+    * file-skip index. Payload layout (public replication format):
+    * n_sids u64, then per sid 16-byte uuid + n_intervals u64 +
+    * (start u64, end u64) pairs with EXCLUSIVE ends. Returns None when
+    * the header is absent or malformed — callers must then treat the
+    * file's content as unknown and scan it normally. */
+  def headerPrevGtids(bytes: Array[Byte]): Option[graft.cdc.GtidSet.Set] = try {
+    if (bytes.length < 4 || bytes(0) != 0xFE.toByte || bytes(1) != 'b' ||
+        bytes(2) != 'i' || bytes(3) != 'n') return None
+    var off = 4
+    var checksumLen = 0
+    var scanned = 0
+    while (off + 19 <= bytes.length && scanned < 8) {
+      val c = new Cursor(bytes, off)
+      c.u32() // ts
+      val etype = c.u8()
+      c.u32() // server_id
+      val eventSize = c.u32().toInt
+      c.u32(); c.u16() // log_pos, flags
+      if (eventSize < 19 || off + eventSize > bytes.length) return None
+      if (etype == FORMAT_DESC) {
+        // same 5.6.1+ checksum-algorithm sniff as parseBytes
+        val verEnd = math.min(off + 19 + 2 + 50, bytes.length)
+        val verRaw = new String(bytes, off + 19 + 2, verEnd - (off + 19 + 2), "UTF-8")
+        val nums = verRaw.takeWhile(ch => ch.isDigit || ch == '.')
+          .split('.').filter(_.nonEmpty).take(3).map(_.toInt)
+        val atLeast561 = nums.length >= 3 &&
+          (nums(0) > 5 || (nums(0) == 5 && (nums(1) > 6 ||
+            (nums(1) == 6 && nums(2) >= 1))))
+        val alg = bytes(off + eventSize - 5) & 0xFF
+        checksumLen = if (atLeast561 && alg == 1) 4 else 0
+      } else if (etype == PREVIOUS_GTIDS) {
+        def u64() = c.u32() | (c.u32() << 32)
+        val payloadEnd = off + eventSize - checksumLen
+        val nSids = u64()
+        val acc = scala.collection.mutable.Map.empty[String, Vector[(Long, Long)]]
+        var s = 0L
+        while (s < nSids) {
+          val hex = c.bytes(16).map(b => f"${b & 0xFF}%02x").mkString
+          val uuid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+            s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+            s"${hex.substring(20)}"
+          val nIvl = u64()
+          var k = 0L
+          while (k < nIvl) {
+            val lo = u64(); val hiEx = u64() // end is exclusive
+            if (c.off > payloadEnd) return None
+            acc(uuid) = acc.getOrElse(uuid, Vector.empty) :+ ((lo, hiEx - 1))
+            k += 1
+          }
+          s += 1
+        }
+        return Some(acc.toMap)
+      } else if (etype != TABLE_MAP && etype != 4 /* ROTATE */ &&
+          etype != 3 /* STOP */) {
+        // data events begin (GTID/QUERY/rows): MySQL always writes
+        // PREVIOUS_GTIDS before any of these — none coming
+        return None
+      }
+      off += eventSize; scanned += 1
+    }
+    None
+  } catch { case _: ArrayIndexOutOfBoundsException |
+                 _: StringIndexOutOfBoundsException => None }
+
   def parseBytes(file: String, bytes: Array[Byte],
       includeDdl: Boolean = false,
       zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Seq[RawChange] = {
@@ -562,15 +632,21 @@ object BinlogBinary {
     * `binaryFile` keeps the per-file-task parallelism contract: a
     * rotated binlog file is the unit of work at any scale. */
   def parse(spark: SparkSession, path: String,
-      includeDdl: Boolean = false): DataFrame = {
+      includeDdl: Boolean = false): DataFrame =
+    parsePaths(spark, Seq(path), includeDdl)
+
+  private[graft] def parsePaths(spark: SparkSession, paths: Seq[String],
+      includeDdl: Boolean): DataFrame = {
     import spark.implicits._
+    if (paths.isEmpty)
+      return CdcJob.projectEvents(spark.emptyDataset[graft.cdc.RawChange].toDF())
     // header datetimes render in the session zone (see parseBytes doc)
     val zoneId = spark.conf.get("spark.sql.session.timeZone",
       java.time.ZoneId.systemDefault().getId)
     CdcJob.projectEvents(
       spark.read.format("binaryFile")
         .option("pathGlobFilter", "*")
-        .load(path)
+        .load(paths: _*)
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .flatMap { case (file, bytes) =>
@@ -579,9 +655,16 @@ object BinlogBinary {
   }
 
   /** Full binary-input pipeline: parse → filter → render — the
-    * binary-source twin of `CdcJob.run`. */
+    * binary-source twin of `CdcJob.run`, including its GTID file-level
+    * pruning (GtidPrune): with --include-gtids, files whose
+    * PREVIOUS_GTIDS headers prove them disjoint are never decoded. */
   def run(spark: SparkSession, path: String,
-      catalog: DataFrame, cfg: graft.cdc.CdcConfig): DataFrame =
-    CdcJob.render(
-      CdcJob.applyFilters(parse(spark, path, cfg.includeDdl), cfg), catalog, cfg)
+      catalog: DataFrame, cfg: graft.cdc.CdcConfig): DataFrame = {
+    val events = cfg.includeGtids match {
+      case Some(spec) => parsePaths(spark,
+        graft.cdc.GtidPrune.prune(spark, path, spec), cfg.includeDdl)
+      case None => parse(spark, path, cfg.includeDdl)
+    }
+    CdcJob.render(CdcJob.applyFilters(events, cfg), catalog, cfg)
+  }
 }

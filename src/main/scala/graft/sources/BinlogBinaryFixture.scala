@@ -37,6 +37,9 @@ object BinlogBinaryFixture {
   final case class Xid(id: Long) extends Ev
   final case class Rotate(nextFile: String) extends Ev
   case object PreviousGtids extends Ev
+  /** PREVIOUS_GTIDS with a real executed set (the fixture's fixed sid,
+    * closed intervals) — the file-skip index GtidPrune reads. */
+  final case class PrevGtids(ivls: Seq[(Long, Long)]) extends Ev
   case object Stop extends Ev
 
   /** One row of the extended-type matrix table `testdb.t_types`:
@@ -816,6 +819,23 @@ object BinlogBinaryFixture {
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tPrevious-GTIDs\n"
           text ++= "# [empty]\n"
+        case PrevGtids(ivls) =>
+          // payload: n_sids u64, sid(16), n_intervals u64, then
+          // (start u64, end u64) with EXCLUSIVE ends
+          val p = new Buf
+          p ++= le(1L, 8)
+          (0 until 16).foreach(i => p.u8(0xA0 + i))
+          p ++= le(ivls.length.toLong, 8)
+          ivls.foreach { case (lo, hi) => p ++= le(lo, 8); p ++= le(hi + 1, 8) }
+          val start = out.b.length
+          val (at, logPos) = header(PREVIOUS_GTIDS_TYPE, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tPrevious-GTIDs\n"
+          val sid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
+          val spec = ivls.map { case (lo, hi) =>
+            if (lo == hi) s"$lo" else s"$lo-$hi" }.mkString(":")
+          text ++= s"# $sid:$spec\n"
         case Stop =>
           val start = out.b.length
           val (at, logPos) = header(STOP_TYPE, 0)

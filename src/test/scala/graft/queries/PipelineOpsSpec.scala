@@ -1192,6 +1192,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!asMap.keys.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated: no pair
   }
 
+  test("d8 segment blocking loses no pair: brute-force equivalence under adversarial edits") {
+    // The r12 PassJoin pigeonhole (9 fixed segments, ±8-position
+    // substring keys) is a NECESSARY condition for lev(prefix64) ≤ 8 —
+    // stress it where it could break: exactly-8 edits spread across
+    // distinct segments, edits at segment boundaries, leading
+    // insertions/deletions (maximum position shift), and docs shorter
+    // than the 64-char prefix (empty trailing segments).
+    val rnd = new scala.util.Random(1234)
+    def randDoc(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def edit(s: String, k: Int): String = {
+      var t = s
+      for (_ <- 1 to k) {
+        val p = rnd.nextInt(t.length.max(1))
+        t = rnd.nextInt(3) match {
+          case 0 if t.nonEmpty => t.take(p) + t.drop(p + 1) // delete
+          case 1 => t.take(p) + ('a' + rnd.nextInt(6)).toChar + t.drop(p) // insert
+          case _ if t.nonEmpty =>
+            t.take(p) + ('a' + rnd.nextInt(6)).toChar + t.drop(p + 1) // subst
+          case _ => t
+        }
+      }
+      t
+    }
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for (baseLen <- Seq(30, 64, 100, 200); k <- Seq(1, 4, 8)) {
+      val s0 = randDoc(baseLen)
+      docs += ((id, s0)); id += 1
+      docs += ((id, edit(s0, k))); id += 1
+    }
+    // leading-edge shifts: 8 leading inserts / 8 leading deletes
+    val s1 = randDoc(120)
+    docs += ((id, s1)); id += 1
+    docs += ((id, "xxxxxxxx" + s1)); id += 1
+    docs += ((id, s1.drop(8))); id += 1
+    import spark.implicits._
+    val df = docs.toSeq.map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d8_adv").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.defs.find(_.name == "d8_edit_distance_pairs").get
+      .fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force over all pairs with the same spec (band ±1 + prefix64 lev)
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(x.length)
+    }
+    val all = docs.toSeq
+    val want = (for {
+      (i1, t1) <- all; (i2, t2) <- all if i1 < i2
+      if math.abs(t1.length / 16 - t2.length / 16) <= 1
+      d = lev(t1.take(64), t2.take(64)) if d <= 8
+    } yield ((i1, i2), d.toLong)).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+  }
+
   test("q32 calendar: dow numbering, ISO week edges, leap February, month-end arithmetic") {
     import spark.implicits._
     val got = Seq("2024-01-07", // Sunday, ISO week 1

@@ -48,6 +48,9 @@ def main(sf_dir, oracle_path, out_path=None):
             _timed(con, sql) for _ in range(3))
         times[q] = best
     times["_total"] = sum(times[q] for q in BINDING)
+    # era stamp: ratios are only meaningful same-era (BASELINE.md §4);
+    # tools/pair_ratio.py checks this stamp against the engine artifact's
+    times["_run_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     line = json.dumps(times)
     print(line)
     if out_path:
