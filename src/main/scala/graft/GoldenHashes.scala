@@ -50,10 +50,14 @@ object GoldenHashes {
     // 8192-merge capability is proven on a 20k-word synthetic dict
     // in PipelineOpsSpec instead, where exhaustion can't mask depth.
     "t13_bpe_tokenize" -> "8e5f4be06a054e8bb4124de30a70091a5f97a2da1ecf222adfbe9a72cbf1868e",
-    // k1: HLL++ registers merge by max (commutative/idempotent), so the
+    // k1: HLL registers merge by max (commutative/idempotent), so the
     // estimate is a pure function of the value set — pinned hash
-    // verified identical at local[3]/local[8]/local[32]
-    "k1_sketch_distinct" -> "c21e0bba067daeeab685e04837f880f9aae4dae684091f89d27ac6bba4af7877")
+    // verified identical across partition layouts (spec).
+    // RE-PINNED r12 deliberately: the sketch moved from Spark's HLL++
+    // (bias tables ⇒ golden-only) to the engine's HllAgg (classic
+    // estimator, SplitMix64, integer-exact register sum), which gained
+    // a full DuckDB oracle — the golden stays as the parallelism pin.
+    "k1_sketch_distinct" -> "38fda33ca61e1d8501feeafefa068325c7badbd8e98e7762f11533c4b038ce61")
 
   private def cell(v: Any): String = v match {
     case null => "NULL"

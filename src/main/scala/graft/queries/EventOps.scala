@@ -16,6 +16,52 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** k1's DuckDB oracle: re-derives the engine's WHOLE HLL pipeline —
+    * SplitMix64 hash (wrapping 64-bit arithmetic in HUGEINT, 32-bit
+    * limb products, the d2 technique), register index/rank extraction
+    * (top-12-bit index, leading-zero rank via an exact CASE ladder —
+    * never float log2), register-max over a full 4096-register grid,
+    * and the estimate as the IDENTICAL literal expression HllAgg
+    * evaluates (one double division of exact integers; linear-counting
+    * branch on m·ln(m/V)). Declared above `defs` (object-init order). */
+  private val K1HllOracleSql: String = {
+    val Mod = "18446744073709551616"
+    def mul64(a: String, b: String): String =
+      s"((($a)%4294967296)*(($b)%4294967296)" +
+        s" + ((((($a)//4294967296)%4294967296)*(($b)%4294967296)" +
+        s" + (($a)%4294967296)*(((($b)//4294967296)%4294967296))) % 4294967296)" +
+        s" * 4294967296) % $Mod"
+    def xor64(a: String, b: String): String =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+    def shr(x: String, n: Int): String = s"(($x) // ${BigInt(1) << n})"
+    val (c1, c2) = ("13787848793156543929", "10723151780598845931")
+    val rankCases = (1 to 40)
+      .map(r => s"WHEN w >= ${BigInt(1) << (64 - r)} THEN $r").mkString(" ")
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users FROM du GROUP BY 1),
+       |h0 AS (SELECT event_type, ((CAST(user_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u FROM du),
+       |z0 AS (SELECT event_type, (u + 11400714819323198485) % $Mod AS z FROM h0),
+       |z1 AS (SELECT event_type, ${mul64(xor64("z", shr("z", 30)), c1)} AS z FROM z0),
+       |z2 AS (SELECT event_type, ${mul64(xor64("z", shr("z", 27)), c2)} AS z FROM z1),
+       |hh AS (SELECT event_type, ${xor64("z", shr("z", 31))} AS h FROM z2),
+       |rg AS (SELECT event_type, CAST(h // 4503599627370496 AS BIGINT) AS idx,
+       |              (h % 4503599627370496) * 4096 AS w FROM hh),
+       |rk AS (SELECT event_type, idx, CASE $rankCases ELSE 41 END AS rank FROM rg),
+       |mx AS (SELECT event_type, idx, MAX(rank) AS mr FROM rk GROUP BY 1, 2),
+       |grid AS (SELECT et.event_type, g.idx FROM (SELECT DISTINCT event_type FROM du) et
+       |         CROSS JOIN (SELECT UNNEST(range(4096)) AS idx) g),
+       |fr AS (SELECT grid.event_type, grid.idx, COALESCE(mx.mr, 0) AS mr FROM grid
+       |       LEFT JOIN mx ON grid.event_type = mx.event_type AND grid.idx = mx.idx),
+       |agg AS (SELECT event_type, CAST(SUM(CAST(1 AS BIGINT) << (41 - mr)) AS BIGINT) AS s,
+       |               CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v FROM fr GROUP BY 1),
+       |est AS (SELECT event_type, v,
+       |   0.7213/(1.0 + 1.079/4096.0) * 4096.0 * 4096.0 * 2199023255552.0 / CAST(s AS DOUBLE) AS e FROM agg)
+       |SELECT est.event_type,
+       |  CAST(ROUND(CASE WHEN v > 0 AND e <= 10240.0 THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE)) ELSE e END) AS BIGINT) AS approx_users,
+       |  ex.exact_users
+       |FROM est JOIN ex ON est.event_type = ex.event_type ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("s1_tumbling_window",
@@ -200,21 +246,24 @@ object EventOps {
 
     // k1: mergeable-sketch distinct counting — the operator that makes
     // "unique users per segment" affordable at 100 TB, where an exact
-    // COUNT(DISTINCT) must shuffle every (segment, user) pair. Spark's
-    // approx_count_distinct is HyperLogLog++: fixed-size registers that
-    // partial-aggregate map-side and merge by register-max —
-    // commutative and idempotent, so the estimate is a pure function of
-    // the VALUE SET (independent of row order, partitioning, and merge
-    // tree shape) and golden-hash pinnable. The exact count rides
-    // along as the audit column; the k1 spec bounds the relative error
-    // at the configured rsd and asserts partition-layout independence.
-    // No SQL oracle: DuckDB's approx_count_distinct is a different
-    // HLL implementation with different register hashes.
-    QueryDef.noOracle("k1_sketch_distinct") { (s, d) =>
+    // COUNT(DISTINCT) must shuffle every (segment, user) pair.
+    // r12 (VERDICT r11 item 4): the sketch is now the engine's own
+    // functions.HllAgg — classic HyperLogLog with SplitMix64 hashing,
+    // 4096 registers merged by max (commutative/idempotent, so the
+    // estimate is a pure function of the value SET — partition-layout
+    // independence stays spec-asserted), and an INTEGER-EXACT register
+    // sum, which is what makes the estimate fully re-derivable in
+    // DuckDB SQL (the d2 technique): the oracle recomputes hash →
+    // register index/rank → register-max → the identical estimate
+    // expression from the raw rows, and must hash-match. Spark's
+    // approx_count_distinct (HLL++) was the r9 form; its empirical
+    // bias-interpolation tables are what kept k1 golden-only.
+    // The exact count rides along as the audit column.
+    QueryDef("k1_sketch_distinct", K1HllOracleSql) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct("user_id", 0.02).as("approx_users"),
+          graft.functions.HllAgg.column(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderedSmall(col("event_type"))
     },

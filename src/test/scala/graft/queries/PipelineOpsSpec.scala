@@ -2113,7 +2113,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toDF("event_type", "user_id")
     def run(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", 0.02).as("a"),
+      .agg(graft.functions.HllAgg.column(col("user_id")).as("a"),
         countDistinct(col("user_id")).as("x"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
@@ -2121,9 +2121,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val r17 = run(base.repartition(17))
     // register-max merge ⇒ identical estimates under any partitioning
     assert(r3 == r17)
-    // rsd 0.02 ⇒ |approx-exact|/exact within a few sigma
+    // m=4096 ⇒ rse ≈ 1.6%; |approx-exact|/exact within a few sigma
     r3.foreach { case (ty, a, x) =>
       assert(math.abs(a - x).toDouble / x <= 0.06, s"$ty approx=$a exact=$x") }
+    // the estimator kernel itself: empty sketch = 0; single value = 1;
+    // register/rank extraction matches the documented layout
+    import graft.functions.HllAgg
+    assert(HllAgg.estimate(HllAgg.zero) == 0L)
+    assert(HllAgg.estimate(HllAgg.reduce(HllAgg.zero, 42L)) == 1L)
+    val h = HllAgg.hash(42L)
+    val (idx, r) = HllAgg.registerOf(h)
+    assert(idx == (h >>> 52).toInt)
+    assert(r == math.min(java.lang.Long.numberOfLeadingZeros(h << 12) + 1, 41))
   }
 
   test("c9 state materialization: PK-changing update moves the row") {
