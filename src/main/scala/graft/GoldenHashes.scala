@@ -57,7 +57,12 @@ object GoldenHashes {
     // (bias tables ⇒ golden-only) to the engine's HllAgg (classic
     // estimator, SplitMix64, integer-exact register sum), which gained
     // a full DuckDB oracle — the golden stays as the parallelism pin.
-    "k1_sketch_distinct" -> "38fda33ca61e1d8501feeafefa068325c7badbd8e98e7762f11533c4b038ce61")
+    "k1_sketch_distinct" -> "38fda33ca61e1d8501feeafefa068325c7badbd8e98e7762f11533c4b038ce61",
+    // m10: MJPEG frames decode through the JVM's own lossy codec, so
+    // the raster is codec-defined — no SQL oracle can re-derive it;
+    // pinned over the full sf0.01 output (934 frame rows incl. the 10
+    // planted ok=false audit rows), layout-independence in spec
+    "m10_mjpeg_frames" -> "8e4df975daf9a00718972817034b01fc9dc9721f6647730927151d9f25285a00")
 
   private def cell(v: Any): String = v match {
     case null => "NULL"

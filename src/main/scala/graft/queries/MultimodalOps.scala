@@ -468,6 +468,130 @@ object MultimodalOps {
       .toDF("media_id", "payload")
   }
 
+  /** 8-bit gray JPEG encode via the JVM's own codec (javax.imageio) —
+    * the real-world intra-only video coding m10 exercises. Lossy, so
+    * nothing downstream may assume raster equality with the source. */
+  private[queries] def encodeGrayJpeg(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos): Unit
+    bos.toByteArray
+  }
+
+  /** Video corpus in the dominant real intra-only coding: every movi
+    * chunk a complete JPEG (true MJPEG layout). Rasters follow m8's
+    * text rule, then pass through the lossy codec — so correctness is
+    * GOLDEN-pinned (deterministic per JVM codec) rather than
+    * SQL-oracled, with the spec checking flat-block exactness and
+    * bounded loss. A minority of containers carry one TRUNCATED frame
+    * (id % 17 == 2): the decode-error audit case — a 100 TB media scan
+    * must report a bad frame, never die on it or silently drop it. */
+  def mjpegAviTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2) // the media table's video kind
+      .select(col("doc_id"), col("text"))
+      .fanOut
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val usPerFrame = Array(33333, 40000, 16667)(((id / 3) % 3).toInt)
+          val nFrames = 5 + ((id / 3) % 12).toInt * 2
+          val frames0 = Seq.tabulate(nFrames) { f =>
+            val px = new Array[Byte](FrmW * FrmH)
+            if (bytes.nonEmpty) {
+              var j = 0
+              while (j < px.length) {
+                px(j) = bytes((f * 64 + j) % bytes.length); j += 1
+              }
+            }
+            encodeGrayJpeg(px, FrmW, FrmH)
+          }
+          // planted decode-error audit: frame 3 is on m10's every-3rd
+          // sampling stride (nFrames ≥ 5 always), so the bad frame is
+          // guaranteed to reach the decoder
+          val frames = if (id % 17 == 2)
+            frames0.updated(3, frames0(3).take(8)) else frames0
+          (id, encodeAvi(usPerFrame, FrmW, FrmH, frames, frames.length))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** m10: every k-th MJPEG frame decoded through javax.imageio, with
+    * the decode-error AUDIT path — a frame the codec rejects yields an
+    * ok=false row (zeroed stats) instead of failing the task or
+    * vanishing from the census. Same map-side walk/decode shape as m8. */
+  def mjpegFrameFeatures(avis: DataFrame, k: Int = 3): DataFrame = {
+    val spark = avis.sparkSession
+    import spark.implicits._
+    avis.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, b) =>
+          def u32(p: Int): Long = {
+            var v = 0L; var i = 0
+            while (i < 4) { v |= (b(p + i) & 0xFFL) << (8 * i); i += 1 }
+            v
+          }
+          def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+          val riff = b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI "
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int, Long, Long, Int, Int, Boolean)]
+          if (riff) {
+            var pos = 12L
+            var fIdx = 0
+            while (pos + 8 <= b.length) {
+              val t = tag(pos.toInt)
+              val len = u32(pos.toInt + 4)
+              if (t == "LIST") pos += 12 // descend
+              else {
+                if (t == "00dc" && pos + 8 + len <= b.length) {
+                  if (fIdx % k == 0) {
+                    val jpg = java.util.Arrays.copyOfRange(
+                      b, pos.toInt + 8, (pos + 8 + len).toInt)
+                    val decoded =
+                      try Option(javax.imageio.ImageIO.read(
+                        new java.io.ByteArrayInputStream(jpg)))
+                      catch { case _: java.io.IOException => None }
+                    decoded match {
+                      case Some(img) =>
+                        val w = img.getWidth; val h = img.getHeight
+                        val px = img.getRaster.getSamples(
+                          0, 0, w, h, 0, new Array[Int](w * h))
+                        var s = 0L; var sq = 0L
+                        var mn = 255; var mx = 0
+                        var i = 0
+                        while (i < px.length) {
+                          val v = px(i)
+                          s += v; sq += v.toLong * v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                          i += 1
+                        }
+                        out += ((id, fIdx, w, h, s, sq, mn, mx, true))
+                      case None =>
+                        out += ((id, fIdx, 0, 0, 0L, 0L, 0, 0, false))
+                    }
+                  }
+                  fIdx += 1
+                }
+                pos += 8 + len + (len % 2)
+              }
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height",
+        "px_sum", "px_sq_sum", "px_min", "px_max", "ok")
+  }
+
   /** Every k-th frame of each PNG-coded AVI, DECODED: the m6-style
     * container walk locates the '00dc' chunks, the m4 image codec
     * decodes each sampled frame, and the features are integer-exact
@@ -1073,6 +1197,19 @@ object MultimodalOps {
       val avis = aviTable(s, d)
       writeAviSnapshotIfStale(s, d, avis)
       aviMeta(avis).orderedRows(col("media_id"))
+    },
+
+    // m10: MJPEG frame decode (r12, VERDICT r11 item 6) — m8's sibling
+    // in the dominant REAL intra-only coding: movi chunks are complete
+    // JPEGs, decoded with the JVM's own codec. Lossy ⇒ golden-pinned
+    // (deterministic per codec; parallelism-verified like k1's pin)
+    // instead of SQL-oracled; the planted truncated frames exercise
+    // the ok=false decode-error audit path end-to-end. Map-side
+    // walk+decode kernel, rows scale with frames, no shuffle before
+    // the output sort.
+    QueryDef.noOracle("m10_mjpeg_frames") { (s, d) =>
+      mjpegFrameFeatures(mjpegAviTable(s, d), k = 3)
+        .orderedRows(col("media_id"), col("frame_idx"))
     }
   )
 

@@ -1417,6 +1417,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       Set((12L, 0), (12L, 2)))
   }
 
+  test("m10 MJPEG: flat-block exactness, bounded loss, decode-error audit, layout independence") {
+    import spark.implicits._
+    def feats(rows: Seq[(Long, Array[Byte])], k: Int) =
+      MultimodalOps.mjpegFrameFeatures(rows.toDF("media_id", "payload"), k)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7), r.getBoolean(8))))
+        .toMap
+    // JPEG preserves a UNIFORM 8×8 block exactly (DC-only): exact stats
+    val flat = Array.fill[Byte](64)(128.toByte)
+    val flatJpg = MultimodalOps.encodeGrayJpeg(flat, 8, 8)
+    val one = MultimodalOps.encodeAvi(33333, 8, 8, Seq(flatJpg), 1)
+    assert(feats(Seq(10L -> one), k = 1) ==
+      Map((10L, 0) -> ((64L * 128, 64L * 128 * 128, 128, 128, true))))
+    // a patterned frame: lossy, but the decoded mean stays close
+    val ramp = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val rampJpg = MultimodalOps.encodeGrayJpeg(ramp, 8, 8)
+    val two = MultimodalOps.encodeAvi(33333, 8, 8, Seq(rampJpg), 1)
+    val (s2, _, mn2, mx2, ok2) = feats(Seq(11L -> two), k = 1)((11L, 0))
+    assert(ok2)
+    val origMean = ramp.map(_ & 0xFF).sum / 64.0
+    assert(math.abs(s2 / 64.0 - origMean) <= 8.0, s"mean drifted: ${s2 / 64.0}")
+    assert(mn2 >= 0 && mx2 <= 255 && mn2 <= mx2)
+    // decode-error audit: a truncated JPEG yields ok=false, zeros —
+    // never a task failure, never a silently missing row
+    val mixed = MultimodalOps.encodeAvi(33333, 8, 8,
+      Seq(flatJpg, rampJpg.take(8)), 2)
+    val m = feats(Seq(12L -> mixed), k = 1)
+    assert(m((12L, 0))._5 && !m((12L, 1))._5)
+    assert(m((12L, 1)) == ((0L, 0L, 0, 0, false)))
+    // corpus: planted bad frames surface as ok=false on the sampling
+    // stride; stats are identical under any partition layout
+    val avis = MultimodalOps.mjpegAviTable(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.mjpegFrameFeatures(df, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    val r1 = run(avis.repartition(1))
+    val r7 = run(avis.repartition(7))
+    assert(r1 == r7 && r1.nonEmpty)
+    assert(r1.exists(_.contains("false")), "planted decode errors missing")
+  }
+
   test("m9 AVI audit: planted interrupted writes flagged; well-formed rows ok; bad magic loud") {
     import spark.implicits._
     val audit = MultimodalOps.aviMeta(
