@@ -91,54 +91,35 @@ object Relational {
         |JOIN nation n ON c.c_nationkey=n.n_nationkey
         |JOIN region r ON n.n_regionkey=r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
-      // Dim-chain joins + ONE aggregation, no fact-side shuffle: every
-      // non-fact side (orders' 2 key columns, customer→nation→region)
-      // is a hintless broadcast at bench SF, so lineitem streams
-      // through two hash probes and partial-aggregates to 25 groups
-      // inside its scan task. At 100× the planner turns the
-      // over-threshold joins into shuffle joins on unique (skew-free)
-      // keys; THAT plan benefits from eager pre-aggregation of
-      // lineitem by orderkey — measured here, the pre-agg exchange
-      // costs more than the whole broadcast pipeline, so it belongs
-      // behind AQE/stats, not hard-coded.
-      // Fact join = shuffle_hash on the unique (skew-free) orderkey:
-      // the two serial single-row-group scans then run as INDEPENDENT
-      // map stages in parallel, instead of the fact scan stalling
-      // behind a fat broadcast build (measured: a folded orders-dim
-      // broadcast serializes build + probe ≈ 0.61 s of critical path).
-      // Only the genuinely tiny dim chain (customer→nation→region)
-      // broadcasts; the single aggregation combines map-side to 25
-      // groups. At 100× the same plan holds — both fact sides shuffle,
-      // dims stay broadcast — with the orderkey pre-aggregation left
-      // to AQE/stats rather than hard-coded (its exchange costs more
-      // than it saves at every measured SF).
+      // Dim-chain joins + ONE aggregation. The orders join is HINTLESS
+      // (the q03/q05 house pattern): at bench SF the planner broadcasts
+      // orders' 2-column projection and lineitem streams through a
+      // single exchange-free codegen pipeline — scan → probe orders →
+      // probe customer → 25-group aggregate — under the r12
+      // tiny-exchange session; at 100× orders is over-threshold and the
+      // same plan degrades to a shuffle join on the unique (skew-free)
+      // orderkey. r12 probe (ProbeQ04b, interleaved ×2 under the bench
+      // session): hintless pipeline 275–345 ms vs the r6 pre-agg + SHJ
+      // shape 332–482 — the old structure was tuned for the
+      // exchange-ful world (its order-grain pre-aggregate rode the map
+      // side of a fact exchange that no longer exists, and the
+      // shuffle_hash pin forced exchanges the tiny-input path now
+      // removes). The pre-aggregation belongs to the scale where the
+      // fact side shuffles — exactly the AQE/stats territory the r6
+      // comment declared — not hard-coded into the pipeline plan.
       Tables.lineitem(s, d)
-        // fold the revenue arithmetic BEFORE the exchange: the fact
-        // shuffle then carries (key, rev) — 2 columns, not 3
+        // fold the revenue arithmetic at the scan: the probe stream
+        // carries (key, rev) — 2 columns, not 3
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
-        // pre-aggregate to order grain INSIDE the fact exchange: the
-        // groupBy shuffles on the same key the join needs, so the
-        // partial aggregate rides the map side of the exchange the
-        // plan already pays — ~4 lineitem rows collapse per orderkey
-        // and the shuffle carries order-grain rows. (This is NOT the
-        // rejected extra-exchange eager-agg: no new shuffle appears.)
-        // No keyed fanout: A/B at local[32] and local[8] (r6) shows
-        // map-side combine in the single scan task beats hash-
-        // redistributing the raw rows to the cores (0.37 s vs 0.49 s
-        // at 32) — the r5 fanOutBy tuned at cpus=8 regressed the
-        // judge's 32-core run and is gone.
-        .groupBy("l_orderkey").agg(sum("rev0").as("rev0"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
-          .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        // broadcast PINNED: with a generous auto-threshold the planner
-        // may instead broadcast the (order-grain) fact side and stream
-        // customer through one task — backwards at every scale.
-        // Only (c_custkey → c_nationkey) rides the fact stream: the
-        // nation/region NAME joins happen after the aggregate, on 25
-        // rows — the fact pipeline carries ints only, and the 15k-row
-        // chained custkey→names broadcast build disappears (the three
-        // remaining dim builds are trivial and run concurrently).
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        // broadcast PINNED for the dim chain: with a generous
+        // auto-threshold the planner may instead broadcast the fact
+        // side and stream customer through one task — backwards at
+        // every scale. Only (c_custkey → c_nationkey) rides the fact
+        // stream: the nation/region NAME joins happen after the
+        // aggregate, on 25 rows — the fact pipeline carries ints only.
         // n_nationkey is the nation PK, so grouping by c_nationkey is
         // exactly the oracle's GROUP BY r_name, n_name.
         .join(broadcast(Tables.customer(s, d)
