@@ -47,8 +47,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   * Session surface: `spark.graft.tinyExchange.enabled` (default FALSE —
   * Verify's default sessions plan unchanged; the bench session and any
   * deployment serving dim-sized marts opt in), `.maxBytes` (default
-  * 64 MB), `.maxSlices` (default 4; a scan of ≤4 splits loses less to
-  * serial decode than an exchange round costs).
+  * 16 MB: the crossover — one core streams ~16 MB through a fused
+  * scan+agg pipeline in roughly the wall one exchange round costs, so
+  * above it serializing the stage loses more than the shuffle saves;
+  * measured at the 10× corpus, a 27 MB input single-tasked cost
+  * 0.4–1.4 s/query where the exchange-ful plan pays ~0.1 s), and
+  * `.maxSlices` (default 4; a scan of ≤4 splits loses less to serial
+  * decode than an exchange round costs).
   */
 object TinyExchangeElimination extends Rule[SparkPlan] {
 
@@ -118,7 +123,7 @@ object TinyExchangeElimination extends Rule[SparkPlan] {
     if (plan.exists(_.isInstanceOf[
         org.apache.spark.sql.execution.exchange.ReusedExchangeExec]))
       return plan
-    val maxBytes = sqlConf.getConfString(MaxBytesKey, (64L << 20).toString).toLong
+    val maxBytes = sqlConf.getConfString(MaxBytesKey, (16L << 20).toString).toLong
     val maxSlices = sqlConf.getConfString(MaxSlicesKey, "4").toLong
     val maxSplit = sqlConf.filesMaxPartitionBytes.max(1L)
     var changed = false

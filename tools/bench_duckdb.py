@@ -32,7 +32,10 @@ def main(sf_dir, oracle_path, out_path=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dir (the 10x corpus)
+            p = os.path.join(p, "*.parquet")
+        if os.path.isdir(os.path.join(sf_dir, f"{t}.parquet")) or \
+                os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(oracle_path) as f:
