@@ -25,15 +25,7 @@ object EventOps {
     * evaluates (one double division of exact integers; linear-counting
     * branch on m·ln(m/V)). Declared above `defs` (object-init order). */
   private val K1HllOracleSql: String = {
-    val Mod = "18446744073709551616"
-    def mul64(a: String, b: String): String =
-      s"((($a)%4294967296)*(($b)%4294967296)" +
-        s" + ((((($a)//4294967296)%4294967296)*(($b)%4294967296)" +
-        s" + (($a)%4294967296)*(((($b)//4294967296)%4294967296))) % 4294967296)" +
-        s" * 4294967296) % $Mod"
-    def xor64(a: String, b: String): String =
-      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-    def shr(x: String, n: Int): String = s"(($x) // ${BigInt(1) << n})"
+    import SqlHash.{Mod, mul64, xor64, shr}
     val (c1, c2) = ("13787848793156543929", "10723151780598845931")
     val rankCases = (1 to 40)
       .map(r => s"WHEN w >= ${BigInt(1) << (64 - r)} THEN $r").mkString(" ")

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.SmallOrdered
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -924,6 +925,104 @@ object Relational {
           // NULLS LAST: a NULL can head a group only if it's all-NULL
           sum(when(col("rn") === 1 && col("q").isNull, 1L).otherwise(0L))
             .as("null_firsts"))
+    },
+
+    // q34: TABLE PROFILE — the data-card operator a corpus/warehouse
+    // report leads with: per column, row count, nulls, exact distinct
+    // count, typed min/max (numerics incl. epoch-micros timestamps in
+    // the _num columns, strings in binary order in the _str columns),
+    // and for CATEGORICAL columns the modal value with its count
+    // (count-desc, value-asc tie-break — deterministic; the mode of a
+    // continuous double is noise, so numerics carry NULL there by
+    // declaration). Scale shape: each column profiles in one
+    // column-pruned pass with map-side partial aggregates (the ndv is
+    // the only shuffle, on the column's distinct values); the modal
+    // lookups aggregate to one row before joining. Six small plans
+    // union — at 100 TB each is an independent scan the scheduler can
+    // overlap, and a cheaper approximate profile is k1's HLL.
+    QueryDef("q34_table_profile",
+      """WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |                     event_type, value, props FROM events),
+        |top_et AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS c FROM base
+        |           WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY c DESC, v LIMIT 1),
+        |top_pr AS (SELECT props AS v, CAST(COUNT(*) AS BIGINT) AS c FROM base
+        |           WHERE props IS NOT NULL GROUP BY 1 ORDER BY c DESC, v LIMIT 1)
+        |SELECT * FROM (
+        |SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ndv,
+        |  CAST(MIN(event_id) AS DOUBLE) AS min_num, CAST(MAX(event_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_count FROM base
+        |UNION ALL
+        |SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT ts) AS BIGINT),
+        |  CAST(epoch_us(MIN(ts)) AS DOUBLE), CAST(epoch_us(MAX(ts)) AS DOUBLE),
+        |  NULL, NULL, NULL, NULL FROM base
+        |UNION ALL
+        |SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |  CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+        |  NULL, NULL, NULL, NULL FROM base
+        |UNION ALL
+        |SELECT 'value', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT value) AS BIGINT),
+        |  MIN(value), MAX(value), NULL, NULL, NULL, NULL FROM base
+        |UNION ALL
+        |SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  MIN(event_type), MAX(event_type),
+        |  (SELECT v FROM top_et), (SELECT c FROM top_et) FROM base
+        |UNION ALL
+        |SELECT 'props', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT props) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  MIN(props), MAX(props),
+        |  (SELECT v FROM top_pr), (SELECT c FROM top_pr) FROM base
+        |) ORDER BY col_name""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      def counts(c: Column): Seq[Column] = Seq(
+        count(lit(1)).as("n"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(c).as("ndv"))
+      def numProf(name: String, c: Column): DataFrame =
+        e.agg(counts(c).head, counts(c).tail :+
+            min(c).cast("double").as("min_num") :+
+            max(c).cast("double").as("max_num"): _*)
+          .select(lit(name).as("col_name"), col("n"), col("n_nulls"), col("ndv"),
+            col("min_num"), col("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"),
+            lit(null).cast("string").as("top_value"),
+            lit(null).cast("long").as("top_count"))
+      def strProf(name: String, c: Column): DataFrame = {
+        val agg = e.agg(counts(c).head, counts(c).tail :+
+          min(c).as("min_str") :+ max(c).as("max_str"): _*)
+        val top = e.filter(c.isNotNull).groupBy(c.as("v"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("v")).limit(1)
+          .select(col("v").as("top_value"), col("c").as("top_count"))
+        agg.crossJoin(top)
+          .select(lit(name).as("col_name"), col("n"), col("n_nulls"), col("ndv"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            col("min_str"), col("max_str"), col("top_value"), col("top_count"))
+      }
+      Seq(
+        numProf("event_id", col("event_id")),
+        numProf("ts", unix_micros(col("ts"))),
+        numProf("user_id", col("user_id")),
+        numProf("value", col("value")),
+        strProf("event_type", col("event_type")),
+        strProf("props", col("props")))
+        .reduce(_.unionAll(_))
+        .orderedSmall(col("col_name"))
     }
   )
 }

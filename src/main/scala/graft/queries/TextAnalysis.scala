@@ -1073,8 +1073,65 @@ object TextAnalysis {
           .fanOut, // single-row-group scan: spread the explode kernel
         8)
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // t23: WEIGHTED sample without replacement (r12) — the mixture
+    // sampler a training-data pipeline needs when inclusion probability
+    // must track a per-document weight (length here; quality scores in
+    // production): the Efraimidis–Spirakis exponential-clock scheme,
+    // key_i = −ln(u_i)/w_i with the k SMALLEST keys per source forming
+    // an exact weight-proportional without-replacement draw.
+    // Deterministic and cross-engine: u_i derives from the codegen'd
+    // built-in xxhash64(doc_id) (seed 42) — the oracle re-derives
+    // XXH64's hashLong path in HUGEINT SQL (SqlHash stages) — and the
+    // (0,1) mantissa uses the TOP 52 hash bits so both engines build
+    // the IDENTICAL double ((h >>> 12) + 0.5) / 2^52 with no
+    // signed-cast rounding asymmetry. Scale shape: a row-wise hash +
+    // one per-source rank; the rank ≤ k filter is the group-limit
+    // pattern Spark pushes below the sort at scale. t17's quota sample
+    // is the UNIFORM special case; this is the weighted general form.
+    QueryDef("t23_weighted_sample", T23WeightedSampleSql) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy(col("key"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          xxhash64(col("doc_id")).as("h"))
+        .withColumn("u01",
+          (shiftrightunsigned(col("h"), 12).cast("double") + lit(0.5)) /
+            lit(4503599627370496.0))
+        .withColumn("key", -log(col("u01")) / col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("doc_id"), round(col("key"), 6).as("skey"))
+        .orderedSmall(col("source"), col("doc_id"))
     }
   )
+
+  /** t23's DuckDB oracle: XXH64.hashLong(doc_id, seed 42) re-derived in
+    * chained HUGEINT CTE stages (SqlHash), then the identical
+    * exponential-clock key and per-source rank. */
+  private lazy val T23WeightedSampleSql: String = {
+    import SqlHash._
+    val h0 = (BigInt(42) + BigInt(P5) + 8) % BigInt(Mod)
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |h0 AS (SELECT doc_id, source, n_chars,
+       |       ((CAST(doc_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u FROM d),
+       |k1 AS (SELECT doc_id, source, n_chars,
+       |       ${mul64(rotl(mul64("u", P2), 31), P1)} AS k FROM h0),
+       |s1 AS (SELECT doc_id, source, n_chars, ${xor64(h0.toString, "k")} AS h FROM k1),
+       |s2 AS (SELECT doc_id, source, n_chars,
+       |       (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM s1),
+       |a1 AS (SELECT doc_id, source, n_chars,
+       |       ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM s2),
+       |a2 AS (SELECT doc_id, source, n_chars,
+       |       ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM a1),
+       |hh AS (SELECT doc_id, source, n_chars, ${xor64("h", shr("h", 32))} AS h FROM a2),
+       |k2 AS (SELECT doc_id, source,
+       |  -ln((CAST(h // 4096 AS DOUBLE) + 0.5) / 4503599627370496.0) / n_chars AS key FROM hh),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY key, doc_id) AS rn FROM k2)
+       |SELECT source, doc_id, ROUND(key, 6) AS skey FROM r
+       |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin
+  }
 
   /** Corpus-wide duplicated-n-gram fraction over a (doc_id, ts:
     * array&lt;string&gt;) frame — see the t20 entry above for semantics

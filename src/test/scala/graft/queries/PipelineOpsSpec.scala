@@ -1192,6 +1192,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!asMap.keys.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated: no pair
   }
 
+  test("q34 table profile: planted nulls/ndv/extrema/mode, deterministic tie-break") {
+    import spark.implicits._
+    // planted events twin: 2 nulls in value, ndv known per column,
+    // event_type mode 'b' (3×) with a 2-2 runner-up tie broken by value
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 5L, "b", Option(1.5), "{}"),
+      (2L, "2024-01-01 10:00:01", 5L, "b", Option(2.5), "{\"k\":1}"),
+      (3L, "2024-01-01 10:00:02", 6L, "b", None, "{}"),
+      (4L, "2024-01-01 10:00:03", 6L, "a", Option(1.5), "{}"),
+      (5L, "2024-01-01 10:00:04", 7L, "a", None, "{\"k\":2}"),
+      (6L, "2024-01-01 10:00:05", 7L, "c", Option(9.0), "{}"),
+      (7L, "2024-01-01 10:00:06", 7L, "c", Option(-1.0), "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q34").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prof = Relational.defs.find(_.name == "q34_table_profile").get
+      .fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val v = prof("value")
+    assert(v.getLong(1) == 7 && v.getLong(2) == 2 && v.getLong(3) == 4) // n, nulls, ndv
+    assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 9.0)
+    val et = prof("event_type")
+    assert(et.getLong(3) == 3 && et.getString(6) == "a" && et.getString(7) == "c")
+    assert(et.getString(8) == "b" && et.getLong(9) == 3) // mode 3×
+    val pr = prof("props")
+    // mode tie 4-"{}"... "{}" wins at 5 occurrences; check count
+    assert(pr.getString(8) == "{}" && pr.getLong(9) == 5)
+    val uid = prof("user_id")
+    assert(uid.getLong(3) == 3 && uid.getDouble(4) == 5.0 && uid.getDouble(5) == 7.0)
+  }
+
+  test("t23 weighted sample: weight bias, exact k per source, layout independence") {
+    import spark.implicits._
+    // two weight classes under one source: w=2000 docs must dominate a
+    // k=10 draw over w=20 docs (inclusion odds ∝ weight); plus a second
+    // source proving per-source quotas
+    val docs = (1 to 500).map { i =>
+      val heavy = i % 2 == 0
+      (i.toLong, "x", "en", if (i <= 400) "s1" else "s2",
+        if (heavy) 2000L else 20L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val qd = TextAnalysis.defs.find(_.name == "t23_weighted_sample").get
+    val got = qd.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.count(_._1 == "s1") == 10 && got.count(_._1 == "s2") == 10)
+    // expected heavy fraction ≈ w_h/(w_h+w_l) ≈ 0.99 per draw; ≥ 8/10
+    // heavy picks per source is a ~5σ-safe bound
+    val heavyPicks = got.count(_._2 % 2 == 0)
+    assert(heavyPicks >= 16, s"weights ignored: $heavyPicks/20 heavy")
+    // deterministic under any partitioning (hash-derived keys)
+    val again = qd.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("d8 segment blocking loses no pair: brute-force equivalence under adversarial edits") {
     // The r12 PassJoin pigeonhole (9 fixed segments, ±8-position
     // substring keys) is a NECESSARY condition for lev(prefix64) ≤ 8 —
