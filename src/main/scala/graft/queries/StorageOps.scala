@@ -341,8 +341,52 @@ object StorageOps {
         .groupBy("user_id")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
         .orderedSmall(col("user_id")) // probe-list arity: bounded
+    },
+
+    // w7: ROW-GROUP sizing — the seventh layout lever, for SCAN
+    // PARALLELISM rather than skipping: a parquet file is splittable
+    // only at row-group boundaries, so a single-row-group file (the
+    // whole bench corpus's shape — and the measured reason the sf0.1
+    // per-query gap vs an intra-file-parallel engine exists at all,
+    // BASELINE §5b) decodes as ONE task no matter how many cores the
+    // cluster has. Writing the same table with bounded row groups
+    // (parquet.block.size; here ~1 MB → 10+ groups in one file) lets
+    // the standard byte-range split assign each task a disjoint set of
+    // groups — intra-FILE parallelism with zero extra files, the knob
+    // a 100 TB ingest sets so downstream scans saturate executors
+    // (row groups also bound the memory a reader materializes). The
+    // oracle aggregates the raw table: the layout changes I/O shape,
+    // never answers; the spec audits the footer (≥ 8 groups, one
+    // file) and that the scan yields > 1 non-empty partition.
+    QueryDef("w7_rowgroup_scan",
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(l_quantity), 2) AS sq
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val path = ensureRowGrouped(s, d)
+      s.read.parquet(path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("c"), round(sum("l_quantity"), 2).as("sq"))
+        .orderedSmall(col("l_returnflag"), col("l_linestatus"))
     }
   )
+
+  /** w7 layout: one file, many ~1 MB row groups (vs the corpus's
+    * single-group files). */
+  private[queries] def ensureRowGrouped(s: SparkSession, d: String): String = {
+    val path = s"$WarehouseBase/lineitem_rg"
+    writeIfStale("rowgrouped", d) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_linestatus")
+        .coalesce(1) // ONE file: parallelism must come from row groups
+        .write.mode("overwrite")
+        // block.size bounds the IN-MEMORY buffered group (~30B/row
+        // here): 256 KB ≈ 7.5 k-row groups — 8 at sf0.01, ~80 at sf0.1
+        .option("parquet.block.size", (256L << 10).toString)
+        .parquet(path)
+    }
+    path
+  }
 
   /** w4 layouts: a deliberately fragmented 64-file write (the
     * micro-batch ingest shape) and its 2-file compaction. Returns the

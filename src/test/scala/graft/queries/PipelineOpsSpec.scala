@@ -930,6 +930,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w7 row-group layout: one file, many groups, multi-partition scan, same answer") {
+    import scala.jdk.CollectionConverters._
+    // sf0.01: enough rows that the 1 MB in-memory block bound yields
+    // many groups (sf0.001's whole table fits ~2 blocks)
+    val sfW7 = "/root/testdata/sf0.01"
+    val path = StorageOps.ensureRowGrouped(spark, sfW7)
+    // footer: exactly ONE data file whose row groups are many and small
+    val files = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected one file, got ${files.length}")
+    val conf = spark.sessionState.newHadoopConf()
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf))
+    val nGroups = try rdr.getFooter.getBlocks.asScala.size finally rdr.close()
+    assert(nGroups >= 8, s"expected >=8 row groups, got $nGroups")
+    // the single file decodes as MULTIPLE non-empty scan partitions —
+    // the intra-file parallelism a single-group file cannot have
+    // (splits are byte ranges; only row-group boundaries make them
+    // non-empty). Pin a small maxPartitionBytes so the split math is
+    // deterministic under the shared-JVM session.
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (256L << 10).toString)
+    try {
+      val perPart = spark.read.parquet(path)
+        .mapPartitions(it => Iterator.single(it.size))(
+          org.apache.spark.sql.Encoders.scalaInt)
+        .collect()
+      assert(perPart.count(_ > 0) > 1,
+        s"single-task scan despite row groups: ${perPart.toSeq}")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    // layout must not change the answer
+    val a = spark.read.parquet(path)
+      .agg(count(lit(1)), round(sum("l_quantity"), 2)).collect().head
+    val b = graft.Tables.lineitem(spark, sfW7)
+      .agg(count(lit(1)), round(sum("l_quantity"), 2)).collect().head
+    assert(a == b)
+  }
+
   test("w3 sorted layout: ts filter pushed to scan; row-group zones cover the window tightly") {
     import scala.jdk.CollectionConverters._
     val path = StorageOps.ensureSorted(spark, sf)
