@@ -54,6 +54,97 @@ object EventOps {
        |FROM est JOIN ex ON est.event_type = ex.event_type ORDER BY 1""".stripMargin
   }
 
+  /** k4's count-min geometry: D=4 hash rows × W=256 buckets (top-8
+    * hash bits). Row i hashes with the codegen'd built-in
+    * xxhash64(lit(i), key) — Spark chains multi-arg xxhash64 as
+    * hashLong(key, hashLong(i, 42)), so the oracle starts each row
+    * from the PRECOMPUTED constant hashLong(i, 42) and re-derives one
+    * hashLong stage per row (the t23 technique). */
+  private val CmsD = 4
+  private val CmsLogW = 8
+
+  /** Spark's XXH64.hashLong (public algorithm: xxHash64 one-lane
+    * 8-byte path) evaluated at SQL-BUILD time for the per-row seed
+    * constants the oracle embeds as literals. */
+  private def xxh64Long(l: Long, seed: Long): Long = {
+    val (p1, p2, p3, p4, p5) = (-7046029288634856825L, -4417276706812531889L,
+      1609587929392839161L, -8796714831421723037L, 2870177450012600261L)
+    var h = seed + p5 + 8L
+    h ^= java.lang.Long.rotateLeft(l * p2, 31) * p1
+    h = java.lang.Long.rotateLeft(h, 27) * p1 + p4
+    h ^= h >>> 33; h *= p2; h ^= h >>> 29; h *= p3; h ^= h >>> 32
+    h
+  }
+
+  /** k4's DuckDB oracle: re-derives the count-min pipeline — per hash
+    * row, ONE XXH64 hashLong stage from the embedded constant seed
+    * (chained HUGEINT CTE stages, the t23 technique), top-8-bit bucket,
+    * the full counter grid as a GROUP BY, and each queried key's
+    * estimate as the min of its D counters. Exact counts ride along as
+    * the audit column; the hash must land every event in the same cell
+    * on both engines for the grid (and so the minima) to agree. */
+  private lazy val K4CmsOracleSql: String = {
+    import SqlHash._
+    val modB = BigInt(Mod)
+    val starts = (0 until CmsD).map { i =>
+      val s = BigInt(xxh64Long(i.toLong, 42L)).mod(modB)
+      ((s + BigInt(P5) + 8) mod modB).toString
+    }
+    val seedRows = starts.zipWithIndex
+      .map { case (st, i) => s"($i, CAST($st AS HUGEINT))" }.mkString(", ")
+    val w = BigInt(1) << (64 - CmsLogW)
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |seeds AS (SELECT * FROM (VALUES $seedRows) s(i, st)),
+       |h0 AS (SELECT user_id, i, st,
+       |       ((CAST(user_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u
+       |       FROM ev CROSS JOIN seeds),
+       |k1 AS (SELECT user_id, i, st, ${mul64(rotl(mul64("u", P2), 31), P1)} AS k FROM h0),
+       |s1 AS (SELECT user_id, i, ${xor64("st", "k")} AS h FROM k1),
+       |s2 AS (SELECT user_id, i, (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM s1),
+       |a1 AS (SELECT user_id, i, ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM s2),
+       |a2 AS (SELECT user_id, i, ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM a1),
+       |bk AS (SELECT user_id, i, CAST(${xor64("h", shr("h", 32))} // $w AS BIGINT) AS b FROM a2),
+       |cnt AS (SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
+       |kb AS (SELECT DISTINCT user_id, i, b FROM bk),
+       |est AS (SELECT user_id, MIN(c) AS cms_cnt FROM kb JOIN cnt USING (i, b) GROUP BY 1),
+       |ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY 1),
+       |top AS (SELECT user_id, exact_cnt FROM ex ORDER BY exact_cnt DESC, user_id LIMIT 20)
+       |SELECT user_id, exact_cnt, cms_cnt FROM top JOIN est USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** One (i, b) hash-row/bucket struct per count-min row for `key` —
+    * explodes to D rows. Pure codegen'd built-ins (xxhash64 +
+    * shiftrightunsigned); no UDF anywhere in the sketch path. */
+  private def cmsBuckets(key: org.apache.spark.sql.Column) =
+    explode(array((0 until CmsD).map(i =>
+      struct(lit(i).as("i"),
+        shiftrightunsigned(xxhash64(lit(i.toLong), key), 64 - CmsLogW)
+          .as("b"))): _*))
+
+  /** The count-min counter GRID over a single long key column — the
+    * sketch itself: ≤ D·W cells however large the corpus, so the
+    * groupBy partial-aggregates map-side (sketch merge ≡ cell-wise
+    * sum) and the exchange carries at most D·W rows per task. */
+  private[queries] def cmsGrid(keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    keys.select(cmsBuckets(col(keyCol)).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+
+  /** Point-query the grid: each row of `queryKeys` gains `cms_cnt` =
+    * min of its D counters. The grid is bounded ⇒ broadcast. */
+  private[queries] def cmsLookup(queryKeys: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val carried = queryKeys.columns.map(col).toSeq
+    queryKeys.select(carried :+ cmsBuckets(col(keyCol)).as("ib"): _*)
+      .select(carried :+ col("ib.i").as("i") :+ col("ib.b").as("b"): _*)
+      .join(broadcast(grid), Seq("i", "b"))
+      .groupBy(carried: _*)
+      .agg(min(col("c")).as("cms_cnt"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("s1_tumbling_window",
@@ -258,6 +349,31 @@ object EventOps {
           graft.functions.HllAgg.column(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderedSmall(col("event_type"))
+    },
+
+    // k4: count-min FREQUENCY sketch (r12) — k1's frequency twin: the
+    // operator that answers "how often does key x occur" over an
+    // unbounded key space in bounded memory, where an exact per-key
+    // count must shuffle every distinct key. The sketch IS a D×W
+    // counter grid (D=4 hash rows × W=256 top-8-bit buckets), built
+    // here as a bounded groupBy — cell count ≤ 1024 whatever the
+    // corpus does, so partial aggregation map-side is exactly the
+    // sketch's cell-wise-sum merge and the exchange carries ≤ D·W rows
+    // per task. Estimates are ONE-SIDED (cms ≥ exact always — a
+    // bucket's counter includes the key's own rows) with the classic
+    // ε = e/W overcount bound; the heaviest 20 keys (exact count desc,
+    // audit column) are the queried set, their estimates read from the
+    // broadcast grid via the same codegen'd xxhash64 expressions. The
+    // whole path is built-in expressions — no UDF, no UDAF.
+    QueryDef("k4_countmin_freq", K4CmsOracleSql) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val grid = cmsGrid(ev, "user_id")
+      val top = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+        .limit(20)
+      cmsLookup(top, "user_id", grid)
+        .orderedSmall(col("user_id")) // 20 rows by construction
     },
 
     // s14: per-key ORDER-DEPENDENT RECURRENCE — the exponential moving

@@ -2275,6 +2275,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r == math.min(java.lang.Long.numberOfLeadingZeros(h << 12) + 1, 41))
   }
 
+  test("k4 count-min: one-sided error, bounded grid, layout-independent") {
+    import spark.implicits._
+    // planted skew: key 7 is a heavy hitter (5000 rows) over a 3000-key
+    // tail — collisions in the 256-bucket rows are guaranteed, so the
+    // one-sided property is exercised, not vacuous
+    val keys = (Seq.fill(5000)(7L) ++
+      (1 to 20000).map(i => (i * 2654435761L) % 3000)).toDF("k")
+    val grid3 = EventOps.cmsGrid(keys.repartition(3), "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val grid17 = EventOps.cmsGrid(keys.repartition(17), "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cell-wise-sum merge ⇒ the grid is a pure function of the multiset
+    assert(grid3 == grid17)
+    // the sketch is bounded by construction: ≤ D·W cells, counters
+    // conserve mass per hash row
+    assert(grid3.size <= 4 * 256)
+    (0 until 4).foreach { i =>
+      assert(grid3.collect { case ((r, _), c) if r == i => c }.sum == 25000L)
+    }
+    // estimates: cms >= exact for EVERY key (one-sided), and the heavy
+    // hitter's overcount is bounded by the worst tail bucket
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+    val est = EventOps.cmsLookup(exact, "k", EventOps.cmsGrid(keys, "k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(est.length == exact.count())
+    est.foreach { case (k, ex, cms) =>
+      assert(cms >= ex, s"key $k: cms=$cms < exact=$ex") }
+    // ε = e/W bound with D independent rows: deterministic given the
+    // fixed hashes — 4× the expected N/W tail overcount is generous
+    val n = 25000L
+    est.foreach { case (k, ex, cms) =>
+      assert(cms - ex <= 4 * n / 256, s"key $k overcount ${cms - ex}") }
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
