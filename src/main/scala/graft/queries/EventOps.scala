@@ -113,6 +113,60 @@ object EventOps {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** k5's AMS geometry: R=64 sign counters. Counter j sums
+    * sign_j(key) ∈ {−1,+1}, the sign bit of the same chained
+    * xxhash64(lit(j), key) k4 uses — Spark's signed `>= 0` test is
+    * exactly the unsigned `< 2^63` test the oracle applies. */
+  private val AmsR = 64
+
+  /** k5's DuckDB oracle: re-derives every AMS sign counter — per
+    * counter ONE XXH64 hashLong stage from the embedded constant seed
+    * (the k4/t23 HUGEINT technique), sign from the hash's top bit,
+    * exact integer counter sums, Σc² and the exact second moment
+    * Σn² — then the estimate as one double division of exact
+    * integers, so the row hash-matches cross-engine. */
+  private lazy val K5AmsOracleSql: String = {
+    import SqlHash._
+    val modB = BigInt(Mod)
+    val seedRows = (0 until AmsR).map { j =>
+      val s = BigInt(xxh64Long(j.toLong, 42L)).mod(modB)
+      s"($j, CAST(${(s + BigInt(P5) + 8) mod modB} AS HUGEINT))"
+    }.mkString(", ")
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |seeds AS (SELECT * FROM (VALUES $seedRows) s(j, st)),
+       |h0 AS (SELECT user_id, j, st,
+       |       ((CAST(user_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u
+       |       FROM ev CROSS JOIN seeds),
+       |k1 AS (SELECT user_id, j, st, ${mul64(rotl(mul64("u", P2), 31), P1)} AS k FROM h0),
+       |s1 AS (SELECT user_id, j, ${xor64("st", "k")} AS h FROM k1),
+       |s2 AS (SELECT user_id, j, (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM s1),
+       |a1 AS (SELECT user_id, j, ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM s2),
+       |a2 AS (SELECT user_id, j, ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM a1),
+       |sg AS (SELECT j, CASE WHEN ${xor64("h", shr("h", 32))} < ${BigInt(1) << 63}
+       |                      THEN 1 ELSE -1 END AS sign FROM a2),
+       |c AS (SELECT j, CAST(SUM(sign) AS BIGINT) AS c FROM sg GROUP BY 1),
+       |sc AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sum_c2 FROM c),
+       |ex AS (SELECT CAST(SUM(n * n) AS BIGINT) AS f2_exact FROM
+       |       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY user_id))
+       |SELECT f2_exact, sum_c2,
+       |       CAST(sum_c2 AS DOUBLE) / $AmsR.0 AS f2_est
+       |FROM ex CROSS JOIN sc""".stripMargin
+  }
+
+  /** The AMS counter vector over a long key column — R exact integer
+    * sums in ONE scan pass (no explode, no row blow-up): each counter
+    * is its own codegen'd SUM(±1) expression, partial-aggregated
+    * map-side, so the exchange carries R values per task whatever the
+    * corpus size. */
+  private[queries] def amsCounters(keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val sums = (0 until AmsR).map { j =>
+      sum(when(xxhash64(lit(j.toLong), col(keyCol)) >= 0, 1L)
+        .otherwise(-1L)).as(s"c$j")
+    }
+    keys.agg(sums.head, sums.tail: _*)
+  }
+
   /** One (i, b) hash-row/bucket struct per count-min row for `key` —
     * explodes to D rows. Pure codegen'd built-ins (xxhash64 +
     * shiftrightunsigned); no UDF anywhere in the sketch path. */
@@ -374,6 +428,31 @@ object EventOps {
         .limit(20)
       cmsLookup(top, "user_id", grid)
         .orderedSmall(col("user_id")) // 20 rows by construction
+    },
+
+    // k5: AMS SECOND-MOMENT sketch (r12) — the third sketch family:
+    // F2 = Σ_k n_k² (the self-join size, the quantity that prices
+    // every equi-join and repetition-skew gate) estimated in R=64
+    // counters instead of one counter per distinct key. Each counter
+    // sums a ±1 sign per row (the sign bit of the same chained
+    // xxhash64 k4 uses); E[c²] = F2 exactly, so Σc²/R estimates F2
+    // with σ/F2 ≈ √(2/R) ≈ 18%. The whole sketch is ONE scan pass of
+    // R codegen'd SUM(±1) expressions — no explode, no row blow-up,
+    // map-side partial aggregation, R values per task on the exchange.
+    // Counters are exact integers ⇒ the oracle re-derives them
+    // bit-for-bit and the final estimate is one double division of
+    // exact integers — hash-stable cross-engine. Exact F2 rides along
+    // as the audit column.
+    QueryDef("k5_ams_f2", K5AmsOracleSql) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val sumC2 = amsCounters(ev, "user_id")
+        .select((0 until AmsR).map(j => col(s"c$j") * col(s"c$j"))
+          .reduce(_ + _).as("sum_c2"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("f2_exact"))
+      exact.crossJoin(sumC2) // both sides are single rows
+        .select(col("f2_exact"), col("sum_c2"),
+          (col("sum_c2").cast("double") / AmsR).as("f2_est"))
     },
 
     // s14: per-key ORDER-DEPENDENT RECURRENCE — the exponential moving

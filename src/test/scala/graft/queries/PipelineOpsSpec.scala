@@ -2309,6 +2309,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(cms - ex <= 4 * n / 256, s"key $k overcount ${cms - ex}") }
   }
 
+  test("k5 AMS: exact counters layout-independent, estimate near F2") {
+    import spark.implicits._
+    // planted Zipf-ish skew so F2 is dominated by a few heavy keys —
+    // the regime the sketch exists for
+    val keys = ((1 to 4000).flatMap(i => Seq.fill(4000 / i)(i.toLong))).toDF("k")
+    def counters(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      EventOps.amsCounters(df, "k").collect()(0)
+        .toSeq.map(_.asInstanceOf[Long])
+    val c3 = counters(keys.repartition(3))
+    val c17 = counters(keys.repartition(17))
+    // each counter is an exact integer sum ⇒ pure function of the
+    // multiset, independent of partitioning
+    assert(c3 == c17 && c3.length == 64)
+    val n = keys.count()
+    // counters are bounded by the row count and not degenerate
+    assert(c3.forall(c => math.abs(c) <= n) && c3.distinct.length > 1)
+    // estimate: Σc²/R is unbiased with σ = √(2/R)·F2 ≈ 0.18·F2 for
+    // R=64 — assert within 4σ of the exact second moment
+    val f2 = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).collect()(0).getLong(0).toDouble
+    val est = c3.map(c => c.toDouble * c).sum / 64.0
+    assert(math.abs(est - f2) <= 4 * math.sqrt(2.0 / 64) * f2,
+      s"est=$est f2=$f2")
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
