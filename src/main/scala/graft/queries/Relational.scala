@@ -1023,6 +1023,35 @@ object Relational {
         strProf("props", col("props")))
         .reduce(_.unionAll(_))
         .orderedSmall(col("col_name"))
+    },
+
+    // q35: HIERARCHY FLATTENING — the recursive walk-to-root (WITH
+    // RECURSIVE in SQL engines) Spark has no native operator for,
+    // implemented by POINTER JUMPING (operators/Hierarchy): each round
+    // one self equi-join substitutes every node's known ancestor with
+    // that ancestor's ancestor, DOUBLING known distance — O(log depth)
+    // shuffle joins for any depth, vs the per-level BFS whose join
+    // count equals the hierarchy depth. The tree here is derived
+    // deterministically from the corpus (parent = custkey div 10,
+    // custkeys < 10 are self-parented roots), so the oracle walks the
+    // identical recurrence. Output scales with the corpus → parallel
+    // range sort, never a one-task funnel.
+    QueryDef("q35_hierarchy_flatten",
+      """WITH RECURSIVE up AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10
+        |)
+        |SELECT node AS c_custkey, cur AS root, depth FROM up
+        |WHERE cur < 10 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val edges = Tables.customer(s, d).select(
+        col("c_custkey").as("node"),
+        when(col("c_custkey") < 10, col("c_custkey"))
+          .otherwise(expr("c_custkey div 10")).as("parent"))
+      val (flat, _) = graft.operators.Hierarchy.flatten(edges)
+      flat.select(col("node").as("c_custkey"), col("root"), col("depth"))
+        .orderedRows(col("c_custkey"))
     }
   )
 }

@@ -2334,6 +2334,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"est=$est f2=$f2")
   }
 
+  test("q35 pointer jumping: 10k-deep chain flattens in O(log d) rounds") {
+    import spark.implicits._
+    // worst case for any per-level walker: one chain, depth 9999
+    val chain = (0L until 10000L)
+      .map(n => (n, math.max(n - 1, 0L))).toDF("node", "parent")
+    val (flat, iters) = graft.operators.Hierarchy.flatten(chain)
+    val rows = flat.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 10000)
+    (0L until 10000L).foreach { n => assert(rows(n) == ((0L, n))) }
+    // path doubling: known distance doubles per round — ceil(log2 9999)
+    // = 14 growth rounds + 1 fixpoint-detection round
+    assert(iters <= 15, s"iters=$iters — pointer jumping degraded to BFS?")
+
+    // forest with several roots and mixed depths: each node lands on
+    // its own tree's root, roots stay self-assigned at depth 0
+    val forest = Seq((1L, 1L), (2L, 2L), (10L, 1L), (11L, 10L),
+      (12L, 11L), (20L, 2L)).toDF("node", "parent")
+    val f = graft.operators.Hierarchy.flatten(forest)._1
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L)), 10L -> ((1L, 1L)),
+      11L -> ((1L, 2L)), 12L -> ((1L, 3L)), 20L -> ((2L, 1L))))
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
