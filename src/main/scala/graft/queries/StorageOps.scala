@@ -204,6 +204,37 @@ object StorageOps {
     path
   }
 
+  /** Date-partitioned events layout for w8: the canonical fact layout
+    * (one directory per day). `repartition(event_date)` before the
+    * write gives one file per date instead of files × tasks — the
+    * standard ingest shape; at real scale you'd add a second
+    * within-date key to bound file size. */
+  private[queries] def ensureDatePartitioned(s: SparkSession, d: String): String = {
+    val path = s"$WarehouseBase/events_dp"
+    writeIfStale("datePartitioned", d) {
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("value"),
+          to_date(col("ts")).as("event_date"))
+        .repartition(col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    }
+    path
+  }
+
+  /** The w8 join (callers get DPP from the session default rule set).
+    * Exposed for the plan spec. */
+  private[queries] def dppJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.parquet(ensureDatePartitioned(s, d))
+    val dim = Tables.events(s, d)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .filter(dayofmonth(col("event_date")) % 7 === 0)
+    fact.join(broadcast(dim), Seq("event_date"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // w1: fact-fact join over tables BUCKETED on the join key — the
@@ -367,6 +398,30 @@ object StorageOps {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("c"), round(sum("l_quantity"), 2).as("sq"))
         .orderedSmall(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // w8: DYNAMIC partition pruning — w2's runtime sibling, and the
+    // pruning shape 100 TB fact-dim joins actually hit: the predicate
+    // lives on the DIM side (here: every 7th calendar day), so static
+    // pruning sees nothing to push to the date-partitioned fact.
+    // Catalyst's PartitionPruning rule inserts a DynamicPruning
+    // subquery on the fact's partition column that REUSES the dim's
+    // broadcast exchange — at run time the fact scan lists only the
+    // dim-selected directories (4 of 30 here; 4 of ~36,500 on a
+    // 100-year corpus) before reading a byte. Spec-asserted on the
+    // scan's partitionFilters; the oracle joins the raw table — the
+    // layout+rule change I/O, never an answer.
+    QueryDef("w8_dpp_prune",
+      """WITH dim AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date
+        |            FROM events),
+        |sel AS (SELECT event_date FROM dim WHERE day(event_date) % 7 = 0),
+        |fact AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, value
+        |         FROM events)
+        |SELECT event_date, CAST(COUNT(*) AS BIGINT) AS c, ROUND(SUM(value), 2) AS sv
+        |FROM fact JOIN sel USING (event_date)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      dppJoinFrame(s, d)
+        .orderedSmall(col("event_date")) // ≤ 5 calendar days/month
     }
   )
 

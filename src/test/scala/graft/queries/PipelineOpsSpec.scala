@@ -930,6 +930,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w8 DPP: fact scan carries a dynamic pruning filter, same answer") {
+    val df = StorageOps.dppJoinFrame(spark, sf)
+    // the date-partitioned fact scan must carry a DYNAMIC pruning
+    // predicate (runtime subquery on the dim's selected dates) — there
+    // is no static filter on event_date anywhere in the query. The
+    // scan lives inside AdaptiveSparkPlanExec (collect doesn't descend
+    // into AQE's inner plan), so assert on the rendered tree, where
+    // PartitionFilters are printed on the warehouse fact scan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression") &&
+        plan.contains("events_dp"),
+      s"no DynamicPruning on the fact scan:\n$plan")
+    // the rule changes I/O, never the answer
+    val raw = graft.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("event_date"), col("value"))
+      .filter(dayofmonth(col("event_date")) % 7 === 0)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+    assert(df.collect().map(_.toSeq).toSet == raw.collect().map(_.toSeq).toSet)
+  }
+
   test("w7 row-group layout: one file, many groups, multi-partition scan, same answer") {
     import scala.jdk.CollectionConverters._
     // sf0.01: enough rows that the 1 MB in-memory block bound yields
