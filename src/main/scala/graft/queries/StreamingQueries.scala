@@ -8,7 +8,7 @@ import graft.QueryDef.SmallOrdered
 import graft.streaming.{DocRow, EventRow, KeyedRow, StreamingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, round, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, round, sum, when, window}
 
 /** Driver-visible entries for the streaming surface.
   *
@@ -510,6 +510,42 @@ object StreamingQueries {
         .groupBy("nation", "event_type")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
         .orderedSmall(col("nation"), col("event_type")) // nations×types: bounded
+    },
+
+    // s22: CHAINED STATEFUL OPERATORS — two time-window aggregations
+    // in ONE streaming query (the rollup-of-a-rollup every metrics
+    // pipeline wants): per-user 10-minute counts feed a 30-minute
+    // rollup of active user-buckets and event totals, both stateful,
+    // both bounded by the same watermark, state handed window-to-
+    // window WITHOUT materializing the intermediate to a sink and
+    // re-reading it (one query, one checkpoint, exactly-once across
+    // BOTH operators — the property the two-query workaround loses).
+    // The first agg's window column IS the event time of the second
+    // (Spark's chained-window support); a far-future sentinel advances
+    // the watermark to close tail windows at end of replay, then is
+    // dropped post-sink. Oracle: the identical two-level rollup in
+    // batch SQL.
+    QueryDef("s22_chained_windows",
+      """WITH b AS (SELECT TIME_BUCKET(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS w10,
+        |                  user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2)
+        |SELECT TIME_BUCKET(INTERVAL 30 MINUTE, w10) AS w30_start,
+        |       CAST(COUNT(*) AS BIGINT) AS active_buckets,
+        |       CAST(SUM(c) AS BIGINT) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sentinel = Seq(EventRow(-1L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L,
+        "__end__", 0.0, ""))
+      runScenario(s, "append", eventFeedAll(s, d, 6) :+ sentinel)(df =>
+        df.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(window(col("window"), "30 minutes").as("w30"))
+          .agg(count(lit(1)).as("active_buckets"), sum("c").as("n"))
+          .select(col("w30.start").as("w30_start"),
+            col("active_buckets"), col("n")))
+        .filter(col("w30_start") < lit("2029-01-01").cast("timestamp"))
+        .orderedRows(col("w30_start")) // rows scale with the time range
     }
   )
 }

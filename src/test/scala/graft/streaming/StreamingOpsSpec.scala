@@ -304,6 +304,48 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"late=$late")
   }
 
+  test("s22 chained windows: TWO stateful operators, incremental emission") {
+    val in = MemoryStream[EventRow]
+    val chained = in.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(col("window"), "30 minutes").as("w30"))
+      .agg(count(lit(1)).as("active_buckets"), sum("c").as("n"))
+      .select(col("w30.start").as("w30_start"), col("active_buckets"), col("n"))
+    val q = chained.writeStream.format("memory").queryName("s22t")
+      .outputMode("append").start()
+    val emitted = scala.collection.mutable.ListBuffer.empty[Int]
+    try {
+      // batch 1: three users across two 10-min buckets of [10:00,10:30)
+      in.addData(Seq(ev("2024-01-01 10:01:00", userId = 1),
+        ev("2024-01-01 10:02:00", userId = 2),
+        ev("2024-01-01 10:12:00", userId = 1)))
+      q.processAllAvailable()
+      emitted += spark.table("s22t").count().toInt
+      // batch 2: watermark → 10:45 closes [10:00,10:30) — the rollup
+      // row must emit NOW, mid-stream, not at end of replay
+      in.addData(Seq(ev("2024-01-01 10:45:00", userId = 3)))
+      q.processAllAvailable()
+      emitted += spark.table("s22t").count().toInt
+      // batch 3: far sentinel closes [10:30,11:00)
+      in.addData(Seq(ev("2024-01-01 12:00:00", userId = 9)))
+      q.processAllAvailable()
+      // the ONE query ran BOTH aggregations statefully
+      assert(q.lastProgress.stateOperators.length == 2,
+        s"state ops: ${q.lastProgress.stateOperators.map(_.operatorName).mkString(",")}")
+    } finally q.stop()
+    assert(emitted.toList == List(0, 1)) // incremental, watermark-gated
+    val got = spark.table("s22t")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    // [10:00,10:30): buckets (10:00,u1)(10:00,u2)(10:10,u1) → 3 buckets, 3 events
+    // [10:30,11:00): (10:40,u3) → 1 bucket, 1 event
+    assert(got == Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 3L),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 1L)))
+    spark.catalog.dropTempView("s22t")
+  }
+
   test("streaming CDC: dropped binlog file renders like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("cdcstream")
     val checkpoint = java.nio.file.Files.createTempDirectory("cdccp")
