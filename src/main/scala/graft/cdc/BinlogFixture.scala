@@ -214,6 +214,72 @@ object BinlogFixture {
     sb.result()
   }
 
+  /** Schema-evolution corpus (the c15 entry): `appdb.evolve` starts at
+    * (id, a); every 7th slot appends a tail
+    * `ALTER TABLE evolve ADD COLUMN extra_i INT` under a `use` context,
+    * and every later row event on the table carries the then-current
+    * column width — the shape a binlog spanning migrations actually
+    * has, and the one the reference's live-catalog lookup mis-decodes
+    * on one side of each ALTER. Inserts and updates on the evolving
+    * table interleave with control inserts on the NON-evolving
+    * `testdb.t_pk`. Deterministic: slot i's shape is a pure function
+    * of i. */
+  def evolveStream(n: Int): String = {
+    val sb = new StringBuilder(n * 300)
+    var pos = 4L
+    var t = 0L
+    var extras = Vector.empty[Int] // slots whose ALTER added extra_<slot>
+    def header(kind: String, stop: Long): Unit = {
+      sb ++= s"# at $pos\n"
+      sb ++= f"#260812 ${5 + t / 3600}%2d:${(t / 60) % 60}%02d:${t % 60}%02d server id 1  end_log_pos $stop CRC32 0x0badcafe \t$kind: table id 301 flags: STMT_END_F\n"
+      t += 1
+    }
+    def c(k: Int, v: String, typ: String): String =
+      s"###   @$k=$v /* $typ nullable=1 is_null=${if (v == "NULL") 1 else 0} */\n"
+    def image(i: Int): Unit = {
+      sb ++= c(1, s"$i", "INT")
+      sb ++= c(2, s"'a_$i'", "VARSTRING(64)")
+      extras.zipWithIndex.foreach { case (slot, j) =>
+        sb ++= c(3 + j, s"${slot + i}", "INT")
+      }
+    }
+    for (i <- 0 until n) {
+      if (i % 7 == 0) {
+        val stop = pos + 90
+        sb ++= s"# at $pos\n"
+        sb ++= f"#260812 ${5 + t / 3600}%2d:${(t / 60) % 60}%02d:${t % 60}%02d server id 1  end_log_pos $stop CRC32 0x0badcafe \tQuery\tthread_id=9\texec_time=0\terror_code=0\n"
+        t += 1
+        sb ++= "use `appdb`/*!*/;\n"
+        sb ++= s"SET TIMESTAMP=${1764910800L + i}/*!*/;\n"
+        sb ++= s"alter table evolve add column extra_$i int\n"
+        sb ++= "/*!*/;\n"
+        extras :+= i
+        pos = stop
+      } else {
+        val stop = pos + 140
+        if (i % 7 == 3) { // control: the non-evolving table
+          header("Write_rows", stop)
+          sb ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+          sb ++= c(1, s"$i", "INT")
+          sb ++= c(2, s"'name_$i'", "VARSTRING(160)")
+          sb ++= c(3, s"$i.5", "DOUBLE")
+        } else if (i % 7 == 5) { // full-width update on the evolving table
+          header("Update_rows", stop)
+          sb ++= "### UPDATE `appdb`.`evolve`\n### WHERE\n"
+          image(i)
+          sb ++= "### SET\n"
+          image(i + 1000000)
+        } else {
+          header("Write_rows", stop)
+          sb ++= "### INSERT INTO `appdb`.`evolve`\n### SET\n"
+          image(i)
+        }
+        pos = stop
+      }
+    }
+    sb.result()
+  }
+
   /** Per-slot (db, table, op, rows) composition of [[stressStream]] —
     * the same modular arithmetic, WITHOUT going through text: specs
     * compare FSM parse counts against this independent derivation. */

@@ -106,8 +106,9 @@ object CdcJob {
     * scalar string build — the one genuinely imperative step, like the
     * reference's generate_sql_pattern, log2sql.py:135-185). */
   def render(events: DataFrame, catalog: DataFrame, cfg: CdcConfig,
-      cacheBeforeSort: Boolean = true): DataFrame = {
-    val rendered0 = renderUnordered(events, catalog, cfg)
+      cacheBeforeSort: Boolean = true,
+      evolved: Option[SchemaEvolve.Timelines] = None): DataFrame = {
+    val rendered0 = renderUnordered(events, catalog, cfg, evolved)
     // the global sort's range-partitioner samples its input, then scans
     // it again — batch callers cache so parse+render run once (JVM exit
     // reclaims it)
@@ -129,7 +130,8 @@ object CdcJob {
     * on an unbounded input; rows carry (file, seq) so sinks can
     * order). Also the right entry for unordered batch sinks. */
   def renderUnordered(events: DataFrame, catalog: DataFrame,
-      cfg: CdcConfig): DataFrame = {
+      cfg: CdcConfig,
+      evolved: Option[SchemaEvolve.Timelines] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -147,11 +149,18 @@ object CdcJob {
     val flashback = cfg.flashback
     val bugCompat = cfg.bugCompatible
     val noPk = cfg.noPk
+    // timelines are a bounded dim (SchemaEvolve contract): shipping
+    // them inside the render closure is the broadcast-join analogue
+    // for a lookup the join itself can't express (position-ranged)
+    val timelines = evolved.getOrElse(Map.empty)
     val rendered0 = joined.as[RenderIn].flatMap { r =>
+      val cols = timelines.get((r.db, r.table)) match {
+        case Some(tv) => SchemaEvolve.colsAt(tv, r.file, r.seq)
+        case None => r.cols.getOrElse(Nil).map(c => (c.ord, c.name))
+      }
       val stmt = SqlRender.render(r.op, r.db, r.table,
         r.before, r.after, r.ddl.orNull,
-        r.cols.getOrElse(Nil).map(c => (c.ord, c.name)),
-        r.key_cols.getOrElse(Nil), flashback, bugCompat, noPk)
+        cols, r.key_cols.getOrElse(Nil), flashback, bugCompat, noPk)
       if (stmt == null) None
       else Some(RenderOut(r.file, r.seq, r.start_pos, r.op,
         if (r.op == "ddl") stmt else r.pos_comment + "\n" + stmt))
@@ -162,14 +171,27 @@ object CdcJob {
   /** Full pipeline: parse → filter → render. */
   def run(spark: SparkSession, path: String, catalog: DataFrame,
       cfg: CdcConfig = CdcConfig()): DataFrame = {
+    // schema evolution must SEE the log's DDL even when the user
+    // didn't ask for DDL in the output
+    val parseDdl = cfg.includeDdl || cfg.evolveSchema
     // GTID seek, not scan (GtidPrune): with --include-gtids, files whose
     // PREVIOUS_GTIDS headers prove them disjoint from the requested set
     // are dropped from the read list before any decode work.
     val events = cfg.includeGtids match {
       case Some(spec) =>
-        parsePaths(spark, GtidPrune.prune(spark, path, spec), cfg.includeDdl)
-      case None => parse(spark, path, cfg.includeDdl)
+        parsePaths(spark, GtidPrune.prune(spark, path, spec), parseDdl)
+      case None => parse(spark, path, parseDdl)
     }
-    render(applyFilters(events, cfg), catalog, cfg)
+    // timelines fold over the PRE-filter stream: user filters narrow
+    // the output, never the schema history events resolve against
+    val evolved =
+      if (cfg.evolveSchema) Some(SchemaEvolve.timelines(events, catalog))
+      else None
+    val filtered = applyFilters(events, cfg)
+    val outEvents =
+      if (cfg.evolveSchema && !cfg.includeDdl)
+        filtered.filter(col("op") =!= "ddl")
+      else filtered
+    render(outEvents, catalog, cfg, evolved = evolved)
   }
 }

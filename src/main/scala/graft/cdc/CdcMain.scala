@@ -76,6 +76,9 @@ object CdcMain {
       |                                      raw .binlog bytes, or magic-sniffed
       |  --include-gtids SET  --exclude-gtids SET
       |                                      GTID-set filters (uuid:i[-j],...)
+      |  --evolve-schema                     version the catalog by log position:
+      |                                      ALTER ADD/DROP COLUMN in the log
+      |                                      re-maps later row events' ordinals
       |  --only-dml                          accepted (always-on in the reference)
       |  --back-interval F                   pause F sec per 1000 flashback stmts
       |  --include-ddl                       emit DDL statements too
@@ -195,6 +198,7 @@ object CdcMain {
           cfg = cfg.copy(excludeGtids = Some(v))
         case "--only-dml" => i += 1 // reference quirk: always-true no-op
         case "--include-ddl" => cfg = cfg.copy(includeDdl = true); i += 1
+        case "--evolve-schema" => cfg = cfg.copy(evolveSchema = true); i += 1
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
         case f @ ("-o" | "--output") => out = Some(operand(f))
         case f @ "--output-parquet" => outParquet = Some(operand(f))

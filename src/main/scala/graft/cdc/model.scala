@@ -137,7 +137,16 @@ final case class CdcConfig(
       * the set (events with no GTID drop — they cannot match);
       * exclude drops matching events and keeps GTID-less ones. */
     includeGtids: Option[String] = None,
-    excludeGtids: Option[String] = None)
+    excludeGtids: Option[String] = None,
+    /** `--evolve-schema` (beyond the reference): version the catalog
+      * by log position — every `ALTER TABLE ADD/DROP COLUMN` in the
+      * log itself produces a new schema version effective from its
+      * (file, seq), and each row event resolves ordinals against the
+      * version in effect at ITS position (SchemaEvolve). The
+      * reference resolves everything against the live
+      * information_schema "now", so logs spanning an ALTER decode
+      * with the wrong column names on one side of it. */
+    evolveSchema: Boolean = false)
 
 /** Parsed GTID set (`uuid:1-5:8,uuid2:3`): uuid → closed intervals.
   * Mirrors mysqlbinlog's Gtid_set text syntax (public format). */

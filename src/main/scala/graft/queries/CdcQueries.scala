@@ -44,6 +44,11 @@ object CdcQueries {
   private val OracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_events_cur"
 
+  /** c15 raw-event snapshot (seq/op/ddl scalars) for the evolution
+    * oracle. */
+  private val EvolveSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_evolve_snap"
+
   /** SF dir currently materialized at the named snapshot path, or null. */
   private val snapshotSf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -643,8 +648,68 @@ object CdcQueries {
         .start()
       try q.processAllAvailable() finally q.stop()
       stateView(state.get).orderedRows(col("db"), col("table"), col("id"))
+    },
+
+    // c15: DDL-AWARE SCHEMA EVOLUTION (r12) — the reference resolves
+    // every event against the LIVE information_schema "now"
+    // (log2sql.py:29-46), so a log spanning an ALTER TABLE decodes one
+    // side of it with the wrong column names. The engine versions the
+    // catalog BY LOG POSITION (cdc/SchemaEvolve): each ALTER ADD/DROP
+    // COLUMN in the log starts a new schema version at its (file, seq)
+    // and every row event resolves ordinals against the version in
+    // effect at ITS position — decode becomes a pure function of
+    // (base catalog, log). The oracle re-derives, from the raw-event
+    // snapshot, the exact rendered column list every INSERT must carry:
+    // base (id, a) plus every column added by a strictly-earlier ALTER,
+    // in ALTER order — so one mis-versioned event anywhere breaks the
+    // hash. The non-evolving t_pk interleaves as an isolation control.
+    QueryDef("c15_schema_evolution",
+      s"""WITH ev AS (SELECT * FROM read_parquet('$EvolveSnapshot/*.parquet')),
+         |adds AS (SELECT seq,
+         |           regexp_extract(ddl, 'add column ([A-Za-z0-9_]+)', 1) AS c
+         |         FROM ev WHERE op = 'ddl' AND ddl LIKE '%add column%'),
+         |ins AS (SELECT seq FROM ev
+         |        WHERE op = 'insert' AND "table" = 'evolve')
+         |SELECT i.seq,
+         |  '`id`, `a`' || coalesce(
+         |    string_agg(', `' || a.c || '`', '' ORDER BY a.seq), '')
+         |    AS col_list
+         |FROM ins i LEFT JOIN adds a ON a.seq < i.seq
+         |GROUP BY i.seq ORDER BY i.seq""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materialize("evolve_v1",
+        BinlogFixture.evolveStream(700))
+      val events = CdcJob.parse(s, p, includeDdl = true)
+      writeSnapshotIfStale(EvolveSnapshot, d) {
+        events.select("file", "seq", "db", "table", "op", "ddl")
+          .write.mode("overwrite").parquet(EvolveSnapshot)
+      }
+      CdcJob.run(s, p, evolveCatalog(s), CdcConfig(evolveSchema = true))
+        .filter(col("op") === "insert" && col("sql").contains("`evolve`"))
+        .select(col("seq"), regexp_extract(col("sql"),
+          "INSERT INTO `appdb`\\.`evolve`\\(([^)]*)\\)", 1).as("col_list"))
+        .orderedRows(col("seq"))
     }
   )
+
+  /** Base catalog for the c15 fixture: the evolving table's schema AT
+    * THE LOG'S START (id PRI, a) plus the non-evolving control. */
+  private def evolveCatalog(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Catalog.resolve(
+      Seq(
+        ("appdb", "evolve", "id", 1, "PRI"),
+        ("appdb", "evolve", "a", 2, ""),
+        ("testdb", "t_pk", "id", 1, "PRI"),
+        ("testdb", "t_pk", "name", 2, ""),
+        ("testdb", "t_pk", "score", 3, ""))
+        .toDF("table_schema", "table_name", "column_name",
+          "ordinal_position", "column_key"),
+      Seq(
+        ("appdb", "evolve", "PRIMARY", 0, "id"),
+        ("testdb", "t_pk", "PRIMARY", 0, "id"))
+        .toDF("table_schema", "table_name", "index_name",
+          "non_unique", "column_name"))
+  }
 
   /** c9 stage 1: per-event flattened key/value scalars from the image
     * arrays (key = ordinal 1, the fixture tables' PK; c2/c3 = the

@@ -343,4 +343,74 @@ class CdcJobSpec extends AnyFunSuite {
     for (qd <- graft.queries.CdcQueries.defs)
       assert(qd.fn(spark, "/root/testdata/sf0.001").count() > 0, qd.name)
   }
+
+  test("schema evolution: positional resolution, FIRST/AFTER/DROP renumbering") {
+    import spark.implicits._
+    def ddl(at: Long, sec: Int, stmt: String): String =
+      s"""# at $at
+         |#260812  5:00:0$sec server id 1  end_log_pos ${at + 70} CRC32 0x0badcafe \tQuery\tthread_id=5\texec_time=0\terror_code=0
+         |use `appdb`/*!*/;
+         |SET TIMESTAMP=176491080$sec/*!*/;
+         |$stmt
+         |/*!*/;
+         |""".stripMargin
+    def ins(at: Long, sec: Int, vals: Seq[String]): String =
+      s"""# at $at
+         |#260812  5:00:0$sec server id 1  end_log_pos ${at + 100} CRC32 0x0badcafe \tWrite_rows: table id 301 flags: STMT_END_F
+         |### INSERT INTO `appdb`.`ev2`
+         |### SET
+         |""".stripMargin +
+        vals.zipWithIndex.map { case (v, i) =>
+          s"###   @${i + 1}=$v /* INT nullable=1 is_null=0 */\n" }.mkString
+    val text =
+      ins(100, 0, Seq("1", "'x'")) +                       // (id, a)
+      ddl(200, 1, "alter table ev2 add column c1 int") +   // (id, a, c1)
+      ins(270, 2, Seq("2", "'y'", "10")) +
+      ddl(370, 3, "alter table ev2 add column c0 int first") + // (c0, id, a, c1)
+      ins(440, 4, Seq("3", "4", "'z'", "11")) +            // @1 is c0 now
+      ddl(540, 5, "alter table ev2 add column mid int after id") +
+      ddl(610, 6, "alter table `appdb`.`ev2` drop column c1") + // (c0, id, mid, a)
+      ins(680, 7, Seq("5", "6", "7", "'w'"))
+    val path = write("evolve_cases.txt", text)
+    val cat = Catalog.resolve(
+      Seq(("appdb", "ev2", "id", 1, "PRI"), ("appdb", "ev2", "a", 2, ""))
+        .toDF("table_schema", "table_name", "column_name",
+          "ordinal_position", "column_key"),
+      Seq(("appdb", "ev2", "PRIMARY", 0, "id"))
+        .toDF("table_schema", "table_name", "index_name",
+          "non_unique", "column_name"))
+    val got = sqls(CdcJob.run(spark, path, cat,
+      CdcConfig(evolveSchema = true))).map(_.linesIterator.toList.last)
+    assert(got == List(
+      "INSERT INTO `appdb`.`ev2`(`id`, `a`) VALUES (1, 'x');",
+      "INSERT INTO `appdb`.`ev2`(`id`, `a`, `c1`) VALUES (2, 'y', 10);",
+      "INSERT INTO `appdb`.`ev2`(`c0`, `id`, `a`, `c1`) VALUES (3, 4, 'z', 11);",
+      "INSERT INTO `appdb`.`ev2`(`c0`, `id`, `mid`, `a`) VALUES (5, 6, 7, 'w');"))
+    // without the flag, the static catalog mis-names evolved ordinals —
+    // the exact failure mode the reference has (live catalog, old log)
+    val static = sqls(CdcJob.run(spark, path, cat, CdcConfig()))
+      .map(_.linesIterator.toList.last)
+    assert(static(2) ==
+      "INSERT INTO `appdb`.`ev2`(`id`, `a`, `@3`, `@4`) VALUES (3, 4, 'z', 11);")
+    // flashback composes: the evolved names key the generated DELETEs
+    val fb = sqls(CdcJob.run(spark, path, cat,
+      CdcConfig(evolveSchema = true, flashback = true)))
+      .map(_.linesIterator.toList.last)
+    assert(fb.head == // reversed order: last insert first; id keys it
+      "DELETE FROM `appdb`.`ev2` WHERE `id`=6 LIMIT 1;")
+  }
+
+  test("schema evolution parseDdl: scope and idempotence") {
+    import SchemaEvolve.parseDdl
+    assert(parseDdl("alter table t add column x int;", "db").contains(
+      (("db", "t"), SchemaEvolve.Add("x", first = false, after = None))))
+    assert(parseDdl("use `mydb`\nALTER TABLE `t` ADD COLUMN `x` BIGINT AFTER `y`;", "")
+      .contains((("mydb", "t"), SchemaEvolve.Add("x", first = false, after = Some("y")))))
+    assert(parseDdl("alter table a.b drop column z", "other").contains(
+      (("a", "b"), SchemaEvolve.Drop("z"))))
+    // non-column DDL must NOT version the schema
+    assert(parseDdl("alter table t add index ix (c)", "db").isEmpty)
+    assert(parseDdl("create index ix on t (c)", "db").isEmpty)
+    assert(parseDdl("alter table t drop index ix", "db").isEmpty)
+  }
 }
