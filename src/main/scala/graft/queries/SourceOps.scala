@@ -34,6 +34,8 @@ object SourceOps {
   // declared ABOVE defs: oracle s-strings interpolate at defs init
   private val EvoPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_events_evolved"
+  private val NestedPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_docs_nested"
 
   /** Path → SF dir currently materialized (success-recorded AFTER the
     * write, like CdcQueries.writeSnapshotIfStale). */
@@ -306,8 +308,48 @@ object SourceOps {
           coalesce(sum(length(col("props"))), lit(0L)).as("props_chars"),
           count(when(col("props").isNull, 1)).as("n_pre_evolution"))
         .orderedSmall(col("event_type"))
+    },
+
+    // i7: NESTED TYPES through parquet — struct and list columns, the
+    // shape real document/feature lakes actually have (metadata
+    // structs, token/embedding lists) and the one the flat i1–i6
+    // surface never exercised. The entry writes a nested twin of the
+    // documents table (meta STRUCT, head_tokens LIST), reads it back
+    // through the real parquet source, and projects nested fields;
+    // DuckDB reads the SAME file with its own nested reader, so the
+    // hash certifies cross-engine nested encoding (definition/
+    // repetition levels, list offsets) — not just scalar columns.
+    // Scale note: the projection touches meta.lang only, and Spark's
+    // NESTED SCHEMA PRUNING pushes that into the scan (ReadSchema
+    // carries the one struct field, spec-asserted) — at 100 TB a
+    // wide metadata struct reads one subcolumn, not the struct.
+    QueryDef("i7_nested_source",
+      s"""SELECT doc_id, meta.lang AS lang,
+         |  CAST(len(head_tokens) AS BIGINT) AS n_head,
+         |  head_tokens[1] AS first_token
+         |FROM read_parquet('$NestedPath/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureNested(s, d)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          size(col("head_tokens")).cast("long").as("n_head"),
+          element_at(col("head_tokens"), 1).as("first_token"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** Nested twin of `documents`: metadata struct + leading-token list. */
+  private[queries] def ensureNested(s: SparkSession, d: String): String = {
+    writeIfStale(NestedPath, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          slice(split(col("text"), " "), 1, 5).as("head_tokens"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(NestedPath)
+    }
+    NestedPath
+  }
 
   /** Two-generation parquet lake: batch=1 written BEFORE the `props`
     * column existed (even event_ids), batch=2 after (odd ids). */

@@ -951,6 +951,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet == raw.collect().map(_.toSeq).toSet)
   }
 
+  test("i7 nested parquet: schema pruning pushes one struct subfield to the scan") {
+    val path = SourceOps.ensureNested(spark, sf)
+    val df = spark.read.parquet(path).select(col("meta.lang"))
+    val read = "ReadSchema: (\\S+)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1)).getOrElse("")
+    // nested pruning: the scan decodes meta.lang ONLY — neither the
+    // sibling struct fields nor the token list
+    assert(read.contains("lang:string") && !read.contains("n_chars") &&
+      !read.contains("head_tokens"), read)
+  }
+
   test("w7 row-group layout: one file, many groups, multi-partition scan, same answer") {
     import scala.jdk.CollectionConverters._
     // sf0.01: enough rows that the 1 MB in-memory block bound yields
