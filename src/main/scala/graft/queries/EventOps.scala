@@ -153,6 +153,64 @@ object EventOps {
        |FROM ex CROSS JOIN sc""".stripMargin
   }
 
+  /** k6's KMV geometry: the sketch of a set is its K smallest hash
+    * values — a pure function of the VALUE SET (dedup before hashing),
+    * so sketches are layout-independent, mergeable by union+re-top-K,
+    * and intersectable (the theta-sketch estimate). Hashes fold to
+    * [0, 2⁶³) (unsigned top bit dropped) so signed ordering IS
+    * unsigned ordering on both engines. */
+  private val KmvK = 256
+  private val KmvDomain = 9223372036854775808.0 // 2^63, exact in double
+
+  /** k6's DuckDB oracle: re-derives the hash (one hashLong stage,
+    * seed 42 — the single-arg xxhash64), both K-smallest sketches,
+    * θ = min(max(skA), max(skB)), the matched count below θ, and the
+    * theta-sketch estimate |S|·2⁶³/θ as the identical left-to-right
+    * double expression. Exact intersection as audit column. */
+  private lazy val K6ThetaOracleSql: String = {
+    import SqlHash._
+    val modB = BigInt(Mod)
+    // single-arg xxhash64 = hashLong(key, seed 42): acc = 42 + P5 + 8
+    val st = (BigInt(42) + BigInt(P5) + 8) mod modB
+    s"""WITH ks AS (
+       |  SELECT event_type AS tag, CAST(ROUND(value * 1000, 0) AS BIGINT) AS k
+       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+       |h0 AS (SELECT tag, ((CAST(k AS HUGEINT) % $Mod + $Mod) % $Mod) AS u,
+       |       CAST($st AS HUGEINT) AS st FROM ks),
+       |k1 AS (SELECT tag, st, ${mul64(rotl(mul64("u", P2), 31), P1)} AS k FROM h0),
+       |s1 AS (SELECT tag, ${xor64("st", "k")} AS h FROM k1),
+       |s2 AS (SELECT tag, (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM s1),
+       |a1 AS (SELECT tag, ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM s2),
+       |a2 AS (SELECT tag, ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM a1),
+       |hh AS (SELECT tag, CAST(${xor64("h", shr("h", 32))} // 2 AS BIGINT) AS h FROM a2),
+       |ska AS (SELECT h FROM hh WHERE tag = 'click' ORDER BY h LIMIT $KmvK),
+       |skb AS (SELECT h FROM hh WHERE tag = 'purchase' ORDER BY h LIMIT $KmvK),
+       |th AS (SELECT CAST(LEAST((SELECT MAX(h) FROM ska),
+       |                          (SELECT MAX(h) FROM skb)) AS BIGINT) AS theta),
+       |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s
+       |       FROM ska JOIN skb USING (h) CROSS JOIN th WHERE h < theta),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_common FROM
+       |       (SELECT DISTINCT CAST(ROUND(value * 1000, 0) AS BIGINT) AS k
+       |        FROM events WHERE event_type = 'click') a
+       |       JOIN
+       |       (SELECT DISTINCT CAST(ROUND(value * 1000, 0) AS BIGINT) AS k
+       |        FROM events WHERE event_type = 'purchase') b USING (k))
+       |SELECT theta, s,
+       |  CAST(s AS DOUBLE) * $KmvDomain / CAST(theta AS DOUBLE) AS est_common,
+       |  exact_common
+       |FROM th CROSS JOIN sc CROSS JOIN ex""".stripMargin
+  }
+
+  /** The KMV sketch of a key frame: K smallest [0,2⁶³) hashes of the
+    * DISTINCT keys. distinct → map-side-combined aggregate;
+    * orderBy+limit → per-partition top-K merged at the driver
+    * (TakeOrdered) — K rows of driver traffic however large the set. */
+  private[queries] def kmvSketch(keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    keys.select(col(keyCol)).distinct()
+      .select(shiftrightunsigned(xxhash64(col(keyCol)), 1).as("h"))
+      .orderBy("h").limit(KmvK)
+
   /** The AMS counter vector over a long key column — R exact integer
     * sums in ONE scan pass (no explode, no row blow-up): each counter
     * is its own codegen'd SUM(±1) expression, partial-aggregated
@@ -428,6 +486,40 @@ object EventOps {
         .limit(20)
       cmsLookup(top, "user_id", grid)
         .orderedSmall(col("user_id")) // 20 rows by construction
+    },
+
+    // k6: KMV/THETA sketch SET INTERSECTION (r12) — the sketch family's
+    // set-operation member: estimate the DISTINCT OVERLAP of two key
+    // sets from two K-value sketches, never joining the sets
+    // themselves. Each sketch is the K smallest hashes of the distinct
+    // keys (a pure function of the set — mergeable, layout-free, K rows
+    // of driver traffic whatever the corpus); θ = min of the two
+    // sketches' K-th smallest, matched hashes below θ scale by 2⁶³/θ —
+    // the standard theta-sketch estimator, here over the click- and
+    // purchase-side value keys (~1.8k distinct each, 304 common at
+    // sf0.01). Everything up to the final division is exact integers,
+    // so the oracle re-derives the whole pipeline bit-for-bit; the
+    // exact intersection rides along as audit.
+    QueryDef("k6_theta_intersect", K6ThetaOracleSql) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def keys(t: String) = ev.filter(col("event_type") === t)
+        .select(round(col("value") * 1000, 0).cast("long").as("k"))
+      val ska = kmvSketch(keys("click"), "k")
+      val skb = kmvSketch(keys("purchase"), "k")
+      val th = ska.agg(max("h").as("ta"))
+        .crossJoin(skb.agg(max("h").as("tb")))
+        .select(least(col("ta"), col("tb")).as("theta"))
+      val sc = ska.join(skb, "h").crossJoin(th)
+        .where(col("h") < col("theta"))
+        .agg(count(lit(1)).as("s"))
+      val ex = keys("click").distinct()
+        .join(keys("purchase").distinct(), "k")
+        .agg(count(lit(1)).as("exact_common"))
+      th.crossJoin(sc).crossJoin(ex)
+        .select(col("theta"), col("s"),
+          (col("s").cast("double") * lit(KmvDomain) /
+            col("theta").cast("double")).as("est_common"),
+          col("exact_common"))
     },
 
     // k5: AMS SECOND-MOMENT sketch (r12) — the third sketch family:

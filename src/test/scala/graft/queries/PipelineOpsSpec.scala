@@ -2390,6 +2390,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       11L -> ((1L, 2L)), 12L -> ((1L, 3L)), 20L -> ((2L, 1L))))
   }
 
+  test("k6 KMV theta: sketch layout-independent, intersection near exact") {
+    import spark.implicits._
+    // planted 80% overlap: |A|=|B|=10k, |A∩B|=8k, |A∪B|=12k
+    val a = (1L to 10000L).toDF("k")
+    val b = (2001L to 12000L).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      EventOps.kmvSketch(df, "k").collect().map(_.getLong(0)).toSeq
+    // the sketch is a pure function of the SET: partitioning and
+    // duplicate rows must not change it
+    val sa = sk(a)
+    assert(sa == sk(a.repartition(17)) && sa == sk(a.unionAll(a)))
+    assert(sa.length == 256 && sa == sa.sorted)
+    val sb = sk(b)
+    val theta = math.min(sa.max, sb.max)
+    val s = sa.toSet.intersect(sb.toSet).count(_ < theta)
+    val est = s.toDouble * 9223372036854775808.0 / theta.toDouble
+    // theta-sketch intersection rse ≈ √(|A∪B|/|A∩B|)/√K ≈ 7.7% here;
+    // fixed hashes make this deterministic — 4σ is generous
+    assert(math.abs(est - 8000.0) <= 4 * 0.077 * 8000.0, s"est=$est")
+    // union-merge: re-top-K of the union estimates the union size
+    val su = (sa ++ sb).distinct.sorted.take(256)
+    val estU = 255.0 * 9223372036854775808.0 / su.max.toDouble
+    assert(math.abs(estU - 12000.0) <= 4 * 12000.0 / 16.0, s"estU=$estU")
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
