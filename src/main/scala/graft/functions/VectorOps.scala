@@ -237,4 +237,49 @@ object VectorOps {
         col("ib").as("cid"), round(col("sim_raw"), 5).as("sim"))
       .orderedSmall(col("qid"), col("rnk"))
   }
+
+  /** Exact MAXIMUM INNER PRODUCT top-k — recommender-serving scoring
+    * (user · item), where the ranking metric is the RAW dot product,
+    * not cosine: a candidate's own magnitude is part of its score, so
+    * cosine indexes mis-rank it. Same broadcast-scan shape as
+    * [[annTopKOver]]; ground truth for the norm-augmentation reduction
+    * ([x; √(M²−‖x‖²)] turns MIPS into cosine search — spec-proven, the
+    * LSH serving path at scale). */
+  def mipsTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+      .map { case (id, e) =>
+        val v = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { v(i) = e(i); i += 1 }
+        (id, v)
+      }(graft.Enc.longDoubleArr)
+    val queries = spark.sparkContext.broadcast(
+      vecs.filter(_._1 < nQueries).collect())
+    val scored = vecs.mapPartitions { it =>
+      val qs = queries.value
+      val tops = qs.map(q => q._1 ->
+        scala.collection.mutable.PriorityQueue.empty[ScoredPair](
+          Ordering.by((p: ScoredPair) => (-p.sim_raw, p.ib)))).toMap
+      for ((cid, cv) <- it; (qid, qv) <- qs if qid != cid) {
+        val ip = dot(qv, cv)
+        val pq = tops(qid)
+        if (pq.size < k) pq.enqueue(ScoredPair(qid, cid, ip))
+        else if (ip > pq.head.sim_raw ||
+          (ip == pq.head.sim_raw && cid < pq.head.ib)) {
+          pq.dequeue(); pq.enqueue(ScoredPair(qid, cid, ip))
+        }
+      }
+      tops.valuesIterator.flatMap(_.iterator)
+    }(encScored)
+    scored.toDF()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("ia").orderBy(col("sim_raw").desc, col("ib"))))
+      .filter(col("rnk") <= k)
+      .select(col("ia").as("qid"), col("rnk").cast("long").as("rnk"),
+        col("ib").as("cid"), round(col("sim_raw"), 5).as("ip"))
+      .orderedSmall(col("qid"), col("rnk"))
+  }
 }

@@ -382,6 +382,31 @@ object SimilarityOps {
       annExact(Tables.embeddings(s, d))
     },
 
+    // a10: exact MAXIMUM INNER PRODUCT top-k (r12) — recommender
+    // scoring (user · item): the ranking metric is the RAW dot
+    // product, so a candidate's own magnitude is part of its score
+    // and cosine indexes mis-rank it. Exact path = the a1 broadcast
+    // scan with an unnormalized kernel (declared ground-truth-only,
+    // like a1); the SCALE path is the norm-augmentation reduction —
+    // append √(M²−‖x‖²) to each candidate and 0 to each query, and
+    // MIPS becomes cosine search over the augmented vectors, served
+    // by the existing hyperplane-LSH index (spec: the reduction's
+    // ordering is IDENTICAL to exact dot on the real corpus, and
+    // LSH-over-augmented attains the recall bound).
+    QueryDef("a10_mips_exact",
+      """WITH scored AS (
+        |  SELECT a.vec_id qid, b.vec_id cid,
+        |         CAST(LIST_INNER_PRODUCT(a.embedding, b.embedding) AS DOUBLE) ip
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT qid, cid, ip,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, cid) rnk
+        |  FROM scored)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, ROUND(ip,5) AS ip
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      graft.functions.VectorOps.mipsTopK(Tables.embeddings(s, d), 10, 5)
+    },
+
     QueryDef.noOracle("a2_ann_lsh") { (s, d) =>
       annLsh(Tables.embeddings(s, d))
     },

@@ -61,6 +61,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits >= 7, s"top-1 recall $hits/10")
   }
 
+  test("a10 MIPS: norm-augmentation reduction exact; LSH serves it") {
+    import spark.implicits._
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val m2 = rows.map(_._2.map(v => v * v).sum).max
+    // exact dot top-5 (the a10 entry's kernel) per query
+    val exact = graft.functions.VectorOps
+      .mipsTopK(graft.Tables.embeddings(spark, sf), 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    // the reduction: x~ = [x; sqrt(M^2-|x|^2)], q~ = [q; 0] makes every
+    // augmented candidate norm M, so augmented-cosine ORDER == dot ORDER
+    val byId = rows.toMap
+    (0L until 10L).foreach { q =>
+      val qv = byId(q)
+      val augTop = rows.filter(_._1 != q).map { case (cid, x) =>
+        val aug = math.sqrt(math.max(0.0, m2 - x.map(v => v * v).sum))
+        val cos = graft.functions.VectorOps.dot(qv, x) /
+          (math.sqrt(qv.map(v => v * v).sum) *
+            math.sqrt(x.map(v => v * v).sum + aug * aug))
+        (cid, cos)
+      }.sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toList
+      assert(augTop == exact(q), s"q=$q aug=$augTop exact=${exact(q)}")
+    }
+    // the serving path: hyperplane LSH over the AUGMENTED vectors
+    // answers MIPS queries — top-1 exact MIPS neighbor recalled like a2
+    val aug = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+      .map { case (id, e) =>
+        val n2 = e.map(v => v.toDouble * v).sum
+        (id, e :+ math.sqrt(math.max(0.0, m2 - n2)).toFloat)
+      }(graft.Enc.longFloatArr).toDF("vec_id", "embedding")
+    val lsh = SimilarityOps.annLsh(aug)
+      .filter(col("rnk") === 1).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0L until 10L).count(q => lsh.get(q).contains(exact(q).head))
+    assert(hits >= 6, s"MIPS-via-LSH top-1 recall $hits/10")
+  }
+
   test("a9 random projection: JL norm preservation, determinism, matrix sparsity") {
     val a9 = SimilarityOps.defs.find(_.name == "a9_random_projection").get
     val proj = a9.fn(spark, sf).collect()
