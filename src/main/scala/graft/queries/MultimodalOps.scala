@@ -849,6 +849,157 @@ object MultimodalOps {
        |FROM sam ORDER BY media_id""".stripMargin
   }
 
+  /** m11's oracle: the m7 RIFF walk re-used verbatim, then the SAME
+    * 2/3-rational linear interpolation over the decoded sample list —
+    * scaled by up=2 so every resampled value is an exact integer
+    * ((2−r)·s[k] + r·s[k+1] for source position i·3/2 = k + r/2) and
+    * the whole output hash-matches without a single float. */
+  private val WavResampleOracleSql: String = {
+    def pair(q: String) = s"substr(hx, CAST((($q)-1)*2+1 AS INT), 2)"
+    def u16le(p: String) =
+      s"CAST('0x' || ${pair(s"($p)+1")} || ${pair(p)} AS BIGINT)"
+    def u32le(p: String) =
+      s"CAST('0x' || ${pair(s"($p)+3")} || ${pair(s"($p)+2")} || " +
+        s"${pair(s"($p)+1")} || ${pair(p)} AS BIGINT)"
+    val sample =
+      s"((CAST('0x' || ${pair("data_pos+2*i+1")} || ${pair("data_pos+2*i")} " +
+        "AS BIGINT) + 32768) % 65536) - 32768"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT media_id, hex(payload) AS hx,
+       |         CAST(octet_length(payload) AS BIGINT) AS n
+       |  FROM read_parquet('$WavSnapshot/*.parquet')),
+       |walk AS (
+       |  SELECT media_id, hx, n, CAST(13 AS BIGINT) AS pos,
+       |         CAST(0 AS BIGINT) AS fmt_pos, CAST(0 AS BIGINT) AS data_pos,
+       |         CAST(-1 AS BIGINT) AS data_len
+       |  FROM m WHERE n >= 12 AND substr(hx, 1, 8) = '52494646'
+       |    AND substr(hx, 17, 8) = '57415645'
+       |  UNION ALL
+       |  SELECT media_id, hx, n, pos + 8 + len + (len % 2),
+       |         CASE WHEN typ = '666D7420' THEN pos + 8 ELSE fmt_pos END,
+       |         CASE WHEN typ = '64617461' THEN pos + 8 ELSE data_pos END,
+       |         CASE WHEN typ = '64617461' THEN len ELSE data_len END
+       |  FROM (SELECT media_id, hx, n, pos, fmt_pos, data_pos, data_len,
+       |          substr(hx, CAST((pos-1)*2+1 AS INT), 8) AS typ,
+       |          ${u32le("pos + 4")} AS len
+       |        FROM walk WHERE pos + 8 <= n + 1)),
+       |done AS (
+       |  SELECT media_id, MAX_BY(fmt_pos, pos) AS fmt_pos,
+       |         MAX_BY(data_pos, pos) AS data_pos,
+       |         MAX_BY(data_len, pos) AS data_len
+       |  FROM walk GROUP BY media_id),
+       |flds AS (
+       |  SELECT m.media_id, m.hx, m.n,
+       |    COALESCE(d.fmt_pos, 0) AS fmt_pos,
+       |    COALESCE(d.data_pos, 0) AS data_pos,
+       |    COALESCE(d.data_len, -1) AS data_len,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u16le("d.fmt_pos")} ELSE 0 END AS afmt,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u16le("d.fmt_pos + 2")} ELSE 0 END AS channels,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u32le("d.fmt_pos + 4")} ELSE 0 END AS rate,
+       |    CASE WHEN COALESCE(d.fmt_pos, 0) > 0 AND d.fmt_pos + 15 <= m.n
+       |         THEN ${u16le("d.fmt_pos + 14")} ELSE 0 END AS bits
+       |  FROM m LEFT JOIN done d USING (media_id)),
+       |okc AS (
+       |  SELECT *, (fmt_pos > 0 AND afmt = 1 AND bits = 16 AND channels > 0
+       |             AND rate > 0 AND data_pos > 0 AND data_len >= 0
+       |             AND data_pos + data_len - 1 <= n) AS wok
+       |  FROM flds),
+       |sam AS (
+       |  SELECT media_id, wok, channels,
+       |    CASE WHEN wok THEN data_len // 2 ELSE 0 END AS ns,
+       |    CASE WHEN wok AND channels = 1 AND data_len >= 2
+       |         THEN list_transform(range(data_len // 2), i -> $sample)
+       |         ELSE [] END AS ss
+       |  FROM okc),
+       |res AS (
+       |  SELECT media_id, (wok AND channels = 1 AND ns > 0) AS ok, ns,
+       |    CASE WHEN wok AND channels = 1 AND ns > 0 THEN
+       |      list_transform(range(((ns - 1) * 2) // 3 + 1),
+       |        i -> CASE WHEN (i * 3) % 2 = 0 THEN 2 * ss[(i * 3) // 2 + 1]
+       |                  ELSE ss[(i * 3) // 2 + 1] + ss[(i * 3) // 2 + 2] END)
+       |    ELSE [] END AS rs
+       |  FROM sam)
+       |SELECT media_id, ok, CAST(ns AS BIGINT) AS n_in,
+       |  CAST(len(rs) AS BIGINT) AS n_out,
+       |  CAST(COALESCE(list_sum(rs), 0) AS BIGINT) AS sum2x,
+       |  CAST(COALESCE(list_max(list_transform(rs, x -> abs(x))), 0) AS BIGINT) AS peak2x,
+       |  CAST(COALESCE(rs[1], 0) AS BIGINT) AS first2x,
+       |  CAST(COALESCE(rs[len(rs) // 2 + 1], 0) AS BIGINT) AS mid2x,
+       |  CAST(COALESCE(rs[len(rs)], 0) AS BIGINT) AS last2x
+       |FROM res ORDER BY media_id""".stripMargin
+  }
+
+  /** m11: rational-rate linear resampling (up=2/down=3 — out rate =
+    * ⅔ of source), the canonical ASR-pipeline preprocessing step
+    * (everything → 16 kHz). Output sample i sits at source position
+    * i·3/2 = k + r/2; the value is kept SCALED BY 2 ((2−r)·s[k] +
+    * r·s[k+1]) so the whole operator is exact integer arithmetic —
+    * cross-engine hashable, no float resampler drift. Mono only
+    * (stereo would deinterleave per channel first — audit path);
+    * map-side kernel, one row per clip, no shuffle before the sort. */
+  def wavResample(wavs: DataFrame): DataFrame = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    wavs.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+          def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xFFFFFFFFL
+          def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+          var fmtPos, dataPos = -1L
+          var dataLen = -1L
+          val riff = b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE"
+          if (riff) {
+            var pos = 12L
+            while (pos + 8 <= b.length) {
+              val t = tag(pos.toInt)
+              val len = u32(pos.toInt + 4)
+              if (t == "fmt ") fmtPos = pos + 8
+              if (t == "data") { dataPos = pos + 8; dataLen = len }
+              pos += 8 + len + (len % 2)
+            }
+          }
+          val fmtOk = fmtPos > 0 && fmtPos + 16 <= b.length
+          val (afmt, channels, rate, bits) =
+            if (fmtOk) (u16(fmtPos.toInt), u16(fmtPos.toInt + 2),
+              u32(fmtPos.toInt + 4), u16(fmtPos.toInt + 14))
+            else (0, 0, 0L, 0)
+          val wok = fmtOk && afmt == 1 && bits == 16 && channels > 0 &&
+            rate > 0 && dataPos > 0 && dataLen >= 0 &&
+            dataPos + dataLen <= b.length
+          val ns = if (wok) (dataLen / 2).toInt else 0
+          if (!wok || channels != 1 || ns == 0)
+            (id, false, ns.toLong, 0L, 0L, 0L, 0L, 0L, 0L)
+          else {
+            def s(k: Int): Long = u16(dataPos.toInt + 2 * k).toShort.toLong
+            val nOut = ((ns - 1) * 2) / 3 + 1
+            var sum = 0L
+            var peak = 0L
+            var first, mid, last = 0L
+            var i = 0
+            while (i < nOut) {
+              val num = i * 3
+              val k = num / 2
+              val v = if (num % 2 == 0) 2 * s(k) else s(k) + s(k + 1)
+              sum += v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              if (i == 0) first = v
+              if (i == nOut / 2) mid = v
+              if (i == nOut - 1) last = v
+              i += 1
+            }
+            (id, true, ns.toLong, nOut.toLong, sum, peak, first, mid, last)
+          }
+        }
+      }.toDF("media_id", "ok", "n_in", "n_out", "sum2x", "peak2x",
+        "first2x", "mid2x", "last2x")
+  }
+
   /** m8's cross-engine oracle: the sampled frames' pixel statistics
     * re-derived from FIRST PRINCIPLES — the raster rule (pixel j of
     * frame f = text byte (f·64+j) mod n) applied to the documents
@@ -1210,6 +1361,20 @@ object MultimodalOps {
     QueryDef.noOracle("m10_mjpeg_frames") { (s, d) =>
       mjpegFrameFeatures(mjpegAviTable(s, d), k = 3)
         .orderedRows(col("media_id"), col("frame_idx"))
+    },
+
+    // m11: audio RESAMPLING (r12) — rational 2/3-rate linear
+    // interpolation, the ASR-pipeline normalization step (everything
+    // to one rate before featurization). Values stay SCALED BY 2 so
+    // the operator is exact integer arithmetic end-to-end and the
+    // oracle re-derives container walk + PCM16 decode + the identical
+    // interpolation in SQL — a resampler certified without a float.
+    // Mono only (stereo rows take the ok=false audit path, like the
+    // planted corrupt clips). Map-side kernel, one row per clip.
+    QueryDef("m11_wav_resample", WavResampleOracleSql) { (s, d) =>
+      val wavs = wavTable(s, d)
+      writeWavSnapshotIfStale(s, d, wavs)
+      wavResample(wavs).orderedRows(col("media_id"))
     }
   )
 

@@ -2456,6 +2456,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(estU - 12000.0) <= 4 * 12000.0 / 16.0, s"estU=$estU")
   }
 
+  test("m11 resample: exact 2/3-rate linear interpolation on a known ramp") {
+    import spark.implicits._
+    // ramp 0,300,600,900 → out i at source 1.5i, scaled ×2:
+    // i=0 → 2·s0=0; i=1 → s1+s2=900; i=2 → 2·s3=1800. nOut=3.
+    val ramp = MultimodalOps.encodeWav(
+      Array[Short](0, 300, 600, 900), 16000, 1, listChunk = false, truncateBytes = 0)
+    // stereo clip: the declared audit path (resample is mono-only)
+    val stereo = MultimodalOps.encodeWav(
+      Array[Short](1, 2, 3, 4), 16000, 2, listChunk = false, truncateBytes = 0)
+    val wavs = Seq((1L, ramp), (2L, stereo)).toDF("media_id", "payload")
+    val got = MultimodalOps.wavResample(wavs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq(true, 4L, 3L, 2700L, 1800L, 0L, 900L, 1800L))
+    assert(got(2L).head == false && got(2L)(1) == 4L) // decoded, not resampled
+    // linearity: a pure ramp resamples to a pure ramp (×2 scale) — the
+    // property any correct linear interpolator preserves
+    val n = 99
+    val big = MultimodalOps.encodeWav(
+      Array.tabulate[Short](n)(i => (i * 10).toShort), 16000, 1,
+      listChunk = false, truncateBytes = 0)
+    val r = MultimodalOps.wavResample(Seq((3L, big)).toDF("media_id", "payload"))
+      .collect()(0)
+    val nOut = ((n - 1) * 2) / 3 + 1
+    assert(r.getLong(3) == nOut)
+    // out_scaled[i] = 2 · 10 · 1.5·i = 30·i exactly
+    assert(r.getLong(6) == 0L && r.getLong(8) == 30L * (nOut - 1) &&
+      r.getLong(4) == (0 until nOut).map(30L * _).sum)
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
