@@ -223,6 +223,47 @@ object StorageOps {
     path
   }
 
+  /** w9: external tables over the raw parquet + computed statistics —
+    * the ANALYZE is the ingest-time cost, row counts + column stats
+    * land in the session catalog and every later plan uses them. */
+  private[queries] def ensureAnalyzed(s: SparkSession, d: String): Unit =
+    synchronized {
+      val have = materializedSf.get("analyzed") == d &&
+        s.catalog.tableExists("graft_li_s") &&
+        s.catalog.tableExists("graft_ord_s") &&
+        s.catalog.tableExists("graft_cust_s")
+      if (have) return
+      materializedSf.remove("analyzed")
+      Seq("graft_li_s", "graft_ord_s", "graft_cust_s")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql(s"CREATE TABLE graft_li_s USING parquet LOCATION '$d/lineitem.parquet'")
+      s.sql(s"CREATE TABLE graft_ord_s USING parquet LOCATION '$d/orders.parquet'")
+      s.sql(s"CREATE TABLE graft_cust_s USING parquet LOCATION '$d/customer.parquet'")
+      s.sql("ANALYZE TABLE graft_li_s COMPUTE STATISTICS")
+      s.sql("ANALYZE TABLE graft_ord_s COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("ANALYZE TABLE graft_cust_s COMPUTE STATISTICS FOR ALL COLUMNS")
+      materializedSf.put("analyzed", d)
+    }
+
+  /** The w9 query in its deliberately-worst syntactic order. */
+  private[queries] def cboFrame(s: SparkSession): DataFrame =
+    s.sql(
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM graft_li_s JOIN graft_ord_s ON l_orderkey = o_orderkey
+        |JOIN graft_cust_s ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin)
+
+  /** Run `body` with CBO + join reorder on, restoring session defaults
+    * after — plans must be FORCED (collected / inspected) inside. */
+  private[queries] def withCbo[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> s.conf.get(k))
+    keys.foreach(k => s.conf.set(k, "true"))
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   /** The w8 join (callers get DPP from the session default rule set).
     * Exposed for the plan spec. */
   private[queries] def dppJoinFrame(s: SparkSession, d: String): DataFrame = {
@@ -398,6 +439,34 @@ object StorageOps {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("c"), round(sum("l_quantity"), 2).as("sq"))
         .orderedSmall(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // w9: COST-BASED join reordering (r12) — the ANALYZE-once planning
+    // lever: table/column statistics are computed at ingest like every
+    // other w-family layout, and from then on Catalyst's CBO reorders
+    // every join over those tables by estimated size instead of
+    // syntactic order. The query deliberately writes the WORST order
+    // (fact ⋈ fact ⋈ selective dim); with stats + CBO the optimizer
+    // builds (orders ⋈ customer-filtered) first and joins lineitem
+    // last — at 100 TB the difference between shuffling the biggest
+    // table through two joins or one. Spec-asserted on the optimized
+    // plan (lineitem leaves the innermost join exactly when CBO+stats
+    // are on); the result is collected INSIDE the CBO conf window
+    // (bounded: one row per segment) so the session defaults stay
+    // untouched for every other entry. Oracle: the same join over raw
+    // tables — stats change plans, never answers.
+    QueryDef("w9_cbo_reorder",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      ensureAnalyzed(s, d)
+      import scala.jdk.CollectionConverters._
+      val rows = withCbo(s) { cboFrame(s).collect().toSeq }
+      s.createDataFrame(rows.asJava, cboFrame(s).schema)
+        .orderedSmall(col("c_mktsegment"))
     },
 
     // w8: DYNAMIC partition pruning — w2's runtime sibling, and the

@@ -1004,6 +1004,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       !read.contains("head_tokens"), read)
   }
 
+  test("w9 CBO: stats reorder the join — fact leaves the innermost join") {
+    StorageOps.ensureAnalyzed(spark, sf)
+    def innermostTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      // the LAST collected join is the deepest (collect is pre-order);
+      // its leaf relations are the first two tables joined
+      joins.last.collectLeaves().map(_.toString).flatMap { s =>
+        Seq("graft_li_s", "graft_ord_s", "graft_cust_s").filter(s.contains)
+      }.toSet
+    }
+    // syntactic order: lineitem joins first
+    assert(innermostTables(StorageOps.cboFrame(spark)) == Set("graft_li_s", "graft_ord_s"))
+    // CBO + stats: the optimizer joins orders to the FILTERED customer
+    // first and saves the big table for last
+    val reordered = StorageOps.withCbo(spark) {
+      innermostTables(StorageOps.cboFrame(spark))
+    }
+    assert(reordered == Set("graft_ord_s", "graft_cust_s"),
+      s"CBO did not reorder: innermost = $reordered")
+    // stats change plans, never answers
+    val a = StorageOps.withCbo(spark) { StorageOps.cboFrame(spark).collect().toSet }
+    assert(a == StorageOps.cboFrame(spark).collect().toSet)
+  }
+
   test("w7 row-group layout: one file, many groups, multi-partition scan, same answer") {
     import scala.jdk.CollectionConverters._
     // sf0.01: enough rows that the 1 MB in-memory block bound yields
