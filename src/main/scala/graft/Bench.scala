@@ -57,7 +57,8 @@ object Bench {
     "s7_preprocess_stream", "s10_delta_dedup_stream", "s12_stream_join",
     "s13_stream_outer_join", "s17_dynamic_sessions", "s19_complete_topk",
     "s20_stream_full_outer", "s21_stream_static_join",
-    "s22_chained_windows", "c10_state_stream", "c14_lake_state")
+    "s22_chained_windows", "s23_tws_running_stats",
+    "c10_state_stream", "c14_lake_state")
 
   /** Execution-only stand-in for ReusedExchangeExec inside cloned
     * plans. The remap in [[freshPlan]] cannot produce a

@@ -275,6 +275,38 @@ object StreamingQueries {
         .orderedRows(col("user_id"), col("n"))
     },
 
+    // s23: the transformWithState API (r12) — Spark 4's arbitrary-state
+    // v2: named typed state handles (per-state TTL, timers, state
+    // schema evolution) replacing mapGroupsWithState's single opaque
+    // state object, backed by RocksDB. Same certification shape as
+    // s6b: the whole events table replays in 6 batches, the update-
+    // mode sink logs every per-batch running (n, cents) per user, and
+    // the oracle re-derives the identical emission log from the batch
+    // table (row-number bucketing = the feed's batch boundaries). The
+    // provider conf is set for this query and restored after.
+    QueryDef("s23_tws_running_stats",
+      """WITH e AS (SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+        |             ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id, user_id) - 1 AS rn,
+        |             COUNT(*) OVER () AS nt
+        |           FROM events),
+        |eb AS (SELECT user_id, cents, rn // ((nt + 5) // 6) AS b FROM e),
+        |pb AS (SELECT user_id, b, COUNT(*) AS c, SUM(cents) AS sc FROM eb GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(c) OVER w AS BIGINT) AS n,
+        |       CAST(SUM(sc) OVER w AS BIGINT) AS cents
+        |FROM pb WINDOW w AS (PARTITION BY user_id ORDER BY b)
+        |ORDER BY user_id, n""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        runScenario(s, "update", eventFeedAll(s, d, 6))(df =>
+          StreamingOps.runningStatsTws(df.as[EventRow]).toDF())
+          .orderedRows(col("user_id"), col("n"))
+      } finally s.conf.set(key, prev)
+    },
+
     // s17: DYNAMIC-GAP sessionization — flatMapGroupsWithState logic
     // session_window can't express (the idle gap after each event
     // depends on that event's type: purchase 60 min, else 30), run

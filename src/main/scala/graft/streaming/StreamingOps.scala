@@ -11,6 +11,9 @@ final case class EventRow(
 
 final case class UserCount(user_id: Long, n: Long)
 
+/** s23 output: running per-user totals from transformWithState. */
+final case class UserStats(user_id: Long, n: Long, cents: Long)
+
 /** Typed document row (documents table core columns) for streaming
   * scenarios over the corpus-preprocessing surface. */
 final case class DocRow(doc_id: Long, source: String, text: String)
@@ -141,6 +144,41 @@ object StreamingOps {
           state.update(n)
           UserCount(uid, n)
       }
+  }
+
+  /** S23: the same running fold through Spark 4's transformWithState —
+    * the arbitrary-state v2 API (typed named state handles with
+    * per-state TTL, timers, and schema evolution of state — the
+    * operational features `mapGroupsWithState`'s single opaque state
+    * object lacks). State here is one named ValueState[(n, cents)]
+    * per user; each batch folds its rows in and emits the running
+    * totals, so the update-mode sink logs state carried across
+    * micro-batches. Requires the RocksDB state store provider (the
+    * v2 API's backing store) — callers set it for the query. */
+  class RunningStatsProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, EventRow, UserStats] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("stats",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += math.round(r.value * 100) }
+      st.update((n, cents))
+      Iterator.single(UserStats(key, n, cents))
+    }
+  }
+
+  def runningStatsTws(events: Dataset[EventRow]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** S17: DYNAMIC-GAP sessionization via flatMapGroupsWithState — the

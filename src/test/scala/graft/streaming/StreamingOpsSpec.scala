@@ -346,6 +346,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("s22t")
   }
 
+  test("s23 transformWithState: named state carries across batches on RocksDB") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventRow]
+      val q = StreamingOps.runningStatsTws(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("s23t")
+        .outputMode("update").start()
+      try {
+        in.addData(Seq(ev("2024-01-01 10:00:00", userId = 1, value = 1.5),
+          ev("2024-01-01 10:01:00", userId = 1, value = 2.0),
+          ev("2024-01-01 10:02:00", userId = 2, value = 10.0)))
+        q.processAllAvailable()
+        in.addData(Seq(ev("2024-01-01 10:03:00", userId = 1, value = 0.25)))
+        q.processAllAvailable()
+        // the v2 API ran on RocksDB (its custom metrics prove it)
+        assert(q.lastProgress.stateOperators.head
+          .customMetrics.keySet().toString.contains("rocksdb"))
+      } finally q.stop()
+      val got = spark.table("s23t").as[(Long, Long, Long)].collect().toSet
+      // user 1: batch1 (2 rows, 350 cents) then batch2 carries state
+      // forward (3 rows, 375 cents) — NOT a per-batch reset
+      assert(got == Set((1L, 2L, 350L), (2L, 1L, 1000L), (1L, 3L, 375L)))
+      spark.catalog.dropTempView("s23t")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("streaming CDC: dropped binlog file renders like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("cdcstream")
     val checkpoint = java.nio.file.Files.createTempDirectory("cdccp")
