@@ -393,8 +393,46 @@ object CorpusPipeline {
           shardOf(8).as("shard8"), shardOf(9).as("shard9"))
         .withColumn("moved", col("shard8") =!= col("shard9"))
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // p6: DATASET CARD (r12) — the datasheet a training corpus ships
+    // with: per-source AND grand-total (ROLLUP) doc/char/token counts,
+    // language spread, exact-duplicate rate, and length quantiles, all
+    // in ONE aggregation pass over the corpus (a naive card runs five
+    // separate scans; at 100 TB the difference is the whole job). The
+    // multi-distinct (lang, text) + percentile mix plans through one
+    // Expand — corpus scanned once; rollup rows are sources+1.
+    QueryDef("p6_dataset_card",
+      """SELECT COALESCE(source, 'TOTAL') AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_docs,
+        |  ROUND(QUANTILE_CONT(n_chars, 0.5), 3) AS p50_chars,
+        |  ROUND(QUANTILE_CONT(n_chars, 0.95), 3) AS p95_chars
+        |FROM documents GROUP BY ROLLUP(source)
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      datasetCard(Tables.documents(s, d))
+        .orderedSmall(col("source")) // sources + 1 rows
     }
   )
+
+  /** The p6 card aggregation over any (doc_id, text, lang, source,
+    * n_chars) frame — exposed for the one-scan plan spec. */
+  private[queries] def datasetCard(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.rollup("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+        round(expr("percentile(n_chars, 0.5D)"), 3).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.95D)"), 3).as("p95_chars"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("chars"), col("tokens"), col("n_langs"),
+        col("dup_docs"), col("p50_chars"), col("p95_chars"))
 
   /** Fused row-wise quality gates over (doc_id, source, text) — ONE
     * JIT'd pass per row: tokenize once, evaluate the length, TTR, and

@@ -2511,6 +2511,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       r.getLong(4) == (0 until nOut).map(30L * _).sum)
   }
 
+  test("p6 dataset card: one corpus scan, exact card on a planted corpus") {
+    import spark.implicits._
+    // the rollup + two distincts + percentiles must still be ONE pass:
+    // a single leaf relation in the optimized plan (Expand, not rescans)
+    val entry = CorpusPipeline.defs.find(_.name == "p6_dataset_card").get
+    val df = entry.fn(spark, sf)
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      df.queryExecution.optimizedPlan.toString)
+    // planted corpus: known duplicates, token counts, quantiles
+    val docs = Seq(
+      (1L, "x y", "en", "A", 3L), (2L, "x y", "en", "A", 3L),
+      (3L, "z", "de", "A", 1L), (4L, "w w w", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusPipeline.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got("A") == Seq(3L, 7L, 5L, 2L, 1L, 3.0, 3.0))
+    assert(got("B") == Seq(1L, 5L, 3L, 1L, 0L, 5.0, 5.0))
+    // TOTAL: 4 docs, 12 chars, 8 tokens, 2 langs, 1 dup;
+    // n_chars sorted [1,3,3,5]: p50 = 3.0, p95 = 4.7 (linear interp)
+    assert(got("TOTAL") == Seq(4L, 12L, 8L, 2L, 1L, 3.0, 4.7))
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
