@@ -1052,6 +1052,40 @@ object Relational {
       val (flat, _) = graft.operators.Hierarchy.flatten(edges)
       flat.select(col("node").as("c_custkey"), col("root"), col("depth"))
         .orderedRows(col("c_custkey"))
+    },
+
+    // q36: HIGHER-ORDER array functions — the lambda surface
+    // (transform / filter / aggregate / zip_with) that processes
+    // nested collections IN PLACE, without explode+regroup: an
+    // explode doubles the row count through a generator and pays a
+    // re-aggregation exchange per derived metric; the HOF pipeline
+    // computes all four metrics inside one projection, zero shuffles,
+    // whole-stage-codegen'd. zip_with over the two shifted slices is
+    // the adjacent-pair comparison (repeated-token count) that
+    // otherwise needs a posexplode + self-join.
+    QueryDef("q36_array_pipeline",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(tk, t -> len(t) >= 4)) AS BIGINT) AS n_long,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_filter(tk, t -> len(t) >= 4), t -> len(t))), 0) AS BIGINT) AS long_chars,
+        |  CAST(list_max(list_transform(tk, t -> len(t))) AS BIGINT) AS max_len,
+        |  CAST(len(list_filter(range(len(tk) - 1),
+        |    i -> tk[CAST(i + 1 AS INT)] = tk[CAST(i + 2 AS INT)])) AS BIGINT) AS n_rep
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(tk, t -> length(t) >= 4)) AS BIGINT)")
+            .as("n_long"),
+          expr("aggregate(filter(tk, t -> length(t) >= 4), 0L," +
+            " (acc, t) -> acc + length(t))").as("long_chars"),
+          expr("CAST(array_max(transform(tk, t -> length(t))) AS BIGINT)")
+            .as("max_len"),
+          expr("CAST(size(filter(zip_with(slice(tk, 1, size(tk) - 1)," +
+            " slice(tk, 2, size(tk) - 1), (a, b) -> a = b), x -> x)) AS BIGINT)")
+            .as("n_rep"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
 }

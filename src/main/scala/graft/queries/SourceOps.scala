@@ -36,6 +36,8 @@ object SourceOps {
     System.getProperty("java.io.tmpdir") + "/graft_src_events_evolved"
   private val NestedPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_docs_nested"
+  private val MapPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_docs_map"
 
   /** Path → SF dir currently materialized (success-recorded AFTER the
     * write, like CdcQueries.writeSnapshotIfStale). */
@@ -335,8 +337,49 @@ object SourceOps {
           size(col("head_tokens")).cast("long").as("n_head"),
           element_at(col("head_tokens"), 1).as("first_token"))
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // i8: MAP columns through parquet — the schema-on-write escape
+    // hatch real metadata columns use when the attribute set isn't
+    // fixed per row (i7 covered the FIXED-shape struct/list). The
+    // entry writes a string-keyed attribute map, reads it back through
+    // the real parquet source, and probes it by key lookup, size, and
+    // sorted key enumeration; DuckDB reads THE SAME file with its own
+    // MAP reader (parquet key_value repeated groups certified
+    // cross-engine). Output stays scalar — map cells never cross the
+    // compare boundary, only values extracted from them.
+    QueryDef("i8_map_source",
+      s"""SELECT doc_id, attrs['lang'][1] AS lang,
+         |  CAST(cardinality(attrs) AS BIGINT) AS n_attrs,
+         |  array_to_string(list_sort(map_keys(attrs)), ',') AS keys,
+         |  CAST(attrs['len'][1] AS BIGINT) AS len
+         |FROM read_parquet('$MapPath/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = ensureMapped(s, d)
+      s.read.parquet(path)
+        .select(col("doc_id"),
+          element_at(col("attrs"), "lang").as("lang"),
+          size(col("attrs")).cast("long").as("n_attrs"),
+          array_join(array_sort(map_keys(col("attrs"))), ",").as("keys"),
+          element_at(col("attrs"), "len").cast("long").as("len"))
+        .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** Map twin of `documents`: string-keyed attribute map — the
+    * schema-on-write escape hatch real metadata columns use when the
+    * attribute set isn't fixed. */
+  private[queries] def ensureMapped(s: SparkSession, d: String): String = {
+    writeIfStale(MapPath, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          map(lit("lang"), col("lang"), lit("source"), col("source"),
+            lit("len"), col("n_chars").cast("string")).as("attrs"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(MapPath)
+    }
+    MapPath
+  }
 
   /** Nested twin of `documents`: metadata struct + leading-token list. */
   private[queries] def ensureNested(s: SparkSession, d: String): String = {
