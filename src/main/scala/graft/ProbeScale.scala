@@ -119,13 +119,35 @@ object ProbeScale {
       println(s"built $dir relational tables")
     }
 
+    // 10× events for the sketch family (r12: k4/k5/k6 read events) —
+    // the shared dir keeps events VERBATIM so the relational smoke's
+    // committed numbers stay comparable; the sketches get their own
+    // 10×-events dir: event_id offset per copy, SAME user/value base
+    // (10× traffic over a stable population — the regime sketches
+    // exist for; grid/counter sizes must not grow with it).
+    val dirEv = "/tmp/graft_sf1_ev"
+    val evPath = new java.io.File(s"$dirEv/events.parquet")
+    if (!evPath.exists()) {
+      val base = spark.read.parquet(s"$src/events.parquet")
+      (0 until 10).map { k =>
+        if (k == 0) base
+        else base.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+      }.reduce(_.unionAll(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$dirEv/events.parquet")
+      println(s"built $dirEv/events.parquet")
+    }
+    val sketchNames = Set("k4_countmin_freq", "k5_ams_f2", "k6_theta_intersect")
+
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d1_minhash_neardup", "d4_neardup_clusters",
         "d5_dedup_survivors", "l6_span_dedup", "p2_manifest_pipeline",
         // the queries the binding 2× bar is computed from (r11):
         "q04_multi_join", "q06_window", "l2_jaccard_pairs", "l5_tfidf_top3")
     def time(n: String, d0: String): (Double, Long) = {
-      val d = if (n == "d8_edit_distance_pairs" && d0 == dir) dirD8 else d0
+      val d =
+        if (n == "d8_edit_distance_pairs" && d0 == dir) dirD8
+        else if (sketchNames(n) && d0 == dir) dirEv
+        else d0
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, d).count()
       ((System.nanoTime() - t0) / 1e9, rows)

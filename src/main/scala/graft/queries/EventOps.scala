@@ -504,8 +504,11 @@ object EventOps {
       val ev = Tables.events(s, d)
       def keys(t: String) = ev.filter(col("event_type") === t)
         .select(round(col("value") * 1000, 0).cast("long").as("k"))
-      val ska = kmvSketch(keys("click"), "k")
-      val skb = kmvSketch(keys("purchase"), "k")
+      // each sketch feeds BOTH θ and the match join: cache the K rows
+      // so the corpus scans once per set, not once per use (the
+      // materialize-your-sketch step a real deployment does anyway)
+      val ska = kmvSketch(keys("click"), "k").cache()
+      val skb = kmvSketch(keys("purchase"), "k").cache()
       val th = ska.agg(max("h").as("ta"))
         .crossJoin(skb.agg(max("h").as("tb")))
         .select(least(col("ta"), col("tb")).as("theta"))
