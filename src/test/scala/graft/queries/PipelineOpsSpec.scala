@@ -1004,6 +1004,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       !read.contains("head_tokens"), read)
   }
 
+  test("AQE splits a planted skewed join partition at runtime") {
+    import spark.implicits._
+    // the engine's declared skew story is two-layer: deterministic
+    // salting where the quadratic OUTPUT of one key is the problem
+    // (d1b), and AQE skew-join where one INPUT partition is the
+    // problem — this pins the second layer actually firing.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // test-scale thresholds: the hot key's ~2 MB partition must read
+      // as skewed next to the ~KB tail partitions
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 100k fat rows on key 0, ~2 on each of ~100k tail keys (1-based
+      // so the tail never collides with the hot key). Payloads must be
+      // VARIED: a constant pad lz4-compresses to nothing in the
+      // shuffle and the hot partition never crosses the byte threshold
+      val left = (0 until 300000)
+        .map(i => (if (i % 3 == 0) 0L else (i % 99999).toLong + 1,
+          s"payload-$i-${i * 2654435761L}%096d"))
+        .toDF("k", "v").repartition(8)
+      val right = (0L until 100000L).map(k => (k, s"p$k")).toDF("k", "p")
+      // global aggregate downstream: no required distribution on k, so
+      // AQE is FREE to split the skewed partition (a groupBy on the
+      // join key would suppress the split — splitting breaks the
+      // hashpartitioning the aggregate requires, and AQE correctly
+      // refuses unless forced)
+      val g = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("v"))).as("chars"))
+      val row = g.collect()(0)
+      assert(row.getLong(0) == 300000L) // splitting: no dup, no loss
+      val plan = g.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+      // per-key correctness through the same join shape (its own plan
+      // keeps the partitioning, so this frame is the unsplit control)
+      val hot = left.join(right, "k").filter(col("k") === 0)
+        .groupBy("k").agg(count(lit(1)).as("n"), max("p").as("p"))
+        .collect()(0)
+      assert(hot.getLong(1) == 100000L && hot.getString(2) == "p0")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("w9 CBO: stats reorder the join — fact leaves the innermost join") {
     StorageOps.ensureAnalyzed(spark, sf)
     def innermostTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
