@@ -49,6 +49,10 @@ object CdcQueries {
   private val EvolveSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_evolve_snap"
 
+  /** c16 flattened-image snapshot for the envelope oracle. */
+  private val EnvelopeSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_envelope_snap"
+
   /** SF dir currently materialized at the named snapshot path, or null. */
   private val snapshotSf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -688,6 +692,43 @@ object CdcQueries {
         .select(col("seq"), regexp_extract(col("sql"),
           "INSERT INTO `appdb`\\.`evolve`\\(([^)]*)\\)", 1).as("col_list"))
         .orderedRows(col("seq"))
+    },
+
+    // c16: CHANGE-EVENT JSON ENVELOPES (r12) — the Debezium-style
+    // interop format downstream consumers (Kafka sinks, lakehouse
+    // ingestion, audit pipelines) expect from a CDC engine: one JSON
+    // document per change with op code (c/u/d), source coordinates,
+    // and before/after images. Rendering is a pure codegen'd to_json
+    // projection (ignoreNullFields=false: a delete's absent after-
+    // image must serialize as explicit nulls, not vanish) — zero
+    // shuffle before the output order. The oracle re-serializes the
+    // SAME flattened images through DuckDB's json_object, so key
+    // order, null policy, number rendering, and string escaping are
+    // certified cross-engine byte-for-byte.
+    QueryDef("c16_json_envelope",
+      s"""SELECT file, seq, CAST(json_object(
+         |    'op', CASE op WHEN 'insert' THEN 'c'
+         |                  WHEN 'update' THEN 'u' ELSE 'd' END,
+         |    'source', json_object('file', file, 'seq', seq),
+         |    'before', json_object('id', before_id),
+         |    'after', json_object('id', after_id, 'c2', after_c2,
+         |                         'c3', after_c3)) AS VARCHAR) AS envelope
+         |FROM read_parquet('$EnvelopeSnapshot/*.parquet')
+         |ORDER BY file, seq""".stripMargin) { (s, d) =>
+      val flat = flattenImages(CdcJob.parse(s, fixturePath(d)))
+      writeSnapshotIfStale(EnvelopeSnapshot, d) {
+        flat.write.mode("overwrite").parquet(EnvelopeSnapshot)
+      }
+      flat.select(col("file"), col("seq"),
+        to_json(struct(
+          when(col("op") === "insert", "c")
+            .when(col("op") === "update", "u").otherwise("d").as("op"),
+          struct(col("file"), col("seq")).as("source"),
+          struct(col("before_id").as("id")).as("before"),
+          struct(col("after_id").as("id"), col("after_c2").as("c2"),
+            col("after_c3").as("c3")).as("after")),
+          Map("ignoreNullFields" -> "false")).as("envelope"))
+        .orderedRows(col("file"), col("seq")) // rows scale with the log
     }
   )
 
