@@ -101,6 +101,63 @@ object ProbeStreamScale {
       println(f"ratio $jt%-12s state ${b.maxStateRows.toDouble / a.maxStateRows}%5.1fx  bytes ${b.maxStateBytes.toDouble / a.maxStateBytes}%5.1fx  wall ${b.totalWallMs.toDouble / a.totalWallMs}%5.1fx")
     }
 
+    // r12 stateful shapes: s22 (chained window aggs — TWO state
+    // operators bounded by one watermark) and s23 (transformWithState
+    // per-user state on RocksDB — state = keys, not events)
+    def runPipeline(batches: Seq[Seq[graft.streaming.EventRow]],
+        tag: String)(op: DataFrame => DataFrame): Metrics = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[graft.streaming.EventRow]
+      val name = s"probe_scale_${tag}_${System.nanoTime()}"
+      val mode = if (tag == "tws") "update" else "append"
+      val q = op(in.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      var wall = 0L
+      try {
+        batches.foreach { b =>
+          val t0 = System.nanoTime()
+          in.addData(b); q.processAllAvailable()
+          wall += (System.nanoTime() - t0) / 1000000
+        }
+      } finally q.stop()
+      val progs = q.recentProgress.toSeq
+      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val stateBytes = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      val out = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      Metrics(out, if (stateRows.isEmpty) 0 else stateRows.max,
+        if (stateBytes.isEmpty) 0 else stateBytes.max, wall, progs.size)
+    }
+    def chained(df: DataFrame): DataFrame = df
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(col("window"), "30 minutes").as("w30"))
+      .agg(count(lit(1)).as("active_buckets"), sum("c").as("n"))
+      .select(col("w30.start").as("w30_start"), col("active_buckets"), col("n"))
+    def tws(df: DataFrame): DataFrame =
+      graft.streaming.StreamingOps.runningStatsTws(
+        df.as[graft.streaming.EventRow]).toDF()
+    val rocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val pipeRes = scala.collection.mutable.Map.empty[(String, String), Metrics]
+    for ((tag, d) <- Seq("1x" -> src, "10x" -> dir10)) {
+      val mC = runPipeline(feed(d, 6), "chained")(chained)
+      pipeRes(("s22-chained", tag)) = mC
+      println(f"s22-chained $tag%-7s ${mC.rowsOut}%9d ${mC.maxStateRows}%10d ${mC.maxStateBytes / 1e6}%8.1f ${mC.totalWallMs / 1000.0}%6.1fs ${mC.batches}%7d")
+      val prevP = spark.conf.get(rocksKey)
+      spark.conf.set(rocksKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val mT = runPipeline(feed(d, 6), "tws")(tws)
+        pipeRes(("s23-tws", tag)) = mT
+        println(f"s23-tws     $tag%-7s ${mT.rowsOut}%9d ${mT.maxStateRows}%10d ${mT.maxStateBytes / 1e6}%8.1f ${mT.totalWallMs / 1000.0}%6.1fs ${mT.batches}%7d")
+      } finally spark.conf.set(rocksKey, prevP)
+    }
+    for (n <- Seq("s22-chained", "s23-tws")) {
+      val a = pipeRes((n, "1x")); val b = pipeRes((n, "10x"))
+      println(f"ratio $n%-12s state ${b.maxStateRows.toDouble / a.maxStateRows}%5.1fx  wall ${b.totalWallMs.toDouble / a.totalWallMs}%5.1fx")
+    }
+
     // c10-shape: per-file micro-batches folding CDC state
     def runCdcFold(parts: Int): (Long, Long, Double, Int) = {
       val p = graft.cdc.BinlogFixture.materializeDir(
