@@ -400,6 +400,75 @@ class CdcJobSpec extends AnyFunSuite {
       "DELETE FROM `appdb`.`ev2` WHERE `id`=6 LIMIT 1;")
   }
 
+  test("schema evolution fuzz: random ALTER sequences match an independent fold") {
+    import spark.implicits._
+    // three seeded random evolution scenarios: ADD (tail/FIRST/AFTER
+    // random existing col) and DROP (random non-id col) interleaved
+    // with inserts carrying the then-current width. The engine's
+    // rendered column lists must equal an INDEPENDENT in-memory fold
+    // of the same DDL — the differential that catches ordinal
+    // renumbering bugs no hand-written case hits.
+    for (seed <- Seq(11, 47, 93)) {
+      val rnd = new scala.util.Random(seed)
+      var names = Vector("id", "a")
+      var colId = 0
+      val sb = new StringBuilder
+      var pos = 100L
+      val expected = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- 0 until 60) {
+        if (i % 4 == 0) { // DDL slot
+          val stmt =
+            if (names.length > 2 && rnd.nextInt(3) == 0) {
+              val victim = names.drop(1)(rnd.nextInt(names.length - 1))
+              names = names.filterNot(_ == victim)
+              s"alter table fz drop column $victim"
+            } else {
+              colId += 1
+              val nc = s"c$colId"
+              rnd.nextInt(3) match {
+                case 0 => names = names :+ nc
+                  s"alter table fz add column $nc int"
+                case 1 => names = nc +: names
+                  s"alter table fz add column $nc int first"
+                case _ =>
+                  val anchor = names(rnd.nextInt(names.length))
+                  val at = names.indexOf(anchor)
+                  names = (names.take(at + 1) :+ nc) ++ names.drop(at + 1)
+                  s"alter table fz add column $nc int after $anchor"
+              }
+            }
+          sb ++= s"# at $pos\n"
+          sb ++= s"#260812  5:00:00 server id 1  end_log_pos ${pos + 70} CRC32 0x0badcafe \tQuery\tthread_id=5\texec_time=0\terror_code=0\n"
+          sb ++= "use `appdb`/*!*/;\nSET TIMESTAMP=1764910800/*!*/;\n"
+          sb ++= stmt + "\n/*!*/;\n"
+          pos += 70
+        } else { // insert with the CURRENT width
+          sb ++= s"# at $pos\n"
+          sb ++= s"#260812  5:00:00 server id 1  end_log_pos ${pos + 100} CRC32 0x0badcafe \tWrite_rows: table id 301 flags: STMT_END_F\n"
+          sb ++= "### INSERT INTO `appdb`.`fz`\n### SET\n"
+          names.indices.foreach { j =>
+            sb ++= s"###   @${j + 1}=$i /* INT nullable=1 is_null=0 */\n"
+          }
+          expected += names.map(n => s"`$n`").mkString(", ")
+          pos += 100
+        }
+      }
+      val path = write(s"evolve_fuzz_$seed.txt", sb.result())
+      val cat = Catalog.resolve(
+        Seq(("appdb", "fz", "id", 1, "PRI"), ("appdb", "fz", "a", 2, ""))
+          .toDF("table_schema", "table_name", "column_name",
+            "ordinal_position", "column_key"),
+        Seq(("appdb", "fz", "PRIMARY", 0, "id"))
+          .toDF("table_schema", "table_name", "index_name",
+            "non_unique", "column_name"))
+      val got = sqls(CdcJob.run(spark, path, cat,
+        CdcConfig(evolveSchema = true)))
+        .map(_.linesIterator.toList.last)
+        .map(s => s.substring(s.indexOf('(') + 1, s.indexOf(')')))
+      assert(got == expected.toList, s"seed $seed")
+    }
+  }
+
   test("schema evolution parseDdl: scope and idempotence") {
     import SchemaEvolve.parseDdl
     assert(parseDdl("alter table t add column x int;", "db").contains(

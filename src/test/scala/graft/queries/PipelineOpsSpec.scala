@@ -2587,6 +2587,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("TOTAL") == Seq(4L, 12L, 8L, 2L, 1L, 3.0, 4.7))
   }
 
+  test("q35 pointer jumping: random forests match the direct walk") {
+    import spark.implicits._
+    for (seed <- Seq(5, 21, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // random recursive forest: 10 roots, parent(n) < n ⇒ acyclic
+      val parent = Array.tabulate(2000)(n => if (n < 10) n else rnd.nextInt(n))
+      def walk(n: Int): (Long, Long) = { // (root, depth) by direct chase
+        var (cur, d) = (n, 0L)
+        while (parent(cur) != cur) { cur = parent(cur); d += 1 }
+        (cur.toLong, d)
+      }
+      val edges = parent.indices.map(n => (n.toLong, parent(n).toLong))
+        .toDF("node", "parent")
+      val (flat, iters) = graft.operators.Hierarchy.flatten(edges)
+      val got = flat.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      parent.indices.foreach { n =>
+        assert(got(n.toLong) == walk(n), s"seed $seed node $n") }
+      val maxDepth = parent.indices.map(walk(_)._2).max
+      val bound = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, maxDepth)) + 1
+      assert(iters <= bound + 1, s"seed $seed iters=$iters maxDepth=$maxDepth")
+    }
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
