@@ -223,6 +223,9 @@ class CdcJobSpec extends AnyFunSuite {
     val (_, _, cfgK, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-K"))
     assert(cfgK == CdcConfig(noPk = true))
+    val (_, _, cfgE, _, _) = CdcMain.parseArgs(Array(
+      "--binlog", "/x/b.txt", "--evolve-schema"))
+    assert(cfgE == CdcConfig(evolveSchema = true))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
     // reference-name alias and always-true quirk flag
