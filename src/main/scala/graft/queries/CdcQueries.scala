@@ -719,18 +719,23 @@ object CdcQueries {
       writeSnapshotIfStale(EnvelopeSnapshot, d) {
         flat.write.mode("overwrite").parquet(EnvelopeSnapshot)
       }
-      flat.select(col("file"), col("seq"),
-        to_json(struct(
-          when(col("op") === "insert", "c")
-            .when(col("op") === "update", "u").otherwise("d").as("op"),
-          struct(col("file"), col("seq")).as("source"),
-          struct(col("before_id").as("id")).as("before"),
-          struct(col("after_id").as("id"), col("after_c2").as("c2"),
-            col("after_c3").as("c3")).as("after")),
-          Map("ignoreNullFields" -> "false")).as("envelope"))
+      envelopes(flat)
         .orderedRows(col("file"), col("seq")) // rows scale with the log
     }
   )
+
+  /** The c16 envelope projection — STATELESS, so it runs unchanged on
+    * the streaming frame (CdcStreamSpec certifies stream ≡ batch). */
+  def envelopes(flat: DataFrame): DataFrame =
+    flat.select(col("file"), col("seq"),
+      to_json(struct(
+        when(col("op") === "insert", "c")
+          .when(col("op") === "update", "u").otherwise("d").as("op"),
+        struct(col("file"), col("seq")).as("source"),
+        struct(col("before_id").as("id")).as("before"),
+        struct(col("after_id").as("id"), col("after_c2").as("c2"),
+          col("after_c3").as("c3")).as("after")),
+        Map("ignoreNullFields" -> "false")).as("envelope"))
 
   /** Base catalog for the c15 fixture: the evolving table's schema AT
     * THE LOG'S START (id PRI, a) plus the non-evolving control. */

@@ -259,6 +259,32 @@ class CdcStreamSpec extends AnyFunSuite {
       s"streamed-across-restart ${seen.size} rows != batch ${batchAll.size}")
   }
 
+  test("c16 envelopes render identically on the stream") {
+    val dir = Files.createTempDirectory("graft_envstream")
+    Files.write(dir.resolve("binlog.000000.txt"),
+      BinlogFixture.stressStream(200).getBytes("UTF-8"))
+    val streamed = graft.queries.CdcQueries.envelopes(
+      graft.queries.CdcQueries.flattenImages(
+        graft.streaming.CdcStream.events(spark, dir.toString)))
+    val q = streamed.writeStream.format("memory").queryName("envs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("envs").select("seq", "envelope").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.queries.CdcQueries.envelopes(
+      graft.queries.CdcQueries.flattenImages(CdcJob.parse(spark,
+        dir.resolve("binlog.000000.txt").toString)))
+      .select("seq", "envelope").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch && got.nonEmpty)
+    // spot-check the envelope grammar on one insert
+    val ins = got.map(_._2).find(_.startsWith("""{"op":"c"""")).get
+    assert(ins.contains(""""source":{"file":""") &&
+      ins.contains(""""before":{"id":null}""") &&
+      ins.contains(""""after":{"id":"""))
+    spark.catalog.dropTempView("envs")
+  }
+
   test("flashback is rejected on streams (needs the stream's end)") {
     val e = intercept[IllegalArgumentException](
       CdcStream.changes(spark, "/tmp/nowhere", Catalog.fixture(spark),
