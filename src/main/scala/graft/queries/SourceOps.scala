@@ -38,6 +38,8 @@ object SourceOps {
     System.getProperty("java.io.tmpdir") + "/graft_src_docs_nested"
   private val MapPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_docs_map"
+  private val DirtyCsvPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_dirty_csv"
 
   /** Path → SF dir currently materialized (success-recorded AFTER the
     * write, like CdcQueries.writeSnapshotIfStale). */
@@ -312,6 +314,53 @@ object SourceOps {
         .orderedSmall(col("event_type"))
     },
 
+    // i9: corrupt-tolerant CSV — i3's twin for the OTHER text format:
+    // the same audit-bucket contract (rows with a poisoned key are
+    // COUNTED, never dropped silently and never fatal) over RFC-4180
+    // input. Both engines soft-cast an unparseable field to NULL and
+    // keep the row (measured — CSV readers are lenient where JSON
+    // readers are strict), so the cross-engine contract keys on the
+    // never-null-when-valid event_id; DuckDB re-parses the same bytes
+    // and the corrupt count is total lines minus clean rows — both
+    // engines must blame the same lines for the hash to match.
+    QueryDef("i9_csv_dirty",
+      s"""WITH clean AS (
+         |  SELECT * FROM read_csv('$DirtyCsvPath/*.txt', header=false,
+         |    ignore_errors=true,
+         |    columns={'event_id': 'BIGINT', 'event_type': 'VARCHAR',
+         |             'value': 'DOUBLE', 'props': 'VARCHAR'})
+         |  WHERE event_id IS NOT NULL),
+         |tot AS (
+         |  SELECT COUNT(*) AS n FROM read_csv('$DirtyCsvPath/*.txt',
+         |    delim=chr(7), quote='', header=false, columns={'l': 'VARCHAR'}))
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         |       ROUND(SUM(value), 2) AS sv
+         |FROM clean GROUP BY event_type
+         |UNION ALL
+         |SELECT '__corrupt__', CAST(t.n - (SELECT COUNT(*) FROM clean) AS BIGINT),
+         |       0.0
+         |FROM tot t
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureDirtyCsv(s, d)
+      val schema = sliceSchema.add(StructField("_corrupt_record", StringType))
+      // BOTH engines soft-cast an unparseable field to NULL and keep
+      // the row (measured — CSV readers are lenient where JSON readers
+      // are strict), so the audit contract keys on the never-null-when-
+      // valid event_id, exactly i3's rule.
+      val clean = col("_corrupt_record").isNull && col("event_id").isNotNull
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("escape", "\"")
+        .csv(path)
+        .select(
+          when(clean, col("event_type")).otherwise(lit("__corrupt__")).as("event_type"),
+          when(clean, col("value")).otherwise(lit(0.0)).as("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+        .orderedSmall(col("event_type"))
+    },
+
     // i7: NESTED TYPES through parquet — struct and list columns, the
     // shape real document/feature lakes actually have (metadata
     // structs, token/embedding lists) and the one the flat i1–i6
@@ -365,6 +414,41 @@ object SourceOps {
         .orderedRows(col("doc_id")) // one row per doc: scales
     }
   )
+
+  /** i9's fixture: RFC-4180 CSV with KNOWN corruption planted among
+    * valid rows — raw text (a CSV writer cannot produce bad lines):
+    * every 97th line carries an unparseable KEY field (three
+    * variants). The planted class is deliberately narrow — the CSV
+    * analogue of i3's brace-balance rule: the column grid stays
+    * intact (surplus fields resync nondeterministically under
+    * DuckDB's parallel chunked reader) and only the BIGINT key is
+    * poisoned (engines disagree about short rows — Spark null-pads,
+    * DuckDB pads or rejects by version — and about non-key numeric
+    * casts; a key-cast failure is the one malformation every strict
+    * reader blames identically, measured). */
+  private def ensureDirtyCsv(s: SparkSession, d: String): String = {
+    writeIfStale(DirtyCsvPath, d) {
+      import s.implicits._
+      eventsSlice(s, d).coalesce(2)
+        .as[(Long, String, Double, String)](graft.Enc.longStrDoubleStr)
+        .map { case (id, ty, v, props) =>
+          if (id % 97 == 0) {
+            val badKey = (id % 3) match {
+              case 0 => "oops"
+              case 1 => s"id_$id"
+              case _ => s"${id}#7"
+            }
+            s"""$badKey,$ty,$v,"x""""
+          }
+          else {
+            val p = "\"" + props.replace("\"", "\"\"") + "\""
+            s"$id,$ty,$v,$p"
+          }
+        }(graft.Enc.str)
+        .write.mode("overwrite").text(DirtyCsvPath)
+    }
+    DirtyCsvPath
+  }
 
   /** Map twin of `documents`: string-keyed attribute map — the
     * schema-on-write escape hatch real metadata columns use when the
