@@ -1103,8 +1103,80 @@ object TextAnalysis {
         .filter(col("rn") <= 10)
         .select(col("source"), col("doc_id"), round(col("key"), 6).as("skey"))
         .orderedSmall(col("source"), col("doc_id"))
+    },
+
+    // t24: VOCABULARY GROWTH CURVE (Heaps' law) — distinct vocabulary
+    // after the first N tokens of the corpus in canonical (doc_id)
+    // order, for a geometric N grid: the standard corpus-scaling
+    // diagnostic (vocab ≈ K·Nᵝ; a flattening curve signals duplication
+    // or template text, a too-steep one noise/OCR junk). Scale shape:
+    // global token positions come from the t16 two-pass distributed
+    // prefix sum (never a one-task window), each token's FIRST
+    // position is one corpus-wide groupBy(token), and the curve is a
+    // single map-side-combined aggregate of |grid| conditional sums —
+    // the corpus shuffles ONCE however long the grid. Integer-exact
+    // end to end.
+    QueryDef("t24_vocab_growth",
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |        CAST(COALESCE(SUM(LEN(toks)) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS tok_start
+        |      FROM d),
+        |t AS (SELECT tok_start + u.i + 1 AS p, toks[CAST(u.i + 1 AS INT)] AS tok
+        |      FROM o, UNNEST(range(LEN(toks))) u(i)),
+        |f AS (SELECT tok, MIN(p) AS fp FROM t GROUP BY 1),
+        |g AS (SELECT UNNEST([1000, 2000, 4000, 8000, 16000, 32000, 64000,
+        |                     128000, 256000, 512000, 1024000]) AS n)
+        |SELECT CAST(g.n AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(f.tok) AS BIGINT) AS vocab
+        |FROM g LEFT JOIN f ON f.fp <= g.n
+        |GROUP BY g.n ORDER BY n_tokens""".stripMargin) { (s, d) =>
+      vocabGrowth(Tables.documents(s, d), VocabGrid)
+        .orderedSmall(col("n_tokens")) // |grid| rows
     }
   )
+
+  private val VocabGrid = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L,
+    64000L, 128000L, 256000L, 512000L, 1024000L)
+
+  /** The t24 curve over any (doc_id, text) frame — exposed for the
+    * open-vocabulary spec. */
+  private[queries] def vocabGrowth(docs: org.apache.spark.sql.DataFrame,
+      grid: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sorted = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .orderBy("doc_id")
+      .as[(Long, Array[String])](graft.Enc.longStrArr)
+    // pass 1: per-partition token totals in partition order (t16's
+    // distributed prefix sum — no one-task window at any corpus size)
+    val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var toks = 0L
+      it.foreach { case (_, ts) => toks += ts.length }
+      Iterator((i, toks))
+    }.collect().sortBy(_._1)
+    val tokOff = totals.scanLeft(0L)(_ + _._2).dropRight(1)
+    val bc = s.sparkContext.broadcast(tokOff)
+    // pass 2: 1-based global position per token, then first-seen
+    // position per distinct token (the one corpus-wide shuffle)
+    val first = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var p = bc.value(i)
+      it.flatMap { case (_, ts) => ts.map { t => p += 1; (t, p) } }
+    }.toDF("tok", "p")
+      .groupBy("tok").agg(min(col("p")).as("fp"))
+    // the curve: one aggregate of |grid| conditional counts
+    first.agg(
+      grid.map(n => sum(when(col("fp") <= n, 1L).otherwise(0L))
+        .as(s"v$n")).head,
+      grid.map(n => sum(when(col("fp") <= n, 1L).otherwise(0L))
+        .as(s"v$n")).tail: _*)
+      .select(posexplode(array(grid.map(n => col(s"v$n")): _*)))
+      .select(
+        element_at(lit(grid.toArray), col("pos") + 1).as("n_tokens"),
+        col("col").as("vocab"))
+  }
 
   /** t23's DuckDB oracle: XXH64.hashLong(doc_id, seed 42) re-derived in
     * chained HUGEINT CTE stages (SqlHash), then the identical

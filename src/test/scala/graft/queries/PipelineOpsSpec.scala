@@ -2611,6 +2611,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t24 vocab growth: monotone, saturates at the true vocabulary") {
+    import spark.implicits._
+    val entry = TextAnalysis.defs.find(_.name == "t24_vocab_growth").get
+    val curve = entry.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // Heaps curve properties: non-decreasing in N, never exceeds the
+    // independently-computed true vocabulary, and reaches it once the
+    // grid passes the corpus length
+    assert(curve.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    val trueVocab = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .agg(countDistinct("t")).collect()(0).getLong(0)
+    val totalToks = graft.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(curve.last._2 == trueVocab, s"${curve.last} vs $trueVocab")
+    curve.filter(_._1 >= totalToks).foreach { case (_, v) =>
+      assert(v == trueVocab) }
+    // the synthetic corpus has a ~31-word generator vocabulary, so the
+    // curve saturates within the first grid point — exactly the
+    // "duplication/template text" signature the diagnostic exists to
+    // expose. Assert that reading: early full saturation.
+    assert(curve.head._2 == trueVocab && trueVocab < 100,
+      s"head=${curve.head} vocab=$trueVocab")
+    // and on a planted OPEN-vocabulary corpus (every token globally
+    // fresh: doc i carries w_i_0..w_i_i) the ENGINE's curve must be
+    // exactly vocab(N) = min(N, total) — growth, position arithmetic,
+    // and grid handling all pinned; repartition(7) proves the
+    // distributed prefix sum is layout-independent
+    import spark.implicits._
+    val open = (0 until 200)
+      .map(i => (i.toLong, (0 to i).map(j => s"w_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    val total = (1 to 200).map(_.toLong).sum // 20100 tokens
+    val got = TextAnalysis.vocabGrowth(open, Seq(1000L, 16000L, 64000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1000L -> 1000L, 16000L -> 16000L, 64000L -> total))
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
