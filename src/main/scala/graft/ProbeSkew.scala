@@ -28,7 +28,7 @@ object ProbeSkew {
     // varied payload so shuffle compression cannot flatten the hot key
     val left = (0 until 300000)
       .map(i => (if (i % 3 == 0) 0L else (i % 99999).toLong + 1,
-        s"payload-$i-${i * 2654435761L}%096d"))
+        f"payload-$i-${i * 2654435761L}%096d"))
       .toDF("k", "v").repartition(8)
     val right = (0L until 100000L).map(k => (k, s"p$k")).toDF("k", "p")
     val g = left.join(right, "k")

@@ -90,13 +90,24 @@ object BinlogFsm {
     // GTID framing scope (uuid:gno) — set by the SET @@SESSION
     // .GTID_NEXT line, carried onto every event until the next one
     private var curGtid = ""
+    // ROWS_QUERY capture (binlog_rows_query_log_events=ON):
+    // mysqlbinlog prints a `…\tRows_query` header followed by the
+    // original statement as `# <line>` comments; the captured text is
+    // carried onto the row events that follow and cleared after the
+    // statement's closing rows event (its header prints STMT_END_F) —
+    // the same scope the binary decoder keys on the event flags.
+    private var curQuery: String = null
+    private var inRowsQuery = false
+    private val rqParts = mutable.ListBuffer.empty[String]
+    private var clearQueryAtNextEvent = false
 
     private def flushDml(): Unit = {
       if (op != null) {
         pending.enqueue(RawChange(file, seqNo, startPos, stopPos, startPosRaw,
           stopPosRaw, dtRaw, db, table, op,
           before.map(_.ord).toArray, before.map(_.v).toArray,
-          after.map(_.ord).toArray, after.map(_.v).toArray, null, curGtid))
+          after.map(_.ord).toArray, after.map(_.v).toArray, null, curGtid,
+          curQuery))
         seqNo += 1
         before.clear(); after.clear()
         op = null; section = 0
@@ -190,9 +201,28 @@ object BinlogFsm {
       } else {
         // non-### line: ends any in-flight row statement
         flushDml()
+        // Rows_query statement comments: every `# <text>` line after
+        // the Rows_query header (stopping at the next event's `# at`)
+        // is a line of the original statement, captured verbatim
+        if (inRowsQuery) {
+          if (line.startsWith("# ") && !line.startsWith("# at ")) {
+            rqParts += line.substring(2)
+            ring += line
+            if (ring.size == 3) ring.dequeue()
+            return
+          } else {
+            inRowsQuery = false
+            if (rqParts.nonEmpty) curQuery = rqParts.mkString("\n")
+            rqParts.clear()
+          }
+        }
         // track position/header fields for the DDL path (DML reads the
         // ring exactly as the reference does, log2sql.py:101-104)
         if (line.startsWith("# at ")) {
+          // the previous event is fully consumed here: if its rows
+          // header carried STMT_END_F, the ROWS_QUERY scope ends with
+          // it (all its row images were flushed above)
+          if (clearQueryAtNextEvent) { curQuery = null; clearQueryAtNextEvent = false }
           lastAtRaw = atRawOf(line)
           lastAtPos = longOf(lastAtRaw)
         } else if (line.startsWith("SET @@SESSION.GTID_NEXT=")) {
@@ -208,6 +238,14 @@ object BinlogFsm {
           lastStopRaw = stopRaw
           lastStopPos = longOf(lastStopRaw)
           lastDtRaw = dtR
+          if (line.contains("\tRows_query")) {
+            inRowsQuery = true
+            rqParts.clear()
+          } else if (line.contains("STMT_END_F")) {
+            // a rows-event header: its row images follow as ### lines;
+            // defer the ROWS_QUERY clear to the next `# at`
+            clearQueryAtNextEvent = true
+          }
         }
         if (includeDdl) {
           val stripped = line.trim

@@ -25,7 +25,17 @@ object CdcJob {
     .withColumn("pos_comment",
       concat(lit("# start-pos:"), col("startPosRaw"),
         lit("; stop-pos:"), col("stopPosRaw"),
-        lit("; datetime: "), col("dtRaw")))
+        lit("; datetime: "), col("dtRaw"),
+        // ROWS_QUERY passthrough: when the server logged the original
+        // statement (binlog_rows_query_log_events=ON), surface it as
+        // one more comment line on the event — rendered SQL then
+        // carries the provenance the binlog2sql lineage prints, and
+        // output bytes are unchanged whenever the event is absent
+        when(col("query").isNotNull,
+          concat(lit("\n# rows_query: "),
+            // keep every line of a multi-line statement commented —
+            // the output must stay an executable SQL script
+            regexp_replace(col("query"), "\n", "\n# "))).otherwise(lit(""))))
     // header datetime "260812  5:00:00" (yyMMdd H:mm:ss) -> TIMESTAMP
     .withColumn("ts", to_timestamp(
       regexp_replace(trim(col("dtRaw")), "\\s+", " "), "yyMMdd H:mm:ss"))
@@ -33,7 +43,8 @@ object CdcJob {
       col("stopPos").as("stop_pos"), col("pos_comment"), col("ts"),
       col("db"), col("table"), col("op"),
       col("beforeOrds"), col("beforeVals"),
-      col("afterOrds"), col("afterVals"), col("ddl"), col("gtid"))
+      col("afterOrds"), col("afterVals"), col("ddl"), col("gtid"),
+      col("query"))
 
   /** Parse binlog text files into a change-event DataFrame. */
   def parse(spark: SparkSession, path: String,
@@ -177,16 +188,31 @@ object CdcJob {
     // GTID seek, not scan (GtidPrune): with --include-gtids, files whose
     // PREVIOUS_GTIDS headers prove them disjoint from the requested set
     // are dropped from the read list before any decode work.
-    val events = cfg.includeGtids match {
+    val (events, prunedOut) = cfg.includeGtids match {
       case Some(spec) =>
-        parsePaths(spark, GtidPrune.prune(spark, path, spec), parseDdl)
-      case None => parse(spark, path, parseDdl)
+        val retained = GtidPrune.prune(spark, path, spec)
+        val all = GtidPrune.listFiles(spark, path).map(_.toString)
+        (parsePaths(spark, retained, parseDdl),
+          all.filterNot(retained.toSet))
+      case None => (parse(spark, path, parseDdl), Nil)
     }
     // timelines fold over the PRE-filter stream: user filters narrow
-    // the output, never the schema history events resolve against
+    // the output, never the schema history events resolve against.
+    // With GTID pruning active the timeline must ALSO see ALTERs in
+    // the pruned (earlier, GTID-disjoint) files — the base catalog
+    // contract is "schema at log start", not "at the pruned read-list
+    // start" — so the fold additionally parses the pruned-out files
+    // (DDL only, for the bounded driver collect; retained files are
+    // never read twice).
     val evolved =
-      if (cfg.evolveSchema) Some(SchemaEvolve.timelines(events, catalog))
-      else None
+      if (cfg.evolveSchema) {
+        val timelineEvents =
+          if (prunedOut.isEmpty) events
+          else events.unionByName(
+            parsePaths(spark, prunedOut, includeDdl = true)
+              .filter(col("op") === "ddl"))
+        Some(SchemaEvolve.timelines(timelineEvents, catalog))
+      } else None
     val filtered = applyFilters(events, cfg)
     val outEvents =
       if (cfg.evolveSchema && !cfg.includeDdl)

@@ -45,7 +45,15 @@ final case class RawChange(
       * populate it: the binary path from GTID_LOG_EVENT, the text FSM
       * from the `SET @@SESSION.GTID_NEXT` line mysqlbinlog prints for
       * it. Drives `--include-gtids`/`--exclude-gtids`. */
-    gtid: String = "") {
+    gtid: String = "",
+    /** The ORIGINAL statement text from ROWS_QUERY_LOG_EVENT when the
+      * server logs it (`binlog_rows_query_log_events=ON`) — the
+      * debugging breadcrumb the binlog2sql lineage surfaces. Null when
+      * absent (the common case); set only on row events, scoped to the
+      * statement (cleared at its STMT_END_F rows event). Both decoders
+      * populate it: the binary path from event type 29, the text FSM
+      * from mysqlbinlog's `Rows_query` header + `# <stmt>` comments. */
+    query: String = null) {
 
   // Images are stored as parallel primitive arrays: the Catalyst
   // product encoder for ARRAY<STRUCT<...>> deserializes per-element

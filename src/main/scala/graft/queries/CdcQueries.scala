@@ -147,6 +147,57 @@ object CdcQueries {
   /** The fixture SID (BinlogBinaryFixture writes 0xA0..0xAF). */
   private val FixtureSid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
 
+  /** c17's decoded snapshot of the COMPRESSED corpus — DuckDB
+    * re-aggregates the replayed events. */
+  private val CompressedSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_zstdevents_cur"
+
+  /** Transaction-compressed binary binlog, written the way a MySQL
+    * 8.0.20+ server with `binlog_transaction_compression=ON` and
+    * `binlog_rows_query_log_events=ON` writes it: every committed
+    * transaction is one Transaction_payload_event — file 1 ZSTD, file
+    * 2 the algorithm-NONE variant (the server's fallback when
+    * compression would not shrink) — with the original statements
+    * logged as type-29 ROWS_QUERY events INSIDE the payloads.
+    * SF-independent: c17 certifies the decompress-and-replay decode,
+    * not volume. */
+  private def compressedFixturePath(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_binzstd_v1")
+    if (!java.nio.file.Files.isDirectory(p)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binzstd")
+      import graft.sources.BinlogBinaryFixture._
+      var gno = 0
+      for (f <- 0 until 2) {
+        val evs = scala.collection.mutable.ArrayBuffer[Ev](PreviousGtids)
+        for (t <- 0 until 120) {
+          gno += 1
+          val i = gno * 3
+          evs += Gtid(gno.toLong); evs += Begin
+          if (t % 2 == 0)
+            evs += RowsQuery(s"insert into t_pk /* original stmt $i */ values ($i)")
+          (t % 3: @unchecked) match {
+            case 0 => evs += Insert(i, s"z_$i", Some(i % 50 + 0.5))
+            case 1 => evs += Update((i, s"z_$i", Some(1.5)),
+              (i, s"z2_$i", Some(2.5)))
+            case 2 => evs += Delete(i, s"z_$i", None)
+          }
+          // a second statement in the same txn: its rows carry NO
+          // rows_query (the scope ended at the first STMT_END_F)
+          if (t % 5 == 0) evs += Insert(i + 1, s"h_$i", None)
+          evs += Xid(2000L + gno)
+        }
+        evs += (if (f == 0) Rotate("binlog.000002") else Stop)
+        val (bytes, _) = render(evs.toSeq)
+        val framed = compressTransactions(bytes, zstd = f == 0)
+        java.nio.file.Files.write(tmp.resolve(f"binlog.${f + 1}%06d"), framed)
+      }
+      try java.nio.file.Files.move(tmp, p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    p.toString
+  }
+
   /** Rotated GTID-framed binary binlog: every transaction carries
     * GTID/BEGIN/XID framing, gnos run 1..300 CONTINUOUSLY ACROSS the
     * file rotation (the boundary sits mid-interval for c13's filter),
@@ -420,6 +471,38 @@ object CdcQueries {
         CdcConfig(includeGtids = Some(s"$FixtureSid:40-260:290-295")))
         .groupBy("gtid", "op").agg(count(lit(1)).as("n"))
         .orderBy("gtid", "op")
+    },
+
+    // c17: MySQL 8.0.20+ binlog TRANSACTION COMPRESSION (r13, VERDICT
+    // r12 items 3+4) — the corpus frames every committed transaction
+    // as one Transaction_payload_event (file 1 ZSTD, file 2 the
+    // algorithm-NONE fallback) with ROWS_QUERY statements inside the
+    // payloads. The reference only survives this because `mysqlbinlog`
+    // decompresses before text output (main.py:90); the engine's
+    // binary decoder decompresses and replays IN-EXECUTOR (per-file
+    // tasks, zero extra shuffle) and surfaces the original statements
+    // on the decoded events. DuckDB re-aggregates the replayed
+    // snapshot: per-op event counts, how many carried a rows_query,
+    // and the distinct transaction (gtid) count — wrong TLV parsing,
+    // a mis-sliced payload, or a leaked/lost ROWS_QUERY scope all
+    // shift at least one of those numbers.
+    QueryDef("c17_compressed_payload",
+      s"""SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(query) AS BIGINT) AS with_query,
+         |  CAST(COUNT(DISTINCT gtid) AS BIGINT) AS txns
+         |FROM read_parquet('$CompressedSnapshot/*.parquet')
+         |GROUP BY op ORDER BY op""".stripMargin) { (s, d) =>
+      val events = graft.sources.BinlogBinary.parse(s, compressedFixturePath())
+      writeSnapshotIfStale(CompressedSnapshot, d) {
+        events.select("file", "seq", "start_pos", "db", "table", "op",
+          "gtid", "query")
+          .write.mode("overwrite").parquet(CompressedSnapshot)
+      }
+      events.groupBy("op").agg(
+        count(lit(1)).as("n"),
+        count(col("query")).as("with_query"),
+        countDistinct(col("gtid")).as("txns"))
+        .orderBy("op")
     },
 
     QueryDef.noOracle("c2_forward_sql") { (s, d) =>

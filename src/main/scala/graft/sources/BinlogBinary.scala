@@ -55,12 +55,14 @@ object BinlogBinary {
   private val WRITE_V1 = 23
   private val UPDATE_V1 = 24
   private val DELETE_V1 = 25
+  private val ROWS_QUERY = 29
   private val WRITE_V2 = 30
   private val UPDATE_V2 = 31
   private val DELETE_V2 = 32
   private val GTID = 33
   private val ANONYMOUS_GTID = 34
   private val PREVIOUS_GTIDS = 35
+  private val TRANSACTION_PAYLOAD = 40
 
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
 
@@ -324,12 +326,16 @@ object BinlogBinary {
     val out = mutable.ArrayBuffer.empty[RawChange]
     if (bytes.length < 4 || bytes(0) != 0xFE.toByte || bytes(1) != 'b' ||
         bytes(2) != 'i' || bytes(3) != 'n') return out.toSeq
-    var off = 4
     var checksumLen = 0
     var seq = 0L
     // GTID framing: the last GTID_LOG_EVENT's uuid:gno, carried onto
     // every row/DDL event until the next one (transaction scope)
     var curGtid = ""
+    // ROWS_QUERY_LOG_EVENT capture (binlog_rows_query_log_events=ON):
+    // the original statement text, carried onto the row events that
+    // follow and cleared at the statement's closing rows event
+    // (STMT_END_F) — the same scope mysqlbinlog prints it under
+    var curQuery: String = null
     val tables = mutable.Map.empty[Long, TableDef]
 
     // `mysqlbinlog` header-comment datetime (yyMMdd %2d:%02d:%02d) in
@@ -341,25 +347,46 @@ object BinlogBinary {
         f"${t.getHour}%2d:${t.getMinute}%02d:${t.getSecond}%02d "
     }
 
-    while (off + 19 <= bytes.length) {
-      val c = new Cursor(bytes, off)
+    /** Decode the event stream in `buf[from, until)`.
+      *
+      * `top = true` is the file stream: CRC-framed per the FDE,
+      * truncation-tolerant (a cut trailing event is discarded).
+      * `top = false` replays the DECOMPRESSED body of a
+      * Transaction_payload_event: inner events carry no per-event
+      * checksums (the server strips them before compressing —
+      * binlog_transaction_compression docs), and truncation there is
+      * corruption (the outer CRC already vouched for the bytes), so it
+      * throws instead of discarding. `posOver` pins every inner
+      * event's positions to the CONTAINING payload event — the inner
+      * headers' log_pos fields describe the uncompressed stream the
+      * server never wrote, so the payload's file offset is the only
+      * position that means anything in THIS file. */
+    def decodeEvents(buf: Array[Byte], from: Int, until: Int, top: Boolean,
+        posOver: Option[(Long, Long, String, String)]): Unit = {
+    var off = from
+    while (off + 19 <= until) {
+      val c = new Cursor(buf, off)
       val ts = c.u32()
       val etype = c.u8()
       c.u32() // server_id
       val eventSize = c.u32().toInt
       val logPos = c.u32()
       c.u16() // flags
-      if (eventSize < 19 || off + eventSize > bytes.length) {
-        off = bytes.length // truncated tail: discard, stay total
+      if (eventSize < 19 || off + eventSize > until) {
+        if (top) off = until // truncated tail: discard, stay total
+        else throw new IllegalArgumentException(
+          s"truncated event inside a Transaction_payload body of $file " +
+            s"(inner offset $off, type $etype, size $eventSize): the " +
+            "compressed payload is corrupt")
       } else {
-        if (etype == FORMAT_DESC) {
+        if (top && etype == FORMAT_DESC) {
           // The trailing checksum-algorithm byte (alg + the FDE's own
           // CRC32, 5 bytes from the event end) only exists on 5.6.1+
           // servers; on older binlogs the byte at end-5 is a
           // post-header-length entry, so gate on the FDE's 50-byte
           // server-version string before trusting it.
-          val verEnd = math.min(off + 19 + 2 + 50, bytes.length)
-          val verRaw = new String(bytes, off + 19 + 2, verEnd - (off + 19 + 2), "UTF-8")
+          val verEnd = math.min(off + 19 + 2 + 50, until)
+          val verRaw = new String(buf, off + 19 + 2, verEnd - (off + 19 + 2), "UTF-8")
           // server versions lead with X.Y.Z ("5.7.30-log"); anything
           // else parses as 0.0.0 and keeps checksums off
           val nums = verRaw.takeWhile(ch => ch.isDigit || ch == '.')
@@ -367,7 +394,7 @@ object BinlogBinary {
           val atLeast561 = nums.length >= 3 &&
             (nums(0) > 5 || (nums(0) == 5 && (nums(1) > 6 ||
               (nums(1) == 6 && nums(2) >= 1))))
-          val alg = bytes(off + eventSize - 5) & 0xFF
+          val alg = buf(off + eventSize - 5) & 0xFF
           checksumLen = if (atLeast561 && alg == 1) 4 else 0
         }
         // INTEGRITY: when the stream declares CRC32 framing, verify
@@ -378,22 +405,25 @@ object BinlogBinary {
         // SQL or a raw bounds exception from the body decoder.
         // mysqlbinlog verifies the same way; the CRC covers
         // [event start, event end − 4), little-endian stored.
-        if (checksumLen == 4) {
+        // Inner (decompressed) events are never CRC-framed.
+        if (top && checksumLen == 4) {
           val crc = new java.util.zip.CRC32
-          crc.update(bytes, off, eventSize - 4)
+          crc.update(buf, off, eventSize - 4)
           val p = off + eventSize - 4
-          val stored = (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
-            ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+          val stored = (buf(p) & 0xFFL) | ((buf(p + 1) & 0xFFL) << 8) |
+            ((buf(p + 2) & 0xFFL) << 16) | ((buf(p + 3) & 0xFFL) << 24)
           if (crc.getValue != stored)
             throw new IllegalArgumentException(
               f"CRC32 mismatch in $file at offset $off (event type $etype, " +
                 f"size $eventSize): corrupt binlog — expected 0x${stored}%08X, " +
                 f"computed 0x${crc.getValue}%08X")
         }
-        val bodyEnd = off + eventSize - (if (etype == FORMAT_DESC) 0 else checksumLen)
-        val startPos = off.toLong
-        val startPosRaw = s" $startPos"
-        val stopPosRaw = s" $logPos "
+        val bodyEnd = off + eventSize -
+          (if (!top || etype == FORMAT_DESC) 0 else checksumLen)
+        val (startPos, startPosRaw, stopPosRaw) = posOver match {
+          case Some((sp, lp, spr, lpr)) => (sp, spr, lpr)
+          case None => (off.toLong, s" $off", s" $logPos ")
+        }
         val dtRaw = dtRawOf(ts)
 
         def literal(td: TableDef, ci: Int, cur: Cursor): String =
@@ -555,7 +585,8 @@ object BinlogBinary {
             tables(tid) = TableDef(db, tbl, types, meta)
           case WRITE_V1 | UPDATE_V1 | DELETE_V1 |
               WRITE_V2 | UPDATE_V2 | DELETE_V2 =>
-            val tid = c.u48(); c.u16()
+            val tid = c.u48()
+            val rowsFlags = c.u16() // bit 0 = STMT_END_F
             // v1 (5.1-era, types 23-25) has NO variable extra-data
             // field after the flags; v2 prefixes one with its length
             if (etype >= WRITE_V2) {
@@ -584,9 +615,74 @@ object BinlogBinary {
               }
               out += RawChange(file, seq, startPos, logPos, startPosRaw,
                 stopPosRaw, dtRaw, td.db, td.table, op, bo, bv, ao, av, null,
-                curGtid)
+                curGtid, curQuery)
               seq += 1
             }
+            // the statement's last rows event closes the ROWS_QUERY
+            // scope (sql/log_event.cc clears binlog_rows_query there)
+            if ((rowsFlags & 0x0001) != 0) curQuery = null
+          case ROWS_QUERY =>
+            // ROWS_QUERY_LOG_EVENT (binlog_rows_query_log_events=ON):
+            // 1 ignored length byte (the text can exceed 255 bytes, so
+            // consumers read to the event end — mysqlbinlog's
+            // Rows_query_log_event ctor does exactly this), then the
+            // original statement verbatim.
+            c.u8()
+            curQuery = new String(
+              java.util.Arrays.copyOfRange(buf, c.off, bodyEnd), "UTF-8")
+          case TRANSACTION_PAYLOAD =>
+            // Transaction_payload_event (MySQL 8.0.20+,
+            // binlog_transaction_compression=ON): the whole transaction
+            // body (BEGIN query, table maps, rows events, XID) as one
+            // ZSTD-compressed blob. The reference never sees this event
+            // because `mysqlbinlog` decompresses before text output
+            // (/root/reference/main.py:90); the binary twin must do the
+            // same decompress-and-replay itself.
+            //
+            // Header: TLV fields, each (type, value-size, value) as
+            // length-encoded integers (libbinlogevents codecs/binary
+            // .cpp encode_field/net_store_length); type 0 = header end
+            // mark (no size/value), 1 = payload size, 2 = compression
+            // type (0 ZSTD, 255 NONE), 3 = uncompressed size. The
+            // compressed payload is everything after the end mark.
+            var compression = 255L // NONE unless declared
+            var uncompressedSize = -1L
+            var endMark = false
+            while (!endMark) {
+              val ftype = c.lenenc()
+              if (ftype == 0) endMark = true
+              else {
+                val flen = c.lenenc().toInt
+                val vEnd = c.off + flen
+                val v = c.lenenc()
+                if (c.off != vEnd) throw new IllegalArgumentException(
+                  s"Transaction_payload field $ftype: declared size $flen " +
+                    s"!= encoded size ${c.off - (vEnd - flen)}")
+                ftype match {
+                  case 2 => compression = v
+                  case 3 => uncompressedSize = v
+                  case _ => () // 1 = payload size: implied by bodyEnd
+                }
+              }
+            }
+            val payload = java.util.Arrays.copyOfRange(buf, c.off, bodyEnd)
+            val innerBytes = compression match {
+              case 255 => payload
+              case 0 =>
+                val n = if (uncompressedSize >= 0) uncompressedSize
+                  else com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+                if (n < 0 || n > Int.MaxValue) throw new IllegalArgumentException(
+                  s"Transaction_payload: unknown/oversized uncompressed size $n")
+                com.github.luben.zstd.Zstd.decompress(payload, n.toInt)
+              case other => throw new IllegalArgumentException(
+                s"Transaction_payload: unsupported compression algorithm $other")
+            }
+            // replay the embedded stream through this same decoder:
+            // shares the table map + GTID scope (the GTID event
+            // precedes the payload OUTSIDE it), continues seq, and pins
+            // positions to the payload event's own file offset
+            decodeEvents(innerBytes, 0, innerBytes.length, top = false,
+              Some((startPos, logPos, startPosRaw, stopPosRaw)))
           case QUERY if includeDdl =>
             c.u32(); c.u32() // thread_id, exec_time
             val schemaLen = c.u8()
@@ -594,7 +690,7 @@ object BinlogBinary {
             val statusLen = c.u16(); c.bytes(statusLen)
             val schema = c.str(schemaLen); c.u8() // NUL
             val query = new String(
-              java.util.Arrays.copyOfRange(bytes, c.off, bodyEnd), "UTF-8").trim
+              java.util.Arrays.copyOfRange(buf, c.off, bodyEnd), "UTF-8").trim
             val firstWord = query.takeWhile(!_.isWhitespace).toLowerCase
             if (DdlFirstWords.contains(firstWord)) {
               // same shape as the text path: `use` context line + the
@@ -624,6 +720,8 @@ object BinlogBinary {
         off += eventSize
       }
     }
+    }
+    decodeEvents(bytes, 4, bytes.length, top = true, None)
     out.toSeq
   }
 

@@ -24,6 +24,11 @@ object BinlogBinaryFixture {
       after: (Int, String, Option[Double])) extends Ev
   final case class Delete(id: Int, name: String, score: Option[Double]) extends Ev
   final case class Ddl(schema: String, statement: String) extends Ev
+  /** ROWS_QUERY_LOG_EVENT (type 29, binlog_rows_query_log_events=ON):
+    * the original statement text, logged just before its table map /
+    * rows events. The text twin prints mysqlbinlog's `Rows_query`
+    * header followed by the statement as `# ` comment lines. */
+  final case class RowsQuery(statement: String) extends Ev
   /** Transaction/stream framing a REAL binlog always interleaves with
     * the row events (every committed transaction ends with an Xid, a
     * GTID event precedes it on 5.6+, the stream rotates between
@@ -842,6 +847,19 @@ object BinlogBinaryFixture {
           seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tStop\n"
+        case RowsQuery(stmt) =>
+          // 1 length byte (capped at 255 — consumers read to the event
+          // end; Rows_query_log_event does the same) + the statement
+          val sb = stmt.getBytes("UTF-8")
+          val p = new Buf
+          p.u8(math.min(sb.length, 255))
+          p ++= sb
+          val start = out.b.length
+          val (at, logPos) = header(ROWS_QUERY_TYPE, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tRows_query\n"
+          stmt.linesIterator.foreach(l => text ++= s"# $l\n")
         case Ddl(schema, stmt) =>
           val p = new Buf
           p.u32(5L); p.u32(0L)
@@ -877,4 +895,114 @@ object BinlogBinaryFixture {
   private val WRITE_V2_TYPE = 30
   private val UPDATE_V2_TYPE = 31
   private val DELETE_V2_TYPE = 32
+  private val ROWS_QUERY_TYPE = 29
+  private val TRANSACTION_PAYLOAD_TYPE = 40
+
+  /** MySQL length-encoded integer writer (net_store_length). */
+  private def lenenc(p: Buf, v: Long): Unit =
+    if (v >= 0 && v < 0xFB) p.u8(v.toInt)
+    else if (v >= 0 && v <= 0xFFFF) { p.u8(0xFC); p.u16(v.toInt) }
+    else if (v >= 0 && v <= 0xFFFFFF) {
+      p.u8(0xFD); p.u8(v.toInt & 0xFF); p.u8((v.toInt >> 8) & 0xFF)
+      p.u8((v.toInt >> 16) & 0xFF)
+    } else { p.u8(0xFE); p ++= le(v, 8) }
+
+  private def readLe32(d: Array[Byte], off: Int): Int =
+    (d(off) & 0xFF) | ((d(off + 1) & 0xFF) << 8) |
+      ((d(off + 2) & 0xFF) << 16) | ((d(off + 3) & 0xFF) << 24)
+
+  private def writeLe32(d: Array[Byte], off: Int, v: Long): Unit = {
+    d(off) = (v & 0xFF).toByte
+    d(off + 1) = ((v >> 8) & 0xFF).toByte
+    d(off + 2) = ((v >> 16) & 0xFF).toByte
+    d(off + 3) = ((v >> 24) & 0xFF).toByte
+  }
+
+  /** Re-frame a rendered fixture stream the way a MySQL 8.0.20+ server
+    * with `binlog_transaction_compression=ON` writes it: each committed
+    * transaction's body — the BEGIN query through its XID, inclusive,
+    * table maps and rows events in between — is stripped of per-event
+    * CRC32 checksums (the server omits them inside payloads),
+    * concatenated, ZSTD-compressed, and wrapped in ONE
+    * Transaction_payload_event (type 40) whose TLV header carries
+    * (compression type, uncompressed size, payload size) as
+    * length-encoded integers per libbinlogevents codecs/binary.cpp.
+    * Framing events (FDE, Previous-GTIDs, GTID, rotate, stop) and any
+    * non-transactional statements stay outside, uncompressed. log_pos
+    * chains and CRC32 seals are recomputed for the new layout.
+    *
+    * `zstd = false` exercises the algorithm-NONE variant (payload
+    * embedded raw — the server's fallback when compression would not
+    * shrink the transaction). */
+  def compressTransactions(bytes: Array[Byte], zstd: Boolean = true): Array[Byte] = {
+    require(bytes.length >= 4 && bytes(0) == 0xFE.toByte &&
+      bytes(1) == 'b' && bytes(2) == 'i' && bytes(3) == 'n', "not a binlog")
+    final case class E(etype: Int, ts: Long, data: Array[Byte])
+    val evs = mutable.ArrayBuffer.empty[E]
+    var off = 4
+    while (off + 19 <= bytes.length) {
+      val etype = bytes(off + 4) & 0xFF
+      val size = readLe32(bytes, off + 9)
+      val ts = readLe32(bytes, off).toLong & 0xFFFFFFFFL
+      evs += E(etype, ts, java.util.Arrays.copyOfRange(bytes, off, off + size))
+      off += size
+    }
+    def isBegin(e: E): Boolean = e.etype == QUERY_TYPE && {
+      val schemaLen = e.data(19 + 8) & 0xFF
+      val statusLen = (e.data(19 + 11) & 0xFF) | ((e.data(19 + 12) & 0xFF) << 8)
+      val stmtOff = 19 + 13 + statusLen + schemaLen + 1
+      val stmtEnd = e.data.length - 4 // CRC
+      stmtEnd > stmtOff &&
+        new String(e.data, stmtOff, stmtEnd - stmtOff, "UTF-8") == "BEGIN"
+    }
+    val outEvs = mutable.ArrayBuffer.empty[E]
+    var i = 0
+    while (i < evs.length) {
+      val j = if (isBegin(evs(i))) evs.indexWhere(_.etype == XID_TYPE, i) else -1
+      if (j < 0) { outEvs += evs(i); i += 1 }
+      else {
+        val txn = evs.slice(i, j + 1)
+        val inner = new Buf
+        txn.foreach { e =>
+          val d = java.util.Arrays.copyOf(e.data, e.data.length - 4)
+          writeLe32(d, 9, d.length.toLong) // event_size minus the CRC
+          inner ++= d
+        }
+        val innerBytes = inner.toArray
+        val payload =
+          if (zstd) com.github.luben.zstd.Zstd.compress(innerBytes, 3)
+          else innerBytes
+        val p = new Buf
+        def field(ftype: Long, v: Long): Unit = {
+          val vb = new Buf; lenenc(vb, v)
+          lenenc(p, ftype); lenenc(p, vb.b.length.toLong); p ++= vb.toArray
+        }
+        if (zstd) {
+          field(2, 0) // compression type: ZSTD
+          field(3, innerBytes.length.toLong) // uncompressed size
+        } else field(2, 255) // compression type: NONE
+        field(1, payload.length.toLong) // payload size
+        lenenc(p, 0) // header end mark
+        p ++= payload
+        val eb = new Buf
+        eb.u32(txn.head.ts); eb.u8(TRANSACTION_PAYLOAD_TYPE); eb.u32(1L)
+        eb.u32(19L + p.b.length + 4); eb.u32(0L); eb.u16(0)
+        eb ++= p.toArray
+        eb.u32(0L) // CRC placeholder, sealed on reassembly
+        outEvs += E(TRANSACTION_PAYLOAD_TYPE, txn.head.ts, eb.toArray)
+        i = j + 1
+      }
+    }
+    val out = new Buf
+    out ++= Array(0xFE.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+    outEvs.foreach { e =>
+      val d = e.data.clone()
+      writeLe32(d, 13, (out.b.length + d.length).toLong) // log_pos chain
+      val crc = new CRC32
+      crc.update(d, 0, d.length - 4)
+      writeLe32(d, d.length - 4, crc.getValue)
+      out ++= d
+    }
+    out.toArray
+  }
 }

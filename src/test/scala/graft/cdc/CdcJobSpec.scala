@@ -475,14 +475,54 @@ class CdcJobSpec extends AnyFunSuite {
   test("schema evolution parseDdl: scope and idempotence") {
     import SchemaEvolve.parseDdl
     assert(parseDdl("alter table t add column x int;", "db").contains(
-      (("db", "t"), SchemaEvolve.Add("x", first = false, after = None))))
+      (("db", "t"), Seq(SchemaEvolve.Add("x", first = false, after = None)))))
     assert(parseDdl("use `mydb`\nALTER TABLE `t` ADD COLUMN `x` BIGINT AFTER `y`;", "")
-      .contains((("mydb", "t"), SchemaEvolve.Add("x", first = false, after = Some("y")))))
+      .contains((("mydb", "t"),
+        Seq(SchemaEvolve.Add("x", first = false, after = Some("y"))))))
     assert(parseDdl("alter table a.b drop column z", "other").contains(
-      (("a", "b"), SchemaEvolve.Drop("z"))))
+      (("a", "b"), Seq(SchemaEvolve.Drop("z")))))
     // non-column DDL must NOT version the schema
     assert(parseDdl("alter table t add index ix (c)", "db").isEmpty)
     assert(parseDdl("create index ix on t (c)", "db").isEmpty)
     assert(parseDdl("alter table t drop index ix", "db").isEmpty)
+  }
+
+  test("schema evolution parseDdl: multi-change, multi-line, rename/move") {
+    import SchemaEvolve._
+    // every comma-separated change folds, in order
+    assert(parseDdl(
+      "ALTER TABLE t ADD COLUMN a INT AFTER x, ADD COLUMN b DECIMAL(10,2)", "db")
+      .contains((("db", "t"), Seq(
+        Add("a", first = false, after = Some("x")),
+        Add("b", first = false, after = None)))))
+    // ordinal-neutral clauses mixed in are ignored, not fatal
+    assert(parseDdl(
+      "alter table t add column a int, add index ix (a, b), drop index old_ix, " +
+        "algorithm=inplace, lock=none", "db")
+      .contains((("db", "t"), Seq(Add("a", first = false, after = None)))))
+    // a multi-line ALTER (mysqlbinlog reproduces statements verbatim)
+    assert(parseDdl(
+      "use `mydb`\nALTER TABLE t\n  ADD COLUMN a INT,\n  DROP COLUMN b", "")
+      .contains((("mydb", "t"), Seq(
+        Add("a", first = false, after = None), Drop("b")))))
+    // rename / change / modify-reorder
+    assert(parseDdl("alter table t rename column old to new_name", "db")
+      .contains((("db", "t"), Seq(Rename("old", "new_name")))))
+    assert(parseDdl("alter table t change a b varchar(10) after c", "db")
+      .contains((("db", "t"), Seq(Rename("a", "b"),
+        Move("b", first = false, after = Some("c"))))))
+    assert(parseDdl("alter table t modify c bigint first", "db")
+      .contains((("db", "t"), Seq(Move("c", first = true, after = None)))))
+    // type-only MODIFY is ordinal-neutral → no version bump
+    assert(parseDdl("alter table t modify c bigint not null", "db").isEmpty)
+    // an UNRECOGNIZED clause skips the WHOLE statement (never partial)
+    assert(parseDdl("alter table t add column a int, rename to t2", "db").isEmpty)
+    // applyChange semantics for the new change kinds
+    val names = IndexedSeq("id", "a", "b", "c")
+    assert(applyChange(names, Rename("b", "bb")) == IndexedSeq("id", "a", "bb", "c"))
+    assert(applyChange(names, Move("c", first = true, after = None)) ==
+      IndexedSeq("c", "id", "a", "b"))
+    assert(applyChange(names, Move("a", first = false, after = Some("c"))) ==
+      IndexedSeq("id", "b", "c", "a"))
   }
 }

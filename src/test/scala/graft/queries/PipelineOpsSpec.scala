@@ -1032,7 +1032,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       // shuffle and the hot partition never crosses the byte threshold
       val left = (0 until 300000)
         .map(i => (if (i % 3 == 0) 0L else (i % 99999).toLong + 1,
-          s"payload-$i-${i * 2654435761L}%096d"))
+          f"payload-$i-${i * 2654435761L}%096d"))
         .toDF("k", "v").repartition(8)
       val right = (0L until 100000L).map(k => (k, s"p$k")).toDF("k", "p")
       // global aggregate downstream: no required distribution on k, so

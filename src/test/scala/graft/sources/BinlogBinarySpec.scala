@@ -613,4 +613,139 @@ class BinlogBinarySpec extends AnyFunSuite {
       .select("sql").collect().map(_.getString(0)).toSeq
     assert(sqlBin.nonEmpty && sqlBin == sqlTxt)
   }
+
+  test("transaction compression: ZSTD payload replay equals the uncompressed stream") {
+    import BinlogBinaryFixture._
+    val evs = Seq(
+      PrevGtids(Seq((1L, 10L))),
+      Gtid(11), Begin,
+      Insert(1, "alpha", Some(1.5)),
+      Update((1, "alpha", Some(1.5)), (1, "beta", None)),
+      Xid(11),
+      Gtid(12), Begin,
+      Delete(1, "beta", None),
+      Insert(2, "with=eq", Some(2.5)),
+      Xid(12),
+      // a DDL outside any transaction must stay outside the payloads
+      Ddl("testdb", "alter table t_pk add column extra int"),
+      AnonymousGtid, Begin,
+      Insert(3, "anon", None),
+      Xid(13),
+      Stop)
+    val (plain, _) = render(evs)
+    val zstd = compressTransactions(plain)
+    val none = compressTransactions(plain, zstd = false)
+    // the compressed file is a different byte stream
+    assert(zstd.length != plain.length)
+    // the NONE variant embeds the payload raw — still reframed
+    assert(!java.util.Arrays.equals(none, plain))
+    def canon(r: graft.cdc.RawChange) =
+      (r.seq, r.db, r.table, r.op, r.beforeOrds.toSeq, r.beforeVals.toSeq,
+        r.afterOrds.toSeq, r.afterVals.toSeq, Option(r.ddl), r.gtid)
+    val fromPlain = BinlogBinary.parseBytes("f", plain, includeDdl = true)
+    val fromZstd = BinlogBinary.parseBytes("f", zstd, includeDdl = true)
+    val fromNone = BinlogBinary.parseBytes("f", none, includeDdl = true)
+    assert(fromPlain.size == 6 && fromZstd.size == 6 && fromNone.size == 6)
+    assert(fromPlain.map(canon) == fromZstd.map(canon))
+    assert(fromPlain.map(canon) == fromNone.map(canon))
+    // inner events are pinned to their payload event's file offset:
+    // one start_pos per transaction, ascending across transactions
+    val txnPos = fromZstd.filter(_.op != "ddl").map(_.startPos)
+    assert(txnPos.distinct.size == 3 && txnPos == txnPos.sorted)
+    // GTID attribution crosses the payload boundary (the GTID event
+    // stays outside, uncompressed)
+    assert(fromZstd.count(_.gtid.endsWith(":11")) == 2)
+    // the out-of-txn DDL inherits :12's scope too (no reset between)
+    assert(fromZstd.count(r => r.op != "ddl" && r.gtid.endsWith(":12")) == 2)
+    assert(fromZstd.filter(_.op == "insert").last.gtid == "") // anonymous txn
+    // a corrupted compressed body surfaces as a diagnosable error
+    val broken = zstd.clone()
+    // flip a byte inside the first payload body and re-seal its CRC
+    val payloadOff = {
+      var off = 4; var found = -1
+      while (found < 0 && off + 19 <= broken.length) {
+        if ((broken(off + 4) & 0xFF) == 40) found = off
+        else off += (broken(off + 9) & 0xFF) | ((broken(off + 10) & 0xFF) << 8) |
+          ((broken(off + 11) & 0xFF) << 16) | ((broken(off + 12) & 0xFF) << 24)
+      }
+      found
+    }
+    assert(payloadOff > 0)
+    val evSize = (broken(payloadOff + 9) & 0xFF) |
+      ((broken(payloadOff + 10) & 0xFF) << 8) |
+      ((broken(payloadOff + 11) & 0xFF) << 16) |
+      ((broken(payloadOff + 12) & 0xFF) << 24)
+    // smash the ZSTD frame magic (28 B5 2F FD) inside the payload so
+    // the decompressor deterministically rejects the body
+    val magicAt = (payloadOff until payloadOff + evSize - 4).find(i =>
+      (broken(i) & 0xFF) == 0x28 && (broken(i + 1) & 0xFF) == 0xB5 &&
+        (broken(i + 2) & 0xFF) == 0x2F && (broken(i + 3) & 0xFF) == 0xFD).get
+    broken(magicAt) = (broken(magicAt) ^ 0x5A).toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(broken, payloadOff, evSize - 4)
+    var k = 0
+    while (k < 4) {
+      broken(payloadOff + evSize - 4 + k) = ((crc.getValue >> (8 * k)) & 0xFF).toByte
+      k += 1
+    }
+    val e = intercept[IllegalArgumentException] {
+      BinlogBinary.parseBytes("f", broken)
+    }
+    assert(e.getMessage.contains("corrupt") || e.getMessage.contains("payload"),
+      e.getMessage)
+  }
+
+  test("rows_query passthrough: captured on both paths, statement-scoped, comment-rendered") {
+    import BinlogBinaryFixture._
+    val evs = Seq(
+      Gtid(21), Begin,
+      RowsQuery("insert into t_pk values (1, 'alpha', 1.5)"),
+      Insert(1, "alpha", Some(1.5)),
+      RowsQuery("update t_pk\n   set name = 'beta'\n where id = 1"),
+      Update((1, "alpha", Some(1.5)), (1, "beta", None)),
+      Xid(21),
+      Gtid(22), Begin,
+      Insert(2, "noquery", None), // rows_query OFF for this statement
+      Xid(22))
+    val (bin, text) = render(evs)
+    val fromBin = BinlogBinary.parseBytes("f", bin)
+    val fromText = BinlogFsm.parse("f", text.linesIterator).toSeq
+    assert(fromBin.size == 3 && fromText.size == 3)
+    val wantQ = Seq(
+      Some("insert into t_pk values (1, 'alpha', 1.5)"),
+      Some("update t_pk\n   set name = 'beta'\n where id = 1"),
+      None) // the scope ends with its statement's rows event
+    assert(fromBin.map(r => Option(r.query)) == wantQ)
+    assert(fromText.map(r => Option(r.query)) == wantQ)
+    // every other field still matches across the two decoders
+    def canon(r: graft.cdc.RawChange) =
+      (r.seq, r.startPos, r.db, r.table, r.op, r.beforeVals.toSeq,
+        r.afterVals.toSeq, r.gtid, Option(r.query))
+    assert(fromBin.map(canon) == fromText.map(canon))
+    // rendered SQL carries the provenance comment, multi-line safe
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rq")
+    java.nio.file.Files.write(tmp.resolve("binlog.000001"), bin)
+    val cat = Catalog.fixture(spark)
+    val sqls = BinlogBinary.run(spark, tmp.toString, cat, CdcConfig())
+      .select("sql").collect().map(_.getString(0)).toSeq
+    assert(sqls.size == 3)
+    assert(sqls(0).contains("\n# rows_query: insert into t_pk values (1, 'alpha', 1.5)"))
+    assert(sqls(1).contains(
+      "\n# rows_query: update t_pk\n#    set name = 'beta'\n#  where id = 1"))
+    assert(!sqls(2).contains("rows_query"))
+    // every non-comment line is the rendered statement — the script
+    // stays executable even with a multi-line original statement
+    assert(sqls(1).linesIterator.forall(l =>
+      l.startsWith("#") || l.startsWith("UPDATE")))
+    // and with no rows_query events at all, output bytes are unchanged
+    // vs a stream that never had them (c1/c2 hash stability)
+    val evsNoRq = evs.filterNot(_.isInstanceOf[RowsQuery])
+    val (bin2, _) = render(evsNoRq)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_rq2")
+    java.nio.file.Files.write(tmp2.resolve("binlog.000001"), bin2)
+    val sqls2 = BinlogBinary.run(spark, tmp2.toString, cat, CdcConfig())
+      .select("sql").collect().map(_.getString(0)).toSeq
+    def stripPos(s: String) = s.linesIterator.filterNot(_.startsWith("#")).mkString("\n")
+    assert(sqls.map(stripPos) == sqls2.map(stripPos))
+  }
 }
