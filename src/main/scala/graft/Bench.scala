@@ -217,7 +217,8 @@ object Bench {
       .config("spark.graft.tinyExchange.enabled", tinyOn.toString)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (256L << 20).toString))
       .config("spark.sql.parquet.columnarReaderBatchSize",
         sys.env.getOrElse("SPARK_GRAFT_PQBATCH", "4096"))
       // local mode: every task is process-local; never wait on locality

@@ -120,8 +120,7 @@ object MultimodalOps {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload, meta) =>
           val feature = new Array[Float](16)
-          if (meta.kind == 0) {
-            val (_, _, px) = decodeGrayPng(payload, s"media_id=$id: ")
+          def intensityHist(px: Array[Int]): Unit = {
             val counts = new Array[Int](16)
             var i = 0
             while (i < px.length) { counts(px(i) >> 4) += 1; i += 1 }
@@ -130,14 +129,30 @@ object MultimodalOps {
               feature(i) = (counts(i) / px.length.toDouble).toFloat
               i += 1
             }
-          } else if (payload.length > 0) {
-            val counts = new Array[Int](16)
-            var i = 0
-            while (i < payload.length) { counts(payload(i) & 0x0F) += 1; i += 1 }
-            i = 0
-            while (i < 16) {
-              feature(i) = (counts(i) / payload.length.toDouble).toFloat
-              i += 1
+          }
+          if (meta.kind == 0) {
+            val (_, _, px) = decodeGrayPng(payload, s"media_id=$id: ")
+            intensityHist(px)
+          } else {
+            // lossy kinds (audio/video — no JVM codec): consult the
+            // MediaDecoder SPI first. A mounted decoder (ffmpeg-backed
+            // provider on the executor classpath) yields a REAL
+            // decoded-intensity histogram; with none registered — or
+            // when the claimant cannot decode this payload — the
+            // deterministic low-nibble byte histogram stands in, so
+            // committed hashes only change when a decoder is present.
+            graft.functions.MediaDecoders.rasterOf(meta.kind, payload) match {
+              case Some((_, _, px)) if px.length > 0 => intensityHist(px)
+              case _ if payload.length > 0 =>
+                val counts = new Array[Int](16)
+                var i = 0
+                while (i < payload.length) { counts(payload(i) & 0x0F) += 1; i += 1 }
+                i = 0
+                while (i < 16) {
+                  feature(i) = (counts(i) / payload.length.toDouble).toFloat
+                  i += 1
+                }
+              case _ => ()
             }
           }
           (id, meta, feature)

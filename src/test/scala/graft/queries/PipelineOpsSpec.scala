@@ -59,6 +59,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val hits = exact.count(lsh.contains)
     assert(exact.size == 10)
     assert(hits >= 7, s"top-1 recall $hits/10")
+    // the a2 ORACLE invariant (r13 promotion): at 24 OR-bands the
+    // candidate set holds every exact top-5 neighbor and the exact
+    // re-rank reproduces a1 row-for-row — the property that lets a2
+    // share a1's DuckDB oracle. Full-row equality, not recall.
+    val exactAll = SimilarityOps.annExact(graft.Tables.embeddings(spark, sf))
+      .collect().map(_.toSeq).toSeq
+    val lsh24 = SimilarityOps.annLsh(graft.Tables.embeddings(spark, sf),
+      nBands = 24).collect().map(_.toSeq).toSeq
+    assert(exactAll == lsh24)
   }
 
   test("a10 MIPS: norm-augmentation reduction exact; LSH serves it") {
@@ -324,6 +333,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = MultimodalOps.resizeMedia(idMedia, outW = 4, outH = 4)
       .as[(Long, Int, Int, Array[Byte])].collect()(0)._4
     assert(out.toSeq == idPayload.toSeq)
+  }
+
+  test("media decoder SPI: a mounted decoder takes over its kind; absence keeps the stub") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array.tabulate(32)(i => (i * 3).toByte), MultimodalOps.MediaMeta(1, 8, 8, 32)),
+      (2L, Array.tabulate(32)(i => (i * 3).toByte), MultimodalOps.MediaMeta(2, 8, 8, 32)))
+      .toDF("media_id", "payload", "meta")
+    def featOf(): Map[Long, Seq[Float]] =
+      MultimodalOps.decodeFeatures(media).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](2).toSeq).toMap
+    graft.functions.MediaDecoders.clearProgrammatic()
+    val stub = featOf()
+    // no decoder mounted: both kinds use the low-nibble byte stub
+    assert(stub(1L) == stub(2L) && math.abs(stub(1L).sum - 1.0f) < 1e-3)
+    // mount a fake "codec" for kind 1 only: every decoded sample lands
+    // in intensity bin 15, so the feature must flip to one-hot
+    graft.functions.MediaDecoders.register(new graft.functions.MediaDecoder {
+      override def kinds: Set[Int] = Set(1)
+      override def decodeRaster(kind: Int, payload: Array[Byte]) =
+        if (payload.isEmpty) None
+        else Some((payload.length, 1, Array.fill(payload.length)(0xF0)))
+    })
+    try {
+      val decoded = featOf()
+      assert(decoded(1L)(15) == 1.0f && decoded(1L).take(15).forall(_ == 0.0f))
+      // unclaimed kind keeps the stub — a decoder can only ADD decode
+      assert(decoded(2L) == stub(2L))
+      // the built-in ImageIO instance decodes a real PNG through the SPI
+      val png = MultimodalOps.encodeGrayPng(Array.tabulate(16)(i => (i * 7).toByte), 4, 4)
+      val r = graft.functions.ImageIODecoder.decodeRaster(0, png)
+      assert(r.exists { case (w, h, px) =>
+        w == 4 && h == 4 && px.toSeq == (0 until 16).map(_ * 7) })
+      assert(graft.functions.ImageIODecoder.decodeRaster(0, Array[Byte](1, 2, 3)).isEmpty)
+    } finally graft.functions.MediaDecoders.clearProgrammatic()
+    // after unmount the stub semantics (and so committed hashes) return
+    assert(featOf()(1L) == stub(1L))
   }
 
   test("m4 PNG round-trip: real ImageIO decode recovers the source pixels") {
