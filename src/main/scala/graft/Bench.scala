@@ -216,7 +216,11 @@ object Bench {
     val spark = (if (defaultSession) b0 else b0
       .config("spark.graft.tinyExchange.enabled", tinyOn.toString)
       .config("spark.sql.shuffle.partitions", shuffleParts)
-      .config("spark.sql.adaptive.enabled", "false")
+      // SPARK_GRAFT_AQE=on: the item-7 A/B cell — same session, AQE's
+      // runtime coalescing in place of the static tiny-exchange rule
+      // (the rule skips AQE sessions; see TinyExchangeElimination).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.get("SPARK_GRAFT_AQE").contains("on").toString)
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST", (256L << 20).toString))
       .config("spark.sql.parquet.columnarReaderBatchSize",

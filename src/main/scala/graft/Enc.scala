@@ -37,6 +37,7 @@ object Enc {
   val longDoubleArrIntLong: Encoder[(Long, Array[Double], Int, Long)] = ExpressionEncoder()
   val longDoubleArrInt: Encoder[(Long, Array[Double], Int)] = ExpressionEncoder()
   val strStrInt: Encoder[(String, String, Int)] = ExpressionEncoder()
+  val strStrLongLong: Encoder[(String, String, Long, Long)] = ExpressionEncoder()
   val longStrArr: Encoder[(Long, Array[String])] = ExpressionEncoder()
   val longFloatArr: Encoder[(Long, Array[Float])] = ExpressionEncoder()
   val longDoubleArr: Encoder[(Long, Array[Double])] = ExpressionEncoder()

@@ -92,28 +92,33 @@ object Relational {
         |JOIN nation n ON c.c_nationkey=n.n_nationkey
         |JOIN region r ON n.n_regionkey=r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
-      // Dim-chain joins + ONE aggregation. The orders join is HINTLESS
-      // (the q03/q05 house pattern): at bench SF the planner broadcasts
-      // orders' 2-column projection and lineitem streams through a
-      // single exchange-free codegen pipeline — scan → probe orders →
-      // probe customer → 25-group aggregate — under the r12
-      // tiny-exchange session; at 100× orders is over-threshold and the
-      // same plan degrades to a shuffle join on the unique (skew-free)
-      // orderkey. r12 probe (ProbeQ04b, interleaved ×2 under the bench
-      // session): hintless pipeline 275–345 ms vs the r6 pre-agg + SHJ
-      // shape 332–482 — the old structure was tuned for the
-      // exchange-ful world (its order-grain pre-aggregate rode the map
-      // side of a fact exchange that no longer exists, and the
-      // shuffle_hash pin forced exchanges the tiny-input path now
-      // removes). The pre-aggregation belongs to the scale where the
-      // fact side shuffles — exactly the AQE/stats territory the r6
-      // comment declared — not hard-coded into the pipeline plan.
+      // Dim-chain joins + ONE order-grain pre-aggregate ahead of a
+      // PARALLEL-build orders join. r12 ran this hintless (broadcast
+      // at bench SF), but the 10× corpus exposed the broadcast path's
+      // scale cliff: a BroadcastExchange builds its HashedRelation
+      // single-threaded on the driver, and at sf1 the 1.5M-row orders
+      // build alone costs ~1.1 s of q04's ~1.0 s wall (ProbeQ04c,
+      // collect 0.28 s + build/broadcast 0.8 s) while DuckDB's
+      // partitioned build takes ~30 ms. shuffle_hash builds the same
+      // table in parallel across reducers — the join a 100 TB plan
+      // uses anyway (orders is far over any sane threshold there, and
+      // orderkey is unique, so skew-free). The order-grain partial
+      // aggregate (exact for SUM) collapses in the scan tasks and cuts
+      // the fact bytes entering that exchange 4×; its output is
+      // already hash-partitioned on the join key, so the agg and the
+      // join share ONE shuffle of each side. Interleaved ProbeQ04c
+      // (this era): sf1 0.98 → 0.71 s; sf0.1 0.37 ≈ 0.39 s (wash —
+      // the r12 hintless pipeline's bench-SF edge was the broadcast
+      // build being tiny THERE, which is exactly what fails to hold
+      // at 10×).
       Tables.lineitem(s, d)
-        // fold the revenue arithmetic at the scan: the probe stream
+        // fold the revenue arithmetic at the scan: the shuffle stream
         // carries (key, rev) — 2 columns, not 3
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        .groupBy("l_orderkey").agg(sum("rev0").as("rev0"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         // broadcast PINNED for the dim chain: with a generous
         // auto-threshold the planner may instead broadcast the fact

@@ -250,20 +250,64 @@ object TextOps {
       // the kernel output to vocabulary-sized rows inside the scan
       // task either way. (At real scale the scan splits by file/row
       // group and the kernel is already parallel.)
-      val perDoc = docs.select(col("doc_id"), col("source"), col("text"))
+      // The map-side combine runs INSIDE the kernel: emitting raw
+      // (source, term, in-doc count) rows pushed 1.16M tuples through
+      // the Dataset encoder at the 10× corpus, and that re-serialization
+      // — not tokenizing — was ~0.5 s of l5's 0.7 s wall (ProbeL5:
+      // decode+tokenize 0.15 s, +row-encode 0.68 s). Combining to
+      // (source, term, tf, dfp) partials per PARTITION first bounds the
+      // encoder traffic by vocabulary × partitions instead of Σ distinct
+      // terms per doc — the same partial-aggregation Spark's hash agg
+      // would do one operator later, done before the expensive boundary.
+      // A doc never spans partitions, so dfp (+1 per doc containing the
+      // term) is exact. The combine map is flushed whenever it exceeds
+      // 2^19 keys, so a 100 TB vocabulary bounds MEMORY, not
+      // correctness — downstream sums merge the flush chunks.
+      val g1 = docs.select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)](graft.Enc.longStrStr)
-        .flatMap { case (_, src, text) =>
-          graft.functions.HashOps.termCounts(text).map { case (t, c) => (src, t, c) }
-        }(graft.Enc.strStrInt)
-        .toDF("source", "term", "cnt")
-      // One aggregation to (term, source) grain carries BOTH facts:
-      // tf = Σ in-doc counts, dfp = #docs for the (term, source) pair.
-      // Each doc has exactly one source, so df(term) = Σ_src dfp — a
-      // window over term, NOT a tf⋈df self-join (whose two consumer
-      // subtrees Catalyst prunes differently, defeating ReuseExchange
-      // and running the tokenize stage twice).
-      val g1 = perDoc.groupBy("term", "source")
-        .agg(sum("cnt").as("tf"), count(lit(1)).as("dfp"))
+        .mapPartitions { it =>
+          // nested (source -> term -> [tf, dfp]): one source lookup per
+          // DOC and one term lookup per distinct term per doc, reusing
+          // the String hashCode termCounts already computed (a flat
+          // tuple-keyed map re-hashes both strings and allocates a
+          // Tuple2 per lookup — measured slower than the un-combined
+          // kernel it was meant to replace)
+          val outer =
+            new java.util.HashMap[String, java.util.HashMap[String, Array[Long]]]()
+          var nKeys = 0
+          var flushed = List.empty[Iterator[(String, String, Long, Long)]]
+          def drain(): Iterator[(String, String, Long, Long)] = {
+            import scala.jdk.CollectionConverters._
+            val snap = outer.entrySet().iterator().asScala.flatMap { se =>
+              val src = se.getKey
+              se.getValue.entrySet().iterator().asScala.map { te =>
+                (src, te.getKey, te.getValue()(0), te.getValue()(1))
+              }
+            }.toArray
+            outer.clear(); nKeys = 0
+            snap.iterator
+          }
+          it.foreach { case (_, src, text) =>
+            val inner = outer.computeIfAbsent(src,
+              _ => new java.util.HashMap[String, Array[Long]]())
+            graft.functions.HashOps.termCounts(text).foreach { case (t, c) =>
+              var acc = inner.get(t)
+              if (acc == null) { acc = new Array[Long](2); inner.put(t, acc); nKeys += 1 }
+              acc(0) += c; acc(1) += 1
+            }
+            if (nKeys > (1 << 19)) flushed ::= drain()
+          }
+          (drain() :: flushed).iterator.flatten
+        }(graft.Enc.strStrLongLong)
+        .toDF("source", "term", "tf0", "dfp0")
+        // One aggregation to (term, source) grain carries BOTH facts:
+        // tf = Σ in-doc counts, dfp = #docs for the (term, source)
+        // pair. Each doc has exactly one source, so df(term) = Σ_src
+        // dfp — a window over term, NOT a tf⋈df self-join (whose two
+        // consumer subtrees Catalyst prunes differently, defeating
+        // ReuseExchange and running the tokenize stage twice).
+        .groupBy("term", "source")
+        .agg(sum("tf0").as("tf"), sum("dfp0").as("dfp"))
       // Ranking happens on the ROUNDed score (both sides) so float
       // last-ulp noise can't reorder the top-3.
       val scored = g1
