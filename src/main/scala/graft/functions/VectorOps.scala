@@ -67,12 +67,21 @@ object VectorOps {
       .as[(Long, Array[Double])](graft.Enc.longDoubleArr).mapPartitions { it =>
       val arr = all.value
       val sims = new Array[Double](k)
+      val rks = new Array[Long](k)
       val ias = new Array[Long](k)
       val ibs = new Array[Long](k)
       var n = 0
-      // total tie order = (sim desc, ia asc, ib asc); slot i beats i+1
-      def beats(sim: Double, ia: Long, ib: Long, i: Int): Boolean =
-        sim > sims(i) || (sim == sims(i) &&
+      // total tie order = (ROUNDED sim desc, ia asc, ib asc); slot i
+      // beats i+1. Ranking on the raw double broke at the 10× corpus:
+      // replicated vectors score last-ulp-apart sims that ROUND equal,
+      // so a raw order keeps different copies than the oracle's
+      // rounded order (the a11/l5 house pattern, applied here). The
+      // key is floor(sim·1e5 + 0.5) — one fma per candidate, no
+      // BigDecimal in the N²/2 loop; the displayed value still comes
+      // from Catalyst round() below, which groups identically for
+      // dot-product sims (they never sit on a half-ulp boundary).
+      def beats(rk: Long, ia: Long, ib: Long, i: Int): Boolean =
+        rk > rks(i) || (rk == rks(i) &&
           (ia < ias(i) || (ia == ias(i) && ib < ibs(i))))
       for ((ia, va) <- it) {
         val na = normOf(va)
@@ -81,13 +90,15 @@ object VectorOps {
           val (ib, vb, nb) = arr(j)
           if (ia < ib) {
             val sim = dot(va, vb) / (na * nb)
-            if (n < k || beats(sim, ia, ib, n - 1)) {
+            val rk = math.floor(sim * 1e5 + 0.5).toLong
+            if (n < k || beats(rk, ia, ib, n - 1)) {
               var i = math.min(n, k - 1)
-              while (i > 0 && beats(sim, ia, ib, i - 1)) {
-                sims(i) = sims(i - 1); ias(i) = ias(i - 1); ibs(i) = ibs(i - 1)
+              while (i > 0 && beats(rk, ia, ib, i - 1)) {
+                sims(i) = sims(i - 1); rks(i) = rks(i - 1)
+                ias(i) = ias(i - 1); ibs(i) = ibs(i - 1)
                 i -= 1
               }
-              sims(i) = sim; ias(i) = ia; ibs(i) = ib
+              sims(i) = sim; rks(i) = rk; ias(i) = ia; ibs(i) = ib
               if (n < k) n += 1
             }
           }
@@ -97,7 +108,9 @@ object VectorOps {
       Iterator.tabulate(n)(i => ScoredPair(ias(i), ibs(i), sims(i)))
     }(encScored)
     localTop.toDF()
-      .orderBy(col("sim_raw").desc, col("ia"), col("ib")).limit(k)
+      // global selection on the ROUNDED score too (partitions×k rows —
+      // the round() is off the hot path), matching the kernel's order
+      .orderBy(round(col("sim_raw"), 5).desc, col("ia"), col("ib")).limit(k)
       .select(col("ia"), col("ib"), round(col("sim_raw"), 5).as("sim"))
   }
 

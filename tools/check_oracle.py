@@ -45,7 +45,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dir (the 10x corpus)
+            p = os.path.join(p, "*.parquet")
+        if os.path.isdir(os.path.join(sf_dir, f"{t}.parquet")) or \
+                os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
