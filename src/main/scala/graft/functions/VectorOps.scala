@@ -251,6 +251,111 @@ object VectorOps {
       .orderedSmall(col("qid"), col("rnk"))
   }
 
+  /** Batch ANN serving: exact top-k for EVERY row of a query TABLE
+    * (qid, qv ARRAY<FLOAT|DOUBLE>) against a candidate frame (vec_id,
+    * embedding) — the dataflow form of [[annTopKOver]] for 10⁴+-query
+    * workloads (a11). The query table rides a broadcast (the same
+    * build-side ship a broadcast join performs — ~5 MB at 10⁴×64-d);
+    * candidates stream through their scan tasks, each keeping a Q×k
+    * slot matrix (1.2 MB at 10⁴×5), so the exchange carries only
+    * partitions×Q×k shortlist rows — never the Q×N scored pairs.
+    *
+    * This replaced the crossJoin(broadcast)+udaf plan: a typed
+    * `Aggregator` plans as ObjectHashAggregate, which (a) cannot
+    * participate in whole-stage codegen, so the nested-loop join
+    * MATERIALIZED all Q×N joined rows with both 64-float arrays copied
+    * into each, and (b) falls back to sort-based aggregation past 128
+    * distinct keys, sorting the whole Q×N stream at 10⁴ groups —
+    * 21 s at bench SF for a kernel this runs in ~0.3 s.
+    *
+    * Ranking: candidates are kept by the ROUNDED score (the l3 house
+    * pattern — floor(sim·1e5+0.5), ties cid asc) so float last-ulp
+    * noise cannot make the kernel keep different rows than the
+    * oracle's ROUND()-ranked order; the displayed value is Catalyst
+    * round() over the raw sim, identical grouping for dot-product
+    * sims.
+    *
+    * `blockRows` is the beyond-broadcast scale path: a query table too
+    * large for one broadcast splits into qid-ordered blocks of at most
+    * `blockRows`, one kernel pass (one candidate scan) per block —
+    * exact serving is compute-bound at Q×N×d flops regardless, so the
+    * extra scans are the honest trade, and each block's qids are
+    * disjoint so the per-block shortlists union without interference
+    * (blocked ≡ unblocked is spec-pinned). Approximate serving below
+    * that cost lives in the IVF/LSH entries; a bucket JOIN is wrong
+    * for this corpus's low-sim regime (2-bit bands collide on ~25% of
+    * RANDOM pairs — the bucketed candidate set would exceed Q×N; see
+    * annLsh's regime note). */
+  def serveTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      blockRows: Int = Int.MaxValue): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col("qid"), col("qv").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])](graft.Enc.longDoubleArr)
+      .collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, normOf(v)) }
+    val blocks =
+      if (qArr.isEmpty) Array(qArr)
+      else qArr.grouped(math.max(1, blockRows)).toArray
+    val perBlock = blocks.map { block =>
+      val qBc = spark.sparkContext.broadcast(block)
+      candidates
+        .select(col("vec_id"), col("embedding"))
+        .fanOut // single-row-group scan: spread the Q×N kernel
+        .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+        .mapPartitions { it =>
+          val qs = qBc.value
+        val nQ = qs.length
+        // flat Q×k slot matrix, slot (q, i) at q*k+i, ranked per query
+        // by (rk desc, cid asc); ns(q) = used slots
+        val rks = new Array[Long](nQ * k)
+        val cids = new Array[Long](nQ * k)
+        val sims = new Array[Double](nQ * k)
+        val ns = new Array[Int](nQ)
+        for ((cid, cf) <- it) {
+          val cv = new Array[Double](cf.length)
+          var i = 0
+          while (i < cf.length) { cv(i) = cf(i); i += 1 }
+          val cn = normOf(cv)
+          var q = 0
+          while (q < nQ) {
+            val sim = dot(qs(q)._2, cv) / (qs(q)._3 * cn)
+            val rk = math.floor(sim * 1e5 + 0.5).toLong
+            val base = q * k
+            val n = ns(q)
+            @inline def beats(j: Int): Boolean =
+              rk > rks(base + j) || (rk == rks(base + j) && cid < cids(base + j))
+            if (n < k || beats(n - 1)) {
+              var j = math.min(n, k - 1)
+              while (j > 0 && beats(j - 1)) {
+                rks(base + j) = rks(base + j - 1)
+                cids(base + j) = cids(base + j - 1)
+                sims(base + j) = sims(base + j - 1)
+                j -= 1
+              }
+              rks(base + j) = rk; cids(base + j) = cid; sims(base + j) = sim
+              if (n < k) ns(q) += 1
+            }
+            q += 1
+          }
+        }
+        Iterator.range(0, nQ).flatMap { q =>
+          Iterator.tabulate(ns(q))(i =>
+            ScoredPair(qs(q)._1, cids(q * k + i), sims(q * k + i)))
+        }
+      }(encScored)
+    }
+    val localTop = perBlock.reduce(_ union _)
+    localTop.toDF()
+      .withColumn("rnk", row_number().over(Window.partitionBy("ia")
+        .orderBy(round(col("sim_raw"), 5).desc, col("ib"))))
+      .filter(col("rnk") <= k)
+      .select(col("ia").as("qid"), col("rnk").cast("long").as("rnk"),
+        col("ib").as("cid"), round(col("sim_raw"), 5).as("sim"))
+      .orderedRows(col("qid"), col("rnk"))
+  }
+
   /** Exact MAXIMUM INNER PRODUCT top-k — recommender-serving scoring
     * (user · item), where the ranking metric is the RAW dot product,
     * not cosine: a candidate's own magnitude is part of its score, so

@@ -434,17 +434,19 @@ object SimilarityOps {
     // with zero driver-side shortlist materialization. The query table
     // is built as a DataFrame (each corpus vector replicated under 20
     // deterministic rotations — norm-preserving, reproducible in SQL
-    // on both engines, capped at exactly 10⁴ rows), broadcast by the
-    // JOIN machinery (2.5 MB of vectors — the LUT the fixed-query
-    // entries kept on the driver), scored by the codegen'd cosine
-    // expression, and top-k'd by the partial-aggregating TopKAgg: the
-    // exchange carries Q·k shortlist entries per mapper, never the
-    // Q·N scored pairs a window-rank plan would shuffle. Ranking is on
-    // the ROUNDed score (both engines) so float last-ulp noise cannot
-    // reorder 5·10⁴ rank rows. At 100 TB the same plan serves a query
-    // table of any size: queries broadcast (or bucket-join when they
-    // outgrow broadcast), candidates never leave their scan tasks
-    // until they are k-row shortlists.
+    // on both engines, capped at exactly 10⁴ rows) and rides a
+    // broadcast (~5 MB of vectors — the same build-side ship a
+    // broadcast join performs); candidates stream through their scan
+    // tasks, each keeping a Q×k slot matrix (VectorOps.serveTopK), so
+    // the exchange carries partitions·Q·k shortlist rows, never the
+    // Q·N scored pairs. Ranking is on the ROUNDed score (both engines)
+    // so float last-ulp noise cannot reorder 5·10⁴ rank rows. At
+    // 100 TB the same plan serves a query table of any size: queries
+    // broadcast — or, past broadcast size, split into qid-ordered
+    // blocks with one candidate scan per block (serveTopK's blockRows,
+    // blocked ≡ unblocked spec-pinned; a bucket JOIN is wrong in this
+    // low-sim regime, see serveTopK's note) — and candidates never
+    // leave their scan tasks until they are k-row shortlists.
     QueryDef("a11_ann_serve",
       """WITH reps AS (SELECT range AS j FROM range(0, 20)),
         |q AS (SELECT vec_id*20 + j AS qid,
@@ -466,17 +468,7 @@ object SimilarityOps {
         .select((col("vec_id") * 20 + col("j")).as("qid"),
           expr("concat(slice(embedding, cast(j+1 as int), cast(size(embedding)-j as int))," +
             " slice(embedding, 1, cast(j as int)))").as("qv"))
-      val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      cand.crossJoin(broadcast(queries))
-        .select(col("qid"), col("cid"),
-          round(graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")), 5)
-            .as("sim"))
-        .groupBy("qid")
-        .agg(graft.functions.TopKAgg.topK(5)(col("sim"), col("cid")).as("top"))
-        .select(col("qid"), posexplode(col("top")))
-        .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
-          col("col._2").as("cid"), col("col._1").as("sim"))
-        .orderedRows(col("qid"), col("rnk"))
+      graft.functions.VectorOps.serveTopK(queries, emb, 5)
     },
 
     QueryDef.noOracle("a3_ann_ivf") { (s, d) =>

@@ -70,6 +70,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exactAll == lsh24)
   }
 
+  test("a11 blocked serving: beyond-broadcast block split equals one broadcast") {
+    // the serveTopK scale path: a query table too large for a single
+    // broadcast splits into qid-ordered blocks, one candidate scan per
+    // block; block qids are disjoint so shortlists union without
+    // interference. Exactness must not depend on the block size.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.limit(40).select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    def rows(blockRows: Int) = graft.functions.VectorOps
+      .serveTopK(queries, emb, 5, blockRows)
+      .collect().map(_.toSeq).toSeq
+    val whole = rows(Int.MaxValue)
+    assert(whole.size == 40 * 5)
+    assert(rows(7) == whole)   // 6 uneven blocks
+    assert(rows(40) == whole)  // exact fit
+  }
+
   test("a10 MIPS: norm-augmentation reduction exact; LSH serves it") {
     import spark.implicits._
     val rows = graft.Tables.embeddings(spark, sf)
