@@ -54,9 +54,28 @@ object VectorOps {
         while (i < e.length) { v(i) = e(i); i += 1 }
         (id, v)
       }(graft.Enc.longDoubleArr)
-    val all = spark.sparkContext.broadcast(
-      vecs.collect().sortBy(_._1) // small dim by contract; LSH at scale
-        .map { case (id, v) => (id, v, normOf(v)) })
+    // Broadcast as FLAT parallel primitive arrays, id-sorted: a
+    // Tuple3[(Long, Array[Double], Double)] per candidate boxes the id
+    // and norm (Tuple3 is unspecialized) and pointer-chases to the
+    // vector — per-PAIR costs in an N²/2 loop. Flat double[] keeps the
+    // scan contiguous and unboxed. Sorting by id also lets each row
+    // START its scan at the first id > ia (binary search) instead of
+    // testing ia < ib on all N candidates — half the pair visits.
+    val sorted = vecs.collect().sortBy(_._1) // small dim by contract; LSH at scale
+    val dim = if (sorted.isEmpty) 0 else sorted(0)._2.length
+    val all = spark.sparkContext.broadcast({
+      val ids = new Array[Long](sorted.length)
+      val nrms = new Array[Double](sorted.length)
+      val flat = new Array[Double](sorted.length * dim)
+      var j = 0
+      while (j < sorted.length) {
+        ids(j) = sorted(j)._1
+        nrms(j) = normOf(sorted(j)._2)
+        System.arraycopy(sorted(j)._2, 0, flat, j * dim, dim)
+        j += 1
+      }
+      (ids, nrms, flat)
+    })
     // fanOut: the N²/2 scan is the heavy kernel — without it the whole
     // pair scan pipelines into the single-row-group scan's one task.
     // The inner loop is allocation-free: a primitive insertion top-k
@@ -65,7 +84,7 @@ object VectorOps {
     // (N²/2 of them) and was the whole stage's cost at bench SF.
     val localTop = vecs.toDF("vec_id", "v").fanOut
       .as[(Long, Array[Double])](graft.Enc.longDoubleArr).mapPartitions { it =>
-      val arr = all.value
+      val (cIds, cNrms, cFlat) = all.value
       val sims = new Array[Double](k)
       val rks = new Array[Long](k)
       val ias = new Array[Long](k)
@@ -85,22 +104,30 @@ object VectorOps {
           (ia < ias(i) || (ia == ias(i) && ib < ibs(i))))
       for ((ia, va) <- it) {
         val na = normOf(va)
-        var j = 0
-        while (j < arr.length) {
-          val (ib, vb, nb) = arr(j)
-          if (ia < ib) {
-            val sim = dot(va, vb) / (na * nb)
-            val rk = math.floor(sim * 1e5 + 0.5).toLong
-            if (n < k || beats(rk, ia, ib, n - 1)) {
-              var i = math.min(n, k - 1)
-              while (i > 0 && beats(rk, ia, ib, i - 1)) {
-                sims(i) = sims(i - 1); rks(i) = rks(i - 1)
-                ias(i) = ias(i - 1); ibs(i) = ibs(i - 1)
-                i -= 1
-              }
-              sims(i) = sim; rks(i) = rk; ias(i) = ia; ibs(i) = ib
-              if (n < k) n += 1
+        // first candidate with id > ia (ids sorted ascending)
+        var lo = 0; var hi = cIds.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cIds(mid) <= ia) lo = mid + 1 else hi = mid
+        }
+        var j = lo
+        while (j < cIds.length) {
+          val ib = cIds(j)
+          val off = j * dim // one-table all-pairs: dim == va.length
+          // same summation order as dot(): identical doubles
+          var s = 0.0; var i = 0
+          while (i < dim) { s += va(i) * cFlat(off + i); i += 1 }
+          val sim = s / (na * cNrms(j))
+          val rk = math.floor(sim * 1e5 + 0.5).toLong
+          if (n < k || beats(rk, ia, ib, n - 1)) {
+            var i2 = math.min(n, k - 1)
+            while (i2 > 0 && beats(rk, ia, ib, i2 - 1)) {
+              sims(i2) = sims(i2 - 1); rks(i2) = rks(i2 - 1)
+              ias(i2) = ias(i2 - 1); ibs(i2) = ibs(i2 - 1)
+              i2 -= 1
             }
+            sims(i2) = sim; rks(i2) = rk; ias(i2) = ia; ibs(i2) = ib
+            if (n < k) n += 1
           }
           j += 1
         }
@@ -294,19 +321,35 @@ object VectorOps {
       .select(col("qid"), col("qv").cast("array<double>").as("qv"))
       .as[(Long, Array[Double])](graft.Enc.longDoubleArr)
       .collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, normOf(v)) }
+    val qDim = if (qArr.isEmpty) 0 else qArr(0)._2.length
     val blocks =
       if (qArr.isEmpty) Array(qArr)
       else qArr.grouped(math.max(1, blockRows)).toArray
     val perBlock = blocks.map { block =>
-      val qBc = spark.sparkContext.broadcast(block)
+      // flat parallel primitive arrays (the cosineTopKPairs layout):
+      // unboxed and contiguous — the inner loop runs per (candidate,
+      // query) pair, where a Tuple3 id/norm unbox + vector pointer
+      // chase is a per-pair tax
+      val qBc = spark.sparkContext.broadcast({
+        val ids = new Array[Long](block.length)
+        val nrms = new Array[Double](block.length)
+        val flat = new Array[Double](block.length * qDim)
+        var q = 0
+        while (q < block.length) {
+          ids(q) = block(q)._1
+          nrms(q) = normOf(block(q)._2)
+          System.arraycopy(block(q)._2, 0, flat, q * qDim, qDim)
+          q += 1
+        }
+        (ids, nrms, flat)
+      })
       candidates
         .select(col("vec_id"), col("embedding"))
         .fanOut // single-row-group scan: spread the Q×N kernel
         .as[(Long, Array[Float])](graft.Enc.longFloatArr)
         .mapPartitions { it =>
-          val qs = qBc.value
-        val nQ = qs.length
+          val (qIds, qNrms, qFlat) = qBc.value
+        val nQ = qIds.length
         // flat Q×k slot matrix, slot (q, i) at q*k+i, ranked per query
         // by (rk desc, cid asc); ns(q) = used slots
         val rks = new Array[Long](nQ * k)
@@ -320,7 +363,11 @@ object VectorOps {
           val cn = normOf(cv)
           var q = 0
           while (q < nQ) {
-            val sim = dot(qs(q)._2, cv) / (qs(q)._3 * cn)
+            // same summation order as dot() over the QUERY length
+            // (the old dot(qv, cv) bound): identical doubles
+            var s = 0.0; var i2 = 0; val off = q * qDim
+            while (i2 < qDim) { s += qFlat(off + i2) * cv(i2); i2 += 1 }
+            val sim = s / (qNrms(q) * cn)
             val rk = math.floor(sim * 1e5 + 0.5).toLong
             val base = q * k
             val n = ns(q)
@@ -342,7 +389,7 @@ object VectorOps {
         }
         Iterator.range(0, nQ).flatMap { q =>
           Iterator.tabulate(ns(q))(i =>
-            ScoredPair(qs(q)._1, cids(q * k + i), sims(q * k + i)))
+            ScoredPair(qIds(q), cids(q * k + i), sims(q * k + i)))
         }
       }(encScored)
     }
