@@ -1134,8 +1134,58 @@ object TextAnalysis {
         |GROUP BY g.n ORDER BY n_tokens""".stripMargin) { (s, d) =>
       vocabGrowth(Tables.documents(s, d), VocabGrid)
         .orderedSmall(col("n_tokens")) // |grid| rows
+    },
+
+    // t25: ZIPF RANK-FREQUENCY FIT — the companion diagnostic to t24's
+    // Heaps curve: least-squares slope/intercept/R² of log(freq) on
+    // log(rank) over the TOP-1024 terms (the head is where Zipf holds;
+    // the flat singleton tail would drown the fit — and fitting the
+    // head keeps the plan scale-safe: the only global ordering is a
+    // distributed TakeOrdered of 1024 rows, never a vocabulary-wide
+    // one-task window). A healthy natural corpus fits slope ≈ −1 with
+    // high R²; a too-shallow slope flags template/boilerplate mass, a
+    // ragged fit (low R²) synthetic or OCR-junk vocabulary. Scale
+    // shape: one corpus-wide groupBy(token) (map-side combined), the
+    // 1024-row head ranked locally (bounded), the regression one
+    // aggregate over 1024 points. The regression inputs ln(rank),
+    // ln(count) are exact functions of integers, so the only
+    // cross-engine float noise is the Σ-order of 1024-term sums —
+    // absorbed by ROUND(·,5).
+    QueryDef("t25_zipf_fit",
+      """WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+        |      FROM f ORDER BY c DESC, tok LIMIT 1024),
+        |x AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |       ROUND(REGR_SLOPE(ly, lx), 5) AS slope,
+        |       ROUND(REGR_INTERCEPT(ly, lx), 5) AS icept,
+        |       ROUND(REGR_R2(ly, lx), 5) AS r2
+        |FROM x""".stripMargin) { (s, d) =>
+      zipfFit(Tables.documents(s, d), 1024)
     }
   )
+
+  /** The t25 head-of-vocabulary Zipf regression over any (text) frame
+    * — exposed for the planted-law spec. */
+  private[queries] def zipfFit(docs: org.apache.spark.sql.DataFrame,
+      topR: Int): org.apache.spark.sql.DataFrame = {
+    val top = docs
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topR) // TakeOrdered: distributed
+    // rank the bounded head locally (topR rows — the one-task window
+    // is bounded by the contract, not the corpus)
+    val ranked = top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    ranked
+      .select(log(col("rnk").cast("double")).as("lx"),
+        log(col("c").cast("double")).as("ly"))
+      .agg(count(lit(1)).cast("long").as("n_ranks"),
+        round(regr_slope(col("ly"), col("lx")), 5).as("slope"),
+        round(regr_intercept(col("ly"), col("lx")), 5).as("icept"),
+        round(regr_r2(col("ly"), col("lx")), 5).as("r2"))
+  }
 
   private val VocabGrid = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L,
     64000L, 128000L, 256000L, 512000L, 1024000L)

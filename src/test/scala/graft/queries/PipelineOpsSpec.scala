@@ -2713,6 +2713,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(1000L -> 1000L, 16000L -> 16000L, 64000L -> total))
   }
 
+  test("t25 zipf fit: planted exact law recovers slope -1; ranking pinned") {
+    import spark.implicits._
+    // corpus where term w_i appears exactly floor(4096/i) times: freq
+    // is EXACTLY 4096/rank on the head, so the log-log regression must
+    // recover slope ≈ -1 with near-perfect R² — the planted law
+    val words = (1 to 256).flatMap(i => Seq.fill(4096 / i)(f"w$i%04d"))
+    val docs = words.grouped(64).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text").repartition(5)
+    val row = TextAnalysis.zipfFit(docs, 256).collect()(0)
+    assert(row.getLong(0) == 256)
+    val slope = row.getDouble(1); val r2 = row.getDouble(3)
+    // floor() quantization perturbs the tail slightly — wide-enough
+    // tolerance for that, tight enough to catch a wrong sign/scale
+    assert(math.abs(slope + 1.0) < 0.03, s"slope=$slope")
+    assert(r2 > 0.999, s"r2=$r2")
+    // the real-corpus entry: one row, sane ranges (negative slope,
+    // finite intercept), and the head count saturates its cap
+    val entry = TextAnalysis.defs.find(_.name == "t25_zipf_fit").get
+    val r = entry.fn(spark, sf).collect()(0)
+    assert(r.getLong(0) <= 1024 && r.getDouble(1) < 0.0)
+  }
+
   test("c9 state materialization: PK-changing update moves the row") {
     // insert id=1 → update id 1→2 (PK change) → insert id=3 →
     // delete id=3. Final state: ONLY id=2, carrying the update's
