@@ -255,14 +255,23 @@ object DedupOps {
     * exact verification of candidates. The corpus plants no ≥0.9
     * pairs, so the default tau targets the moderate-similarity regime
     * (narrow bands — see SimilarityOps.annLsh scaling note).
-    * Geometry: 20 bands × 3 bits. At cos ≈ 0.45 a bit agrees w.p.
-    * ~0.648, a 3-bit band matches w.p. ~0.27, so the per-pair miss
-    * rate is (1−0.27)^20 ≈ 0.2% at the threshold (lower above it) —
-    * and the deterministic banding in fact recalls every ≥τ pair at
-    * all test SFs (asserted; that is what lets d3 carry the exact-pair
-    * oracle). Versus 2-bit bands, 8 buckets per band cut bucket
-    * collisions ~8× — the candidate-pair count, not the signature
-    * pass, is the cost at any scale. */
+    * Geometry: 32 bands × 2 bits (the full 64-bit signature — a2's
+    * narrow-band moderate-sim rule at maximum OR-amplification). At
+    * cos ≈ 0.45 a bit agrees w.p. ~0.648, a 2-bit band matches w.p.
+    * ~0.42, so the per-pair miss rate at the threshold is (1−0.42)³²
+    * ≈ 2e-8 (lower above it). The r13 10×-corpus gate MEASURED why
+    * the dial matters: the original 20×3-bit geometry (per-pair miss
+    * ~2e-3 at τ) recalled every pair at sf0.001/0.01/0.1 but missed
+    * 26 of 16,802 exact pairs at sf1 — every miss in [0.450, 0.517],
+    * the textbook near-threshold band; 24×2 bits (miss ~2e-6)
+    * recovered 25 of them, with one deterministic pair at sim 0.46034
+    * still disagreeing in all 24 bands; 32×2 measures EXACT at sf1
+    * (16,802/16,802). Wider (3-bit) bands only pay off when tau is
+    * high enough that per-band match stays strong — at τ=0.45 they
+    * trade recall for fewer bucket collisions, the wrong side of the
+    * dial for an entry carrying an exact-pair oracle. Candidate
+    * volume rises ~3× over 20×3 (4 buckets per band, 32 bands); the
+    * exact verify still admits no false positives at any geometry. */
   /** d7 stage 1 — SemDeDup cluster assignment (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): k-means on the deterministic
@@ -333,7 +342,7 @@ object DedupOps {
   }
 
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.45,
-      nBands: Int = 20, bandBits: Int = 3, dim: Int = 64,
+      nBands: Int = 32, bandBits: Int = 2, dim: Int = 64,
       carryVectors: Option[Boolean] = None): DataFrame = {
     import graft.QueryDef.SmallOrdered
     graft.functions.CosineSim.register(emb.sparkSession)
@@ -695,12 +704,14 @@ object DedupOps {
     * mod-2^64 after every multiply (32-bit-split schoolbook product —
     * DuckDB's UBIGINT multiply errors on overflow rather than
     * wrapping), rotates as divide/multiply by powers of two, XOR via
-    * UBIGINT. Corpus tokens are ≤ 8 bytes (whitespace-split synthetic
-    * words), so only xxh64's short path (one 8-byte lane / one 4-byte
-    * lane / ≤3 tail bytes / avalanche) is emitted, FULLY UNROLLED as
-    * chained CTE stages; a >8-byte token raises error() at evaluation
-    * — the oracle fails LOUDLY rather than diverging silently if the
-    * corpus ever grows longer words. Bit votes fan out over
+    * UBIGINT. Corpus tokens are ≤ 11 bytes (whitespace-split synthetic
+    * words; the 10× corpus's longest is 9 — which is what forced the
+    * r13 extension past the original ≤8 unroll), so xxh64's short path
+    * (one 8-byte chunk, then a 4-byte lane OR ≤3 tail bytes, then
+    * avalanche) is emitted FULLY UNROLLED as chained CTE stages; a
+    * ≥12-byte token (needs the post-chunk 4-lane) raises error() at
+    * evaluation — the oracle fails LOUDLY rather than diverging
+    * silently if the corpus ever grows longer words. Bit votes fan out over
     * UNNEST(range(64)),
     * the signature reassembles via BIGINT shifts with bit 63 as the
     * sign value (the m5 technique — `**` would route through DOUBLE
@@ -721,7 +732,7 @@ object DedupOps {
     def xor64(a: String, b: String): String =
       s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
     def shr(x: String, n: Int): String = s"(($x) // ${BigInt(1) << n})"
-    val bytes = (1 to 8).map { p =>
+    val bytes = (1 to 11).map { p =>
       s"CASE WHEN n >= $p THEN CAST(16*(strpos('0123456789ABCDEF', substr(hx,${2 * p - 1},1))-1)" +
         s" + strpos('0123456789ABCDEF', substr(hx,${2 * p},1))-1 AS HUGEINT)" +
         s" ELSE CAST(0 AS HUGEINT) END AS b$p"
@@ -739,26 +750,26 @@ object DedupOps {
        |  FROM th),
        |s0 AS (SELECT doc_id, n, $u64 AS u64,
        |        (b1 + b2*256 + b3*65536 + b4*16777216) AS u32a,
-       |        b1, b2, b3, b5, b6, b7,
+       |        b1, b2, b3, b5, b6, b7, b9, b10, b11,
        |        CAST($p5 AS HUGEINT) + n AS h0 FROM tbytes),
-       |s1 AS (SELECT *, CASE WHEN n = 8 THEN
+       |s1 AS (SELECT *, CASE WHEN n >= 8 THEN
        |          (${mul64(rotl(xor64("h0", mul64(rotl(mul64("u64", p2), 31), p1)), 27), p1)} + $p4) % $M
        |        WHEN n >= 4 THEN
        |          (${mul64(rotl(xor64("h0", mul64("u32a", p1)), 23), p2)} + $p3) % $M
        |        ELSE h0 END AS h1,
-       |        CASE WHEN n = 8 THEN 0 WHEN n >= 4 THEN n - 4 ELSE n END AS tl,
-       |        CASE WHEN n >= 4 AND n < 8 THEN b5 ELSE b1 END AS ta,
-       |        CASE WHEN n >= 4 AND n < 8 THEN b6 ELSE b2 END AS tbb,
-       |        CASE WHEN n >= 4 AND n < 8 THEN b7 ELSE b3 END AS tc
+       |        CASE WHEN n >= 8 THEN n - 8 WHEN n >= 4 THEN n - 4 ELSE n END AS tl,
+       |        CASE WHEN n > 8 THEN b9 WHEN n >= 4 AND n < 8 THEN b5 ELSE b1 END AS ta,
+       |        CASE WHEN n > 8 THEN b10 WHEN n >= 4 AND n < 8 THEN b6 ELSE b2 END AS tbb,
+       |        CASE WHEN n > 8 THEN b11 WHEN n >= 4 AND n < 8 THEN b7 ELSE b3 END AS tc
        |       FROM s0),
        |s2 AS (SELECT *, CASE WHEN tl > 0 THEN ${mul64(rotl(xor64("h1", mul64("ta", p5)), 11), p1)} ELSE h1 END AS h2 FROM s1),
        |s3 AS (SELECT *, CASE WHEN tl > 1 THEN ${mul64(rotl(xor64("h2", mul64("tbb", p5)), 11), p1)} ELSE h2 END AS h3 FROM s2),
        |s4 AS (SELECT *, CASE WHEN tl > 2 THEN ${mul64(rotl(xor64("h3", mul64("tc", p5)), 11), p1)} ELSE h3 END AS h4 FROM s3),
        |a1 AS (SELECT doc_id, n, ${mul64(xor64("h4", shr("h4", 33)), p2)} AS g1 FROM s4),
        |a2 AS (SELECT doc_id, n, ${mul64(xor64("g1", shr("g1", 29)), p3)} AS g2 FROM a1),
-       |tokh AS (SELECT doc_id, CASE WHEN n <= 8
+       |tokh AS (SELECT doc_id, CASE WHEN n <= 11
        |           THEN xor(CAST((g2) AS UBIGINT), CAST((g2) // 4294967296 AS UBIGINT))
-       |           ELSE CAST(error('simhash oracle: token > 8 bytes needs xxh64 long path') AS UBIGINT)
+       |           ELSE CAST(error('simhash oracle: token > 11 bytes needs xxh64 post-chunk 4-lane path') AS UBIGINT)
        |           END AS h FROM a2),
        |votes AS (
        |  SELECT doc_id, b,
@@ -947,10 +958,12 @@ object DedupOps {
 
     // d3 gets the EXACT cosine-pair SQL as its oracle: the hyperplane
     // signatures are deterministic, the banding (geometry per
-    // `embeddingNearDup`'s doc) recalls every ≥τ pair at the test SFs,
-    // and exact in-stream cosine admits no false
-    // positives — so the LSH output equals the exact pairs, hash-proven
-    // per round. The SQL computes the dot product in DOUBLE with the
+    // `embeddingNearDup`'s doc — 32×2-bit since r13, after the 10×
+    // gate measured the old 20×3-bit geometry missing 26 near-
+    // threshold pairs at sf1) recalls every ≥τ pair at every measured
+    // SF including the 10× corpus, and exact in-stream cosine admits
+    // no false positives — so the LSH output equals the exact pairs,
+    // hash-proven per round. The SQL computes the dot product in DOUBLE with the
     // same ascending accumulation order as the CosineSim loop (DuckDB's
     // LIST_COSINE_SIMILARITY runs in float32 and disagrees in the 5th
     // decimal), and rounds before comparing like the Spark side.

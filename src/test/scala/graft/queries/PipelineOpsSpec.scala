@@ -2713,6 +2713,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(1000L -> 1000L, 16000L -> 16000L, 64000L -> total))
   }
 
+  test("a11 serving kernel: randomized differential vs in-memory brute force") {
+    import spark.implicits._
+    // adversarial corpus: deterministic pseudo-random vectors with
+    // PLANTED DUPLICATES (ids 50..59 copy 0..9) so rounded-sim ties
+    // are real and the (rounded desc, cid asc) break is exercised —
+    // the exact failure class the l3 sf1 tie-break fix closed
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16) { i =>
+        val h = (seed * 31 + i) * 2654435761L
+        ((h % 1000).toFloat / 500f) - 1f
+      }
+    val cand = (0L until 60L).map(i => (i, vec(if (i >= 50) i - 50 else i)))
+    val qs = (0L until 12L).map(q => (q, vec(q * 7 + 3)))
+    val candDf = cand.toDF("vec_id", "embedding").repartition(5)
+    val qDf = qs.toDF("qid", "qv")
+    val got = graft.functions.VectorOps.serveTopK(qDf, candDf, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // in-memory reference with the SAME display rounding (HALF_UP, 5dp)
+    def rnd5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = qs.flatMap { case (q, qv) =>
+      cand.map { case (c, cv) => (c, rnd5(cos(qv, cv))) }
+        .sortBy { case (c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((c, s), i) => (q, (i + 1).toLong, c, s) }
+    }
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == want.sortBy(r => (r._1, r._2)))
+  }
+
   test("t25 zipf fit: planted exact law recovers slope -1; ranking pinned") {
     import spark.implicits._
     // corpus where term w_i appears exactly floor(4096/i) times: freq
