@@ -109,6 +109,19 @@ object SourceOps {
     OrcPath
   }
 
+  private val XmlPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_events_xml"
+
+  private def ensureXml(s: SparkSession, d: String): String = {
+    writeIfStale(XmlPath, d) {
+      eventsSlice(s, d).coalesce(2)
+        .write.mode("overwrite")
+        .option("rowTag", "event")
+        .format("xml").save(XmlPath)
+    }
+    XmlPath
+  }
+
   private val DirtyJsonlPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_dirty_jsonl"
 
@@ -256,6 +269,38 @@ object SourceOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val path = ensureOrc(s, d)
       s.read.schema(sliceSchema).orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
+          sum(length(col("props"))).as("props_chars"),
+          max("event_id").as("max_id"))
+        .orderedSmall(col("event_type"))
+    },
+
+    // i10: XML ingestion — Spark 4 absorbed spark-xml into core, and
+    // XML is still what enterprise feeds (SOAP exports, sitemap/feed
+    // crawls, config dumps) arrive in. Same i4/ORC oracle pattern
+    // (DuckDB has no XML reader): the SAME aggregate over the raw
+    // parquet table — the format must change the plan, never the
+    // answer, so the hash certifies a lossless round-trip through the
+    // built-in XML source: double text round-tripping, entity escaping
+    // (props carries quotes/braces/angle-bracket-adjacent JSON), and
+    // whitespace preservation (`ignoreSurroundingSpaces=false` on
+    // read — the default TRIMS element text, an asymmetric mutation
+    // the writer never performs; the same trap i2 pins for CSV).
+    // Explicit schema as everywhere: no inference pass at ingest
+    // scale. XML files split by rowTag boundaries across tasks like
+    // text lines — read parallelism = file count × splits.
+    QueryDef("i10_xml_source",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(value), 2) AS sv,
+        |       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = ensureXml(s, d)
+      s.read.schema(sliceSchema)
+        .option("rowTag", "event")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(path)
         .groupBy("event_type")
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
           sum(length(col("props"))).as("props_chars"),
