@@ -198,6 +198,84 @@ object CdcQueries {
     p.toString
   }
 
+  /** c18's decoded snapshot of the PARTIAL-JSON corpus — DuckDB
+    * re-derives the partial-vs-full equivalence join from it. */
+  private val PartialSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_partialevents_cur"
+
+  /** Partial-JSON binary binlog pair (MySQL 8.0
+    * `binlog_row_value_options=PARTIAL_JSON`): file 1 logs 80 updates
+    * as PARTIAL_UPDATE_ROWS_EVENTs (type 39) whose JSON column ships
+    * only (op, path, value) diffs; file 2 logs the SAME logical
+    * changes as plain full-image updates. Four diff variants rotate
+    * through REPLACE/INSERT/REMOVE over nested members and array
+    * elements (incl. append-past-end). SF-independent: c18 certifies
+    * the diff application, not volume. */
+  private def partialFixturePath(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_binpartial_v1")
+    if (!java.nio.file.Files.isDirectory(p)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binpartial")
+      import graft.sources.BinlogBinaryFixture._
+      def doc(i: Int): J = JObj(Seq(
+        "id" -> JInt(i.toLong),
+        "tags" -> JArr(Seq(JStr(s"t$i"), JInt((i % 7).toLong),
+          JBool(i % 2 == 0))),
+        "meta" -> JObj(Seq("ver" -> JInt(1), "src" -> JStr(s"s${i % 5}")))))
+      def variant(i: Int): (Seq[(Int, String, Option[J])], J) = (i % 4) match {
+        case 0 => // REPLACE a nested member
+          (Seq((0, "$.meta.ver", Some(JInt(i + 100L)))),
+            JObj(Seq("id" -> JInt(i.toLong),
+              "tags" -> JArr(Seq(JStr(s"t$i"), JInt((i % 7).toLong),
+                JBool(i % 2 == 0))),
+              "meta" -> JObj(Seq("ver" -> JInt(i + 100L),
+                "src" -> JStr(s"s${i % 5}"))))))
+        case 1 => // INSERT a member + REMOVE an array element
+          (Seq((1, "$.meta.flag", Some(JBool(true))), (2, "$.tags[0]", None)),
+            JObj(Seq("id" -> JInt(i.toLong),
+              "tags" -> JArr(Seq(JInt((i % 7).toLong), JBool(i % 2 == 0))),
+              "meta" -> JObj(Seq("ver" -> JInt(1), "src" -> JStr(s"s${i % 5}"),
+                "flag" -> JBool(true))))))
+        case 2 => // REPLACE an element + append past the end
+          (Seq((0, "$.tags[1]", Some(JStr("r"))),
+            (1, "$.tags[99]", Some(JInt(5)))),
+            JObj(Seq("id" -> JInt(i.toLong),
+              "tags" -> JArr(Seq(JStr(s"t$i"), JStr("r"), JBool(i % 2 == 0),
+                JInt(5))),
+              "meta" -> JObj(Seq("ver" -> JInt(1),
+                "src" -> JStr(s"s${i % 5}"))))))
+        case _ => // REMOVE a member + REPLACE a whole subtree
+          (Seq((2, "$.meta.src", None), (0, "$.tags", Some(JArr(Seq())))),
+            JObj(Seq("id" -> JInt(i.toLong), "tags" -> JArr(Seq()),
+              "meta" -> JObj(Seq("ver" -> JInt(1))))))
+      }
+      def rows(i: Int): (WideRow, Seq[(Int, String, Option[J])], WideRow) = {
+        val (diffs, after) = variant(i)
+        (WideRow(i, ch = Some(s"c$i"), js = Some(doc(i))), diffs,
+          WideRow(i, ch = Some(s"c${i}x"), js = Some(after)))
+      }
+      val partialEvs = scala.collection.mutable.ArrayBuffer[Ev](PreviousGtids)
+      val fullEvs = scala.collection.mutable.ArrayBuffer[Ev](PreviousGtids)
+      for (i <- 0 until 80) {
+        val (before, diffs, after) = rows(i)
+        partialEvs += Gtid(i + 1L); partialEvs += Begin
+        partialEvs += WidePartialUpdate(before, diffs, after)
+        partialEvs += Xid(500L + i)
+        fullEvs += Gtid(i + 1L); fullEvs += Begin
+        fullEvs += WideUpdate(before, after)
+        fullEvs += Xid(500L + i)
+      }
+      partialEvs += Rotate("binlog.000002"); fullEvs += Stop
+      java.nio.file.Files.write(tmp.resolve("binlog.000001"),
+        render(partialEvs.toSeq)._1)
+      java.nio.file.Files.write(tmp.resolve("binlog.000002"),
+        render(fullEvs.toSeq)._1)
+      try java.nio.file.Files.move(tmp, p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    p.toString
+  }
+
   /** Rotated GTID-framed binary binlog: every transaction carries
     * GTID/BEGIN/XID framing, gnos run 1..300 CONTINUOUSLY ACROSS the
     * file rotation (the boundary sits mid-interval for c13's filter),
@@ -503,6 +581,43 @@ object CdcQueries {
         count(col("query")).as("with_query"),
         countDistinct(col("gtid")).as("txns"))
         .orderBy("op")
+    },
+
+    // c18: PARTIAL JSON updates (r13) — MySQL 8.0's
+    // binlog_row_value_options=PARTIAL_JSON logs UPDATEs to JSON
+    // columns as (op, path, value) diff sequences
+    // (PARTIAL_UPDATE_ROWS_EVENT, sql/json_diff.h); the binary decoder
+    // APPLIES them against the before image so every downstream
+    // consumer sees complete row images. The corpus pairs a partial
+    // file with its full-image twin logging the SAME logical changes;
+    // the entry joins them per seq and certifies the applied after
+    // images EQUAL the full ones — and DuckDB re-derives the identical
+    // join (list equality included) from the decoded snapshot, so a
+    // drifting diff applier breaks the hash on both the equality
+    // column and the exposed applied document text.
+    QueryDef("c18_partial_json",
+      s"""WITH p AS (SELECT seq, "afterVals" av FROM read_parquet('$PartialSnapshot/*.parquet')
+         |           WHERE file LIKE '%000001'),
+         |f AS (SELECT seq, "afterVals" av FROM read_parquet('$PartialSnapshot/*.parquet')
+         |      WHERE file LIKE '%000002')
+         |SELECT CAST(p.seq AS BIGINT) AS seq,
+         |       (p.av = f.av) AS applied_equal,
+         |       p.av[13] AS applied_js
+         |FROM p JOIN f ON p.seq = f.seq ORDER BY seq""".stripMargin) { (s, d) =>
+      val events = graft.sources.BinlogBinary.parse(s, partialFixturePath())
+      writeSnapshotIfStale(PartialSnapshot, d) {
+        events.select("file", "seq", "op", "afterVals")
+          .write.mode("overwrite").parquet(PartialSnapshot)
+      }
+      val p = events.filter(col("file").endsWith("000001"))
+        .select(col("seq"), col("afterVals").as("pv"))
+      val f = events.filter(col("file").endsWith("000002"))
+        .select(col("seq"), col("afterVals").as("fv"))
+      p.join(f, Seq("seq"))
+        .select(col("seq"),
+          (col("pv") === col("fv")).as("applied_equal"),
+          element_at(col("pv"), 13).as("applied_js"))
+        .orderedSmall(col("seq"))
     },
 
     QueryDef.noOracle("c2_forward_sql") { (s, d) =>

@@ -62,6 +62,7 @@ object BinlogBinary {
   private val GTID = 33
   private val ANONYMOUS_GTID = 34
   private val PREVIOUS_GTIDS = 35
+  private val PARTIAL_UPDATE = 39
   private val TRANSACTION_PAYLOAD = 40
 
   private val DdlFirstWords = Set("create", "rename", "alter", "drop", "truncate")
@@ -426,7 +427,8 @@ object BinlogBinary {
         }
         val dtRaw = dtRawOf(ts)
 
-        def literal(td: TableDef, ci: Int, cur: Cursor): String =
+        def literal(td: TableDef, ci: Int, cur: Cursor,
+            jsonSink: (Int, Array[Byte]) => Unit = null): String =
           td.types(ci) match {
             case 1 => cur.u8().toByte.toString // TINY (signed)
             case 2 => cur.u16().toShort.toString // SHORT (signed)
@@ -473,7 +475,9 @@ object BinlogBinary {
               // quoted like the other string families so embedded
               // quotes/control bytes stay escaped and single-line
               val n = (0 until td.meta(ci)).map(i => cur.u8().toLong << (8 * i)).sum.toInt
-              quoted(JsonBinary.toText(cur.bytes(n)).getBytes("UTF-8"))
+              val doc = cur.bytes(n)
+              if (jsonSink != null) jsonSink(ci, doc)
+              quoted(JsonBinary.toText(doc).getBytes("UTF-8"))
             case 4 =>
               // FLOAT: decode at FLOAT precision (shortest-decimal of
               // the f32, not of its f64 widening), integral bare
@@ -504,7 +508,8 @@ object BinlogBinary {
           }
 
         // one row image under an included-columns bitmap
-        def image(td: TableDef, included: Array[Boolean], cur: Cursor):
+        def image(td: TableDef, included: Array[Boolean], cur: Cursor,
+            jsonSink: (Int, Array[Byte]) => Unit = null):
             (Array[Int], Array[String]) = {
           val idx = included.indices.filter(included).toArray
           val nullBm = cur.bytes((idx.length + 7) / 8)
@@ -515,7 +520,63 @@ object BinlogBinary {
             ords(k) = idx(k) + 1 // @N ordinals are 1-based
             vals(k) =
               if ((nullBm(k / 8) & (1 << (k % 8))) != 0) "NULL"
-              else literal(td, idx(k), cur)
+              else literal(td, idx(k), cur, jsonSink)
+            k += 1
+          }
+          (ords, vals)
+        }
+
+        // PARTIAL_UPDATE_ROWS_EVENT after image: value_options, then
+        // (when PARTIAL_JSON is set) one partial bit per JSON column
+        // in the image, then the standard null bitmap + values where a
+        // partial JSON column carries a diff sequence instead of a
+        // document — applied here against the before image so the
+        // emitted event is a COMPLETE row image (sql/json_diff.h,
+        // WL#2955; mysqlbinlog prints the same columns as JSON_
+        // function expressions, but the engine's contract is
+        // materialized images — state folds and flashback need the
+        // full after value, not a print artifact).
+        def imagePartial(td: TableDef, included: Array[Boolean],
+            cur: Cursor, beforeJson: scala.collection.Map[Int, Array[Byte]]):
+            (Array[Int], Array[String]) = {
+          val idx = included.indices.filter(included).toArray
+          val valueOptions = cur.lenenc()
+          val partialJson = (valueOptions & 1L) != 0
+          val jsonIdx = idx.filter(i => td.types(i) == 245)
+          val partialBit: Map[Int, Boolean] =
+            if (partialJson && jsonIdx.nonEmpty)
+              jsonIdx.zip(bitmap(cur, jsonIdx.length)).toMap
+            else jsonIdx.map(_ -> false).toMap
+          val nullBm = cur.bytes((idx.length + 7) / 8)
+          val ords = new Array[Int](idx.length)
+          val vals = new Array[String](idx.length)
+          var k = 0
+          while (k < idx.length) {
+            val ci = idx(k)
+            ords(k) = ci + 1
+            vals(k) =
+              if ((nullBm(k / 8) & (1 << (k % 8))) != 0) "NULL"
+              else if (td.types(ci) == 245 && partialBit(ci)) {
+                val totalLen = cur.lenenc().toInt
+                val end = cur.off + totalLen
+                var doc = JsonBinary.parseNode(beforeJson.getOrElse(ci,
+                  throw new IllegalArgumentException(
+                    s"partial JSON diff for column ${ci + 1} with no " +
+                      "before-image document")))
+                while (cur.off < end) {
+                  val op = cur.u8()
+                  val path = new String(cur.bytes(cur.lenenc().toInt), "UTF-8")
+                  val v =
+                    if (op != JsonDiff.Remove)
+                      Some(JsonBinary.parseNode(cur.bytes(cur.lenenc().toInt)))
+                    else None
+                  doc = JsonDiff.apply(doc, op, path, v)
+                }
+                if (cur.off != end) throw new IllegalArgumentException(
+                  s"partial JSON diff for column ${ci + 1} overran its " +
+                    s"declared length by ${cur.off - end}")
+                quoted(JsonBinary.renderNode(doc).getBytes("UTF-8"))
+              } else literal(td, ci, cur)
             k += 1
           }
           (ords, vals)
@@ -620,6 +681,33 @@ object BinlogBinary {
             }
             // the statement's last rows event closes the ROWS_QUERY
             // scope (sql/log_event.cc clears binlog_rows_query there)
+            if ((rowsFlags & 0x0001) != 0) curQuery = null
+          case PARTIAL_UPDATE =>
+            // PARTIAL_UPDATE_ROWS_EVENT (MySQL 8.0,
+            // binlog_row_value_options=PARTIAL_JSON): an UPDATE whose
+            // after-image JSON columns may carry diff sequences. Frame
+            // layout matches UPDATE_V2; the after image is decoded by
+            // imagePartial, which applies each diff against the
+            // before-image document — so the emitted ChangeEvent is
+            // indistinguishable from a full-image update.
+            val tid = c.u48()
+            val rowsFlags = c.u16()
+            val extraLen = c.u16(); if (extraLen > 2) c.bytes(extraLen - 2)
+            val td = tables.getOrElse(tid,
+              throw new IllegalArgumentException(s"rows event for unmapped table $tid"))
+            val nCols = c.lenenc().toInt
+            val inc1 = bitmap(c, nCols)
+            val inc2 = bitmap(c, nCols)
+            while (c.off < bodyEnd) {
+              val beforeJson = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+              val (o1, v1) = image(td, inc1, c,
+                jsonSink = (ci, doc) => { beforeJson(ci) = doc; () })
+              val (o2, v2) = imagePartial(td, inc2, c, beforeJson)
+              out += RawChange(file, seq, startPos, logPos, startPosRaw,
+                stopPosRaw, dtRaw, td.db, td.table, "update", o1, v1, o2, v2,
+                null, curGtid, curQuery)
+              seq += 1
+            }
             if ((rowsFlags & 0x0001) != 0) curQuery = null
           case ROWS_QUERY =>
             // ROWS_QUERY_LOG_EVENT (binlog_rows_query_log_events=ON):

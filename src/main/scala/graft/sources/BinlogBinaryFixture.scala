@@ -105,6 +105,17 @@ object BinlogBinaryFixture {
   final case class WideInsert(row: WideRow) extends Ev
   final case class WideUpdate(before: WideRow, after: WideRow) extends Ev
   final case class WideDelete(row: WideRow) extends Ev
+  /** PARTIAL_UPDATE_ROWS_EVENT (type 39, MySQL 8.0
+    * `binlog_row_value_options=PARTIAL_JSON`): the after image's JSON
+    * column ships a (op, path, value) diff sequence instead of the
+    * document — op 0 REPLACE / 1 INSERT / 2 REMOVE per
+    * sql/json_diff.h. `after` must be the model result of applying
+    * `diffs` to `before` (the caller constructs both; the decoder
+    * equivalence spec asserts the applied image matches). The TEXT
+    * twin prints a plain full-image Update_rows section — the same
+    * logical change a server with value options OFF would log. */
+  final case class WidePartialUpdate(before: WideRow,
+      diffs: Seq[(Int, String, Option[J])], after: WideRow) extends Ev
 
   /** Mid-stream SCHEMA EVOLUTION: re-emit t_pk's TABLE_MAP with an
     * added 4th column (INT `extra`) — the shape a server produces
@@ -320,7 +331,16 @@ object BinlogBinaryFixture {
     * encoding. TIME2 encodes via the sign-offset single-integer view
     * (see BinlogBinary.time2); odd-fsp fractions store their spare
     * trailing digit as 0. */
-  private def wideImage(buf: Buf, r: WideRow): Unit = {
+  /** Default JSON-column slot encoding: u32 length + JSONB document.
+    * [[WidePartialUpdate]] swaps in a diff-sequence writer. */
+  private def wideJsonSlot(buf: Buf, j: J): Unit = {
+    val (t, payload) = encJson(j)
+    buf.u32((1 + payload.length).toLong)
+    buf.u8(t); buf ++= payload
+  }
+
+  private def wideImage(buf: Buf, r: WideRow,
+      jsonW: (Buf, J) => Unit = wideJsonSlot): Unit = {
     val nulls = Seq(false, r.ch.isEmpty, r.chBig.isEmpty, r.vs.isEmpty,
       r.txt.isEmpty, r.tiny.isEmpty, r.en.isEmpty, r.st.isEmpty,
       r.bits.isEmpty, r.tm0.isEmpty, r.tm3.isEmpty, r.dt1.isEmpty,
@@ -353,11 +373,7 @@ object BinlogBinaryFixture {
         (t.getMinute.toLong << 6) | t.getSecond.toLong
       buf ++= be(packed, 5); buf.u8(tenths * 10) // hundredths, spare digit 0
     }
-    r.js.foreach { j =>
-      val (t, payload) = encJson(j)
-      buf.u32((1 + payload.length).toLong)
-      buf.u8(t); buf ++= payload
-    }
+    r.js.foreach(j => jsonW(buf, j))
   }
 
   /** Text-twin literals for a t_wide row — byte-identical to the
@@ -556,7 +572,8 @@ object BinlogBinaryFixture {
     // STRING(254) with the real type in metadata byte 0; the 300-byte
     // CHAR folds its length high bits into byte 0 (XOR split).
     if (events.exists {
-      case _: WideInsert | _: WideUpdate | _: WideDelete => true
+      case _: WideInsert | _: WideUpdate | _: WideDelete |
+           _: WidePartialUpdate => true
       case _ => false
     }) {
       val p = new Buf
@@ -667,6 +684,41 @@ object BinlogBinaryFixture {
           wideImage(p, before); wideImage(p, after)
           val start = out.b.length
           val (at, logPos) = header(uType, p.b.length)
+          out ++= p.toArray; seal(start)
+          text ++= s"# at $at\n"
+          text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tUpdate_rows: table id $WideTableId flags: STMT_END_F\n"
+          text ++= "### UPDATE `testdb`.`t_wide`\n### WHERE\n"
+          text ++= wideImageText(before) + "\n### SET\n"
+          text ++= wideImageText(after) + "\n"
+        case WidePartialUpdate(before, diffs, after) =>
+          // UPDATE_V2 framing with etype 39; after image prefixed by
+          // value_options (lenenc, bit0 = PARTIAL_JSON) and one
+          // partial bit per JSON column in the image (t_wide has one),
+          // the JSON slot carrying lenenc(total) + diff records of
+          // {op u8, lenenc path, [lenenc value JSONB]}
+          val p = new Buf
+          p.u48(WideTableId); p.u16(1); p.u16(2)
+          p.u8(13); p.u8(0xFF); p.u8(0x1F); p.u8(0xFF); p.u8(0x1F)
+          wideImage(p, before)
+          lenenc(p, 1L) // value_options: PARTIAL_JSON
+          p.u8(0x01) // partial_bits: the single JSON column, partial
+          wideImage(p, after, jsonW = (b, _) => {
+            val body = new Buf
+            diffs.foreach { case (op, path, v) =>
+              body.u8(op)
+              val pb = path.getBytes("UTF-8")
+              lenenc(body, pb.length.toLong); body ++= pb
+              v.foreach { j =>
+                val (t, payload) = encJson(j)
+                lenenc(body, (1 + payload.length).toLong)
+                body.u8(t); body ++= payload
+              }
+            }
+            lenenc(b, body.b.length.toLong)
+            b ++= body.toArray
+          })
+          val start = out.b.length
+          val (at, logPos) = header(PARTIAL_UPDATE_TYPE, p.b.length)
           out ++= p.toArray; seal(start)
           text ++= s"# at $at\n"
           text ++= s"#${dt(epoch)} server id 1  end_log_pos $logPos CRC32 0x00000000 \tUpdate_rows: table id $WideTableId flags: STMT_END_F\n"
@@ -896,6 +948,7 @@ object BinlogBinaryFixture {
   private val UPDATE_V2_TYPE = 31
   private val DELETE_V2_TYPE = 32
   private val ROWS_QUERY_TYPE = 29
+  private val PARTIAL_UPDATE_TYPE = 39
   private val TRANSACTION_PAYLOAD_TYPE = 40
 
   /** MySQL length-encoded integer writer (net_store_length). */

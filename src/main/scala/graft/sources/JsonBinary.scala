@@ -49,6 +49,116 @@ object JsonBinary {
     sb.toString
   }
 
+  /** Mutable document tree for partial-JSON diff application
+    * (PARTIAL_UPDATE_ROWS_EVENT). Scalars keep their RENDERED text
+    * (the exact bytes `toText` would emit — numbers, quoted strings,
+    * literals, opaques), so a parse→render round trip of any document
+    * is byte-identical to `toText` and an applied diff perturbs only
+    * the edited node. Keys are stored RAW (unescaped) for path
+    * matching and re-escaped on render. */
+  sealed trait JNode
+  final case class JObjN(
+      fields: scala.collection.mutable.LinkedHashMap[String, JNode]) extends JNode
+  final case class JArrN(
+      items: scala.collection.mutable.ArrayBuffer[JNode]) extends JNode
+  final case class JScalarN(text: String) extends JNode
+
+  /** Binary JSON document → tree (same wire walk as [[toText]]). */
+  def parseNode(doc: Array[Byte]): JNode = {
+    if (doc.isEmpty) return JScalarN("null")
+    node(doc, doc(0) & 0xFF, 1)
+  }
+
+  private def node(b: Array[Byte], tpe: Int, pos: Int): JNode = tpe match {
+    case SmallObj | LargeObj | SmallArr | LargeArr =>
+      val large = tpe == LargeObj || tpe == LargeArr
+      val isObj = tpe == SmallObj || tpe == LargeObj
+      val w = if (large) 4 else 2
+      def field(p: Int): Int = if (large) u32(b, p).toInt else u16(b, p)
+      val count = field(pos)
+      val keyEntries = pos + 2 * w
+      val valEntries = keyEntries + (if (isObj) count * (w + 2) else 0)
+      def valueAt(i: Int): JNode = {
+        val e = valEntries + i * (1 + w)
+        val vType = b(e) & 0xFF
+        if (inlined(vType, large)) node(b, vType, e + 1)
+        else node(b, vType, pos + field(e + 1))
+      }
+      if (isObj) {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, JNode]
+        var i = 0
+        while (i < count) {
+          val keyOff = field(keyEntries + i * (w + 2))
+          val keyLen = u16(b, keyEntries + i * (w + 2) + w)
+          m.put(new String(b, pos + keyOff, keyLen, "UTF-8"), valueAt(i))
+          i += 1
+        }
+        JObjN(m)
+      } else {
+        val a = scala.collection.mutable.ArrayBuffer.empty[JNode]
+        var i = 0
+        while (i < count) { a += valueAt(i); i += 1 }
+        JArrN(a)
+      }
+    case scalar =>
+      val sb = new java.lang.StringBuilder
+      value(b, scalar, pos, sb)
+      JScalarN(sb.toString)
+  }
+
+  /** Tree → text with [[toText]]'s exact conventions. */
+  def renderNode(n: JNode): String = {
+    val sb = new java.lang.StringBuilder
+    renderTo(n, sb)
+    sb.toString
+  }
+
+  private def renderTo(n: JNode, sb: java.lang.StringBuilder): Unit = n match {
+    case JScalarN(t) => sb.append(t): Unit
+    case JArrN(items) =>
+      sb.append('[')
+      var i = 0
+      while (i < items.length) {
+        if (i > 0) sb.append(", ")
+        renderTo(items(i), sb)
+        i += 1
+      }
+      sb.append(']'): Unit
+    case JObjN(fields) =>
+      sb.append('{')
+      var first = true
+      fields.foreach { case (k, v) =>
+        if (!first) sb.append(", ")
+        first = false
+        escapeStringTo(k, sb)
+        sb.append(": ")
+        renderTo(v, sb)
+      }
+      sb.append('}'): Unit
+  }
+
+  /** The [[appendJsonString]] escaping over an in-memory string. */
+  private[sources] def escapeStringTo(s: String,
+      sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"'): Unit
+  }
+
   private def u16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
   private def u32(b: Array[Byte], p: Int): Long =
@@ -196,24 +306,6 @@ object JsonBinary {
     * `"` `\` and control chars escaped (named escapes where JSON has
     * them, `\u00NN` otherwise). */
   private def appendJsonString(b: Array[Byte], pos: Int, len: Int,
-      sb: java.lang.StringBuilder): Unit = {
-    val s = new String(b, pos, len, "UTF-8")
-    sb.append('"')
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      i += 1
-    }
-    sb.append('"'): Unit
-  }
+      sb: java.lang.StringBuilder): Unit =
+    escapeStringTo(new String(b, pos, len, "UTF-8"), sb)
 }

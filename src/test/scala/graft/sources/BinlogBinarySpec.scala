@@ -695,6 +695,63 @@ class BinlogBinarySpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("partial JSON update: diff stream decodes identically to its full-image twin") {
+    import BinlogBinaryFixture._
+    val beforeDoc = JObj(Seq(
+      "user" -> JObj(Seq("id" -> JInt(42), "name" -> JStr("a\"b"),
+        "meta" -> JObj(Seq("ver" -> JInt(1))))),
+      "tags" -> JArr(Seq(JStr("x"), JInt(-7), JBool(true), JNull)),
+      "odd key.[x]" -> JStr("quoted-path member"),
+      "score" -> JDbl(2.5)))
+    // six diffs exercising every op × container kind, incl. a quoted
+    // path leg and an array append past the end
+    val diffs = Seq[(Int, String, Option[J])](
+      (0, "$.user.name", Some(JStr("renamed"))), // REPLACE nested member
+      (0, "$.tags[1]", Some(JInt(99))), // REPLACE array element
+      (1, "$.user.active", Some(JBool(true))), // INSERT new member
+      (1, "$.tags[2]", Some(JArr(Seq(JInt(1), JInt(2))))), // INSERT mid-array
+      (1, "$.tags[99]", Some(JStr("appended"))), // INSERT past end = append
+      (2, "$.user.meta", None), // REMOVE member
+      (2, "$.tags[0]", None), // REMOVE array element
+      (0, "$.\"odd key.[x]\"", Some(JStr("via quoted leg")))) // quoted path
+    val afterDoc = JObj(Seq(
+      "user" -> JObj(Seq("id" -> JInt(42), "name" -> JStr("renamed"),
+        "active" -> JBool(true))),
+      "tags" -> JArr(Seq(JInt(99), JArr(Seq(JInt(1), JInt(2))), JBool(true),
+        JNull, JStr("appended"))),
+      "odd key.[x]" -> JStr("via quoted leg"),
+      "score" -> JDbl(2.5)))
+    val before = WideRow(5, ch = Some("pre"), js = Some(beforeDoc))
+    val after = WideRow(5, ch = Some("post"), js = Some(afterDoc))
+    val partial = Seq(Gtid(31), Begin,
+      WidePartialUpdate(before, diffs, after), Xid(31))
+    val fullTwin = Seq(Gtid(31), Begin, WideUpdate(before, after), Xid(31))
+    val fromPartial = BinlogBinary.parseBytes("f", render(partial)._1)
+    val fromFull = BinlogBinary.parseBytes("f", render(fullTwin)._1)
+    def canon(r: graft.cdc.RawChange) =
+      (r.seq, r.db, r.table, r.op, r.beforeOrds.toSeq, r.beforeVals.toSeq,
+        r.afterOrds.toSeq, r.afterVals.toSeq, r.gtid)
+    assert(fromPartial.size == 1)
+    assert(fromPartial.map(canon) == fromFull.map(canon))
+    // non-JSON columns in the same image decode around the diff slot
+    assert(fromPartial.head.afterVals(1) == "'post'")
+    // the partial stream also survives the ZSTD transaction wrapper
+    // (inner replay shares the decoder)
+    val fromZstd = BinlogBinary.parseBytes("f",
+      compressTransactions(render(partial)._1))
+    assert(fromZstd.map(canon) == fromFull.map(canon))
+    // a diff that does not apply fails LOUDLY, never silently
+    val badDiff = Seq[(Int, String, Option[J])](
+      (0, "$.nosuch.member", Some(JInt(1))))
+    val bad = Seq(Gtid(32), Begin,
+      WidePartialUpdate(before, badDiff, after), Xid(32))
+    val e = intercept[IllegalArgumentException] {
+      BinlogBinary.parseBytes("f", render(bad)._1)
+    }
+    assert(e.getMessage.contains("nosuch") || e.getMessage.contains("member"),
+      e.getMessage)
+  }
+
   test("rows_query passthrough: captured on both paths, statement-scoped, comment-rendered") {
     import BinlogBinaryFixture._
     val evs = Seq(
