@@ -740,6 +740,20 @@ class BinlogBinarySpec extends AnyFunSuite {
     val fromZstd = BinlogBinary.parseBytes("f",
       compressTransactions(render(partial)._1))
     assert(fromZstd.map(canon) == fromFull.map(canon))
+    // flashback renders the INVERSE update from the applied images —
+    // byte-identical to flashing back the full-image twin (partial
+    // streams must be invertible like any other)
+    def flashSql(bin: Array[Byte]): Seq[String] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pj")
+      java.nio.file.Files.write(tmp.resolve("binlog.000001"), bin)
+      BinlogBinary.run(spark, tmp.toString, Catalog.fixture(spark),
+        CdcConfig(flashback = true))
+        .select("sql").collect().map(_.getString(0)).toSeq
+        // the pos-comment line differs by the events' byte sizes
+        // (a diff is smaller than its document); the SQL must not
+        .map(_.linesIterator.filterNot(_.startsWith("#")).mkString("\n"))
+    }
+    assert(flashSql(render(partial)._1) == flashSql(render(fullTwin)._1))
     // a diff that does not apply fails LOUDLY, never silently
     val badDiff = Seq[(Int, String, Option[J])](
       (0, "$.nosuch.member", Some(JInt(1))))
