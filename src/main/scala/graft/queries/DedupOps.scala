@@ -704,14 +704,16 @@ object DedupOps {
     * mod-2^64 after every multiply (32-bit-split schoolbook product —
     * DuckDB's UBIGINT multiply errors on overflow rather than
     * wrapping), rotates as divide/multiply by powers of two, XOR via
-    * UBIGINT. Corpus tokens are ≤ 11 bytes (whitespace-split synthetic
-    * words; the 10× corpus's longest is 9 — which is what forced the
-    * r13 extension past the original ≤8 unroll), so xxh64's short path
-    * (one 8-byte chunk, then a 4-byte lane OR ≤3 tail bytes, then
-    * avalanche) is emitted FULLY UNROLLED as chained CTE stages; a
-    * ≥12-byte token (needs the post-chunk 4-lane) raises error() at
-    * evaluation — the oracle fails LOUDLY rather than diverging
-    * silently if the corpus ever grows longer words. Bit votes fan out over
+    * UBIGINT. Corpus tokens are ≤ 15 bytes (whitespace-split synthetic
+    * words; the 10× corpus's 9-byte words first forced the extension
+    * past the original ≤8 unroll), so xxh64's whole sub-16 finalization
+    * (one 8-byte chunk, then a 4-byte lane, then ≤3 tail bytes, then
+    * avalanche) is emitted FULLY UNROLLED as chained CTE stages —
+    * every length 1..15 is validated against Spark's own xxhash64 by
+    * `tools/check_xxh64_sql.py`; a ≥16-byte token (needs a second
+    * 8-byte chunk) raises error() at evaluation — the oracle fails
+    * LOUDLY rather than diverging silently if the corpus ever grows
+    * longer words. Bit votes fan out over
     * UNNEST(range(64)),
     * the signature reassembles via BIGINT shifts with bit 63 as the
     * sign value (the m5 technique — `**` would route through DOUBLE
@@ -732,7 +734,7 @@ object DedupOps {
     def xor64(a: String, b: String): String =
       s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
     def shr(x: String, n: Int): String = s"(($x) // ${BigInt(1) << n})"
-    val bytes = (1 to 11).map { p =>
+    val bytes = (1 to 15).map { p =>
       s"CASE WHEN n >= $p THEN CAST(16*(strpos('0123456789ABCDEF', substr(hx,${2 * p - 1},1))-1)" +
         s" + strpos('0123456789ABCDEF', substr(hx,${2 * p},1))-1 AS HUGEINT)" +
         s" ELSE CAST(0 AS HUGEINT) END AS b$p"
@@ -750,26 +752,34 @@ object DedupOps {
        |  FROM th),
        |s0 AS (SELECT doc_id, n, $u64 AS u64,
        |        (b1 + b2*256 + b3*65536 + b4*16777216) AS u32a,
-       |        b1, b2, b3, b5, b6, b7, b9, b10, b11,
+       |        (b9 + b10*256 + b11*65536 + b12*16777216) AS u32b,
+       |        b1, b2, b3, b5, b6, b7, b9, b10, b11, b13, b14, b15,
        |        CAST($p5 AS HUGEINT) + n AS h0 FROM tbytes),
        |s1 AS (SELECT *, CASE WHEN n >= 8 THEN
        |          (${mul64(rotl(xor64("h0", mul64(rotl(mul64("u64", p2), 31), p1)), 27), p1)} + $p4) % $M
        |        WHEN n >= 4 THEN
        |          (${mul64(rotl(xor64("h0", mul64("u32a", p1)), 23), p2)} + $p3) % $M
-       |        ELSE h0 END AS h1,
-       |        CASE WHEN n >= 8 THEN n - 8 WHEN n >= 4 THEN n - 4 ELSE n END AS tl,
-       |        CASE WHEN n > 8 THEN b9 WHEN n >= 4 AND n < 8 THEN b5 ELSE b1 END AS ta,
-       |        CASE WHEN n > 8 THEN b10 WHEN n >= 4 AND n < 8 THEN b6 ELSE b2 END AS tbb,
-       |        CASE WHEN n > 8 THEN b11 WHEN n >= 4 AND n < 8 THEN b7 ELSE b3 END AS tc
-       |       FROM s0),
-       |s2 AS (SELECT *, CASE WHEN tl > 0 THEN ${mul64(rotl(xor64("h1", mul64("ta", p5)), 11), p1)} ELSE h1 END AS h2 FROM s1),
+       |        ELSE h0 END AS h1a FROM s0),
+       |s1b AS (SELECT *, CASE WHEN n >= 12 THEN
+       |          (${mul64(rotl(xor64("h1a", mul64("u32b", p1)), 23), p2)} + $p3) % $M
+       |        ELSE h1a END AS h1,
+       |        CASE WHEN n >= 12 THEN n - 12 WHEN n >= 8 THEN n - 8
+       |             WHEN n >= 4 THEN n - 4 ELSE n END AS tl,
+       |        CASE WHEN n >= 12 THEN b13 WHEN n > 8 THEN b9
+       |             WHEN n >= 4 AND n < 8 THEN b5 ELSE b1 END AS ta,
+       |        CASE WHEN n >= 12 THEN b14 WHEN n > 8 THEN b10
+       |             WHEN n >= 4 AND n < 8 THEN b6 ELSE b2 END AS tbb,
+       |        CASE WHEN n >= 12 THEN b15 WHEN n > 8 THEN b11
+       |             WHEN n >= 4 AND n < 8 THEN b7 ELSE b3 END AS tc
+       |       FROM s1),
+       |s2 AS (SELECT *, CASE WHEN tl > 0 THEN ${mul64(rotl(xor64("h1", mul64("ta", p5)), 11), p1)} ELSE h1 END AS h2 FROM s1b),
        |s3 AS (SELECT *, CASE WHEN tl > 1 THEN ${mul64(rotl(xor64("h2", mul64("tbb", p5)), 11), p1)} ELSE h2 END AS h3 FROM s2),
        |s4 AS (SELECT *, CASE WHEN tl > 2 THEN ${mul64(rotl(xor64("h3", mul64("tc", p5)), 11), p1)} ELSE h3 END AS h4 FROM s3),
        |a1 AS (SELECT doc_id, n, ${mul64(xor64("h4", shr("h4", 33)), p2)} AS g1 FROM s4),
        |a2 AS (SELECT doc_id, n, ${mul64(xor64("g1", shr("g1", 29)), p3)} AS g2 FROM a1),
-       |tokh AS (SELECT doc_id, CASE WHEN n <= 11
+       |tokh AS (SELECT doc_id, CASE WHEN n <= 15
        |           THEN xor(CAST((g2) AS UBIGINT), CAST((g2) // 4294967296 AS UBIGINT))
-       |           ELSE CAST(error('simhash oracle: token > 11 bytes needs xxh64 post-chunk 4-lane path') AS UBIGINT)
+       |           ELSE CAST(error('simhash oracle: token > 15 bytes needs a second xxh64 8-byte chunk') AS UBIGINT)
        |           END AS h FROM a2),
        |votes AS (
        |  SELECT doc_id, b,
