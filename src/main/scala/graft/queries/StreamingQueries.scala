@@ -307,6 +307,30 @@ object StreamingQueries {
       } finally s.conf.set(key, prev)
     },
 
+    // s24: dropDuplicatesWithinWatermark (r13) — Spark 3.5+'s
+    // state-BOUNDED streaming dedup: exact dedup is guaranteed only
+    // for duplicates arriving within the watermark delay, which is
+    // what lets the state store EXPIRE keys instead of growing with
+    // every key ever seen (plain dropDuplicates' unbounded-state trap
+    // on a 100 TB stream). Certified in two halves: this entry pins
+    // the within-delay behavior as a full DuckDB oracle — the delay
+    // exceeds the corpus's time span, so no key expires and the
+    // streamed output is exactly one row per distinct (user_id,
+    // event_type); projecting to the KEY alone is winner-invariant
+    // (which duplicate wins a within-batch race cannot change the key
+    // set — the s10 trick). The distinguishing expire-then-re-emit
+    // semantics is golden-pinned in StreamingOpsSpec, where batch
+    // boundaries are exact.
+    QueryDef("s24_dedup_within_watermark",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      runScenario(s, "append", eventFeedAll(s, d, 6))(df =>
+        df.withWatermark("ts", "365 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))
+        .orderedRows(col("user_id"), col("event_type"))
+    },
+
     // s17: DYNAMIC-GAP sessionization — flatMapGroupsWithState logic
     // session_window can't express (the idle gap after each event
     // depends on that event's type: purchase 60 min, else 30), run

@@ -57,6 +57,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "view", 1L)))
   }
 
+  test("s24 golden: dropDuplicatesWithinWatermark dedups within the delay, re-emits after expiry") {
+    // THE behavior that distinguishes the state-bounded API from plain
+    // dropDuplicates: a duplicate inside the delay is dropped, and a
+    // duplicate arriving AFTER its key's state expired (watermark past
+    // firstTs + delay) is emitted AGAIN — bounded state, bounded
+    // guarantee. Keys here are user ids; delay 10 minutes.
+    val in = MemoryStream[EventRow]
+    val out = runToMemory("s24g",
+      in.toDF().withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select(col("user_id"), col("ts")),
+      "append", stream = Some(in), data = Seq(
+        // batch 1: first occurrences of users 1 and 2 (wm still unset)
+        Seq(ev("2024-01-01 10:00:00", userId = 1),
+          ev("2024-01-01 10:02:00", userId = 2)),
+        // batch 2: user-2 dup INSIDE the delay (wm 09:52 from batch 1)
+        // → dropped; the 10:30 row pushes the wm to 10:20, past
+        // user 1's 10:00 + 10 min → user 1's state expires
+        Seq(ev("2024-01-01 10:05:00", userId = 2),
+          ev("2024-01-01 10:30:00", userId = 3)),
+        // batch 3: user-1 dup AFTER expiry (10:25 > wm 10:20, not
+        // late) → RE-EMITTED
+        Seq(ev("2024-01-01 10:25:00", userId = 1))))
+    val got = out.select("user_id").as[Long].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 1), got.toString)
+  }
+
   test("S4 golden: late row older than watermark is dropped") {
     val in = MemoryStream[EventRow]
     val out = runToMemory("s4t", StreamingOps.tumblingLateDrop(in.toDF()), "append",
