@@ -54,8 +54,15 @@ object BinlogFsm {
     if (inSet) finish() else None
   }
 
+  /** @param ddlOnly skip row-image (`###`) lines entirely — the
+    *   dominant line volume — emitting only DDL events. Used for the
+    *   schema-evolution timeline parse of GTID-pruned files, where row
+    *   events are never rendered: seq numbers then count only DDL, which
+    *   is safe because pruned files contribute no row events to compare
+    *   against (cross-file ordering keys on the file name first). */
   def parse(file: String, lines: Iterator[String],
-      includeDdl: Boolean = false): Iterator[RawChange] = new Iterator[RawChange] {
+      includeDdl: Boolean = false,
+      ddlOnly: Boolean = false): Iterator[RawChange] = new Iterator[RawChange] {
 
     private val pending = mutable.Queue.empty[RawChange]
     private var seqNo = 0L // emission order within the file (stream order)
@@ -146,6 +153,8 @@ object BinlogFsm {
     private def processLine(line0: String): Unit = {
       val line = line0.stripLineEnd
       if (line.startsWith("###")) {
+        if (ddlOnly) return // DDL-only fast path: no row-image work
+
         // Row-image pseudo-SQL. Strip the marker and the trailing
         // `/* TYPE meta … */` annotation (first `/*`, as the reference
         // does — log2sql.py:96).

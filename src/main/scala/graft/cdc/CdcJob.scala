@@ -52,7 +52,7 @@ object CdcJob {
     parsePaths(spark, Seq(path), includeDdl)
 
   private[cdc] def parsePaths(spark: SparkSession, paths: Seq[String],
-      includeDdl: Boolean): DataFrame = {
+      includeDdl: Boolean, ddlOnly: Boolean = false): DataFrame = {
     import spark.implicits._
     if (paths.isEmpty) return projectEvents(spark.emptyDataset[RawChange].toDF())
     projectEvents(
@@ -60,7 +60,7 @@ object CdcJob {
         .select(input_file_name().as("file"), col("value"))
         .as[(String, String)]
         .flatMap { case (file, text) =>
-          BinlogFsm.parse(file, text.linesIterator, includeDdl)
+          BinlogFsm.parse(file, text.linesIterator, includeDdl, ddlOnly)
         }
         .toDF())
   }
@@ -202,14 +202,15 @@ object CdcJob {
     // the pruned (earlier, GTID-disjoint) files — the base catalog
     // contract is "schema at log start", not "at the pruned read-list
     // start" — so the fold additionally parses the pruned-out files
-    // (DDL only, for the bounded driver collect; retained files are
-    // never read twice).
+    // in the FSM's ddlOnly fast path (row-image lines — the dominant
+    // volume — are skipped at the line level, so pruning's decode
+    // saving is kept; retained files are never read twice).
     val evolved =
       if (cfg.evolveSchema) {
         val timelineEvents =
           if (prunedOut.isEmpty) events
           else events.unionByName(
-            parsePaths(spark, prunedOut, includeDdl = true)
+            parsePaths(spark, prunedOut, includeDdl = true, ddlOnly = true)
               .filter(col("op") === "ddl"))
         Some(SchemaEvolve.timelines(timelineEvents, catalog))
       } else None

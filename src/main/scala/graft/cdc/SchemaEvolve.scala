@@ -86,14 +86,25 @@ object SchemaEvolve {
   private val ContextRe = """(?is)\s*(use\s.*|set\s+timestamp\s*=.*|--.*)""".r
 
   /** Split an ALTER body at top-level commas — commas inside parens
-    * (`DECIMAL(10,2)`, index column lists) or quotes never split. */
+    * (`DECIMAL(10,2)`, index column lists) or quotes never split.
+    * Inside ' or " literals a backslash escapes the next character
+    * (MySQL string syntax: `DEFAULT 'it\'s, ok'` must not split);
+    * backticked identifiers have no backslash escape. Doubled-quote
+    * escapes (`'it''s'`) need no special case — the naive toggle
+    * closes and immediately reopens, keeping the comma quoted. */
   private[cdc] def splitClauses(body: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0
+    var escaped = false
     body.foreach { ch =>
-      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      if (quote != 0) {
+        cur += ch
+        if (escaped) escaped = false
+        else if (ch == '\\' && quote != '`') escaped = true
+        else if (ch == quote) quote = 0
+      }
       else ch match {
         case '`' | '\'' | '"' => quote = ch; cur += ch
         case '(' => depth += 1; cur += ch

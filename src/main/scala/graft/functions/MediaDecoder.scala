@@ -85,5 +85,10 @@ object ImageIODecoder extends MediaDecoder {
         val h = img.getHeight
         (w, h, img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h)))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // the SPI contract is "None = undecodable": ImageIO plugin readers
+      // throw RuntimeExceptions (not just IOException) on truncated
+      // containers, and those must fall back, never fail the task
+      case scala.util.control.NonFatal(_) => None
+    }
 }

@@ -95,10 +95,12 @@ object VectorOps {
       // replicated vectors score last-ulp-apart sims that ROUND equal,
       // so a raw order keeps different copies than the oracle's
       // rounded order (the a11/l5 house pattern, applied here). The
-      // key is floor(sim·1e5 + 0.5) — one fma per candidate, no
-      // BigDecimal in the N²/2 loop; the displayed value still comes
-      // from Catalyst round() below, which groups identically for
-      // dot-product sims (they never sit on a half-ulp boundary).
+      // key is sign·floor(|sim|·1e5 + 0.5) — HALF_UP away from zero,
+      // the same tie direction as Catalyst/DuckDB ROUND even for
+      // negative sims landing exactly on a 5-decimal half boundary;
+      // a couple of flops per candidate, no BigDecimal in the N²/2
+      // loop. The displayed value still comes from Catalyst round()
+      // below, which groups identically.
       def beats(rk: Long, ia: Long, ib: Long, i: Int): Boolean =
         rk > rks(i) || (rk == rks(i) &&
           (ia < ias(i) || (ia == ias(i) && ib < ibs(i))))
@@ -118,7 +120,7 @@ object VectorOps {
           var s = 0.0; var i = 0
           while (i < dim) { s += va(i) * cFlat(off + i); i += 1 }
           val sim = s / (na * cNrms(j))
-          val rk = math.floor(sim * 1e5 + 0.5).toLong
+          val rk = (math.signum(sim) * math.floor(math.abs(sim) * 1e5 + 0.5)).toLong
           if (n < k || beats(rk, ia, ib, n - 1)) {
             var i2 = math.min(n, k - 1)
             while (i2 > 0 && beats(rk, ia, ib, i2 - 1)) {
@@ -296,7 +298,7 @@ object VectorOps {
     * 21 s at bench SF for a kernel this runs in ~0.3 s.
     *
     * Ranking: candidates are kept by the ROUNDED score (the l3 house
-    * pattern — floor(sim·1e5+0.5), ties cid asc) so float last-ulp
+    * pattern — sign·floor(|sim|·1e5+0.5), ties cid asc) so float last-ulp
     * noise cannot make the kernel keep different rows than the
     * oracle's ROUND()-ranked order; the displayed value is Catalyst
     * round() over the raw sim, identical grouping for dot-product
@@ -368,7 +370,7 @@ object VectorOps {
             var s = 0.0; var i2 = 0; val off = q * qDim
             while (i2 < qDim) { s += qFlat(off + i2) * cv(i2); i2 += 1 }
             val sim = s / (qNrms(q) * cn)
-            val rk = math.floor(sim * 1e5 + 0.5).toLong
+            val rk = (math.signum(sim) * math.floor(math.abs(sim) * 1e5 + 0.5)).toLong
             val base = q * k
             val n = ns(q)
             @inline def beats(j: Int): Boolean =

@@ -736,7 +736,13 @@ object BinlogBinary {
             var compression = 255L // NONE unless declared
             var uncompressedSize = -1L
             var endMark = false
+            // bounded by bodyEnd: a malformed header that never yields
+            // the type-0 end mark must surface as the decoder's
+            // standard corrupt-payload diagnostic, not walk the cursor
+            // off the buffer into a raw ArrayIndexOutOfBounds
             while (!endMark) {
+              if (c.off >= bodyEnd) throw new IllegalArgumentException(
+                "Transaction_payload: header end mark missing before body end")
               val ftype = c.lenenc()
               if (ftype == 0) endMark = true
               else {

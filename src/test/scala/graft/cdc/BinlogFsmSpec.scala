@@ -50,6 +50,19 @@ class BinlogFsmSpec extends AnyFunSuite {
       List("use `testdb`;\nalter table t_pk add column extra int;"))
   }
 
+  test("ddlOnly fast path: same DDL events, zero DML work") {
+    val full = parse(BinlogFixture.representative, ddl = true)
+    val fast = BinlogFsm.parse("f1",
+      BinlogFixture.representative.linesIterator,
+      includeDdl = true, ddlOnly = true).toList
+    assert(fast.forall(_.op == "ddl"))
+    // same DDL text + positions as the full parse (seq may differ:
+    // ddlOnly counts only DDL, which is safe for the timeline fold —
+    // pruned files contribute no row events to order against)
+    assert(fast.map(e => (e.ddl, e.startPos)) ==
+      full.filter(_.op == "ddl").map(e => (e.ddl, e.startPos)))
+  }
+
   test("PK-changing update keeps both images distinct (quirk Q3 input)") {
     val up = parse(BinlogFixture.pkChangingUpdate).head
     assert(up.before.head == ColVal(1, "1"))

@@ -525,4 +525,23 @@ class CdcJobSpec extends AnyFunSuite {
     assert(applyChange(names, Move("a", first = false, after = Some("c"))) ==
       IndexedSeq("id", "b", "c", "a"))
   }
+
+  test("schema evolution splitClauses: escaped quotes never split") {
+    import SchemaEvolve._
+    // MySQL backslash escape inside a string literal: the embedded
+    // comma stays inside ONE clause
+    assert(parseDdl(
+      """alter table t add column a varchar(20) default 'it\'s, ok', drop column b""",
+      "db").contains((("db", "t"), Seq(
+      Add("a", first = false, after = None), Drop("b")))))
+    // doubled-quote escape keeps the comma quoted through the naive
+    // close-and-reopen toggle
+    assert(parseDdl(
+      "alter table t add column a varchar(20) default 'it''s, ok', drop column b",
+      "db").contains((("db", "t"), Seq(
+      Add("a", first = false, after = None), Drop("b")))))
+    // a trailing backslash-escaped quote must not leave the splitter
+    // "open" past the literal: the second clause still parses
+    assert(splitClauses("""add a int default 'x\\', drop b""").size == 2)
+  }
 }

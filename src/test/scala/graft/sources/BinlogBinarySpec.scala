@@ -693,6 +693,39 @@ class BinlogBinarySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("corrupt") || e.getMessage.contains("payload"),
       e.getMessage)
+
+    // a TLV header that never yields the type-0 end mark must surface
+    // as the decoder's standard corrupt-payload diagnostic, not walk
+    // the cursor off the buffer (bounds guard on the TLV loop)
+    val noEnd = zstd.clone()
+    val bodyStart = payloadOff + 19
+    val bodyEndNC = payloadOff + evSize - 4
+    // tile the body with well-formed ftype=1 fields (ignored by the
+    // decoder) so the loop consumes the WHOLE body without an end mark:
+    // 3-byte group [type=1, len=1, lenenc 0x00]; 5-byte group
+    // [type=1, len=3, lenenc 0xFC 0x00 0x00] absorbs len%3 remainders
+    val bodyLen = bodyEndNC - bodyStart
+    val n5 = bodyLen % 3 match { case 1 => 2; case 2 => 1; case _ => 0 }
+    var w = bodyStart
+    var g5 = 0
+    while (g5 < n5) {
+      noEnd(w) = 1; noEnd(w + 1) = 3; noEnd(w + 2) = 0xFC.toByte
+      noEnd(w + 3) = 0; noEnd(w + 4) = 0
+      w += 5; g5 += 1
+    }
+    while (w < bodyEndNC) { noEnd(w) = 1; noEnd(w + 1) = 1; noEnd(w + 2) = 0; w += 3 }
+    val crc2 = new java.util.zip.CRC32
+    crc2.update(noEnd, payloadOff, evSize - 4)
+    var k2 = 0
+    while (k2 < 4) {
+      noEnd(payloadOff + evSize - 4 + k2) =
+        ((crc2.getValue >> (8 * k2)) & 0xFF).toByte
+      k2 += 1
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogBinary.parseBytes("f", noEnd)
+    }
+    assert(e2.getMessage.contains("end mark missing"), e2.getMessage)
   }
 
   test("partial JSON update: diff stream decodes identically to its full-image twin") {
