@@ -224,8 +224,11 @@ object BinlogFixture {
     * table interleave with control inserts on the NON-evolving
     * `testdb.t_pk`. Deterministic: slot i's shape is a pure function
     * of i. */
-  def evolveStream(n: Int): String = {
-    val sb = new StringBuilder(n * 300)
+  /** One evolveStream event per element — the split grain for the
+    * rotated-directory form. */
+  private def evolveEvents(n: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var sb = new StringBuilder(300)
     var pos = 4L
     var t = 0L
     var extras = Vector.empty[Int] // slots whose ALTER added extra_<slot>
@@ -276,8 +279,24 @@ object BinlogFixture {
         }
         pos = stop
       }
+      out += sb.result(); sb = new StringBuilder(300)
     }
-    sb.result()
+    out.result()
+  }
+
+  def evolveStream(n: Int): String = evolveEvents(n).mkString
+
+  /** [[evolveStream]] split across `parts` ROTATED files at event
+    * boundaries: ALTERs land mid-DIRECTORY, so a consumer that resolves
+    * schema per-file (or, streaming, per-micro-batch without carried
+    * state) decodes later files' rows against the wrong version — the
+    * c19 scenario. Concatenating the parts reproduces evolveStream(n)
+    * byte-for-byte (spec'd), so batch-over-directory and the original
+    * single file share one schema history. */
+  def evolveStreamParts(n: Int, parts: Int): Seq[String] = {
+    val evs = evolveEvents(n)
+    val per = (evs.length + parts - 1) / parts
+    evs.grouped(per).map(_.mkString).toSeq
   }
 
   /** Per-slot (db, table, op, rows) composition of [[stressStream]] —
@@ -314,6 +333,34 @@ object BinlogFixture {
       for (i <- 0 until parts)
         java.nio.file.Files.writeString(
           tmp.resolve(f"binlog.$i%06d.txt"), gen(perFile))
+      try java.nio.file.Files.move(tmp, dir)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    dir.toString
+  }
+
+  /** Write a rotated-binlog directory from EXPLICIT per-file contents
+    * (one evolving stream split across rotation boundaries — unlike
+    * [[materializeDir]], whose generator emits the same content per
+    * file). Returns the directory path. */
+  def materializeDirParts(name: String, contents: => Seq[String]): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_binlogdir_$name")
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binlogdir")
+      val n = contents.size
+      contents.zipWithIndex.foreach { case (c, i) =>
+        val p = tmp.resolve(f"binlog.$i%06d.txt")
+        java.nio.file.Files.writeString(p, c)
+        // ascending mtimes, one minute apart: binlog rotation closes
+        // file N before N+1 exists, and Spark's file-stream source
+        // orders discovery by modification time — equal mtimes (all
+        // parts written this instant) would make catch-up arrival
+        // order arbitrary, which no real rotating directory produces
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (n - i) * 60000L))
+      }
       try java.nio.file.Files.move(tmp, dir)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }

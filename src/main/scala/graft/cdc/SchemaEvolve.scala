@@ -226,15 +226,12 @@ object SchemaEvolve {
         else insertAt(names.filterNot(_ == n), n, f, a)
     }
 
-  /** Fold the log's schema-changing DDL into per-table timelines.
-    *
-    * @param events  parsed change events INCLUDING ddl ops (pre-filter:
-    *                user filters must not hide schema history)
-    * @param catalog resolved base catalog (db, table, cols, key_cols) */
-  def timelines(events: DataFrame, catalog: DataFrame): Timelines = {
-    // both collects bounded by contract: catalog = dim table; DDL =
-    // human-issued statements, vanishingly rare next to row events
-    val base: Map[(String, String), IndexedSeq[String]] = catalog
+  /** Base schemas from the resolved catalog — the bounded driver
+    * collect (dim-table contract) the timeline fold starts from.
+    * Computed ONCE per run/stream; streaming callers hold it across
+    * micro-batches. */
+  def baseOf(catalog: DataFrame): Map[(String, String), IndexedSeq[String]] =
+    catalog
       .select(col("db"), col("table"), col("cols"))
       .collect()
       .map { r =>
@@ -242,15 +239,23 @@ object SchemaEvolve {
           .sortBy(_.getInt(0)).map(_.getString(1)).toIndexedSeq
         (r.getString(0), r.getString(1)) -> names
       }.toMap
-    val ddls = events.filter(col("op") === "ddl")
-      .select(col("file"), col("seq"), col("db"), col("ddl"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
-      .sortBy(t => (t._1, t._2))
+
+  /** Fold collected DDL statements (file, seq, db, ddl) into
+    * per-table timelines over `base`. Sorts by (file, seq) INTERNALLY,
+    * so the fold is a pure function of the DDL *set* — arrival order
+    * (batch scan order, streaming micro-batch order, catch-up replay)
+    * cannot change the result (commutativity spec'd in CdcStreamSpec).
+    * This is the incremental streaming state recompute too: DDL is
+    * human-issued and vanishingly rare next to row events, so a
+    * from-scratch refold per micro-batch is O(#ddl · #versions) over a
+    * tiny set — cheaper and safer than maintaining sorted-insert
+    * version vectors. */
+  def foldDdls(base: Map[(String, String), IndexedSeq[String]],
+      ddls: Seq[(String, Long, String, String)]): Timelines = {
     val acc = scala.collection.mutable.Map.empty[
       (String, String), Vector[(String, Long, IndexedSeq[String])]]
     base.foreach { case (k, names) => acc(k) = Vector(("", -1L, names)) }
-    ddls.foreach { case (file, seq, db, ddl) =>
+    ddls.sortBy(t => (t._1, t._2)).foreach { case (file, seq, db, ddl) =>
       parseDdl(ddl, db).foreach { case (key, changes) =>
         acc.get(key).foreach { tv =>
           acc(key) = tv :+ ((file, seq, changes.foldLeft(tv.last._3)(applyChange)))
@@ -260,6 +265,22 @@ object SchemaEvolve {
     // tables never altered need no versioned lookup — drop them so the
     // render path takes the plain broadcast-catalog branch
     acc.filter(_._2.length > 1).toMap
+  }
+
+  /** Fold the log's schema-changing DDL into per-table timelines.
+    *
+    * @param events  parsed change events INCLUDING ddl ops (pre-filter:
+    *                user filters must not hide schema history)
+    * @param catalog resolved base catalog (db, table, cols, key_cols) */
+  def timelines(events: DataFrame, catalog: DataFrame): Timelines = {
+    // both collects bounded by contract: catalog = dim table; DDL =
+    // human-issued statements, vanishingly rare next to row events
+    val ddls = events.filter(col("op") === "ddl")
+      .select(col("file"), col("seq"), col("db"), col("ddl"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+    foldDdls(baseOf(catalog), ddls)
   }
 
   /** Column names in effect for an event at (file, seq): the last

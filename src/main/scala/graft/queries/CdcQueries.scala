@@ -53,6 +53,10 @@ object CdcQueries {
   private val EnvelopeSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_envelope_snap"
 
+  /** c19 raw-event snapshot (the rotated-directory evolve fixture). */
+  private val EvolveStreamSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_evolve_stream_snap"
+
   /** SF dir currently materialized at the named snapshot path, or null. */
   private val snapshotSf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -919,6 +923,61 @@ object CdcQueries {
       }
       envelopes(flat)
         .orderedRows(col("file"), col("seq")) // rows scale with the log
+    },
+
+    // c19: SCHEMA EVOLUTION ON THE STREAM (r14, VERDICT r13 item 1) —
+    // c15's positioned catalog timelines applied where they matter
+    // most: a LONG-RUNNING tail of a rotating directory with ALTERs
+    // landing mid-stream. The evolve fixture splits across 4 rotated
+    // files, so columns added in file N must version the decode of
+    // every later file's rows ACROSS micro-batch boundaries
+    // (maxFilesPerTrigger=1: one file per batch). The engine holds the
+    // DDL accumulator as driver state (bounded: human-issued DDL) and
+    // re-folds timelines per batch — foldDdls sorts by (file, seq), so
+    // arrival order cannot change the result (commutativity spec'd in
+    // CdcStreamSpec, which also pins stream ≡ batch CdcJob.run over
+    // the same directory — c15's answer over the full log). The oracle
+    // re-derives from the raw snapshot the exact column list every
+    // INSERT must carry: base (id, a) plus every column added by a
+    // strictly-earlier ALTER in (file, seq) order.
+    QueryDef("c19_evolve_stream",
+      s"""WITH ev AS (SELECT * FROM read_parquet('$EvolveStreamSnapshot/*.parquet')),
+         |adds AS (SELECT file, seq,
+         |           regexp_extract(ddl, 'add column ([A-Za-z0-9_]+)', 1) AS c
+         |         FROM ev WHERE op = 'ddl' AND ddl LIKE '%add column%'),
+         |ins AS (SELECT file, seq FROM ev
+         |        WHERE op = 'insert' AND "table" = 'evolve')
+         |SELECT i.file, i.seq,
+         |  '`id`, `a`' || coalesce(
+         |    string_agg(', `' || a.c || '`', '' ORDER BY a.file, a.seq), '')
+         |    AS col_list
+         |FROM ins i LEFT JOIN adds a
+         |  ON a.file < i.file OR (a.file = i.file AND a.seq < i.seq)
+         |GROUP BY i.file, i.seq ORDER BY i.file, i.seq""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDirParts("evolve_stream_v1",
+        BinlogFixture.evolveStreamParts(700, 4))
+      writeSnapshotIfStale(EvolveStreamSnapshot, d) {
+        CdcJob.parse(s, p, includeDdl = true)
+          .select("file", "seq", "db", "table", "op", "ddl")
+          .write.mode("overwrite").parquet(EvolveStreamSnapshot)
+      }
+      var acc: Option[DataFrame] = None
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_c19_cp").toString
+      val q = graft.streaming.CdcStream.startEvolved(s, p, evolveCatalog(s),
+        CdcConfig(evolveSchema = true), checkpoint, maxFilesPerTrigger = 1) {
+        (batch, _) =>
+          val rows = batch
+            .filter(col("op") === "insert" && col("sql").contains("`evolve`"))
+            .select(col("file"), col("seq"), regexp_extract(col("sql"),
+              "INSERT INTO `appdb`\\.`evolve`\\(([^)]*)\\)", 1).as("col_list"))
+          // localCheckpoint materializes WITHIN the callback (the
+          // startEvolved sink contract: the batch unpersists after)
+          acc = Some(acc.map(_.unionByName(rows)).getOrElse(rows)
+            .localCheckpoint())
+      }
+      try q.processAllAvailable() finally q.stop()
+      acc.get.orderedRows(col("file"), col("seq"))
     }
   )
 

@@ -291,4 +291,77 @@ class CdcStreamSpec extends AnyFunSuite {
         CdcConfig(flashback = true)))
     assert(e.getMessage.contains("batch-only"))
   }
+
+  test("foldDdls is arrival-order-commutative (c19 state contract)") {
+    val base = Map(("appdb", "evolve") -> IndexedSeq("id", "a"))
+    val ddls = Seq(
+      ("f1", 5L, "appdb", "alter table evolve add column x int"),
+      ("f0", 3L, "appdb", "alter table evolve add column w int"),
+      ("f2", 1L, "appdb", "alter table evolve drop column v"),
+      ("f1", 9L, "appdb", "alter table evolve add column y int after x"),
+      ("f0", 7L, "appdb", "alter table evolve rename column w to v"))
+    val fwd = SchemaEvolve.foldDdls(base, ddls)
+    assert(SchemaEvolve.foldDdls(base, ddls.reverse) == fwd)
+    assert(SchemaEvolve.foldDdls(base,
+      scala.util.Random.shuffle(ddls.toVector)) == fwd)
+    // and the fold is positionally right: last version reflects all
+    // five changes in (file, seq) order, not arrival order
+    val tv = fwd(("appdb", "evolve"))
+    assert(tv.last._3 == IndexedSeq("id", "a", "x", "y"))
+    assert(SchemaEvolve.colsAt(tv, "f1", 6L).map(_._2) ==
+      Seq("id", "a", "v", "x"))
+  }
+
+  test("c19: streaming schema evolution equals batch timelines over the full log") {
+    // fixture invariant first: the parts concatenate back to the
+    // single-file stream, so batch-over-directory and c15's single
+    // file share ONE schema history
+    val parts = BinlogFixture.evolveStreamParts(210, 3)
+    assert(parts.mkString == BinlogFixture.evolveStream(210),
+      "splitting must preserve the byte stream")
+    val dir = Files.createTempDirectory("graft_c19spec")
+    parts.zipWithIndex.foreach { case (c, i) =>
+      val p = dir.resolve(f"binlog.$i%06d.txt")
+      Files.writeString(p, c)
+      // rotation contract: ascending mtimes (file N closes before N+1)
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - (parts.size - i) * 60000L))
+    }
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val cat = Catalog.resolve(
+      Seq(
+        ("appdb", "evolve", "id", 1, "PRI"),
+        ("appdb", "evolve", "a", 2, ""),
+        ("testdb", "t_pk", "id", 1, "PRI"),
+        ("testdb", "t_pk", "name", 2, ""),
+        ("testdb", "t_pk", "score", 3, ""))
+        .toDF("table_schema", "table_name", "column_name",
+          "ordinal_position", "column_key"),
+      Seq(
+        ("appdb", "evolve", "PRIMARY", 0, "id"),
+        ("testdb", "t_pk", "PRIMARY", 0, "id"))
+        .toDF("table_schema", "table_name", "index_name",
+          "non_unique", "column_name"))
+    val cfg = CdcConfig(evolveSchema = true)
+    val batch = CdcJob.run(spark, dir.toString, cat, cfg)
+      .select("file", "seq", "sql").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch.nonEmpty)
+    // a mid-stream ALTER must be visible: later files' inserts carry
+    // MORE columns than the base schema in the batch answer
+    assert(batch.last._3.contains("extra_"))
+    var acc = Vector.empty[(String, Long, String)]
+    val cp = Files.createTempDirectory("graft_c19spec_cp").toString
+    val q = graft.streaming.CdcStream.startEvolved(
+      spark, dir.toString, cat, cfg, cp, maxFilesPerTrigger = 1) {
+      (b: DataFrame, _: Long) =>
+        acc ++= b.select("file", "seq", "sql").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(acc.sortBy(t => (t._1, t._2)) == batch,
+      "stream-evolved render must equal the batch timelines render")
+  }
 }
