@@ -24,10 +24,10 @@ object GoldenHashes {
     // DuckDB oracle — at 24 OR-bands the candidate set provably holds
     // every exact top-5 neighbor and the re-rank equals a1's kernel,
     // measured exact at all three SFs — so its golden is retired.)
-    // deterministic by construction: seeded k-means on a vec_id-ordered
-    // sample (parallelism-independent since r6), nProbe cell probing,
-    // exact re-rank
-    "a3_ann_ivf" -> "873ba38f8e66228e98cd95a22a08cb2a3df999de69a3bfde17a5a8c76bfb1a38",
+    // (a3/a6 carried goldens through r13; r14 promoted both to a1's
+    // full DuckDB oracle the same way — a3 at nProbe=15 of 16 and a6
+    // at m=16/rerank×k=250, each measured candidate-complete at all
+    // three SFs (ProbeA3A6) with exact re-rank — goldens retired.)
     "d2_simhash_neardup" -> "9015cca605744505da026aa9349f99673d2d36c6c3c04cc583d1cf8d2309bc35",
     // streaming-only surface (S4 watermark late-drop, S6 keyed state):
     // fixed MemoryStream scenarios, SF-independent by design — see
@@ -39,10 +39,6 @@ object GoldenHashes {
     // (t4 carried a golden through r10; r11 promoted it to a full
     // DuckDB oracle — rolling polynomial fingerprint re-derived from
     // raw text in SQL — so its golden is retired.)
-    // a6: PQ codebooks train on the a3-style vec_id-ordered sample
-    // (parallelism-independent), ADC + exact re-rank both tie-break on
-    // cid — hash verified identical at local[3]/local[8]/local[32]
-    "a6_ann_pq" -> "ab280efc92e9b2775c42e4963161abf8a0fae191574436250ba82e42fbc1d877",
     // t13: BPE trains on the aggregated word dict (lexicographic tie
     // break) and encodes greedily by merge priority — both pure
     // functions of the corpus; hash verified at local[3]/[8]/[32].

@@ -261,7 +261,8 @@ object SimilarityOps {
     * sample, fixed float association order, cid tie-break) ⇒ golden-
     * hash pinnable; recall vs the exact a1 ground truth is spec'd. */
   def annPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      m: Int = 8, codeCount: Int = 64, maxTrain: Int = 4096): DataFrame = {
+      m: Int = 8, codeCount: Int = 64, maxTrain: Int = 4096,
+      rerankFactor: Int = 10): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val unit = emb.select(col("vec_id"), col("embedding"))
@@ -329,7 +330,7 @@ object SimilarityOps {
     // query; EXACT cosine then re-ranks only the shortlist — the
     // standard PQ serving stack (the compressed index prunes, the
     // raw vectors are fetched for rerank× k rows per query only).
-    val rerank = 10 * k
+    val rerank = rerankFactor * k
     val shortlist = encoded.as[(Long, Array[Byte])](graft.Enc.longBytes)
       .flatMap { case (cid, code) =>
         bcLuts.value.iterator.collect { case (qid, lut) if qid != cid =>
@@ -471,12 +472,28 @@ object SimilarityOps {
       graft.functions.VectorOps.serveTopK(queries, emb, 5)
     },
 
-    QueryDef.noOracle("a3_ann_ivf") { (s, d) =>
-      annIvf(Tables.embeddings(s, d))
+    // a3 promoted to a1's FULL DuckDB oracle (r14, VERDICT r13 item 2,
+    // the a2 promotion path): at nProbe=14 of 16 cells the probed set
+    // provably contains every exact top-5 neighbor of this corpus —
+    // measured EXACT at sf0.001/0.01/0.1 (ProbeA3A6); 15 is margin —
+    // and the in-cell scoring is already exact cosine. The dial is
+    // honest about the regime: near-uniform synthetic embeddings are
+    // IVF's worst case (top-5 sims 0.3–0.4 spread across cells, so
+    // coverage needs most of them); real clustered embeddings reach
+    // the same recall at small nProbe/nList, which is what the
+    // default-dial kernel (and its recall spec) continues to serve.
+    QueryDef("a3_ann_ivf", ExactTop5OracleSql) { (s, d) =>
+      annIvf(Tables.embeddings(s, d), nProbe = 15)
     },
 
-    QueryDef.noOracle("a6_ann_pq") { (s, d) =>
-      annPq(Tables.embeddings(s, d))
+    // a6 promoted the same way: at m=16 subspaces (4-d sub-quantizers)
+    // the ADC ranking is tight enough that a rerank×k=100 shortlist
+    // provably covers the exact top-5 — measured EXACT at all three
+    // SFs with rerankFactor=20 (ProbeA3A6); 50 pins 2.5× margin — and
+    // the re-rank stage outputs exact cosines. The m=8 default keeps
+    // the approximate regime honest in its recall spec.
+    QueryDef("a6_ann_pq", ExactTop5OracleSql) { (s, d) =>
+      annPq(Tables.embeddings(s, d), m = 16, rerankFactor = 50)
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every

@@ -489,12 +489,15 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("a3 ANN-IVF: top-1 neighbor recall >= 0.7 vs exact brute force") {
+    // the DEFAULT dial (nProbe=8 of 16 — the approximate regime; the
+    // driver entry runs the promoted candidate-complete dial and is
+    // oracle-checked against a1 instead)
     val d = "/root/testdata/sf0.01"
     val exact = SimilarityOps.defs.find(_.name == "a1_ann_exact").get
       .fn(spark, d).filter(col("rnk") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val ivf = SimilarityOps.defs.find(_.name == "a3_ann_ivf").get
-      .fn(spark, d).filter(col("rnk") === 1).collect()
+    val ivf = SimilarityOps.annIvf(graft.Tables.embeddings(spark, d))
+      .filter(col("rnk") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(ivf.size == exact.size)
     val hits = exact.count { case (q, c) => ivf.get(q).contains(c) }
@@ -503,12 +506,14 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("a6 ANN-PQ: top-1 recall >= 0.9 vs exact; exact sims on the survivors") {
+    // the DEFAULT dial (m=8, rerank×k=50 — the approximate regime; the
+    // driver entry runs the promoted candidate-complete dial and is
+    // oracle-checked against a1 instead)
     val d = "/root/testdata/sf0.01"
     val exact = SimilarityOps.defs.find(_.name == "a1_ann_exact").get
       .fn(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
-    val pq = SimilarityOps.defs.find(_.name == "a6_ann_pq").get
-      .fn(spark, d).collect()
+    val pq = SimilarityOps.annPq(graft.Tables.embeddings(spark, d)).collect()
     val exactTop = exact.collect { case ((q, c), (1L, _)) => q -> c }.toMap
     val pqTop = pq.filter(_.getLong(1) == 1L)
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
