@@ -35,6 +35,7 @@ object Enc {
   val longLongIntLong: Encoder[(Long, Long, Int, Long)] = ExpressionEncoder()
   val longLongInt: Encoder[(Long, Long, Int)] = ExpressionEncoder()
   val longDoubleArrIntLong: Encoder[(Long, Array[Double], Int, Long)] = ExpressionEncoder()
+  val longDoubleArrLongIntLong: Encoder[(Long, Array[Double], Long, Int, Long)] = ExpressionEncoder()
   val longDoubleArrInt: Encoder[(Long, Array[Double], Int)] = ExpressionEncoder()
   val strStrInt: Encoder[(String, String, Int)] = ExpressionEncoder()
   val strStrLongLong: Encoder[(String, String, Long, Long)] = ExpressionEncoder()

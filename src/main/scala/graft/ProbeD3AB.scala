@@ -12,12 +12,19 @@ import org.apache.spark.sql.SparkSession
   * crossover default should flip for d3. Alternating passes in one
   * JVM so host era cancels.
   *
-  * VERDICT (measured 2026-08-15): carry wins, decisively at scale.
-  * sf0.1 warm: ~1.1–1.5 s both forms (a wash). sf1: carry 66–68 s,
-  * ids-only 156–190 s ×3 passes — deduping the ~1.6B-row collision
-  * stream costs far more than recomputing the fused-codegen cosine
-  * per collision. The bands×dim crossover default stands; both forms
-  * return identical pairs (16,802) at the new geometry.
+  * VERDICT (r13, measured 2026-08-15): carry wins, decisively at
+  * scale. sf0.1 warm: ~1.1–1.5 s both forms (a wash). sf1: carry
+  * 66–68 s, ids-only 156–190 s ×3 passes — deduping the ~1.6B-row
+  * collision stream costs far more than recomputing the fused-codegen
+  * cosine per collision. Both forms return identical pairs (16,802).
+  *
+  * RE-MEASURED r14 after the FirstBandMatch in-stream dedupe replaced
+  * both forms' distinct: sf0.1 0.69–0.78 s (from ~1.1–1.5/1.70
+  * committed), sf1 carry 24–27 s, ids-only 21–22 s — the duplicate
+  * collision visits now die on a bit test, so the forms converge and
+  * ids-only (no vector amplification through the shuffle) takes the
+  * lead at scale. Pairs unchanged at every SF (candidate SET is
+  * untouched by the reshape): 144 at sf0.1, 16,802 at sf1.
   */
 object ProbeD3AB {
   def main(args: Array[String]): Unit = {

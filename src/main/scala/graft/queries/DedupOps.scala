@@ -239,12 +239,18 @@ object DedupOps {
         Iterator.tabulate(4)(c => (id, h, c, (h >>> (c * 16)) & 0xFFFFL))
       }(graft.Enc.longLongIntLong)
       .toDF("doc_id", "simhash", "c", "v")
+    // first-matching-chunk test (r14): a pair agreeing in c of the 4
+    // chunks met the probe c times and was deduped by a distinct over
+    // the collision stream; the in-stream test keeps one visit per
+    // pair (the simhash IS the packed signature — 4 bands × 16 bits)
+    graft.functions.FirstBandMatch.register(docs.sparkSession)
     chunked.as("x").join(chunked.as("y").hint("shuffle_hash"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          graft.functions.FirstBandMatch.first_band_match(
+            col("x.simhash"), col("y.simhash"), 16, 4) === col("x.c"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
         col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxDist)
       .select("ia", "ib", "hamming")
@@ -352,45 +358,55 @@ object DedupOps {
       // Vectors ride THROUGH the band join and cosine runs in-stream
       // on the join output (native CosineSim Expression, fused codegen
       // loop) — the pairs that flow between stages are (ia, ib, sim)
-      // triples, never vectors; recomputing the cheap dot product for
-      // multi-band collisions beats deduping-then-re-attaching at this
-      // (bands × dim). The final distinct dedupes multi-band
-      // collisions on the already-filtered survivors (sim is
-      // deterministic, so duplicate rows are identical).
+      // triples, never vectors. Multi-band collisions dedupe
+      // IN-STREAM (r14): `first_band_match(x.sig, y.sig) === x.b`
+      // keeps exactly one visit per colliding pair — the duplicate
+      // visits (~8 per random pair at 32×2 bits, the r13 wall) die on
+      // a few-ns bit loop BEFORE the cosine evaluates, and the old
+      // post-join distinct disappears. The candidate SET is unchanged,
+      // so this is a cost reshape, not the recall dial the 10× gate
+      // closed.
+      graft.functions.FirstBandMatch.register(emb.sparkSession)
       val rows = SimilarityOps.withBands(emb, nBands, bandBits)
-        .select(col("vec_id"), col("v"), col("b"), col("h"))
+        .select(col("vec_id"), col("v"), col("sig"), col("b"), col("h"))
       // shuffle_hash self-join, not broadcast: canonically identical
       // sides share ONE exchange (ReuseExchange), so signatures are
       // computed once, and the probe runs partition-parallel instead
       // of inside the single scan task a broadcast join would pipeline
       // into (the parquet files are single-row-group, so a scan stage
-      // is one task). The id inequality sits BEFORE the cosine in the
-      // join condition so the cheap predicate halves the candidate set
-      // ahead of the dot product; survivors recompute the fused-
-      // codegen cosine once more in the projection — a few hundred
-      // rows.
+      // is one task). Condition order: id inequality (halves raw
+      // collisions) → first-band test (kills duplicate visits) →
+      // cosine (once per colliding pair).
       val sim = round(graft.functions.CosineSim.cosine_sim(
         col("x.v"), col("y.v")), 5)
       rows.as("x").join(rows.as("y").hint("shuffle_hash"),
           col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
-            col("x.vec_id") < col("y.vec_id") && sim >= tau)
+            col("x.vec_id") < col("y.vec_id") &&
+            graft.functions.FirstBandMatch.first_band_match(
+              col("x.sig"), col("y.sig"), bandBits, nBands) === col("x.b") &&
+            sim >= tau)
         .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"), sim.as("sim"))
-        .distinct()
         .orderedRows(col("ia"), col("ib")) // near-dup pairs scale with corpus
     } else {
       // IDs-only band join above the (bands × dim) crossover
       // (SimilarityOps.CarryVectorsMaxAmplifiedDoubles): the band
-      // shuffle ships (id, b, h) rows only — ~bands× less data than
-      // amplifying a wide vector — candidate pairs dedupe as bare IDs,
-      // and vectors attach once per side for the exact verify.
-      // Identical output to the carrying form (same deterministic
-      // signatures and scores) — asserted in PipelineOpsSpec.
+      // shuffle ships (id, sig, b, h) rows only — ~bands× less data
+      // than amplifying a wide vector — the first-band test dedupes
+      // candidates in-stream (one (ia, ib) per colliding pair, no
+      // distinct shuffle over the collision stream), and vectors
+      // attach once per side for the exact verify. Identical output
+      // to the carrying form (same deterministic signatures and
+      // scores) — asserted in PipelineOpsSpec.
+      graft.functions.FirstBandMatch.register(emb.sparkSession)
       val ids = SimilarityOps.withBandIds(emb, nBands, bandBits)
-      val cand = ids.select(col("vec_id").as("ia"), col("b"), col("h"))
-        .join(ids.select(col("vec_id").as("ib"), col("b"), col("h"))
-          .hint("shuffle_hash"), Seq("b", "h"))
-        .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
+      val cand = ids.select(col("vec_id").as("ia"), col("sig").as("siga"),
+          col("b"), col("h"))
+        .join(ids.select(col("vec_id").as("ib"), col("sig").as("sigb"),
+          col("b"), col("h")).hint("shuffle_hash"), Seq("b", "h"))
+        .filter(col("ia") < col("ib") &&
+          graft.functions.FirstBandMatch.first_band_match(
+            col("siga"), col("sigb"), bandBits, nBands) === col("b"))
+        .select("ia", "ib")
       val vv = SimilarityOps.unitWidened(emb)
       cand
         .join(vv.select(col("vec_id").as("ia"), col("v").as("va")), Seq("ia"))

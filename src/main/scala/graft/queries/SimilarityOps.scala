@@ -50,10 +50,13 @@ object SimilarityOps {
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
+        // the packed signature rides every band row (8 bytes): join
+        // consumers dedupe multi-band collisions in-stream with
+        // FirstBandMatch instead of a post-join distinct
         Iterator.tabulate(nBands)(b =>
-          (id, v, b, (sig >>> (b * bandBits)) & mask))
-      }(graft.Enc.longDoubleArrIntLong)
-      .toDF("vec_id", "v", "b", "h")
+          (id, v, sig, b, (sig >>> (b * bandBits)) & mask))
+      }(graft.Enc.longDoubleArrLongIntLong)
+      .toDF("vec_id", "v", "sig", "b", "h")
   }
 
   /** IDs-only band rows (vec_id, b, h) — the scale form of `withBands`
@@ -73,9 +76,10 @@ object SimilarityOps {
         var i = 0
         while (i < e.length) { v(i) = e(i); i += 1 }
         val sig = graft.functions.HashOps.hyperplaneSig(v, nBits)
-        Iterator.tabulate(nBands)(b => (id, b, (sig >>> (b * bandBits)) & mask))
-      }(graft.Enc.longIntLong)
-      .toDF("vec_id", "b", "h")
+        Iterator.tabulate(nBands)(b =>
+          (id, sig, b, (sig >>> (b * bandBits)) & mask))
+      }(graft.Enc.longLongIntLong)
+      .toDF("vec_id", "sig", "b", "h")
   }
 
   /** (vec_id, v) with float→double widening — the re-attach side for
@@ -112,37 +116,45 @@ object SimilarityOps {
     graft.functions.CosineSim.register(emb.sparkSession)
     val carry = carryVectors.getOrElse(
       nBands.toLong * dim <= CarryVectorsMaxAmplifiedDoubles)
+    graft.functions.FirstBandMatch.register(emb.sparkSession)
+    val firstMatch = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      graft.functions.FirstBandMatch.first_band_match(a, b, bandBits, nBands)
     val scored =
       if (carry) {
-        // Cosine runs in-stream on the band-join output and the
-        // multi-band dedupe happens on (qid, cid, sim) triples — never
-        // on rows that carry the vectors (a distinct over array
-        // columns hashes every 64-d vector per row; recomputing the
-        // fused-codegen dot product for multi-band collisions is far
-        // cheaper). No cache: the signature pass is a JIT'd typed map
-        // over the embeddings scan, cheaper to recompute per side than
-        // to materialize.
+        // Cosine runs in-stream on the band-join output; multi-band
+        // collisions dedupe IN-STREAM via the first-matching-band test
+        // (r14, the d3 reshape): duplicate visits die on a bit loop
+        // before the dot product, and the old distinct over
+        // (qid, cid, sim) triples — a shuffle of the whole collision
+        // stream — disappears. No cache: the signature pass is a JIT'd
+        // typed map over the embeddings scan, cheaper to recompute per
+        // side than to materialize.
         val banded = withBands(emb, nBands, bandBits)
         val q = banded.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("b"), col("h"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("sig").as("qsig"), col("b"), col("h"))
         val c = banded.select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("b"), col("h"))
-        q.join(c, Seq("b", "h")).filter(col("qid") =!= col("cid"))
+          col("sig").as("csig"), col("b"), col("h"))
+        q.join(c, Seq("b", "h"))
+          .filter(col("qid") =!= col("cid") &&
+            firstMatch(col("qsig"), col("csig")) === col("b"))
           .select(col("qid"), col("cid"),
             graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
-          .distinct()
       } else {
-        // IDs-only banding (wide vectors / many bands): candidate
-        // (qid, cid) pairs dedupe as bare IDs, then vectors attach
-        // once per side. Identical candidates and scores — asserted in
-        // SimilarityOpsSpec against the carrying form.
+        // IDs-only banding (wide vectors / many bands): candidates
+        // dedupe in-stream as bare IDs (first-band test), then vectors
+        // attach once per side. Identical candidates and scores —
+        // asserted in SimilarityOpsSpec against the carrying form.
         val ids = withBandIds(emb, nBands, bandBits)
         val cand = ids.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("qid"), col("b"), col("h"))
-          .join(ids.select(col("vec_id").as("cid"), col("b"), col("h"))
-            .hint("shuffle_hash"), Seq("b", "h"))
-          .filter(col("qid") =!= col("cid"))
-          .select("qid", "cid").distinct()
+          .select(col("vec_id").as("qid"), col("sig").as("qsig"),
+            col("b"), col("h"))
+          .join(ids.select(col("vec_id").as("cid"), col("sig").as("csig"),
+            col("b"), col("h")).hint("shuffle_hash"), Seq("b", "h"))
+          .filter(col("qid") =!= col("cid") &&
+            firstMatch(col("qsig"), col("csig")) === col("b"))
+          .select("qid", "cid")
         val vv = unitWidened(emb)
         cand
           .join(vv.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
