@@ -379,6 +379,109 @@ object SimilarityOps {
       .orderedSmall(col("qid"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------
+  // a12: PERSISTED ANN index + incremental maintenance (r14, VERDICT
+  // r13 item 4). a2/a3/a6 rebuild their index per run; a daily-ingest
+  // deployment (the d6/p3 shape) needs the index ON DISK with deltas
+  // folded in. Layout: two bucketed tables per generation —
+  // bands(vec_id, sig, b, h) and vecs(vec_id, v), both bucketed by
+  // vec_id — a BASE generation built once from the standing corpus
+  // and a DELTA generation re-folded from each ingest batch. The fold
+  // computes band rows for the DELTA ONLY: the base tables are never
+  // read, reshuffled, or rewritten (spec-pinned by file snapshot) —
+  // at 100 TB the standing index is exactly the thing you cannot
+  // afford to touch per batch. Serving unions the generations:
+  // bucketed-by-vec_id layout makes the candidates→vectors attach
+  // join shuffle-free on the index side (w1's lever), and the query
+  // side broadcasts, so the index never moves at all.
+  // ---------------------------------------------------------------
+
+  private val AnnWarehouse =
+    System.getProperty("java.io.tmpdir") + "/graft_ann_index"
+  private val annIndexSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The a12 corpus split: the standing corpus vs the "daily" ingest
+    * batch (¼ of vectors, including query vec_ids 3 and 7 — serving
+    * must cover delta-resident queries too). */
+  private def annBaseFilter = col("vec_id") % 4 =!= 3
+
+  private def writeAnnGeneration(s: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      suffix: String, nBands: Int, bandBits: Int): Unit = {
+    withBandIds(emb, nBands, bandBits)
+      .write.mode("overwrite")
+      .option("path", s"$AnnWarehouse/bands_$suffix")
+      .bucketBy(8, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"graft_ann_bands_$suffix")
+    unitWidened(emb)
+      .write.mode("overwrite")
+      .option("path", s"$AnnWarehouse/vecs_$suffix")
+      .bucketBy(8, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"graft_ann_vecs_$suffix")
+  }
+
+  /** Build the BASE index once per (SF) — the standing corpus. */
+  def ensureAnnIndexBase(s: org.apache.spark.sql.SparkSession, d: String,
+      nBands: Int = 24, bandBits: Int = 2): Unit = synchronized {
+    if (annIndexSf.get("base") == d &&
+      s.catalog.tableExists("graft_ann_bands_base") &&
+      s.catalog.tableExists("graft_ann_vecs_base")) return
+    annIndexSf.remove("base")
+    writeAnnGeneration(s, Tables.embeddings(s, d).filter(annBaseFilter),
+      "base", nBands, bandBits)
+    annIndexSf.put("base", d)
+  }
+
+  /** Fold one ingest batch into the DELTA generation. Reads and
+    * writes ONLY delta rows — the base tables stay untouched (the d6
+    * base-never-reshuffles contract, spec-pinned by file snapshot). */
+  def foldAnnDelta(s: org.apache.spark.sql.SparkSession, d: String,
+      nBands: Int = 24, bandBits: Int = 2): Unit = synchronized {
+    writeAnnGeneration(s, Tables.embeddings(s, d).filter(!annBaseFilter),
+      "delta", nBands, bandBits)
+    annIndexSf.put("delta", d)
+  }
+
+  /** Serve exact top-k from the PERSISTED index (base ∪ delta): query
+    * band rows broadcast against the on-disk band tables, first-band
+    * in-stream dedupe, vectors attach bucket-aligned (no shuffle of
+    * the index side), exact cosine re-rank. At a2's 24×2-bit geometry
+    * the candidate set provably covers the exact top-5 (r13
+    * measurement), so the serve shares a1's oracle. */
+  def annServePersisted(s: org.apache.spark.sql.SparkSession, nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 24, bandBits: Int = 2): DataFrame = {
+    import graft.QueryDef.SmallOrdered
+    graft.functions.CosineSim.register(s)
+    graft.functions.FirstBandMatch.register(s)
+    val bands = s.table("graft_ann_bands_base")
+      .unionByName(s.table("graft_ann_bands_delta"))
+    val vecs = s.table("graft_ann_vecs_base")
+      .unionByName(s.table("graft_ann_vecs_delta"))
+    val q = broadcast(bands.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"),
+        col("b"), col("h")))
+    val cand = bands.select(col("vec_id").as("cid"), col("sig").as("csig"),
+        col("b"), col("h"))
+      .join(q, Seq("b", "h"))
+      .filter(col("qid") =!= col("cid") &&
+        graft.functions.FirstBandMatch.first_band_match(
+          col("qsig"), col("csig"), bandBits, nBands) === col("b"))
+      .select("qid", "cid")
+    val qv = broadcast(vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv")))
+    cand.join(vecs.select(col("vec_id").as("cid"), col("v").as("cv")),
+        Seq("cid"))
+      .join(qv, Seq("qid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        round(col("sim_raw"), 5).as("sim"))
+      .orderedSmall(col("qid"), col("rnk"))
+  }
+
   /** The exact-top-k oracle — shared by a1 (the exact kernel) and a2
     * (LSH at agreement-grade recall, see a2's def). */
   private val ExactTop5OracleSql =
@@ -506,6 +609,18 @@ object SimilarityOps {
     // the approximate regime honest in its recall spec.
     QueryDef("a6_ann_pq", ExactTop5OracleSql) { (s, d) =>
       annPq(Tables.embeddings(s, d), m = 16, rerankFactor = 50)
+    },
+
+    // a12: serving from the PERSISTED, incrementally-maintained index
+    // (see the index section's doc above): base generation built once,
+    // the delta batch folded WITHOUT touching base (file-snapshot
+    // spec in PipelineOpsSpec), queries served from base ∪ delta —
+    // exact top-5 over the WHOLE corpus is the oracle, so one stale
+    // or missing index row anywhere breaks the hash.
+    QueryDef("a12_ann_index_serve", ExactTop5OracleSql) { (s, d) =>
+      ensureAnnIndexBase(s, d)
+      foldAnnDelta(s, d)
+      annServePersisted(s)
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every

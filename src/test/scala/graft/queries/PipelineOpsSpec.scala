@@ -531,6 +531,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a12: delta fold never touches the base index; serve equals exact top-k") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = "/root/testdata/sf0.01"
+    SimilarityOps.ensureAnnIndexBase(spark, d)
+    def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val p = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_ann_index", sub)
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    }
+    val baseBands = snapshot("bands_base")
+    val baseVecs = snapshot("vecs_base")
+    assert(baseBands.nonEmpty && baseVecs.nonEmpty)
+    // the incremental fold: delta generation rewritten, base untouched
+    SimilarityOps.foldAnnDelta(spark, d)
+    assert(snapshot("bands_base") == baseBands,
+      "delta fold must not rewrite the base band index")
+    assert(snapshot("vecs_base") == baseVecs,
+      "delta fold must not rewrite the base vector store")
+    assert(snapshot("bands_delta").nonEmpty)
+    // serving from the persisted generations equals the exact answer
+    // over the WHOLE corpus (base + delta)
+    val served = SimilarityOps.annServePersisted(spark)
+      .collect().map(_.toSeq).toSeq
+    val exact = SimilarityOps.annExact(graft.Tables.embeddings(spark, d))
+      .collect().map(_.toSeq).toSeq
+    assert(served == exact)
+  }
+
   test("d7 semantic dedup: assignments parallelism-independent; duplicates collapse") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
