@@ -44,6 +44,8 @@ object Enc {
   val longDoubleArr: Encoder[(Long, Array[Double])] = ExpressionEncoder()
   val longLongDouble: Encoder[(Long, Long, Double)] = ExpressionEncoder()
   val longLong: Encoder[(Long, Long)] = ExpressionEncoder()
+  val longBoolLong5: Encoder[(Long, Boolean, Long, Long, Long, Long, Long)] =
+    ExpressionEncoder()
   val longBytes: Encoder[(Long, Array[Byte])] = ExpressionEncoder()
   val long5: Encoder[(Long, Long, Long, Long, Long)] = ExpressionEncoder()
   val longStrStrLong: Encoder[(Long, String, String, Long)] = ExpressionEncoder()

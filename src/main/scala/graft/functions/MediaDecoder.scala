@@ -30,6 +30,15 @@ trait MediaDecoder {
     * 0..255 row-major). None = payload undecodable by this decoder —
     * the caller falls back to its stub/audit path. */
   def decodeRaster(kind: Int, payload: Array[Byte]): Option[(Int, Int, Array[Int])]
+
+  /** Structural AUDIT without decode — container/frame-header walk
+    * (sync words, declared sizes, duration), the ingest-side health
+    * check that needs no codec (the m6/m9 pattern). Ordered
+    * (field, value) pairs; None = this decoder offers no audit for
+    * the payload. Default None: a raster-only decoder stays a
+    * raster-only decoder. */
+  def auditFields(kind: Int, payload: Array[Byte]): Option[Seq[(String, Long)]] =
+    None
 }
 
 object MediaDecoders {
@@ -52,6 +61,15 @@ object MediaDecoders {
     programmatic = d :: programmatic
   }
 
+  /** Register-if-absent (by identity) — idempotent, callable from
+    * INSIDE executor tasks: on a real cluster each executor JVM keeps
+    * its own registry (the ServiceLoader deployment model), so a
+    * kernel that needs a built-in auditor mounts it per-JVM exactly
+    * the way a classpath provider would be discovered. */
+  def ensureRegistered(d: MediaDecoder): Unit = synchronized {
+    if (!programmatic.exists(_ eq d)) programmatic = d :: programmatic
+  }
+
   /** Test hook: drop programmatic registrations (ServiceLoader
     * providers are classpath-static and stay). */
   def clearProgrammatic(): Unit = synchronized { programmatic = Nil }
@@ -64,6 +82,88 @@ object MediaDecoders {
   def rasterOf(kind: Int, payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     all.find(_.kinds.contains(kind))
       .flatMap(d => d.decodeRaster(kind, payload))
+
+  /** The structural audit for (kind, payload) via the first claiming
+    * decoder that offers one. */
+  def auditOf(kind: Int, payload: Array[Byte]): Option[Seq[(String, Long)]] =
+    all.iterator.filter(_.kinds.contains(kind))
+      .map(_.auditFields(kind, payload))
+      .collectFirst { case Some(f) => f }
+}
+
+/** The first REAL audit SPI instance (r14, VERDICT r13 item 7): an
+  * MPEG-1 Layer III (MP3) frame-header walker. No PCM decode — none
+  * is possible pure-JVM here, and none is needed for the ingest-side
+  * audit: sync words, per-frame bitrate/sample-rate/padding, frame
+  * census, and duration all live in the 4-byte headers (ISO/IEC
+  * 11172-3 §2.4.1.3 header layout; frame length in bytes =
+  * 144·bitrate/sample_rate + padding for Layer III). An ID3v2 prefix
+  * (the common real-world wrapper) is skipped by its syncsafe size.
+  *
+  * Strict-walk audit semantics (the m9 pattern): `ok` requires at
+  * least one frame, a valid header at every step, every frame
+  * complete, and the stream consumed exactly — a truncated upload,
+  * mid-stream corruption, or trailing junk each read ok=false with
+  * the frames counted so far. Deterministic, so the m12 oracle
+  * re-walks the same bytes in DuckDB.
+  *
+  * `decodeRaster` stays None for every payload: mounting the auditor
+  * must not change any raster-path behavior (kind-1 rows keep their
+  * deterministic stub features — asserted by the unchanged m1 hash).
+  */
+object Mp3FrameAuditor extends MediaDecoder {
+
+  /** MPEG-1 Layer III bitrates (kbps) by header index 1..14. */
+  private val Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320, 0)
+  /** MPEG-1 sample rates by header index 0..2 (3 = reserved). */
+  private val Rates = Array(44100, 48000, 32000, 0)
+
+  override def kinds: Set[Int] = Set(1) // the media table's audio kind
+
+  override def decodeRaster(kind: Int, payload: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = None
+
+  override def auditFields(kind: Int, payload: Array[Byte])
+      : Option[Seq[(String, Long)]] = {
+    val b = payload
+    val n = b.length.toLong
+    var pos = 0L
+    // ID3v2 prefix: "ID3" maj rev flags + 4-byte syncsafe size
+    if (n >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      pos = 10L + (((b(6) & 0x7F).toLong << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+    var frames = 0L; var fbytes = 0L; var kbpsSum = 0L; var rate1 = 0L
+    var bad = false
+    while (!bad && pos + 4 <= n) {
+      val p = pos.toInt
+      val h0 = b(p) & 0xFF; val h1 = b(p + 1) & 0xFF; val h2 = b(p + 2) & 0xFF
+      val bidx = (h2 >> 4) & 15; val ridx = (h2 >> 2) & 3
+      val pad = (h2 >> 1) & 1
+      val valid = h0 == 0xFF && (h1 & 0xE0) == 0xE0 &&
+        ((h1 >> 3) & 3) == 3 && ((h1 >> 1) & 3) == 1 &&
+        bidx >= 1 && bidx <= 14 && ridx <= 2
+      if (!valid) bad = true
+      else {
+        val kbps = Kbps(bidx); val rate = Rates(ridx)
+        val flen = 144000L * kbps / rate + pad
+        if (pos + flen > n) bad = true // truncated final frame
+        else {
+          if (frames == 0) rate1 = rate
+          frames += 1; fbytes += flen; kbpsSum += kbps; pos += flen
+        }
+      }
+    }
+    val ok = frames >= 1 && !bad && pos == n
+    val durMs = if (rate1 > 0) frames * 1152L * 1000L / rate1 else 0L
+    Some(Seq(
+      "ok" -> (if (ok) 1L else 0L),
+      "n_frames" -> frames,
+      "frame_bytes" -> fbytes,
+      "sample_rate" -> rate1,
+      "kbps_sum" -> kbpsSum,
+      "duration_ms" -> durMs))
+  }
 }
 
 /** The built-in SPI instance: the JVM's own ImageIO container readers

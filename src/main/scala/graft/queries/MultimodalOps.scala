@@ -1390,8 +1390,208 @@ object MultimodalOps {
       val wavs = wavTable(s, d)
       writeWavSnapshotIfStale(s, d, wavs)
       wavResample(wavs).orderedRows(col("media_id"))
+    },
+
+    // m12: MP3 FRAME-HEADER AUDIT (r14, VERDICT r13 item 7) — the
+    // first REAL audit through the MediaDecoders SPI (Mp3FrameAuditor;
+    // mounted per-executor-JVM inside the task, the ServiceLoader
+    // deployment model): sync-word walk, per-frame bitrate/rate/
+    // padding, frame census, duration — no PCM, none needed for the
+    // ingest health check. The fixture plants truncated uploads,
+    // trailing junk, and mid-stream corruption; the oracle re-walks
+    // the same bytes in DuckDB (ID3v2 syncsafe skip + the Layer III
+    // frame-length formula). h264 (kind 2) stub behavior unchanged —
+    // the auditor's decodeRaster is None for every payload.
+    QueryDef("m12_mp3_audit", Mp3OracleSql) { (s, d) =>
+      val mp3s = mp3Table(s, d)
+      writeMp3SnapshotIfStale(s, d, mp3s)
+      mp3Audit(mp3s).orderedRows(col("media_id"))
     }
   )
+
+  /** m12's (media_id, payload) MP3 snapshot for the DuckDB re-walk.
+    * Lazy (declared below `defs`): the entry list captures these at
+    * object init. */
+  private lazy val Mp3Snapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_mp3_snapshot"
+
+  /** Deterministic MPEG-1 Layer III byte stream for one media id:
+    * valid 4-byte frame headers with per-frame bitrate and padding
+    * variation (frame body bytes are deterministic filler — the
+    * header walk never reads them), an ID3v2 prefix on a minority,
+    * and three planted audit cases: a truncated final frame
+    * (id%5==0), trailing junk (id%7==2), and a mid-stream invalid
+    * header (id%11==3). */
+  private[queries] def encodeMp3(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val kbpsTab = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    if (id % 4 == 1) {
+      val tagSize = 17 + (id % 23).toInt
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // v2.4.0, no flags
+      out.write((tagSize >> 21) & 0x7F); out.write((tagSize >> 14) & 0x7F)
+      out.write((tagSize >> 7) & 0x7F); out.write(tagSize & 0x7F)
+      var j = 0
+      while (j < tagSize) { out.write(((id * 29 + j * 3) % 251).toInt); j += 1 }
+    }
+    val ridx = ((id / 3) % 3).toInt
+    val rate = rates(ridx)
+    val nFrames = 4 + (id % 6).toInt
+    val truncate = id % 5 == 0
+    var i = 0
+    while (i < nFrames) {
+      val bidx = 1 + ((id + i * 3) % 14).toInt
+      val pad = ((id + i) % 2).toInt
+      val kbps = kbpsTab(bidx - 1)
+      val flen = (144000L * kbps / rate).toInt + pad
+      val frame = new Array[Byte](flen)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // sync + MPEG1 + Layer III + no CRC
+      frame(2) = ((bidx << 4) | (ridx << 2) | (pad << 1)).toByte
+      frame(3) = ((id * 7 + i * 11) % 256).toByte
+      var j = 4
+      while (j < flen) {
+        frame(j) = ((id * 31 + i * 17 + j * 13) % 251).toByte; j += 1
+      }
+      if (truncate && i == nFrames - 1) out.write(frame, 0, flen - 9)
+      else out.write(frame)
+      i += 1
+    }
+    if (!truncate) {
+      if (id % 7 == 2) { out.write(0); out.write(0) } // trailing junk
+      else if (id % 11 == 3) { // mid-ingest corruption: bidx=0 header
+        out.write(0xFF); out.write(0xFB); out.write(0x0C); out.write(0)
+        out.write(1); out.write(2)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic MP3 corpus from the documents table (the media
+    * table's audio kind) — header-real, body-filler: exactly what the
+    * no-PCM audit consumes. */
+  def mp3Table(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1) // the media table's audio kind
+      .select(col("doc_id"))
+      .fanOut
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeMp3(id))))(graft.Enc.longBytes)
+      .toDF("media_id", "payload")
+  }
+
+  /** m12 kernel: the frame-header audit, routed through the
+    * MediaDecoders SPI — `ensureRegistered` runs INSIDE the task, the
+    * per-executor-JVM mount a ServiceLoader deployment performs from
+    * its classpath. Map-side, one row per clip, no shuffle before the
+    * output sort. */
+  def mp3Audit(mp3s: DataFrame): DataFrame = {
+    val spark = mp3s.sparkSession
+    import spark.implicits._
+    mp3s.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])](graft.Enc.longBytes)
+      .mapPartitions { it =>
+        graft.functions.MediaDecoders.ensureRegistered(
+          graft.functions.Mp3FrameAuditor)
+        it.map { case (id, payload) =>
+          val f = graft.functions.MediaDecoders.auditOf(1, payload)
+            .getOrElse(Seq.empty).toMap
+          (id, f.getOrElse("ok", 0L) == 1L,
+            f.getOrElse("n_frames", 0L), f.getOrElse("frame_bytes", 0L),
+            f.getOrElse("sample_rate", 0L), f.getOrElse("kbps_sum", 0L),
+            f.getOrElse("duration_ms", 0L))
+        }
+      }(graft.Enc.longBoolLong5)
+      .toDF("media_id", "ok", "n_frames", "frame_bytes",
+        "sample_rate", "kbps_sum", "duration_ms")
+  }
+
+  /** m12's oracle: DuckDB re-walks the MP3 snapshot bytes — ID3v2
+    * syncsafe skip, per-frame header validation, the Layer III frame
+    * length formula, and the strict consumed-exactly ok rule — so the
+    * audit (including all three planted failure cases) is
+    * cross-engine certified byte-for-byte. */
+  private lazy val Mp3OracleSql: String = {
+    def u8(p: String) =
+      s"CAST('0x' || substr(hx, CAST((($p)-1)*2+1 AS INT), 2) AS BIGINT)"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT media_id, hex(payload) AS hx,
+       |         CAST(octet_length(payload) AS BIGINT) AS n
+       |  FROM read_parquet('$Mp3Snapshot/*.parquet')),
+       |start AS (
+       |  SELECT media_id, hx, n,
+       |    CASE WHEN n >= 10 AND substr(hx, 1, 6) = '494433'
+       |         THEN 11 + (${u8("7")} % 128) * 2097152
+       |                 + (${u8("8")} % 128) * 16384
+       |                 + (${u8("9")} % 128) * 128 + (${u8("10")} % 128)
+       |         ELSE 1 END AS pos
+       |  FROM m),
+       |walk AS (
+       |  SELECT media_id, hx, n, pos,
+       |         CAST(0 AS BIGINT) AS frames, CAST(0 AS BIGINT) AS fbytes,
+       |         CAST(0 AS BIGINT) AS kbps_sum, CAST(0 AS BIGINT) AS rate1,
+       |         FALSE AS bad, CAST(0 AS BIGINT) AS step
+       |  FROM start
+       |  UNION ALL
+       |  SELECT media_id, hx, n,
+       |         CASE WHEN fits THEN pos + flen ELSE pos END,
+       |         frames + CASE WHEN fits THEN 1 ELSE 0 END,
+       |         fbytes + CASE WHEN fits THEN flen ELSE 0 END,
+       |         kbps_sum + CASE WHEN fits THEN kbps ELSE 0 END,
+       |         CASE WHEN fits AND frames = 0 THEN rate ELSE rate1 END,
+       |         NOT fits, step + 1
+       |  FROM (
+       |    SELECT *, (valid AND pos + flen - 1 <= n) AS fits FROM (
+       |      SELECT *, CASE WHEN rate > 0
+       |             THEN (144000 * kbps) // rate + pad ELSE 0 END AS flen
+       |      FROM (
+       |        SELECT *,
+       |          CASE bidx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+       |            WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96
+       |            WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160
+       |            WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256
+       |            WHEN 14 THEN 320 ELSE 0 END AS kbps,
+       |          CASE ridx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       |            WHEN 2 THEN 32000 ELSE 0 END AS rate,
+       |          (h0 = 255 AND h1 >= 224 AND ((h1 // 8) % 4) = 3
+       |            AND ((h1 // 2) % 4) = 1
+       |            AND bidx BETWEEN 1 AND 14 AND ridx <= 2) AS valid
+       |        FROM (
+       |          SELECT *, (h2 // 16) % 16 AS bidx, (h2 // 4) % 4 AS ridx,
+       |                 (h2 // 2) % 2 AS pad
+       |          FROM (
+       |            SELECT media_id, hx, n, pos, frames, fbytes, kbps_sum,
+       |                   rate1, bad, step,
+       |                   ${u8("pos")} AS h0, ${u8("pos + 1")} AS h1,
+       |                   ${u8("pos + 2")} AS h2
+       |            FROM walk WHERE NOT bad AND pos + 3 <= n))))) t),
+       |done AS (
+       |  SELECT media_id, MAX_BY(pos, step) AS pos,
+       |         MAX_BY(frames, step) AS frames, MAX_BY(fbytes, step) AS fbytes,
+       |         MAX_BY(kbps_sum, step) AS kbps_sum,
+       |         MAX_BY(rate1, step) AS rate1, MAX_BY(bad, step) AS bad,
+       |         MAX(n) AS n
+       |  FROM walk GROUP BY media_id)
+       |SELECT media_id,
+       |  (frames >= 1 AND NOT bad AND pos = n + 1) AS ok,
+       |  frames AS n_frames, fbytes AS frame_bytes, rate1 AS sample_rate,
+       |  kbps_sum,
+       |  CASE WHEN rate1 > 0 THEN (frames * 1152 * 1000) // rate1
+       |       ELSE 0 END AS duration_ms
+       |FROM done ORDER BY media_id""".stripMargin
+  }
+
+  private def writeMp3SnapshotIfStale(s: SparkSession, d: String,
+      mp3s: DataFrame): Unit = synchronized {
+    if (mediaSnapshotSf.get(Mp3Snapshot) != d) {
+      mp3s.select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(Mp3Snapshot)
+      mediaSnapshotSf.put(Mp3Snapshot, d)
+    }
+  }
 
   private def writeAviSnapshotIfStale(s: SparkSession, d: String,
       avis: DataFrame): Unit = synchronized {
