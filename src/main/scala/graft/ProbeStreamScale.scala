@@ -158,6 +158,39 @@ object ProbeStreamScale {
       println(f"ratio $n%-12s state ${b.maxStateRows.toDouble / a.maxStateRows}%5.1fx  wall ${b.totalWallMs.toDouble / a.totalWallMs}%5.1fx")
     }
 
+    // s24 state bound (VERDICT r13 item 6): dropDuplicatesWithinWatermark
+    // vs plain dropDuplicates under a key domain that OUTLIVES the
+    // watermark. Dedup key = (user_id, event_type, day): the corpus
+    // spans ~30 days, so with a 2-day delay most keys expire long
+    // before the stream ends — s24's store should plateau at the keys
+    // active within the delay window while plain dropDuplicates
+    // accumulates every key ever seen. More batches (24) so the
+    // watermark actually advances between adds.
+    def dedupKeyed(df: DataFrame): DataFrame = df
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+    def dedupPlain(df: DataFrame): DataFrame = df
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("ts", "2 days")
+      .dropDuplicates("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+    val dedupRes = scala.collection.mutable.Map.empty[(String, String), Metrics]
+    for ((tag, d) <- Seq("1x" -> src, "10x" -> dir10)) {
+      val mW = runPipeline(feed(d, 24), "dedup_wm")(dedupKeyed)
+      dedupRes(("s24-within-wm", tag)) = mW
+      println(f"s24-within-wm $tag%-5s ${mW.rowsOut}%9d ${mW.maxStateRows}%10d ${mW.maxStateBytes / 1e6}%8.1f ${mW.totalWallMs / 1000.0}%6.1fs ${mW.batches}%7d")
+      val mP = runPipeline(feed(d, 24), "dedup_plain")(dedupPlain)
+      dedupRes(("dropDuplicates", tag)) = mP
+      println(f"dropDuplicates $tag%-4s ${mP.rowsOut}%9d ${mP.maxStateRows}%10d ${mP.maxStateBytes / 1e6}%8.1f ${mP.totalWallMs / 1000.0}%6.1fs ${mP.batches}%7d")
+      // dedup must stay EXACT despite expiry: within-watermark
+      // duplicates are the only kind the ts-ordered feed produces
+      println(s"  rowsOut equal: ${mW.rowsOut == mP.rowsOut}" +
+        s"  stateRows ratio (plain/wm): ${
+          mP.maxStateRows.toDouble / math.max(1, mW.maxStateRows)}")
+    }
+
     // c10-shape: per-file micro-batches folding CDC state
     def runCdcFold(parts: Int): (Long, Long, Double, Int) = {
       val p = graft.cdc.BinlogFixture.materializeDir(
