@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
   * pipeline at the 10× corpus — tokenize kernel, (term,source) agg,
   * the term-window DF pass, the final ranking — to locate the 0.7 s
   * (vs DuckDB 0.1 s) before restructuring on a guess.
+  *
+  * r14 re-measure of the SHIPPED combined-kernel pipeline: pure
+  * decode+tokenize 0.17 s; combined kernel (nested-map in-kernel
+  * combine + 194k-row encode = vocab × partitions) 0.51 s; + agg
+  * 0.63 s; + term window 0.64 s; full entry 0.90 s. The remaining
+  * spread is ~0.2 s of combine-map work riding the tokenize pass and
+  * ~0.26 s of tiny-stage scheduling on the 6,200-row tail (already
+  * minimized by TinyExchangeElimination) — no single lever left
+  * bigger than ~0.2 s, and the kernel's encoder traffic is already
+  * vocabulary-bounded. Parked unless the sf1 bar reopens WIDE.
   */
 object ProbeL5 {
   def main(args: Array[String]): Unit = {
@@ -69,6 +79,49 @@ object ProbeL5 {
       g1.join(df.hint("shuffle_hash"), "term").count()
     }
     time("full l5")(SparkEntry.queries("l5_tfidf_top3")(spark, d).count())
+
+    // r14: prefixes of the ACTUAL combined-kernel pipeline
+    def combined = {
+      val docs2 = Tables.documents(spark, d)
+      docs2.select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)](graft.Enc.longStrStr)
+        .mapPartitions { it =>
+          val outer =
+            new java.util.HashMap[String, java.util.HashMap[String, Array[Long]]]()
+          var nKeys = 0
+          var flushed = List.empty[Iterator[(String, String, Long, Long)]]
+          def drain(): Iterator[(String, String, Long, Long)] = {
+            import scala.jdk.CollectionConverters._
+            val snap = outer.entrySet().iterator().asScala.flatMap { se =>
+              val src = se.getKey
+              se.getValue.entrySet().iterator().asScala.map { te =>
+                (src, te.getKey, te.getValue()(0), te.getValue()(1))
+              }
+            }.toArray
+            outer.clear(); nKeys = 0
+            snap.iterator
+          }
+          it.foreach { case (_, src, text) =>
+            val inner = outer.computeIfAbsent(src,
+              _ => new java.util.HashMap[String, Array[Long]]())
+            graft.functions.HashOps.termCounts(text).foreach { case (t, c) =>
+              var acc = inner.get(t)
+              if (acc == null) { acc = new Array[Long](2); inner.put(t, acc); nKeys += 1 }
+              acc(0) += c; acc(1) += 1
+            }
+            if (nKeys > (1 << 19)) flushed ::= drain()
+          }
+          (drain() :: flushed).iterator.flatten
+        }(graft.Enc.strStrLongLong)
+        .toDF("source", "term", "tf0", "dfp0")
+    }
+    time("combined kernel")(combined.count())
+    def g1c = combined.groupBy("term", "source")
+      .agg(sum("tf0").as("tf"), sum("dfp0").as("dfp"))
+    time("combined + agg")(g1c.count())
+    time("combined + agg + window") {
+      g1c.withColumn("df", sum("dfp").over(Window.partitionBy("term"))).count()
+    }
     spark.stop()
   }
 }
