@@ -46,6 +46,8 @@ object Enc {
   val longLong: Encoder[(Long, Long)] = ExpressionEncoder()
   val longBoolLong5: Encoder[(Long, Boolean, Long, Long, Long, Long, Long)] =
     ExpressionEncoder()
+  val longBoolLong6: Encoder[(Long, Boolean, Long, Long, Long, Long, Long, Long)] =
+    ExpressionEncoder()
   val longBytes: Encoder[(Long, Array[Byte])] = ExpressionEncoder()
   val long5: Encoder[(Long, Long, Long, Long, Long)] = ExpressionEncoder()
   val longStrStrLong: Encoder[(Long, String, String, Long)] = ExpressionEncoder()

@@ -166,6 +166,75 @@ object Mp3FrameAuditor extends MediaDecoder {
   }
 }
 
+/** The video twin of [[Mp3FrameAuditor]] (r14): an H.264/AVC Annex-B
+  * NAL-unit audit — start-code walk, per-NAL header validation
+  * (forbidden_zero_bit), unit-type census (SPS/PPS/IDR/slice), and
+  * the structural-completeness rule a decodable stream needs (at
+  * least one SPS, PPS, and IDR). No entropy decode — none is possible
+  * pure-JVM here and none is needed for ingest health: everything
+  * audited lives in the byte-aligned start codes (ITU-T H.264 Annex
+  * B) and the 1-byte NAL header (§7.3.1).
+  *
+  * Walk rule (shared verbatim with the m13 DuckDB oracle): start
+  * codes are the 3-byte pattern 00 00 01, scanned left-to-right with
+  * a 3-byte skip after each hit (the 4-byte form 00 00 00 01 is a
+  * zero-prefixed 3-byte code and yields the same hit); a NAL's extent
+  * runs from after its start code to the next hit (so a following
+  * 4-byte code's lead zero counts with the PREVIOUS unit's extent —
+  * harmless for a census; a de-escaper would trim it). A unit is
+  * valid when its extent holds a header plus at least one byte and
+  * forbidden_zero_bit is 0; invalid units are not typed (they report
+  * under n_other). `ok` = stream begins with a start code, zero
+  * invalid units, and SPS/PPS/IDR all present.
+  */
+object H264NalAuditor extends MediaDecoder {
+
+  override def kinds: Set[Int] = Set(2) // the media table's video kind
+
+  override def decodeRaster(kind: Int, payload: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = None
+
+  override def auditFields(kind: Int, payload: Array[Byte])
+      : Option[Seq[(String, Long)]] = {
+    val b = payload
+    val n = b.length
+    val matches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < n) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) { matches += i; i += 3 }
+      else i += 1
+    }
+    var nN = 0L; var nSps = 0L; var nPps = 0L; var nIdr = 0L
+    var nSlice = 0L; var nOther = 0L; var badN = 0L
+    var k = 0
+    while (k < matches.length) {
+      val h = matches(k) + 3
+      val end = if (k + 1 < matches.length) matches(k + 1) else n
+      nN += 1
+      if (end - h < 2 || (b(h) & 0x80) != 0) badN += 1
+      else (b(h) & 0x1F) match {
+        case 7 => nSps += 1
+        case 8 => nPps += 1
+        case 5 => nIdr += 1
+        case 1 => nSlice += 1
+        case _ => nOther += 1
+      }
+      k += 1
+    }
+    val started = matches.nonEmpty &&
+      (matches(0) == 0 || (matches(0) == 1 && b(0) == 0))
+    val ok = started && badN == 0 && nSps >= 1 && nPps >= 1 && nIdr >= 1
+    Some(Seq(
+      "ok" -> (if (ok) 1L else 0L),
+      "n_nals" -> nN,
+      "n_sps" -> nSps,
+      "n_pps" -> nPps,
+      "n_idr" -> nIdr,
+      "n_slice" -> nSlice,
+      "n_other" -> (nOther + badN)))
+  }
+}
+
 /** The built-in SPI instance: the JVM's own ImageIO container readers
   * (PNG et al) behind the [[MediaDecoder]] contract — the reference
   * implementation a deployment's native-backed provider mirrors for

@@ -1406,6 +1406,21 @@ object MultimodalOps {
       val mp3s = mp3Table(s, d)
       writeMp3SnapshotIfStale(s, d, mp3s)
       mp3Audit(mp3s).orderedRows(col("media_id"))
+    },
+
+    // m13: H.264 ANNEX-B NAL AUDIT (r14) — m12's video twin, making
+    // the no-decode audit story uniform across the lossy kinds:
+    // start-code walk, forbidden_zero_bit validation, SPS/PPS/IDR/
+    // slice census, structural-completeness ok rule. Same SPI mount
+    // (H264NalAuditor, per-executor-JVM inside the task); kind-2
+    // raster stubs unchanged (decodeRaster None). Fixture plants a
+    // forbidden-bit violation, leading garbage, and a missing SPS;
+    // the oracle re-walks the bytes in DuckDB with the identical
+    // scan-and-skip rule.
+    QueryDef("m13_h264_audit", H264OracleSql) { (s, d) =>
+      val h264s = h264Table(s, d)
+      writeH264SnapshotIfStale(s, d, h264s)
+      h264Audit(h264s).orderedRows(col("media_id"))
     }
   )
 
@@ -1582,6 +1597,178 @@ object MultimodalOps {
        |  CASE WHEN rate1 > 0 THEN (frames * 1152 * 1000) // rate1
        |       ELSE 0 END AS duration_ms
        |FROM done ORDER BY media_id""".stripMargin
+  }
+
+  /** m13's (media_id, payload) H.264 snapshot for the DuckDB re-walk. */
+  private lazy val H264Snapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_h264_snapshot"
+
+  /** Deterministic H.264 Annex-B byte stream for one media id: real
+    * start codes (3- and 4-byte forms mixed) and NAL headers, filler
+    * bodies restricted to 0x10..0xF9 — NO zero bytes, so the 00 00 01
+    * pattern can only occur at true start codes (real H.264 guarantees
+    * the same via emulation-prevention bytes; the fixture achieves it
+    * by construction so the oracle's pattern search is exact). Plants:
+    * a forbidden_zero_bit violation (id%5==0), leading garbage before
+    * the first start code (id%7==2), and a missing SPS (id%11==3). */
+  private[queries] def encodeH264(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var k = 0
+    def nal(hdr: Int, bodyLen: Int): Unit = {
+      if (k == 0 || (id + k) % 2 == 0) out.write(0) // 4-byte form
+      out.write(0); out.write(0); out.write(1)
+      out.write(hdr)
+      var j = 0
+      while (j < bodyLen) {
+        out.write((((id * 37 + k * 11 + j * 7) % 234) + 16).toInt); j += 1
+      }
+      k += 1
+    }
+    if (id % 7 == 2) { out.write(0x19); out.write(0x2A) } // leading junk
+    if (id % 11 != 3) nal(0x67, 8 + (id % 5).toInt) // SPS
+    nal(0x68, 4 + (id % 3).toInt) // PPS
+    if (id % 3 == 0) nal(0x06, 6) // SEI
+    nal(0x65, 40 + (id % 23).toInt) // IDR slice
+    val nSlices = 2 + (id % 4).toInt
+    var i = 0
+    while (i < nSlices) {
+      // one planted forbidden_zero_bit violation on the middle slice
+      val hdr = if (id % 5 == 0 && i == 1) 0xC1 else 0x41
+      nal(hdr, 30 + ((id + i) % 17).toInt)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic H.264 corpus from the documents table (the media
+    * table's video kind) — start-code/header-real, body-filler: what
+    * the no-decode audit consumes. */
+  def h264Table(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2) // the media table's video kind
+      .select(col("doc_id"))
+      .fanOut
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeH264(id))))(graft.Enc.longBytes)
+      .toDF("media_id", "payload")
+  }
+
+  /** m13 kernel: the NAL audit through the MediaDecoders SPI (mounted
+    * per-executor-JVM inside the task, like m12). Map-side, one row
+    * per clip. */
+  def h264Audit(h264s: DataFrame): DataFrame = {
+    val spark = h264s.sparkSession
+    import spark.implicits._
+    h264s.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])](graft.Enc.longBytes)
+      .mapPartitions { it =>
+        graft.functions.MediaDecoders.ensureRegistered(
+          graft.functions.H264NalAuditor)
+        it.map { case (id, payload) =>
+          val f = graft.functions.MediaDecoders.auditOf(2, payload)
+            .getOrElse(Seq.empty).toMap
+          (id, f.getOrElse("ok", 0L) == 1L,
+            f.getOrElse("n_nals", 0L), f.getOrElse("n_sps", 0L),
+            f.getOrElse("n_pps", 0L), f.getOrElse("n_idr", 0L),
+            f.getOrElse("n_slice", 0L), f.getOrElse("n_other", 0L))
+        }
+      }(graft.Enc.longBoolLong6)
+      .toDF("media_id", "ok", "n_nals", "n_sps", "n_pps", "n_idr",
+        "n_slice", "n_other")
+  }
+
+  /** m13's oracle: DuckDB re-walks the Annex-B snapshot bytes — the
+    * same 3-byte start-code scan with 3-byte skip (strpos over hex;
+    * exact because fixture bodies carry no zero bytes), per-NAL
+    * header validation, type census, and the SPS/PPS/IDR completeness
+    * rule. Each recursion step classifies the PREVIOUS unit (whose
+    * extent is now known); the final unit folds in at the end. */
+  private lazy val H264OracleSql: String = {
+    def u8(p: String) =
+      s"CAST('0x' || substr(hx, CAST((($p)-1)*2+1 AS INT), 2) AS BIGINT)"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT media_id, hex(payload) AS hx,
+       |         CAST(octet_length(payload) AS BIGINT) AS n
+       |  FROM read_parquet('$H264Snapshot/*.parquet')),
+       |walk AS (
+       |  SELECT media_id, hx, n, CAST(0 AS BIGINT) AS spos,
+       |         CAST(-1 AS BIGINT) AS prev_h, CAST(-1 AS BIGINT) AS first_m,
+       |         CAST(0 AS BIGINT) AS n_nals, CAST(0 AS BIGINT) AS n_sps,
+       |         CAST(0 AS BIGINT) AS n_pps, CAST(0 AS BIGINT) AS n_idr,
+       |         CAST(0 AS BIGINT) AS n_slice, CAST(0 AS BIGINT) AS n_oth,
+       |         CAST(0 AS BIGINT) AS n_bad, CAST(0 AS BIGINT) AS step
+       |  FROM m
+       |  UNION ALL
+       |  SELECT media_id, hx, n, mb + 3, mb + 3,
+       |         CASE WHEN first_m < 0 THEN mb ELSE first_m END,
+       |         n_nals + 1,
+       |         n_sps + CASE WHEN pvalid AND ptype = 7 THEN 1 ELSE 0 END,
+       |         n_pps + CASE WHEN pvalid AND ptype = 8 THEN 1 ELSE 0 END,
+       |         n_idr + CASE WHEN pvalid AND ptype = 5 THEN 1 ELSE 0 END,
+       |         n_slice + CASE WHEN pvalid AND ptype = 1 THEN 1 ELSE 0 END,
+       |         n_oth + CASE WHEN pvalid
+       |                       AND ptype NOT IN (7, 8, 5, 1) THEN 1 ELSE 0 END,
+       |         n_bad + CASE WHEN prev_h >= 0 AND NOT pvalid THEN 1 ELSE 0 END,
+       |         step + 1
+       |  FROM (
+       |    SELECT *,
+       |      (prev_h >= 0 AND mb - prev_h >= 2 AND phdr < 128) AS pvalid,
+       |      phdr % 32 AS ptype
+       |    FROM (
+       |      SELECT *, spos + (rel - 1) // 2 AS mb,
+       |        CASE WHEN prev_h >= 0 AND prev_h + 1 <= n
+       |             THEN ${u8("prev_h + 1")} ELSE 128 END AS phdr
+       |      FROM (
+       |        SELECT *, strpos(substr(hx, CAST(spos * 2 + 1 AS INT)),
+       |                         '000001') AS rel
+       |        FROM walk) t0
+       |      WHERE rel > 0) t1) t2),
+       |last AS (
+       |  SELECT media_id, MAX_BY(hx, step) AS hx, MAX(n) AS n,
+       |         MAX_BY(prev_h, step) AS prev_h,
+       |         MAX_BY(first_m, step) AS first_m,
+       |         MAX_BY(n_nals, step) AS n_nals, MAX_BY(n_sps, step) AS n_sps,
+       |         MAX_BY(n_pps, step) AS n_pps, MAX_BY(n_idr, step) AS n_idr,
+       |         MAX_BY(n_slice, step) AS n_slice, MAX_BY(n_oth, step) AS n_oth,
+       |         MAX_BY(n_bad, step) AS n_bad
+       |  FROM walk GROUP BY media_id),
+       |fin AS (
+       |  SELECT media_id, n, first_m, n_nals,
+       |    n_sps + CASE WHEN fvalid AND ftype = 7 THEN 1 ELSE 0 END AS n_sps,
+       |    n_pps + CASE WHEN fvalid AND ftype = 8 THEN 1 ELSE 0 END AS n_pps,
+       |    n_idr + CASE WHEN fvalid AND ftype = 5 THEN 1 ELSE 0 END AS n_idr,
+       |    n_slice + CASE WHEN fvalid AND ftype = 1 THEN 1 ELSE 0 END AS n_slice,
+       |    n_oth + CASE WHEN fvalid AND ftype NOT IN (7, 8, 5, 1)
+       |                 THEN 1 ELSE 0 END AS n_oth,
+       |    n_bad + CASE WHEN prev_h >= 0 AND NOT fvalid THEN 1 ELSE 0 END AS n_bad,
+       |    CASE WHEN first_m >= 0 AND first_m <= 1
+       |          AND (first_m = 0 OR ${u8("1")} = 0) THEN TRUE
+       |         ELSE FALSE END AS started
+       |  FROM (
+       |    SELECT *,
+       |      (prev_h >= 0 AND n - prev_h >= 2 AND fhdr < 128) AS fvalid,
+       |      fhdr % 32 AS ftype
+       |    FROM (
+       |      SELECT *,
+       |        CASE WHEN prev_h >= 0 AND prev_h + 1 <= n
+       |             THEN ${u8("prev_h + 1")} ELSE 128 END AS fhdr
+       |      FROM last) u0) u1)
+       |SELECT media_id,
+       |  (started AND n_bad = 0 AND n_sps >= 1 AND n_pps >= 1
+       |   AND n_idr >= 1) AS ok,
+       |  n_nals, n_sps, n_pps, n_idr, n_slice,
+       |  n_oth + n_bad AS n_other
+       |FROM fin ORDER BY media_id""".stripMargin
+  }
+
+  private def writeH264SnapshotIfStale(s: SparkSession, d: String,
+      h264s: DataFrame): Unit = synchronized {
+    if (mediaSnapshotSf.get(H264Snapshot) != d) {
+      h264s.select(col("media_id"), col("payload"))
+        .write.mode("overwrite").parquet(H264Snapshot)
+      mediaSnapshotSf.put(H264Snapshot, d)
+    }
   }
 
   private def writeMp3SnapshotIfStale(s: SparkSession, d: String,

@@ -54,7 +54,10 @@ class Mp3AuditSpec extends AnyFunSuite {
     // SPI routing: registered auditor answers audits for kind 1 only
     MediaDecoders.ensureRegistered(Mp3FrameAuditor)
     assert(MediaDecoders.auditOf(1, frame(9, 0, 0)).nonEmpty)
-    assert(MediaDecoders.auditOf(2, frame(9, 0, 0)).isEmpty) // h264 stub untouched
+    // kind-2 rasters stay stubbed regardless of which auditors are
+    // mounted (H264NalAuditor may be registered by its own spec —
+    // audits and rasters are independent capabilities)
+    assert(MediaDecoders.rasterOf(2, frame(9, 0, 0)).isEmpty)
     assert(MediaDecoders.rasterOf(1, frame(9, 0, 0)).isEmpty)
   }
 }
