@@ -58,7 +58,7 @@ object Bench {
     "s13_stream_outer_join", "s17_dynamic_sessions", "s19_complete_topk",
     "s20_stream_full_outer", "s21_stream_static_join",
     "s22_chained_windows", "s23_tws_running_stats",
-    "s24_dedup_within_watermark",
+    "s24_dedup_within_watermark", "s25_ann_index_stream",
     "c10_state_stream", "c14_lake_state", "c19_evolve_stream")
 
   /** Execution-only stand-in for ReusedExchangeExec inside cloned

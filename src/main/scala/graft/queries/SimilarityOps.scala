@@ -449,14 +449,23 @@ object SimilarityOps {
     * the candidate set provably covers the exact top-5 (r13
     * measurement), so the serve shares a1's oracle. */
   def annServePersisted(s: org.apache.spark.sql.SparkSession, nQueries: Int = 10, k: Int = 5,
-      nBands: Int = 24, bandBits: Int = 2): DataFrame = {
+      nBands: Int = 24, bandBits: Int = 2): DataFrame =
+    annServeFrom(s,
+      s.table("graft_ann_bands_base")
+        .unionByName(s.table("graft_ann_bands_delta")),
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.table("graft_ann_vecs_delta")),
+      nQueries, k, nBands, bandBits)
+
+  /** The serve kernel over EXPLICIT persisted band/vector frames —
+    * shared by the batch-delta form (a12) and the streaming
+    * epoch-delta form (s25). */
+  private def annServeFrom(s: org.apache.spark.sql.SparkSession,
+      bands: DataFrame, vecs: DataFrame, nQueries: Int, k: Int,
+      nBands: Int, bandBits: Int): DataFrame = {
     import graft.QueryDef.SmallOrdered
     graft.functions.CosineSim.register(s)
     graft.functions.FirstBandMatch.register(s)
-    val bands = s.table("graft_ann_bands_base")
-      .unionByName(s.table("graft_ann_bands_delta"))
-    val vecs = s.table("graft_ann_vecs_base")
-      .unionByName(s.table("graft_ann_vecs_delta"))
     val q = broadcast(bands.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("sig").as("qsig"),
         col("b"), col("h")))
@@ -480,6 +489,65 @@ object SimilarityOps {
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
         round(col("sim_raw"), 5).as("sim"))
       .orderedSmall(col("qid"), col("rnk"))
+  }
+
+  /** One streamed ingest batch → one EPOCH-KEYED delta generation
+    * (the c11 exactly-once recipe: a replayed epoch OVERWRITES its own
+    * directory instead of appending duplicates — idempotence
+    * spec-pinned). Base tables untouched, as in [[foldAnnDelta]]. */
+  private[queries] def foldAnnDeltaEpoch(batch: DataFrame, dir: String,
+      nBands: Int = 24, bandBits: Int = 2): Unit = {
+    withBandIds(batch, nBands, bandBits)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    unitWidened(batch).write.mode("overwrite").parquet(s"$dir/vecs")
+  }
+
+  /** s25: STREAMING index maintenance — the a12 fold as a long-running
+    * ingest. Each arriving micro-batch of embeddings folds into its
+    * own epoch's delta generation inside foreachBatch; the base
+    * generation is never read or rewritten; serving reads
+    * base ∪ every delta epoch. Exactly-once: the checkpoint pins the
+    * batch→epoch assignment and a replayed epoch rewrites its own
+    * directory (c11's recipe). At 100 TB the shape is unchanged — the
+    * standing index sits still while per-epoch deltas accumulate, and
+    * a compaction job (w4's lever) can fold old epochs into base
+    * offline. */
+  def annIndexStreamServe(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int = 4, nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 24, bandBits: Int = 2): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    ensureAnnIndexBase(s, d, nBands, bandBits)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream_cp").toString
+    // the ingest feed: the delta split arrives in vec_id order across
+    // nBatches micro-batches (the finite-replay stand-in every
+    // s-scenario uses; a deployment points readStream at its drop dir)
+    val rows = Tables.embeddings(s, d).filter(!annBaseFilter)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+      .collect().sortBy(_._1)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldAnnDeltaEpoch(batch, s"$streamDir/epoch=$epoch",
+          nBands, bandBits)
+      }
+      .start()
+    try {
+      rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+        .foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    annServeFrom(s,
+      s.table("graft_ann_bands_base")
+        .unionByName(s.read.parquet(s"$streamDir/epoch=*/bands")),
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.read.parquet(s"$streamDir/epoch=*/vecs")),
+      nQueries, k, nBands, bandBits)
   }
 
   /** The exact-top-k oracle — shared by a1 (the exact kernel) and a2
@@ -621,6 +689,15 @@ object SimilarityOps {
       ensureAnnIndexBase(s, d)
       foldAnnDelta(s, d)
       annServePersisted(s)
+    },
+
+    // s25: the a12 deployment's STREAMING half — index maintenance as
+    // a long-running ingest (epoch-keyed delta generations inside
+    // foreachBatch, base never touched, serving over base ∪ epochs;
+    // doc at annIndexStreamServe). Same exact oracle as a12: one
+    // missing or duplicated index row from any epoch breaks the hash.
+    QueryDef("s25_ann_index_stream", ExactTop5OracleSql) { (s, d) =>
+      annIndexStreamServe(s, d)
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every

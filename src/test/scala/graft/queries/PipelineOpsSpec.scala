@@ -561,6 +561,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(served == exact)
   }
 
+  test("s25: an epoch replay overwrites its own delta generation (exactly-once)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s25_spec").toString + "/epoch=0"
+    val batch = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.foldAnnDeltaEpoch(batch, dir, nBands = 2, bandBits = 2)
+    val first = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the replay case c11's recipe exists for: same epoch, same batch,
+    // written again after a simulated failure — no duplicates
+    SimilarityOps.foldAnnDeltaEpoch(batch, dir, nBands = 2, bandBits = 2)
+    val second = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(second == first)
+    assert(spark.read.parquet(s"$dir/vecs").count() == 2)
+  }
+
   test("d7 semantic dedup: assignments parallelism-independent; duplicates collapse") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
