@@ -43,6 +43,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CosineSim(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("first_band_match"),
+      new ExpressionInfo(
+        classOf[graft.functions.FirstBandMatch].getName, "first_band_match"),
+      (exprs: Seq[Expression]) => {
+        def intOf(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            s"first_band_match geometry arguments must be int literals, got $other",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
+        }
+        if (exprs.length != 4)
+          throw new org.apache.spark.sql.AnalysisException(
+            s"first_band_match expects exactly 4 arguments, got ${exprs.length}",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
+        graft.functions.FirstBandMatch(
+          exprs(0), exprs(1), intOf(exprs(2)), intOf(exprs(3)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("json_int"),
       new ExpressionInfo(
         classOf[graft.functions.JsonIntGet].getName, "json_int"),

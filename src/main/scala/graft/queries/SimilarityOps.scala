@@ -491,6 +491,32 @@ object SimilarityOps {
       .orderedSmall(col("qid"), col("rnk"))
   }
 
+  /** Offline COMPACTION — w4's lever applied to the index: fold the
+    * standing base and the accumulated delta into ONE new bucketed
+    * generation (a single read of each side, one write, run when the
+    * delta's small-file count starts to tax serving scans). Serving
+    * from the compacted generation alone must equal serving from
+    * base ∪ delta — a13 pins that with the same exact oracle. */
+  def compactAnnIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    synchronized {
+      if (annIndexSf.get("compact") == d &&
+        s.catalog.tableExists("graft_ann_bands_compact")) return
+      annIndexSf.remove("compact")
+      s.table("graft_ann_bands_base")
+        .unionByName(s.table("graft_ann_bands_delta"))
+        .write.mode("overwrite")
+        .option("path", s"$AnnWarehouse/bands_compact")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable("graft_ann_bands_compact")
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.table("graft_ann_vecs_delta"))
+        .write.mode("overwrite")
+        .option("path", s"$AnnWarehouse/vecs_compact")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable("graft_ann_vecs_compact")
+      annIndexSf.put("compact", d)
+    }
+
   /** One streamed ingest batch → one EPOCH-KEYED delta generation
     * (the c11 exactly-once recipe: a replayed epoch OVERWRITES its own
     * directory instead of appending duplicates — idempotence
@@ -698,6 +724,18 @@ object SimilarityOps {
     // missing or duplicated index row from any epoch breaks the hash.
     QueryDef("s25_ann_index_stream", ExactTop5OracleSql) { (s, d) =>
       annIndexStreamServe(s, d)
+    },
+
+    // a13: the index lifecycle's last step — offline compaction (doc
+    // at compactAnnIndex). Serving from the COMPACTED generation
+    // alone, same exact oracle: compaction must lose nothing and
+    // duplicate nothing.
+    QueryDef("a13_ann_index_compact", ExactTop5OracleSql) { (s, d) =>
+      ensureAnnIndexBase(s, d)
+      foldAnnDelta(s, d)
+      compactAnnIndex(s, d)
+      annServeFrom(s, s.table("graft_ann_bands_compact"),
+        s.table("graft_ann_vecs_compact"), 10, 5, 24, 2)
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every
