@@ -305,9 +305,23 @@ object CdcMain {
     // Parse + filter ONCE and share the event frame between the two
     // sinks — with both --output-parquet and -o the binlog used to be
     // decoded twice (ADVICE r9). Cache only when both are live.
-    val events = CdcJob.applyFilters(
-      if (binary) graft.sources.BinlogBinary.parse(spark, binlog, cfg.includeDdl)
-      else CdcJob.parse(spark, binlog, cfg.includeDdl), cfg)
+    // --evolve-schema (r14 fix: the flag used to set cfg and then be
+    // IGNORED by this inline pipeline — the CLI's flagship fix
+    // no-op'd): the parse must SEE DDL even when the output excludes
+    // it, timelines fold over the PRE-filter stream, and DDL leaves
+    // the output again unless --include-ddl asked for it.
+    val parseDdl = cfg.includeDdl || cfg.evolveSchema
+    val parsed =
+      if (binary) graft.sources.BinlogBinary.parse(spark, binlog, parseDdl)
+      else CdcJob.parse(spark, binlog, parseDdl)
+    val evolved =
+      if (cfg.evolveSchema) Some(SchemaEvolve.timelines(parsed, catalog))
+      else None
+    val filtered = CdcJob.applyFilters(parsed, cfg)
+    val events =
+      if (cfg.evolveSchema && !cfg.includeDdl)
+        filtered.filter(org.apache.spark.sql.functions.col("op") =!= "ddl")
+      else filtered
     val shared =
       if (outParquet.nonEmpty && out.nonEmpty) events.cache() else events
     // --output-parquet: the event-lake sink — filtered change EVENTS
@@ -316,7 +330,8 @@ object CdcMain {
     // skipped entirely unless -o also asked for SQL
     outParquet.foreach(writeEventLake(shared, _))
     if (outParquet.nonEmpty && out.isEmpty) { spark.stop(); return }
-    val sql = CdcJob.render(shared, catalog, cfg).select("sql")
+    val sql = CdcJob.render(shared, catalog, cfg, evolved = evolved)
+      .select("sql")
     // --back-interval: pace flashback emission in 1000-statement
     // chunks (the upstream binlog2sql throttle the reference's dead
     // code intended) — applied at the SINK, where order is already

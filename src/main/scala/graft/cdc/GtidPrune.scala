@@ -36,7 +36,7 @@ object GtidPrune {
 
   /** The name-sorted candidate files under `path` (a directory, or a
     * single file). */
-  private[cdc] def listFiles(spark: SparkSession, path: String): Seq[Path] = {
+  private[graft] def listFiles(spark: SparkSession, path: String): Seq[Path] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)

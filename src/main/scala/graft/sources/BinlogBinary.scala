@@ -321,9 +321,15 @@ object BinlogBinary {
   } catch { case _: ArrayIndexOutOfBoundsException |
                  _: StringIndexOutOfBoundsException => None }
 
+  /** @param ddlOnly skip rows-event body decode entirely (the
+    *   dominant volume), emitting only DDL events — the schema-
+    *   evolution timeline parse of GTID-pruned files (the text FSM's
+    *   ddlOnly twin). Compressed transaction payloads still replay
+    *   (they can carry DDL); their rows skip the same way. */
   def parseBytes(file: String, bytes: Array[Byte],
       includeDdl: Boolean = false,
-      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Seq[RawChange] = {
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+      ddlOnly: Boolean = false): Seq[RawChange] = {
     val out = mutable.ArrayBuffer.empty[RawChange]
     if (bytes.length < 4 || bytes(0) != 0xFE.toByte || bytes(1) != 'b' ||
         bytes(2) != 'i' || bytes(3) != 'n') return out.toSeq
@@ -645,6 +651,9 @@ object BinlogBinary {
             }
             tables(tid) = TableDef(db, tbl, types, meta)
           case WRITE_V1 | UPDATE_V1 | DELETE_V1 |
+              WRITE_V2 | UPDATE_V2 | DELETE_V2 if ddlOnly =>
+            () // ddlOnly fast path: rows bodies never decode
+          case WRITE_V1 | UPDATE_V1 | DELETE_V1 |
               WRITE_V2 | UPDATE_V2 | DELETE_V2 =>
             val tid = c.u48()
             val rowsFlags = c.u16() // bit 0 = STMT_END_F
@@ -828,7 +837,7 @@ object BinlogBinary {
     parsePaths(spark, Seq(path), includeDdl)
 
   private[graft] def parsePaths(spark: SparkSession, paths: Seq[String],
-      includeDdl: Boolean): DataFrame = {
+      includeDdl: Boolean, ddlOnly: Boolean = false): DataFrame = {
     import spark.implicits._
     if (paths.isEmpty)
       return CdcJob.projectEvents(spark.emptyDataset[graft.cdc.RawChange].toDF())
@@ -842,7 +851,8 @@ object BinlogBinary {
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .flatMap { case (file, bytes) =>
-          parseBytes(file, bytes, includeDdl, java.time.ZoneId.of(zoneId)) }
+          parseBytes(file, bytes, includeDdl, java.time.ZoneId.of(zoneId),
+            ddlOnly) }
         .toDF())
   }
 
@@ -852,11 +862,34 @@ object BinlogBinary {
     * PREVIOUS_GTIDS headers prove them disjoint are never decoded. */
   def run(spark: SparkSession, path: String,
       catalog: DataFrame, cfg: graft.cdc.CdcConfig): DataFrame = {
-    val events = cfg.includeGtids match {
-      case Some(spec) => parsePaths(spark,
-        graft.cdc.GtidPrune.prune(spark, path, spec), cfg.includeDdl)
-      case None => parse(spark, path, cfg.includeDdl)
+    // --evolve-schema parity with CdcJob.run (r14 fix: the binary
+    // batch path used to IGNORE the flag): the parse must see DDL,
+    // timelines fold pre-filter — including the DDL of GTID-pruned
+    // files, via the rows-skipping ddlOnly decode — and DDL leaves
+    // the output again unless --include-ddl asked for it.
+    val parseDdl = cfg.includeDdl || cfg.evolveSchema
+    val (events, prunedOut) = cfg.includeGtids match {
+      case Some(spec) =>
+        val retained = graft.cdc.GtidPrune.prune(spark, path, spec)
+        val all = graft.cdc.GtidPrune.listFiles(spark, path).map(_.toString)
+        (parsePaths(spark, retained, parseDdl),
+          all.filterNot(retained.toSet))
+      case None => (parse(spark, path, parseDdl), Nil)
     }
-    CdcJob.render(CdcJob.applyFilters(events, cfg), catalog, cfg)
+    val evolved =
+      if (cfg.evolveSchema) {
+        val timelineEvents =
+          if (prunedOut.isEmpty) events
+          else events.unionByName(
+            parsePaths(spark, prunedOut, includeDdl = true, ddlOnly = true)
+              .filter(col("op") === "ddl"))
+        Some(graft.cdc.SchemaEvolve.timelines(timelineEvents, catalog))
+      } else None
+    val filtered = CdcJob.applyFilters(events, cfg)
+    val outEvents =
+      if (cfg.evolveSchema && !cfg.includeDdl)
+        filtered.filter(col("op") =!= "ddl")
+      else filtered
+    CdcJob.render(outEvents, catalog, cfg, evolved = evolved)
   }
 }

@@ -95,6 +95,38 @@ object CdcStream {
   def startEvolved(spark: SparkSession, dir: String, catalog: DataFrame,
       cfg: CdcConfig = CdcConfig(), checkpoint: String,
       maxFilesPerTrigger: Int = 32)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    startEvolvedFrom(spark,
+      events(spark, dir, includeDdl = true, maxFilesPerTrigger),
+      catalog, cfg, checkpoint)(sink)
+
+  /** [[startEvolved]] over a RAW `.binlog` drop directory — the
+    * binary-source twin (decode via `sources.BinlogBinary`, same
+    * timeline state machine and render). */
+  def startEvolvedBinary(spark: SparkSession, dir: String,
+      catalog: DataFrame, cfg: CdcConfig = CdcConfig(), checkpoint: String,
+      maxFilesPerTrigger: Int = 32)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import spark.implicits._
+    val binarySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val evs = CdcJob.projectEvents(
+      spark.readStream
+        .format("binaryFile")
+        .schema(binarySchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (file, bytes) =>
+          graft.sources.BinlogBinary.parseBytes(file, bytes, includeDdl = true)
+        }
+        .toDF())
+    startEvolvedFrom(spark, evs, catalog, cfg, checkpoint)(sink)
+  }
+
+  private def startEvolvedFrom(spark: SparkSession, evs: DataFrame,
+      catalog: DataFrame, cfg: CdcConfig, checkpoint: String)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(!cfg.flashback,
       "flashback reverses the whole stream and needs its end: batch-only")
@@ -105,7 +137,7 @@ object CdcStream {
     // the timeline folds over the PRE-filter stream — user filters
     // narrow the output, never the schema history events resolve
     // against (same rule as CdcJob.run's batch fold)
-    events(spark, dir, includeDdl = true, maxFilesPerTrigger)
+    evs
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -599,6 +599,65 @@ class BinlogBinarySpec extends AnyFunSuite {
       CdcMain.parseArgs(Array("--binlog", "x", "--format", "orc")))
   }
 
+  test("--evolve-schema on the binary BATCH path resolves by log position (r14 fix)") {
+    import BinlogBinaryFixture._
+    val evs = Seq(
+      Insert(1, "a", Some(1.5)),
+      Ddl("testdb", "alter table t_pk rename column name to name2"),
+      Insert(2, "b", Some(2.5)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bevolve")
+    java.nio.file.Files.write(dir.resolve("binlog.000001"), render(evs)._1)
+    val cat = Catalog.fixture(spark)
+    def inserts(cfg: CdcConfig): Seq[String] =
+      BinlogBinary.run(spark, dir.toString, cat, cfg)
+        .filter(org.apache.spark.sql.functions.col("op") === "insert")
+        .select("sql").collect().map(_.getString(0)).toSeq
+    val evolvedSql = inserts(CdcConfig(evolveSchema = true))
+    assert(evolvedSql.size == 2)
+    assert(evolvedSql.head.contains("`name`") && !evolvedSql.head.contains("`name2`"))
+    assert(evolvedSql(1).contains("`name2`"),
+      s"post-ALTER insert must use the renamed column: ${evolvedSql(1)}")
+    // without the flag: live-catalog names throughout (the reference's
+    // behavior the flag exists to fix)
+    val plain = inserts(CdcConfig())
+    assert(plain.forall(s => s.contains("`name`") && !s.contains("`name2`")))
+  }
+
+  test("binary STREAMING evolve: a mid-directory ALTER versions later files") {
+    import BinlogBinaryFixture._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsevolve")
+    val f0 = render(Seq(
+      Insert(1, "a", Some(1.5)),
+      Ddl("testdb", "alter table t_pk rename column name to name2")))._1
+    val f1 = render(Seq(Insert(2, "b", Some(2.5))))._1
+    java.nio.file.Files.write(dir.resolve("binlog.000000"), f0)
+    java.nio.file.Files.write(dir.resolve("binlog.000001"), f1)
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("binlog.000000"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("binlog.000001"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val cat = Catalog.fixture(spark)
+    val cfg = CdcConfig(evolveSchema = true)
+    var acc = Vector.empty[(String, Long, String)]
+    val cp = java.nio.file.Files.createTempDirectory("graft_bsevolve_cp").toString
+    val q = graft.streaming.CdcStream.startEvolvedBinary(
+      spark, dir.toString, cat, cfg, cp, maxFilesPerTrigger = 1) {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= b.select("file", "seq", "sql").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val batch = BinlogBinary.run(spark, dir.toString, cat, cfg)
+      .select("file", "seq", "sql").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(acc.sortBy(t => (t._1, t._2)) == batch,
+      "binary stream-evolved render must equal the binary batch render")
+    val later = acc.filter(_._1.contains("binlog.000001")).map(_._3)
+    assert(later.nonEmpty && later.forall(_.contains("`name2`")),
+      s"file1's inserts must resolve against the file0 ALTER: $later")
+  }
+
   test("binary pipeline renders the same SQL as the text pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bbin")
     val binPath = dir.resolve("binlog.000001")
