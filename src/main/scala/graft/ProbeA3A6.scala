@@ -21,6 +21,19 @@ object ProbeA3A6 {
         "/root/testdata/sf0.1")) {
       val a1 = SparkEntry.queries("a1_ann_exact")(spark, sf).collect()
         .map(_.toSeq).toSeq
+      // a3: measured r14 — nProbe 8/10/12 miss (rowDiffs 4–27 across
+      // SFs), 14 EXACT at all three SFs, 16 = probe-all; entry pins 15
+      for (np <- Seq(8, 10, 12, 14, 16)) {
+        val a3 = graft.queries.SimilarityOps.annIvf(
+          Tables.embeddings(spark, sf), nProbe = np).collect()
+          .map(_.toSeq).toSeq
+        val diff = a1.zip(a3).count { case (x, y) => x != y }
+        println(s"$sf a3 nProbe=$np: rowDiffs=$diff equal=${a1 == a3}")
+      }
+      // a6: measured r14 — (8,64,10k/20k/50k/100k) all miss at sf0.1;
+      // (8,64,200k) exact but shortlist-heavy; (16,64,20k) EXACT at
+      // all three SFs (ADC tight at 4-d subspaces); entry pins
+      // (16,64,50k) for 2.5× margin
       for ((m, cc, rr) <- Seq((8, 64, 200), (8, 256, 20), (8, 256, 50),
           (16, 64, 20), (16, 64, 50), (16, 256, 20), (16, 256, 50))) {
         val a6 = graft.queries.SimilarityOps.annPq(
