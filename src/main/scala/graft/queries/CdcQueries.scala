@@ -749,6 +749,57 @@ object CdcQueries {
       stateView(state.get).orderedRows(col("db"), col("table"), col("id"))
     },
 
+    // c20: SCD TYPE-2 DIMENSION HISTORY (r14) — the OTHER standard
+    // consumer of a CDC log besides c9's snapshot: a slowly-changing
+    // dimension where every key keeps its FULL version history with
+    // [valid_from, valid_to) stamps and an is_current marker (the
+    // Kimball type-2 table every warehouse builds from change feeds).
+    // Version rows are the upserts; each closes at the stamp of the
+    // NEXT action on its key — an update's paired tombstone closes the
+    // old version at the same (file, seq) the new one opens, so
+    // versions tile the key's timeline exactly, and a trailing delete
+    // closes the last version without opening one (the key then has
+    // no current row). PK-changing updates land naturally: the old
+    // key's history closes, the new key's opens. Scale shape: ONE
+    // hash exchange on (db, table, id) and one sort-within-partitions
+    // feeding BOTH window functions (lead over all actions, version
+    // numbers over the upserts — same partitioning/ordering, Catalyst
+    // reuses the exchange) — per-key history is embarrassingly
+    // key-parallel at any corpus size, never a global sort. Unlike
+    // c9's argmax (which map-side combines), history must see every
+    // action — shuffling the actions IS the minimum data movement for
+    // this output.
+    QueryDef("c20_scd2_history",
+      s"""WITH snap AS (SELECT * FROM read_parquet('$StateOracleSnapshot/*.parquet')),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |led AS (SELECT *,
+         |          LEAD(file) OVER w AS to_file, LEAD(seq) OVER w AS to_seq
+         |        FROM acts
+         |        WINDOW w AS (PARTITION BY db, "table", id
+         |                     ORDER BY file, seq, rnk)),
+         |vers AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |                     ORDER BY file, seq, rnk) AS ver
+         |         FROM led WHERE keep = 1)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, CAST(ver AS INT) AS ver,
+         |       c2, c3, file AS from_file, seq AS from_seq, to_file, to_seq,
+         |       (to_file IS NULL) AS is_current
+         |FROM vers ORDER BY db, "table", id, ver""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      val flat = flattenImages(CdcJob.parse(s, p))
+      writeSnapshotIfStale(StateOracleSnapshot, d) {
+        flat.write.mode("overwrite").parquet(StateOracleSnapshot)
+      }
+      scd2History(flat)
+        .orderedRows(col("db"), col("table"), col("id"), col("ver"))
+    },
+
     // c11: EXACTLY-ONCE streaming parquet sink — the CDC event LAKE:
     // the binlog stream lands as parquet via foreachBatch with
     // epoch-keyed OVERWRITE directories, the standard idempotent-sink
@@ -1062,6 +1113,27 @@ object CdcQueries {
     * the entry's scaladoc for the action/argmax shape. */
   def materializeFromFlat(flat: DataFrame): DataFrame =
     liveRows(foldState(stampedActions(flat)))
+
+  /** c20: SCD type-2 version history from a flattened log — versions
+    * are the upserts, each valid until the stamp of the next action on
+    * its key (tombstones close without opening). Both windows share
+    * one (db, table, id) partitioning + (file, seq, rnk) ordering, so
+    * the plan is one exchange + one sort however large the log. */
+  def scd2History(flat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("db", "table", "id")
+      .orderBy("file", "seq", "rnk")
+    stampedActions(flat)
+      .withColumn("to_file", lead(col("file"), 1).over(w))
+      .withColumn("to_seq", lead(col("seq"), 1).over(w))
+      .filter(col("keep") === 1)
+      .withColumn("ver", row_number().over(w))
+      .select(col("db"), col("table"), col("id").cast("long").as("id"),
+        col("ver"), col("c2"), col("c3"),
+        col("file").as("from_file"), col("seq").as("from_seq"),
+        col("to_file"), col("to_seq"),
+        col("to_file").isNull.as("is_current"))
+  }
 
   /** c10: INCREMENTAL state maintenance — merge a new flattened batch
     * into an existing stamped state: argmax over (state ∪ batch

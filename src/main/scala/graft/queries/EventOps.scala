@@ -201,6 +201,54 @@ object EventOps {
        |FROM th CROSS JOIN sc CROSS JOIN ex""".stripMargin
   }
 
+  /** k7's bottom-k sample geometry: the K rows with the smallest
+    * [0, 2⁶³) hashes of event_id form a uniform without-replacement
+    * sample that is a pure function of the ID SET — partition-layout
+    * independent, mergeable by union + re-bottom-K (the KMV property,
+    * applied to ROWS instead of distinct keys), so per-day samples
+    * fold into a corpus sample without re-reading history. */
+  private val QuantK = 512
+  private val QuantGrid = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** k7's DuckDB oracle: re-derives the bottom-K sample (one hashLong
+    * stage, seed 42 — the k6 chain verbatim), ranks it by (value,
+    * event_id), selects each grid quantile by the EXPLICIT index rule
+    * rn = greatest(1, ceil(q·n)) — no reliance on either engine's
+    * builtin quantile interpolation — and audits each estimate with
+    * the exact full-corpus rank SUM(value ≤ est): estimates are
+    * sample ELEMENTS (exact parquet doubles), counts integers, so
+    * every column hash-matches cross-engine. */
+  private lazy val K7QuantileOracleSql: String = {
+    import SqlHash._
+    val modB = BigInt(Mod)
+    val st = (BigInt(42) + BigInt(P5) + 8) mod modB
+    val grid = QuantGrid.mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT event_id, value FROM events),
+       |h0 AS (SELECT event_id, value,
+       |       ((CAST(event_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u,
+       |       CAST($st AS HUGEINT) AS st FROM ev),
+       |k1 AS (SELECT event_id, value, st, ${mul64(rotl(mul64("u", P2), 31), P1)} AS k FROM h0),
+       |s1 AS (SELECT event_id, value, ${xor64("st", "k")} AS h FROM k1),
+       |s2 AS (SELECT event_id, value, (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM s1),
+       |a1 AS (SELECT event_id, value, ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM s2),
+       |a2 AS (SELECT event_id, value, ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM a1),
+       |hh AS (SELECT event_id, value,
+       |       CAST(${xor64("h", shr("h", 32))} // 2 AS BIGINT) AS h FROM a2),
+       |sm AS (SELECT event_id, value FROM hh ORDER BY h, event_id LIMIT $QuantK),
+       |rk AS (SELECT value,
+       |         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+       |         COUNT(*) OVER () AS n FROM sm),
+       |g AS (SELECT UNNEST(CAST($grid AS DOUBLE[])) AS q),
+       |est AS (SELECT q, CAST(n AS BIGINT) AS n_sample, value AS est
+       |        FROM g JOIN rk
+       |        ON rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT)))
+       |SELECT e.q, e.n_sample, e.est,
+       |       CAST(SUM(CASE WHEN ev.value <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS cnt_le
+       |FROM est e CROSS JOIN ev
+       |GROUP BY 1, 2, 3 ORDER BY q""".stripMargin
+  }
+
   /** The KMV sketch of a key frame: K smallest [0,2⁶³) hashes of the
     * DISTINCT keys. distinct → map-side-combined aggregate;
     * orderBy+limit → per-partition top-K merged at the driver
@@ -530,6 +578,44 @@ object EventOps {
           (col("s").cast("double") * lit(KmvDomain) /
             col("theta").cast("double")).as("est_common"),
           col("exact_common"))
+    },
+
+    // k7: BOTTOM-K SAMPLE QUANTILES (r14) — the fourth sketch family:
+    // ORDER STATISTICS. The K smallest-hash rows form a uniform
+    // without-replacement sample that is a pure function of the ID set
+    // (layout-independent, mergeable by union + re-bottom-K — per-day
+    // samples fold into a corpus sample without re-reading history),
+    // and quantile estimates are sample ELEMENTS selected by the
+    // explicit rank rule rn = max(1, ⌈q·n⌉) — never an engine builtin's
+    // interpolation, so both engines pick the identical parquet double.
+    // Scale shape: ONE per-partition top-K pass (TakeOrdered — K rows
+    // of driver traffic however large the corpus; k6's
+    // materialize-your-sketch step rebuilds them as a local relation),
+    // then one map-side-combined audit pass counting each estimate's
+    // exact full-corpus rank SUM(value ≤ est). |rank/N − q| ~ O(1/√K).
+    QueryDef("k7_quantile_bottomk", K7QuantileOracleSql) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val sampleRows = ev
+        .select(col("event_id"), col("value"),
+          shiftrightunsigned(xxhash64(col("event_id")), 1).as("h"))
+        .orderBy(col("h"), col("event_id")).limit(QuantK)
+        .select(col("event_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val n = sampleRows.length.toLong
+      // rank the ≤K-row sample at the driver (bounded by construction)
+      // with the same (value, id) tie-break the oracle orders by
+      val ranked = sampleRows.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((_, v), i) => (i + 1L, v) }.toDF("rn", "value")
+      val est = QuantGrid.toDF("q").crossJoin(ranked)
+        .where(col("rn") ===
+          greatest(lit(1L), ceil(col("q") * lit(n.toDouble)).cast("long")))
+        .select(col("q"), lit(n).as("n_sample"), col("value").as("est"))
+      ev.crossJoin(broadcast(est))
+        .groupBy(col("q"), col("n_sample"), col("est"))
+        .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+          .as("cnt_le"))
+        .orderedSmall(col("q"))
     },
 
     // k5: AMS SECOND-MOMENT sketch (r12) — the third sketch family:

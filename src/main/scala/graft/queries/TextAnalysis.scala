@@ -1163,8 +1163,155 @@ object TextAnalysis {
         |       ROUND(REGR_R2(ly, lx), 5) AS r2
         |FROM x""".stripMargin) { (s, d) =>
       zipfFit(Tables.documents(s, d), 1024)
+    },
+
+    // t26: DSIR DATA SELECTION (r14) — hashed n-gram importance
+    // resampling (Xie et al. 2023, "Data Selection for Language Models
+    // via Importance Resampling", NeurIPS — the standard
+    // target-matched pretraining-data selector): score every raw
+    // document by how much it resembles a TARGET distribution (here
+    // the lang='en' slice) under bag-of-hashed-features models, then
+    // draw the selection with Gumbel top-k so inclusion probability
+    // tracks the importance weight rather than a hard threshold.
+    // Features are unigrams + bigrams hashed into B=1024 buckets with
+    // the builtin xxhash64 — bigrams as xxhash64(h1, h2) over the two
+    // TOKEN HASHES (two hashLong stages the oracle re-derives exactly;
+    // never re-concatenating strings, which would leave the ≤15-byte
+    // oracle envelope). logw(d) = Σ_f c_f(d)·[ln p_tgt(f) −
+    // ln p_raw(f)] with add-one smoothing over buckets; the Gumbel key
+    // derives from xxhash64(doc_id) exactly as t23's u01, so both
+    // engines add the IDENTICAL noise double. Scale shape: two passes
+    // (train the models, score the docs — DSIR's inherent sequence),
+    // each pass one map-side explode with NO window/join before
+    // aggregation; the distribution models are B-row map-side-combined
+    // aggregates; the B-row log-ratio table BROADCASTS back onto the
+    // feature stream; per-doc weights are one map-side-combined
+    // groupBy(doc_id); the selection is a distributed TakeOrdered of
+    // 64. The corpus never shuffles at row grain.
+    QueryDef("t26_dsir_select", T26DsirOracleSql) { (s, d) =>
+      val sel = dsirWeights(Tables.documents(s, d))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("u01",
+          (shiftrightunsigned(col("h"), 12).cast("double") + lit(0.5)) /
+            lit(4503599627370496.0))
+        .withColumn("skey", col("logw") - log(-log(col("u01"))))
+        .orderBy(col("skey").desc, col("doc_id")).limit(64)
+        .select(col("doc_id"), col("logw"), col("skey"))
+      Tables.documents(s, d).join(broadcast(sel), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("logw"), 5).as("logw"), round(col("skey"), 5).as("skey"))
+        .orderedSmall(col("doc_id"))
     }
   )
+
+  /** t26's hashed-feature stream over a (doc_id, lang, text) frame:
+    * unigram + bigram buckets (B=1024), bigrams as xxhash64(h1, h2)
+    * over the two token hashes. Pure map-side: explode over array
+    * zips, no window, no shuffle. */
+  private def dsirFeatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val B = 1024L
+    val src = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ", -1).as("toks"))
+    val uni = src
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("tok")), lit(B)).as("b"))
+    val big = src
+      .select(col("doc_id"), col("lang"),
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("t1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t2"))
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(col("t1"), col("t2"))).as("z"))
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(xxhash64(col("z.t1")), xxhash64(col("z.t2"))),
+          lit(B)).as("b"))
+    uni.unionByName(big)
+  }
+
+  /** t26's per-doc DSIR importance log-weight over a (doc_id, lang,
+    * text) frame (target = lang='en'; add-one smoothing over B=1024
+    * buckets) — exposed for the target-affinity spec. */
+  private[queries] def dsirWeights(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val model = dsirFeatures(docs).groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum("cr").as("rt"), sum("ct").as("tt"))
+    val lr = model.crossJoin(totals).select(col("b"),
+      (log((col("ct").cast("double") + lit(1.0)) /
+           (col("tt").cast("double") + lit(1024.0))) -
+       log((col("cr").cast("double") + lit(1.0)) /
+           (col("rt").cast("double") + lit(1024.0)))).as("lrat"))
+    dsirFeatures(docs).join(broadcast(lr), "b")
+      .groupBy("doc_id").agg(sum(col("lrat")).as("logw"))
+  }
+
+  /** t26's DuckDB oracle: the ENTIRE DSIR pipeline re-derived in SQL —
+    * token xxh64 (seed 42, [[SqlHash.xxh64StrCtes]] over the DISTINCT
+    * vocabulary), bigram buckets via two hashLong stages (constant
+    * seed 42, then the stage-1 result as the variable seed — the k6
+    * st-as-column technique), add-one-smoothed bucket models, per-doc
+    * log-weights, and the identical Gumbel key from hashLong(doc_id).
+    * Estimates stay hash-exact because every hash/bucket is integer
+    * and the two float columns ROUND(·,5). */
+  private lazy val T26DsirOracleSql: String = {
+    import SqlHash._
+    val st1 = (BigInt(42) + BigInt(P5) + 8) mod BigInt(Mod)
+    // one hashLong stage: u (HUGEINT input), st (seed accumulator) → h
+    def hashLong(src: String, out: String, carry: String,
+        u: String, st: String): String = {
+      val k = mul64(rotl(mul64(u, P2), 31), P1)
+      s"""${out}k AS (SELECT $carry, $st AS st0, $u AS u0, $k AS k FROM $src),
+         |${out}x AS (SELECT $carry, u0, ${xor64("st0", "k")} AS h FROM ${out}k),
+         |${out}r AS (SELECT $carry, u0, (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM ${out}x),
+         |${out}a1 AS (SELECT $carry, u0, ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM ${out}r),
+         |${out}a2 AS (SELECT $carry, u0, ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM ${out}a1),
+         |$out AS (SELECT $carry, u0, ${xor64("h", shr("h", 32))} AS h FROM ${out}a2)""".stripMargin
+    }
+    s"""WITH docs AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+       |              FROM documents),
+       |inst AS (SELECT doc_id, lang, u.i + 1 AS pos,
+       |                toks[CAST(u.i + 1 AS INT)] AS tok
+       |         FROM docs, UNNEST(range(LEN(toks))) u(i)),
+       |vsrc AS (SELECT DISTINCT tok FROM inst),
+       |${xxh64StrCtes(42L, Seq("tok"), "vsrc", "v")},
+       |ih AS (SELECT i.doc_id, i.lang, i.pos, CAST(vh.h AS HUGEINT) AS h
+       |       FROM inst i JOIN vh ON vh.tok = i.tok),
+       |ub AS (SELECT doc_id, lang, CAST(h % 1024 AS BIGINT) AS b FROM ih),
+       |bp AS (SELECT a.doc_id, a.lang, a.h AS h1, b.h AS h2
+       |       FROM ih a JOIN ih b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+       |g0 AS (SELECT doc_id, lang, h2, h1 AS u FROM bp),
+       |${hashLong("g0", "g9", "doc_id, lang, h2",
+          "u", s"CAST($st1 AS HUGEINT)")},
+       |j0 AS (SELECT doc_id, lang, (h + $P5 + 8) % $Mod AS st, h2 AS u FROM g9),
+       |${hashLong("j0", "j9", "doc_id, lang", "u", "st")},
+       |bb AS (SELECT doc_id, lang, CAST(h % 1024 AS BIGINT) AS b FROM j9),
+       |feats AS (SELECT doc_id, lang, b FROM ub
+       |          UNION ALL SELECT doc_id, lang, b FROM bb),
+       |model AS (SELECT b, COUNT(*) AS cr,
+       |                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |          FROM feats GROUP BY 1),
+       |tot AS (SELECT SUM(cr) AS rt, SUM(ct) AS tt FROM model),
+       |lrt AS (SELECT b,
+       |          ln((ct + 1.0) / (tt + 1024.0)) - ln((cr + 1.0) / (rt + 1024.0))
+       |            AS lrat
+       |        FROM model CROSS JOIN tot),
+       |dw AS (SELECT doc_id, SUM(lrat) AS logw
+       |       FROM feats JOIN lrt USING (b) GROUP BY 1),
+       |p0 AS (SELECT doc_id, logw,
+       |       ((CAST(doc_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u FROM dw),
+       |${hashLong("p0", "p9", "doc_id, logw", "u",
+          s"CAST(${(BigInt(42) + BigInt(P5) + 8) mod BigInt(Mod)} AS HUGEINT)")},
+       |pk AS (SELECT doc_id, logw,
+       |         logw - ln(-ln((CAST(h // 4096 AS DOUBLE) + 0.5)
+       |                        / 4503599627370496.0)) AS skey FROM p9),
+       |sel AS (SELECT doc_id, logw, skey FROM pk
+       |        ORDER BY skey DESC, doc_id LIMIT 64)
+       |SELECT d.doc_id, d.lang, d.source,
+       |       ROUND(s.logw, 5) AS logw, ROUND(s.skey, 5) AS skey
+       |FROM sel s JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   /** The t25 head-of-vocabulary Zipf regression over any (text) frame
     * — exposed for the planted-law spec. */

@@ -2652,6 +2652,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(estU - 12000.0) <= 4 * 12000.0 / 16.0, s"estU=$estU")
   }
 
+  test("k7 bottom-k quantiles: estimates bracket truth, monotone, deterministic") {
+    val entry = EventOps.defs.find(_.name == "k7_quantile_bottomk").get
+    val rows = entry.fn(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length == 6 && rows.forall(_._2 == 512L))
+    val n = spark.read.parquet(s"$sf/events.parquet").count().toDouble
+    rows.foreach { case (q, _, _, cntLe) =>
+      // uniform bottom-k sample of K=512: σ(q̂) = √(q(1−q)/K) ≤ 0.0221;
+      // fixed hashes make this deterministic — 5σ is generous
+      assert(math.abs(cntLe / n - q) <= 5 * 0.0221 + 1.0 / 512,
+        s"q=$q rank=${cntLe / n}")
+    }
+    // order statistics are monotone in q
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    // pure function of the ID set: a second evaluation is identical
+    assert(entry.fn(spark, sf).collect().toSeq ==
+      entry.fn(spark, sf).collect().toSeq)
+  }
+
+  test("t26 DSIR weights: target-language docs score higher, selection skews to target") {
+    import spark.implicits._
+    // planted corpora with disjoint vocabularies: every 'en' doc is
+    // pure target text, so any off-target doc must weigh less
+    val planted = (
+      (1L to 20L).map(i => (i, "en", "the cat sat on the mat")) ++
+      (21L to 40L).map(i => (i, "de", "der hund lief durch den wald"))
+    ).toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.dsirWeights(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val enMin = (1L to 20L).map(w).min
+    val deMax = (21L to 40L).map(w).max
+    assert(enMin > deMax, s"enMin=$enMin deMax=$deMax")
+    // layout-independence: weights are a pure function of the rows
+    val w17 = TextAnalysis.dsirWeights(planted.repartition(17)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 40L).forall(i => math.abs(w(i) - w17(i)) < 1e-9))
+    // real corpus: mean weight of the target slice exceeds the rest
+    // (the importance weight's defining property), and the Gumbel
+    // top-64 selection over-represents the target language
+    val docs = graft.Tables.documents(spark, sf)
+    val byLang = TextAnalysis.dsirWeights(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(org.apache.spark.sql.functions.col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg("logw")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false), byLang.toString)
+    val entry = TextAnalysis.defs.find(_.name == "t26_dsir_select").get
+    val selected = entry.fn(spark, sf).collect()
+    val enSel = selected.count(_.getString(1) == "en").toDouble / selected.length
+    val enBase = docs.filter("lang = 'en'").count().toDouble / docs.count()
+    assert(enSel > enBase, s"selected en=$enSel base=$enBase")
+  }
+
   test("m11 resample: exact 2/3-rate linear interpolation on a known ramp") {
     import spark.implicits._
     // ramp 0,300,600,900 → out i at source 1.5i, scaled ×2:
@@ -2859,6 +2913,83 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getString(3), r.getString(4)))
     assert(got.toSeq == Seq(("testdb", "t_pk", 2L, "'b'", "2.5")))
+  }
+
+  test("c20 SCD2 history: versions tile the key timeline, PK moves close/open") {
+    // reuse the c9 PK-move scenario: insert id=1 → update 1→2 (PK
+    // change) → insert id=3 → delete id=3. Expected histories:
+    //   id=1: v1 closed by its own PK-move tombstone (not current)
+    //   id=2: v1 open (current)
+    //   id=3: v1 closed by the delete (not current)
+    val txt = new StringBuilder
+    var pos = 100L
+    var sec = 0
+    def hdr(kind: String) = {
+      txt ++= s"# at $pos\n"
+      txt ++= f"#260812  5:00:${sec}%02d server id 1  end_log_pos ${pos + 120} CRC32 0x1a2b3c4d \t$kind: table id 108 flags: STMT_END_F\n"
+      pos += 120; sec += 1
+    }
+    hdr("Write_rows")
+    txt ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+    txt ++= "###   @1=1 /* INT */\n###   @2='a' /* VARSTRING(160) */\n###   @3=1.5 /* DOUBLE */\n"
+    hdr("Update_rows")
+    txt ++= "### UPDATE `testdb`.`t_pk`\n### WHERE\n"
+    txt ++= "###   @1=1 /* INT */\n###   @2='a' /* VARSTRING(160) */\n###   @3=1.5 /* DOUBLE */\n"
+    txt ++= "### SET\n"
+    txt ++= "###   @1=2 /* INT */\n###   @2='b' /* VARSTRING(160) */\n###   @3=2.5 /* DOUBLE */\n"
+    hdr("Write_rows")
+    txt ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+    txt ++= "###   @1=3 /* INT */\n###   @2='c' /* VARSTRING(160) */\n###   @3=NULL /* DOUBLE */\n"
+    hdr("Delete_rows")
+    txt ++= "### DELETE FROM `testdb`.`t_pk`\n### WHERE\n"
+    txt ++= "###   @1=3 /* INT */\n###   @2='c' /* VARSTRING(160) */\n###   @3=NULL /* DOUBLE */\n"
+    val p = graft.cdc.BinlogFixture.materialize("c20_pkmove", txt.result())
+    val hist = CdcQueries.scd2History(
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p)))
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getString(4),
+        Option(r.getLong(7)).map(_ => r.getLong(7)),
+        if (r.isNullAt(9)) None else Some(r.getLong(9)),
+        r.getBoolean(10)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // seqs are 0-based emission ordinals within the file
+    val seqs = hist.map(t => (t._1, t._2, t._3, t._5, t._6))
+    assert(seqs == Seq(
+      (1L, 1, "'a'", Some(1L), false), // closed by the 1→2 PK move
+      (2L, 1, "'b'", None, true),      // current
+      (3L, 1, "'c'", Some(3L), false)  // closed by the delete
+    ), s"got $hist")
+  }
+
+  test("c20 SCD2 history reconciles with c9 state on the stress fixture") {
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val flat = CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p))
+    val hist = CdcQueries.scd2History(flat).collect()
+    // (a) per key, versions are numbered 1..n with at most one current
+    val byKey = hist.groupBy(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to vs.length), s"$k")
+      assert(vs.count(_.getBoolean(10)) <= 1, s"$k has >1 current")
+      // only the LAST version may be open; earlier ones all closed
+      sorted.dropRight(1).foreach(v => assert(!v.getBoolean(10), s"$k"))
+      // (b) timelines never overlap: to(i) <= from(i+1) as stamps
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val close = (a.getString(8), a.getLong(9))
+          val open = (b.getString(6), b.getLong(7))
+          assert(Ordering[(String, Long)].lteq(close, open), s"$k overlap")
+        case _ =>
+      }
+    }
+    // (c) the current versions ARE c9's live state, row for row
+    val current = hist.filter(_.getBoolean(10))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(4)), Option(r.getString(5)))).toSet
+    val live = CdcQueries.materializeFromFlat(flat).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(current == live)
   }
 
   test("c10 incremental merge: per-file folds equal batch c9, in ANY file order") {

@@ -61,7 +61,8 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 def main(out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-        sql = json.load(f)["d2_simhash_neardup"]
+        oracles = json.load(f)
+    sql = oracles["d2_simhash_neardup"]
     # one token per byte length 1..15, varied bytes, one multibyte
     toks = ["a", "bc", "dEf", "wxyz", "q1é2", "zz0zz9", "7bytes!",
             "8bytesXY", "ninebytes", "tenbytes10", "elevenbytes",
@@ -70,20 +71,39 @@ def main(out_dir):
     assert [len(t.encode()) for t in toks] == list(range(1, 16))
     con = duckdb.connect()
     con.execute("CREATE TABLE documents AS SELECT 0 AS doc_id, "
+                f"'en' AS lang, 'srcX' AS source, "
                 f"'{' '.join(toks)}' AS text")
     # run the oracle's token-hash stages only: everything up to `votes`
     head = sql.split("votes AS")[0].rstrip().rstrip(",")
     got = sorted(r[0] for r in con.execute(
         head + "\nSELECT CAST(h AS HUGEINT) FROM tokh").fetchall())
     want = sorted(xxh64(t.encode()) for t in toks)
+    rc = 0
     if got == want:
-        print(f"PASS: SQL xxh64 matches reference for lengths 1..15 "
-              f"({len(toks)} tokens)")
-        return 0
-    for g, w in zip(got, want):
-        if g != w:
-            print(f"MISMATCH: sql={g} ref={w}")
-    return 1
+        print(f"PASS: d2 SQL xxh64 (seed 0) matches reference for "
+              f"lengths 1..15 ({len(toks)} tokens)")
+    else:
+        for g, w in zip(got, want):
+            if g != w:
+                print(f"d2 MISMATCH: sql={g} ref={w}")
+        rc = 1
+    # t26's shared builder instance (SqlHash.xxh64StrCtes, seed 42 —
+    # Spark's builtin xxhash64): same planted lengths, vocab stage `vh`
+    sql26 = oracles.get("t26_dsir_select")
+    if sql26 is not None:
+        head26 = sql26.split("ih AS")[0].rstrip().rstrip(",")
+        got26 = sorted(r[0] for r in con.execute(
+            head26 + "\nSELECT CAST(h AS HUGEINT) FROM vh").fetchall())
+        want26 = sorted(xxh64(t.encode(), 42) for t in toks)
+        if got26 == want26:
+            print(f"PASS: t26 SQL xxh64 (seed 42) matches reference for "
+                  f"lengths 1..15 ({len(toks)} tokens)")
+        else:
+            for g, w in zip(got26, want26):
+                if g != w:
+                    print(f"t26 MISMATCH: sql={g} ref={w}")
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":
