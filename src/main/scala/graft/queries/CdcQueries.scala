@@ -800,6 +800,61 @@ object CdcQueries {
         .orderedRows(col("db"), col("table"), col("id"), col("ver"))
     },
 
+    // c21: the STREAMING form of c20 — incremental SCD2 maintenance
+    // over the binlog drop-directory stream, folding each micro-batch
+    // into the bounded open-version state via [[scd2Merge]]: closed
+    // version rows emit APPEND-ONLY per batch (a real deployment
+    // appends them straight to the dimension table), the state carries
+    // one row per LIVE key (PK-domain-bounded, like c10 — never log
+    // length), and a version closed in batch k is untouched by batch
+    // k+1. SAME ORACLE AS c20: the streamed-incremental history must
+    // hash-match DuckDB's answer over the full log.
+    QueryDef("c21_scd2_stream",
+      s"""WITH snap AS (SELECT * FROM read_parquet('$StateOracleSnapshot/*.parquet')),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |led AS (SELECT *,
+         |          LEAD(file) OVER w AS to_file, LEAD(seq) OVER w AS to_seq
+         |        FROM acts
+         |        WINDOW w AS (PARTITION BY db, "table", id
+         |                     ORDER BY file, seq, rnk)),
+         |vers AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |                     ORDER BY file, seq, rnk) AS ver
+         |         FROM led WHERE keep = 1)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, CAST(ver AS INT) AS ver,
+         |       c2, c3, file AS from_file, seq AS from_seq, to_file, to_seq,
+         |       (to_file IS NULL) AS is_current
+         |FROM vers ORDER BY db, "table", id, ver""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      writeSnapshotIfStale(StateOracleSnapshot, d) {
+        flattenImages(CdcJob.parse(s, p))
+          .write.mode("overwrite").parquet(StateOracleSnapshot)
+      }
+      var state: Option[DataFrame] = None
+      var closed: Option[DataFrame] = None
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_c21_cp").toString
+      val q = graft.streaming.CdcStream.events(s, p, maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (ns, cl) = scd2Merge(state, flattenImages(batch))
+          state = Some(ns.localCheckpoint())
+          closed = Some(closed.map(_.unionByName(cl)).getOrElse(cl)
+            .localCheckpoint())
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      closed.get.unionByName(scd2View(state.get))
+        .orderedRows(col("db"), col("table"), col("id"), col("ver"))
+    },
+
     // c11: EXACTLY-ONCE streaming parquet sink — the CDC event LAKE:
     // the binlog stream lands as parquet via foreachBatch with
     // epoch-keyed OVERWRITE directories, the standard idempotent-sink
@@ -1134,6 +1189,59 @@ object CdcQueries {
         col("to_file"), col("to_seq"),
         col("to_file").isNull.as("is_current"))
   }
+
+  /** c21: INCREMENTAL SCD2 fold — one micro-batch of flattened changes
+    * against the bounded OPEN-VERSION state. Returns (newState,
+    * closedThisBatch): state holds ONE row per live key (the open
+    * version + its ordinal) — bounded by the PK domain like c10's
+    * state, never by log length — and closed version rows are emitted
+    * APPEND-ONLY, never revisited (a tailing stream's stamps are
+    * monotone across rotated files, so a version closed once cannot
+    * reopen). Per batch the window runs over open-state rows ∪ batch
+    * actions: affected keys + batch rows, not history. */
+  def scd2Merge(state: Option[DataFrame], flat: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = stampedActions(flat)
+      .withColumn("ver", lit(null).cast("int"))
+    // an open version re-enters the fold as the upsert that opened it
+    val combined = state
+      .map(o => o.withColumn("keep", lit(1)).withColumn("rnk", lit(1))
+        .unionByName(acts))
+      .getOrElse(acts)
+    val wo = Window.partitionBy("db", "table", "id")
+      .orderBy("file", "seq", "rnk")
+    val wk = Window.partitionBy("db", "table", "id")
+    val vers = combined
+      .withColumn("to_file", lead(col("file"), 1).over(wo))
+      .withColumn("to_seq", lead(col("seq"), 1).over(wo))
+      .filter(col("keep") === 1)
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("base", max(coalesce(col("ver"), lit(0))).over(wk))
+      .withColumn("hasState",
+        max(when(col("ver").isNotNull, 1).otherwise(0)).over(wk))
+      .withColumn("ver", coalesce(col("ver"),
+        col("base") + col("rn") - col("hasState")))
+    val closed = vers.filter(col("to_file").isNotNull)
+      .select(col("db"), col("table"), col("id").cast("long").as("id"),
+        col("ver"), col("c2"), col("c3"),
+        col("file").as("from_file"), col("seq").as("from_seq"),
+        col("to_file"), col("to_seq"), lit(false).as("is_current"))
+    val newState = vers.filter(col("to_file").isNull)
+      .select(col("db"), col("table"), col("id"), col("c2"), col("c3"),
+        col("file"), col("seq"), col("ver"))
+    (newState, closed)
+  }
+
+  /** The current (open) versions of a [[scd2Merge]] state, in c20's
+    * output schema. */
+  def scd2View(state: DataFrame): DataFrame =
+    state.select(col("db"), col("table"), col("id").cast("long").as("id"),
+      col("ver"), col("c2"), col("c3"),
+      col("file").as("from_file"), col("seq").as("from_seq"),
+      lit(null).cast("string").as("to_file"),
+      lit(null).cast("long").as("to_seq"),
+      lit(true).as("is_current"))
 
   /** c10: INCREMENTAL state maintenance — merge a new flattened batch
     * into an existing stamped state: argmax over (state ∪ batch

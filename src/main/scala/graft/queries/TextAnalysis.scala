@@ -1201,8 +1201,82 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("source"),
           round(col("logw"), 5).as("logw"), round(col("skey"), 5).as("skey"))
         .orderedSmall(col("doc_id"))
+    },
+
+    // t27: BIGRAM-LM PERPLEXITY SCORING (r14) — the CCNet-style
+    // language-model quality filter (Wenzek et al. 2020: score every
+    // document under an LM trained on trusted text; low perplexity =
+    // fluent, high = boilerplate/noise — the standard head/middle/tail
+    // bucketing signal). The LM is an add-one-smoothed bigram model
+    // trained on t10's deterministic 80% train split:
+    // p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V); each doc scores
+    // avg log p over its bigrams and ppl = exp(−avg). Scale shape:
+    // bigrams explode map-side (array zips — no window); model counts
+    // are map-side-combined aggregates at bigram/context grain;
+    // scoring pre-aggregates to (doc, bigram) grain BEFORE the model
+    // join (one row per distinct doc-bigram — the join never sees
+    // repeated rows, and hot bigrams cost the reduced grain); the
+    // per-doc fold is one map-side-combined groupBy(doc_id). Train and
+    // score are two passes over the corpus — an LM filter's inherent
+    // sequence.
+    QueryDef("t27_bigram_ppl",
+      """WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        |              FROM documents),
+        |bi AS (SELECT doc_id, toks[CAST(u.i + 1 AS INT)] AS w1,
+        |              toks[CAST(u.i + 2 AS INT)] AS w2
+        |       FROM docs, UNNEST(range(LEN(toks) - 1)) u(i)),
+        |tr AS (SELECT * FROM bi WHERE (doc_id * 2654435761) % 1000 < 800),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM tr GROUP BY 1, 2),
+        |cc AS (SELECT w1, COUNT(*) AS c1 FROM tr GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vs FROM
+        |      (SELECT UNNEST(toks) AS tok FROM docs
+        |       WHERE (doc_id * 2654435761) % 1000 < 800)),
+        |dbi AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, m,
+        |         ln((COALESCE(cb.c2, 0) + 1.0)
+        |            / (COALESCE(cc.c1, 0) + v.vs)) AS logp
+        |       FROM dbi LEFT JOIN cb USING (w1, w2)
+        |            LEFT JOIN cc USING (w1) CROSS JOIN v),
+        |ag AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bi,
+        |              SUM(logp * m) AS sl FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bi, ROUND(sl / n_bi, 5) AS avg_logp,
+        |       ROUND(exp(-(sl / n_bi)), 5) AS ppl
+        |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+      bigramPpl(Tables.documents(s, d)).orderedRows(col("doc_id"))
     }
   )
+
+  /** t27's bigram-LM scorer over a (doc_id, text) frame — exposed for
+    * the fluency-separation spec. Train split = t10's rule. */
+  private[queries] def bigramPpl(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val inTrain = pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 800
+    val toks = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+    val bi = toks
+      .select(col("doc_id"),
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("t1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t2"))
+      .select(col("doc_id"), explode(arrays_zip(col("t1"), col("t2"))).as("z"))
+      .select(col("doc_id"), col("z.t1").as("w1"), col("z.t2").as("w2"))
+    val train = bi.filter(inTrain)
+    val cb = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cc = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.filter(inTrain).select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vs"))
+    val dbi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val sc = dbi.join(cb, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left").crossJoin(v)
+      .select(col("doc_id"), col("m"),
+        log((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+             col("vs").cast("double"))).as("logp"))
+    sc.groupBy("doc_id").agg(
+      sum(col("m")).as("n_bi"),
+      sum(col("logp") * col("m")).as("sl"))
+      .select(col("doc_id"), col("n_bi"),
+        round(col("sl") / col("n_bi"), 5).as("avg_logp"),
+        round(exp(-(col("sl") / col("n_bi"))), 5).as("ppl"))
+  }
 
   /** t26's hashed-feature stream over a (doc_id, lang, text) frame:
     * unigram + bigram buckets (B=1024), bigrams as xxhash64(h1, h2)

@@ -2706,6 +2706,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(enSel > enBase, s"selected en=$enSel base=$enBase")
   }
 
+  test("t27 bigram ppl: fluent text scores below token salad; 1-token docs drop") {
+    import spark.implicits._
+    // corpus: many copies of a patterned sentence (≈80% land in t10's
+    // train split), one fluent probe, one SCRAMBLED probe over the
+    // same vocabulary, one single-token doc
+    val pattern = "the cat sat on the mat and the dog sat on the rug"
+    val salad = "mat the rug dog on cat the sat and mat on the sat"
+    val docs = ((1L to 50L).map(i => (i, pattern)) ++
+      Seq((101L, pattern), (102L, salad), (103L, "lonely"))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPpl(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(!got.contains(103L)) // no bigrams → no row
+    assert(got(101L)._1 == 12L && got(102L)._1 == 12L)
+    assert(got(101L)._2 < got(102L)._2,
+      s"fluent=${got(101L)._2} salad=${got(102L)._2}")
+    // real corpus: every doc with >=2 tokens scored, ppl finite positive
+    val entry = TextAnalysis.defs.find(_.name == "t27_bigram_ppl").get
+    val rows = entry.fn(spark, sf).collect()
+    assert(rows.length >= 500)
+    assert(rows.forall(r => r.getDouble(3) > 0 && !r.getDouble(3).isInfinite))
+  }
+
   test("m11 resample: exact 2/3-rate linear interpolation on a known ramp") {
     import spark.implicits._
     // ramp 0,300,600,900 → out i at source 1.5i, scaled ×2:
@@ -2990,6 +3013,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         Option(r.getString(3)), Option(r.getString(4)))).toSet
     assert(current == live)
+  }
+
+  test("c21 incremental SCD2: per-file folds equal batch c20, state bounded by live keys") {
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val files = new java.io.File(p).listFiles.map(_.getAbsolutePath).sorted
+    def flatOf(f: String) =
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, f))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val full = CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p))
+    val batch = canon(CdcQueries.scd2History(full))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var closedSets = Seq.empty[Set[Seq[Any]]]
+    var closed: Option[org.apache.spark.sql.DataFrame] = None
+    files.foreach { f =>
+      val (ns, cl) = CdcQueries.scd2Merge(state, flatOf(f))
+      state = Some(ns.localCheckpoint())
+      closed = Some(closed.map(_.unionByName(cl)).getOrElse(cl).localCheckpoint())
+      closedSets :+= canon(closed.get)
+    }
+    val streamed = canon(closed.get.unionByName(CdcQueries.scd2View(state.get)))
+    assert(streamed == batch)
+    // closed rows are append-only: each batch's set contains the last
+    closedSets.sliding(2).foreach {
+      case Seq(a, b) => assert(a.subsetOf(b))
+      case _ =>
+    }
+    // state is bounded by LIVE keys (c9's live rows), not log length
+    val liveKeys = CdcQueries.materializeFromFlat(full).count()
+    assert(state.get.count() == liveKeys,
+      s"state=${state.get.count()} live=$liveKeys")
   }
 
   test("c10 incremental merge: per-file folds equal batch c9, in ANY file order") {
