@@ -434,9 +434,16 @@ object SimilarityOps {
 
   /** Fold one ingest batch into the DELTA generation. Reads and
     * writes ONLY delta rows — the base tables stay untouched (the d6
-    * base-never-reshuffles contract, spec-pinned by file snapshot). */
+    * base-never-reshuffles contract, spec-pinned by file snapshot).
+    * Idempotent per corpus: a fold runs once per INGEST BATCH, not
+    * once per serve — re-serving an unchanged index is the common
+    * case and must not rebuild the delta generation. */
   def foldAnnDelta(s: org.apache.spark.sql.SparkSession, d: String,
       nBands: Int = 24, bandBits: Int = 2): Unit = synchronized {
+    if (annIndexSf.get("delta") == d &&
+      s.catalog.tableExists("graft_ann_bands_delta") &&
+      s.catalog.tableExists("graft_ann_vecs_delta")) return
+    annIndexSf.remove("delta")
     writeAnnGeneration(s, Tables.embeddings(s, d).filter(!annBaseFilter),
       "delta", nBands, bandBits)
     annIndexSf.put("delta", d)

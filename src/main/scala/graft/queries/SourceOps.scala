@@ -159,6 +159,35 @@ object SourceOps {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // i11: JDBC source (r14) — the ingest path every warehouse-fed
+    // pipeline starts from: dimension rows pulled out of an
+    // OPERATIONAL DATABASE over JDBC, read PARTITIONED
+    // (partitionColumn + bounds + numPartitions — each task issues its
+    // own range-bounded query, the only way a JDBC scan parallelizes;
+    // an unpartitioned read is one task however big the table). The
+    // fixture loads the bounded events slice into an embedded Derby
+    // database through Spark's OWN JDBC writer (type mapping: BIGINT /
+    // CLOB / DOUBLE — Derby dialect), once per corpus; the entry then
+    // reads it back 4-way partitioned and aggregates. The oracle
+    // computes the same aggregate from the parquet the database was
+    // loaded FROM — the hash certifies the full write→store→
+    // partitioned-read round trip, props CLOB mapping included.
+    QueryDef("i11_jdbc_source",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |       ROUND(SUM(value), 2) AS sv,
+        |       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events WHERE event_id < 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      ensureJdbc(s, d)
+      readJdbcPartitioned(s)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"),
+          sum(length(col("props"))).as("props_chars"),
+          max("event_id").as("max_id"))
+        .orderedSmall(col("event_type"))
+    },
+
     // i1: JSONL ingestion — read newline-delimited JSON with an
     // explicit schema (no inference pass), aggregate per type. The
     // `props` column is a JSON-object STRING inside the JSON row, so
@@ -494,6 +523,32 @@ object SourceOps {
     }
     DirtyCsvPath
   }
+
+  /** In-memory Derby — per-JVM like every other fixture; the
+    * `;create=true` URL bootstraps it on first touch. */
+  private val JdbcUrl = "jdbc:derby:memory:graft_jdbc_src;create=true"
+
+  /** Load the bounded events slice into Derby through Spark's own
+    * JDBC writer (once per corpus per JVM). */
+  private[queries] def ensureJdbc(s: SparkSession, d: String): Unit =
+    writeIfStale("derby:events_dim", d) {
+      eventsSlice(s, d).filter(col("event_id") < 2000)
+        .write.mode("overwrite")
+        .format("jdbc").option("url", JdbcUrl)
+        .option("dbtable", "events_dim")
+        .save()
+    }
+
+  /** The 4-way partitioned JDBC read — each task issues its own
+    * event_id-range query against the database. */
+  private[queries] def readJdbcPartitioned(s: SparkSession,
+      numPartitions: Int = 4): DataFrame =
+    s.read.format("jdbc").option("url", JdbcUrl)
+      .option("dbtable", "events_dim")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", "0").option("upperBound", "2000")
+      .option("numPartitions", numPartitions.toString)
+      .load()
 
   /** Map twin of `documents`: string-keyed attribute map — the
     * schema-on-write escape hatch real metadata columns use when the

@@ -1397,6 +1397,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("i11 JDBC source: 4-way partitioned read, round-trip equals the parquet slice") {
+    SourceOps.ensureJdbc(spark, sf)
+    val jdbc = SourceOps.readJdbcPartitioned(spark)
+    // partitionColumn/bounds/numPartitions → 4 range-query tasks
+    assert(jdbc.rdd.getNumPartitions == 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val direct = graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value", "props")
+      .filter(col("event_id") < 2000)
+    // write→store→read round trip loses nothing (CLOB props included)
+    assert(canon(jdbc) == canon(direct))
+    // partitioned ≡ unpartitioned: range predicates tile the table
+    assert(canon(jdbc) == canon(SourceOps.readJdbcPartitioned(spark, 1)))
+  }
+
   test("t21 accent folding: fold undoes the injected accents; raw docs unchanged") {
     val got = TextAnalysis.defs.find(_.name == "t21_fold_accents").get
       .fn(spark, sf).collect()
