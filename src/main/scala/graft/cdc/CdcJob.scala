@@ -221,4 +221,56 @@ object CdcJob {
       else filtered
     render(outEvents, catalog, cfg, evolved = evolved)
   }
+
+  /** SCD type-2 dimension history at GENERIC image grain — the
+    * `--output-scd2` sink body (the Kimball table a warehouse builds
+    * from a change feed; c20/c21 pin the semantics on the fixture
+    * shape with a DuckDB oracle). Identity = the catalog-resolved key
+    * ordinals (pk → first unique index, the reference's rule);
+    * KEYLESS tables are excluded — SCD2 is undefined without identity.
+    * Version rows are the upserts, each valid until its key's next
+    * action stamp; payload = the full after image (ordinal/value
+    * arrays, the engine's lossless carry). Assumes full row images
+    * (binlog_row_image=FULL — what both decoders emit). Scale shape:
+    * catalog broadcast; ONE hash exchange on (db, table, key) + one
+    * sort feeding both windows — per-key history is key-parallel at
+    * any log size. */
+  def scd2(events: DataFrame, catalog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cat = broadcast(catalog
+      .withColumn("key_ords", expr(
+        "transform(filter(cols, c -> array_contains(key_cols, c.name))," +
+          " c -> c.ord)"))
+      .filter(size(col("key_ords")) > 0)
+      .select(col("db"), col("table"), col("key_ords")))
+    val ev = events.join(cat, Seq("db", "table"))
+    def keyOf(ords: String, vals: String) = expr(
+      s"transform(key_ords, o -> element_at(map_from_arrays($ords, $vals), o))")
+    val acts = ev.select(col("db"), col("table"), col("file"), col("seq"),
+      col("op"), explode(array(
+        struct(keyOf("beforeOrds", "beforeVals").as("key"),
+          lit(null).cast("array<int>").as("img_ords"),
+          lit(null).cast("array<string>").as("img_vals"),
+          lit(0).as("keep"), lit(0).as("rnk")),
+        struct(keyOf("afterOrds", "afterVals").as("key"),
+          col("afterOrds").as("img_ords"), col("afterVals").as("img_vals"),
+          lit(1).as("keep"), lit(1).as("rnk")))).as("a"))
+      .select(col("db"), col("table"), col("file"), col("seq"), col("op"),
+        col("a.*"))
+      .filter(
+        (col("rnk") === 0 && col("op").isin("update", "delete")) ||
+          (col("rnk") === 1 && col("op").isin("insert", "update")))
+    val wo = Window.partitionBy("db", "table", "key")
+      .orderBy("file", "seq", "rnk")
+    acts
+      .withColumn("to_file", lead(col("file"), 1).over(wo))
+      .withColumn("to_seq", lead(col("seq"), 1).over(wo))
+      .filter(col("keep") === 1)
+      .withColumn("ver", row_number().over(wo))
+      .select(col("db"), col("table"), col("key"), col("ver"),
+        col("img_ords"), col("img_vals"),
+        col("file").as("from_file"), col("seq").as("from_seq"),
+        col("to_file"), col("to_seq"),
+        col("to_file").isNull.as("is_current"))
+  }
 }

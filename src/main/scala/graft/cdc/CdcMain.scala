@@ -88,6 +88,11 @@ object CdcMain {
       |                                      EVENTS as parquet (the CDC event
       |                                      lake); SQL still renders to
       |                                      -o/stdout only if -o was given
+      |  --output-scd2 DIR                   materialize the SCD type-2
+      |                                      dimension history (per-key version
+      |                                      rows with [valid_from, valid_to)
+      |                                      stamps; keyless tables excluded)
+      |                                      as (db, table)-partitioned parquet
       |  --help                              this message
       |""".stripMargin
 
@@ -98,7 +103,7 @@ object CdcMain {
       jdbcPassword: Option[String] = None)
 
   def parseArgs(rawArgs: Array[String]): (String, CatalogSource,
-      CdcConfig, Option[String], Option[String]) = {
+      CdcConfig, Option[String], Option[String], Option[String]) = {
     // argparse-compatible token forms so the reference README's exact
     // invocations parse unchanged (main.py:41-53): `--flag=value`
     // splits, and attached short options (`-uroot`, `-h127.0.0.1`)
@@ -114,6 +119,7 @@ object CdcMain {
     var catalog = CatalogSource()
     var out: Option[String] = None
     var outParquet: Option[String] = None
+    var outScd2: Option[String] = None
     var cfg = CdcConfig()
     // reference connection flags (-h -u -p -P, main.py:46-53): kept to
     // build the --catalog-jdbc URL so log2sql invocations are drop-in
@@ -202,6 +208,7 @@ object CdcMain {
         case "--bug-compatible" => cfg = cfg.copy(bugCompatible = true); i += 1
         case f @ ("-o" | "--output") => out = Some(operand(f))
         case f @ "--output-parquet" => outParquet = Some(operand(f))
+        case f @ "--output-scd2" => outScd2 = Some(operand(f))
         case "--help" => throw new HelpRequested
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -222,7 +229,7 @@ object CdcMain {
           s"${port.getOrElse("3306")}/information_schema"),
         jdbcUser = Some(user.getOrElse("root")),
         jdbcPassword = Some(password.getOrElse("")))
-    (binlog, catalog, cfg, out, outParquet)
+    (binlog, catalog, cfg, out, outParquet, outScd2)
   }
 
   /** `--output-parquet` sink body: the filtered change EVENTS as
@@ -274,7 +281,7 @@ object CdcMain {
   def main(args: Array[String]): Unit = {
     // like the reference: empty args or --help → usage, exit 1
     // (main.py:18-23)
-    val (binlog, catalogSrc, cfg, out, outParquet) =
+    val (binlog, catalogSrc, cfg, out, outParquet, outScd2) =
       try {
         if (args.isEmpty) throw new HelpRequested
         parseArgs(args)
@@ -322,14 +329,25 @@ object CdcMain {
       if (cfg.evolveSchema && !cfg.includeDdl)
         filtered.filter(org.apache.spark.sql.functions.col("op") =!= "ddl")
       else filtered
-    val shared =
-      if (outParquet.nonEmpty && out.nonEmpty) events.cache() else events
+    val sinks = Seq(outParquet, outScd2, out).count(_.nonEmpty)
+    val shared = if (sinks > 1) events.cache() else events
     // --output-parquet: the event-lake sink — filtered change EVENTS
     // (not rendered SQL) land as (db, table)-partitioned parquet, the
     // lakehouse batch form of c11's streaming sink; rendering is
     // skipped entirely unless -o also asked for SQL
     outParquet.foreach(writeEventLake(shared, _))
-    if (outParquet.nonEmpty && out.isEmpty) { spark.stop(); return }
+    // --output-scd2: the dimension-history sink — per-key version
+    // rows (CdcJob.scd2; keyless tables excluded), partitioned like
+    // the event lake so per-table consumers prune directories
+    outScd2.foreach { dir =>
+      import org.apache.spark.sql.functions.col
+      CdcJob.scd2(shared, catalog)
+        .withColumn("p_db", col("db")).withColumn("p_table", col("table"))
+        .write.mode("overwrite").partitionBy("p_db", "p_table").parquet(dir)
+    }
+    if ((outParquet.nonEmpty || outScd2.nonEmpty) && out.isEmpty) {
+      spark.stop(); return
+    }
     val sql = CdcJob.render(shared, catalog, cfg, evolved = evolved)
       .select("sql")
     // --back-interval: pace flashback emission in 1000-statement

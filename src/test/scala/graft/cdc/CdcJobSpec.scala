@@ -206,7 +206,7 @@ class CdcJobSpec extends AnyFunSuite {
   }
 
   test("CdcMain CLI parses the reference's flag surface") {
-    val (binlog, cat, cfg, out, _) = CdcMain.parseArgs(Array(
+    val (binlog, cat, cfg, out, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-d", "testdb", "-t", "t_pk,t_uniq",
       "--start-position", "100", "--stop-position", "900",
       "--start-datetime", "2026-08-12 05:00:00",
@@ -220,16 +220,16 @@ class CdcJobSpec extends AnyFunSuite {
       startPos = Some(100L), stopPos = Some(900L),
       startDatetime = Some("2026-08-12 05:00:00"),
       flashback = true, bugCompatible = true, backInterval = 0.5))
-    val (_, _, cfgK, _, _) = CdcMain.parseArgs(Array(
+    val (_, _, cfgK, _, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-K"))
     assert(cfgK == CdcConfig(noPk = true))
-    val (_, _, cfgE, _, _) = CdcMain.parseArgs(Array(
+    val (_, _, cfgE, _, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "--evolve-schema"))
     assert(cfgE == CdcConfig(evolveSchema = true))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("--nope")))
     intercept[IllegalArgumentException](CdcMain.parseArgs(Array("-B")))
     // reference-name alias and always-true quirk flag
-    val (b2, _, cfg2, _, _) = CdcMain.parseArgs(Array(
+    val (b2, _, cfg2, _, _, _) = CdcMain.parseArgs(Array(
       "--start-file", "/x/c.txt", "--only-dml"))
     assert(b2 == "/x/c.txt" && cfg2 == CdcConfig())
     intercept[CdcMain.HelpRequested](CdcMain.parseArgs(Array("--help")))
@@ -238,7 +238,7 @@ class CdcJobSpec extends AnyFunSuite {
       "--binlog", "/x/b.txt", "-B", "-K")))
     // GTID-set flags parse and validate EAGERLY at the CLI
     val sid = "a0a1a2a3-a4a5-a6a7-a8a9-aaabacadaeaf"
-    val (_, _, cfgG, _, _) = CdcMain.parseArgs(Array(
+    val (_, _, cfgG, _, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "--include-gtids", s"$sid:1-5:9",
       "--exclude-gtids", s"$sid:3"))
     assert(cfgG == CdcConfig(includeGtids = Some(s"$sid:1-5:9"),
@@ -251,7 +251,7 @@ class CdcJobSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_lake").toString
     val src = BinlogFixture.materializeDir("dml_10k", 4, 2500)
-    val (_, _, cfg, _, outPq) = CdcMain.parseArgs(Array(
+    val (_, _, cfg, _, outPq, _) = CdcMain.parseArgs(Array(
       "--binlog", src, "--sql-type", "insert", "--output-parquet", dir))
     assert(outPq.contains(dir) && cfg.sqlTypes == Seq("insert"))
     CdcMain.writeEventLake(spark, src, binary = false, cfg, dir)
@@ -264,12 +264,76 @@ class CdcJobSpec extends AnyFunSuite {
       want.select("file", "seq", "db", "table", "op")).isEmpty)
   }
 
+  test("--output-scd2: generic SCD2 equals the fixture-shaped c20 twin; keyless excluded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = BinlogFixture.materializeDir("stress_v1", 2, 1500)
+    val (_, _, _, _, _, outS) = CdcMain.parseArgs(Array(
+      "--binlog", src, "--output-scd2", "/tmp/x"))
+    assert(outS.contains("/tmp/x"))
+    val events = CdcJob.parse(spark, src)
+    // catalog covering the stress tables: single-column PKs for t_pk /
+    // orders, a genuine TWO-COLUMN key for t_multi, audit KEYLESS
+    val columns = Seq(
+      ("testdb", "t_pk", "id", 1, "PRI"), ("testdb", "t_pk", "name", 2, ""),
+      ("testdb", "t_pk", "score", 3, ""),
+      ("appdb", "orders", "id", 1, "PRI"), ("appdb", "orders", "amt", 2, ""),
+      ("appdb", "orders", "note", 3, ""),
+      ("testdb", "t_multi", "k1", 1, "PRI"), ("testdb", "t_multi", "k2", 2, "PRI"),
+      ("testdb", "t_multi", "label", 3, ""),
+      ("logdb", "audit", "a", 1, ""), ("logdb", "audit", "b", 2, ""))
+      .toDF("table_schema", "table_name", "column_name",
+        "ordinal_position", "column_key")
+    val statistics = Seq(("x", "x", "x", 1, "x"))
+      .toDF("table_schema", "table_name", "index_name",
+        "non_unique", "column_name")
+    val catalog = Catalog.resolve(columns, statistics)
+    val got = CdcJob.scd2(events, catalog).collect()
+    // keyless tables never version (no identity) — audit HAS real rows
+    assert(events.filter(col("table") === "audit").count() > 0)
+    assert(!got.exists(_.getString(1) == "audit"))
+    // single-column-key tables: the generic history equals c20's
+    // fixture-shaped twin (key [id], image ordinals 2/3 → c2/c3)
+    def key1(r: org.apache.spark.sql.Row) = r.getSeq[String](2)
+    val gen = got.filter(r => r.getString(1) != "t_multi")
+      .map { r =>
+        val img = Option(r.getSeq[Int](4))
+          .map(_.zip(r.getSeq[String](5)).toMap).getOrElse(Map.empty)
+        (r.getString(0), r.getString(1), key1(r).head, r.getInt(3),
+          img.get(2), img.get(3),
+          r.getString(6), r.getLong(7),
+          Option(r.getString(8)), if (r.isNullAt(9)) None else Some(r.getLong(9)),
+          r.getBoolean(10))
+      }.toSet
+    val twin = graft.queries.CdcQueries.scd2History(
+      graft.queries.CdcQueries.flattenImages(events))
+      .filter(col("table") =!= "audit" && col("table") =!= "t_multi")
+      .collect().map { r =>
+        (r.getString(0), r.getString(1), r.getLong(2).toString, r.getInt(3),
+          Option(r.getString(4)), Option(r.getString(5)),
+          r.getString(6), r.getLong(7),
+          Option(r.getString(8)), if (r.isNullAt(9)) None else Some(r.getLong(9)),
+          r.getBoolean(10))
+      }.toSet
+    assert(gen == twin && gen.nonEmpty)
+    // the two-column key: every t_multi version keys on BOTH ordinals;
+    // the rotated dir repeats the stream, so each key sees exactly two
+    // upserts — versions 1..2 per key, only the last current
+    val multi = got.filter(_.getString(1) == "t_multi")
+    assert(multi.nonEmpty && multi.forall(r => key1(r).length == 2))
+    multi.groupBy(key1).foreach { case (k, vs) =>
+      assert(vs.map(_.getInt(3)).sorted.toSeq == (1 to vs.length), s"$k")
+      assert(vs.count(_.getBoolean(10)) == 1 &&
+        vs.maxBy(_.getInt(3)).getBoolean(10), s"$k")
+    }
+  }
+
   test("CdcMain accepts the reference README invocation verbatim") {
     // README: python3 main.py --start-position=4 --stop-position=1024
     //   --start-file mysql-bin.000057 -h 127.0.0.1 --port 3306 -uroot -p
     //   --database='log_test' -t 'a' 'd'
     // (shell strips the quotes; -h/-u/-p/-P build the live-catalog URL)
-    val (binlog, cat, cfg, _, _) = CdcMain.parseArgs(Array(
+    val (binlog, cat, cfg, _, _, _) = CdcMain.parseArgs(Array(
       "--start-position=4", "--stop-position=1024",
       "--start-file", "mysql-bin.000057",
       "-h", "127.0.0.1", "--port", "3306", "-uroot", "-p",
@@ -281,7 +345,7 @@ class CdcJobSpec extends AnyFunSuite {
     assert(cfg == CdcConfig(database = "log_test", tables = Seq("a", "d"),
       startPos = Some(4L), stopPos = Some(1024L)))
     // an explicit catalog wins over connection flags
-    val (_, cat2, _, _, _) = CdcMain.parseArgs(Array(
+    val (_, cat2, _, _, _, _) = CdcMain.parseArgs(Array(
       "--binlog", "/x/b.txt", "-h", "db.internal",
       "--catalog-jdbc", "jdbc:mysql://other:3306/information_schema"))
     assert(cat2.jdbcUrl.contains("jdbc:mysql://other:3306/information_schema"))
