@@ -1198,7 +1198,11 @@ object CdcQueries {
     * APPEND-ONLY, never revisited (a tailing stream's stamps are
     * monotone across rotated files, so a version closed once cannot
     * reopen). Per batch the window runs over open-state rows ∪ batch
-    * actions: affected keys + batch rows, not history. */
+    * actions: affected keys + batch rows, not history. Unlike c10's
+    * argmax (idempotent under replay), the APPEND of closed rows is
+    * what a replayed micro-batch would duplicate — a deployment fences
+    * it exactly like c11: closed rows land in epoch-keyed OVERWRITE
+    * directories, so a replay rewrites its own epoch. */
   def scd2Merge(state: Option[DataFrame], flat: DataFrame)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
