@@ -2688,6 +2688,59 @@ class PipelineOpsSpec extends AnyFunSuite {
       entry.fn(spark, sf).collect().toSeq)
   }
 
+  test("k7 sample merges: bottom-K of unioned per-split bottom-Ks equals global") {
+    // the KMV property applied to rows: per-day samples fold into a
+    // corpus sample without re-reading history
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"),
+        shiftrightunsigned(xxhash64(col("event_id")), 1).as("h"))
+    def bottomK(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("h", "event_id").limit(512)
+    val global = bottomK(ev).collect().map(_.getLong(0)).toSeq
+    val a = bottomK(ev.filter(col("event_id") % 2 === 0))
+    val b = bottomK(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = bottomK(a.unionByName(b)).collect().map(_.getLong(0)).toSeq
+    assert(merged == global)
+  }
+
+  test("c21 closed-row sink: a replayed epoch overwrites its own directory (c11 recipe)") {
+    // scd2Merge's closed rows are append-only per batch; the c11
+    // exactly-once recipe fences replays — a re-run epoch REWRITES its
+    // epoch dir instead of appending duplicate version rows
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val files = new java.io.File(p).listFiles.map(_.getAbsolutePath).sorted
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_c21_lake").toString
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    files.zipWithIndex.foreach { case (f, epoch) =>
+      val (ns, cl) = CdcQueries.scd2Merge(state,
+        CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, f)))
+      state = Some(ns.localCheckpoint())
+      cl.write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
+    }
+    val once = spark.read.parquet(s"$dir/epoch=*")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // simulated failure replay: epoch 1 re-merges THE SAME batch
+    // against the pre-merge state and rewrites its directory
+    var replayState: Option[org.apache.spark.sql.DataFrame] = None
+    val (s0, _) = CdcQueries.scd2Merge(None,
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, files(0))))
+    replayState = Some(s0.localCheckpoint())
+    val (_, cl1) = CdcQueries.scd2Merge(replayState,
+      CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, files(1))))
+    cl1.write.mode("overwrite").parquet(s"$dir/epoch=1")
+    val replayed = spark.read.parquet(s"$dir/epoch=*")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(replayed == once)
+    // and the lake equals the closed half of the batch history
+    val batchClosed = CdcQueries.scd2History(CdcQueries.flattenImages(
+      graft.cdc.CdcJob.parse(spark, p)))
+      .filter(!col("is_current"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(once == batchClosed)
+  }
+
   test("t26 DSIR weights: target-language docs score higher, selection skews to target") {
     import spark.implicits._
     // planted corpora with disjoint vocabularies: every 'en' doc is
