@@ -3084,6 +3084,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(current == live)
   }
 
+  test("c20 SCD2 differential fuzz: random op streams match a sequential replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0)
+    for (seed <- 1 to 3) {
+      rnd.setSeed(seed * 1000L)
+      // random inserts / updates (some PK-moving) / deletes over a
+      // small key domain, valid-by-construction (updates/deletes touch
+      // live rows; re-inserting a live id is allowed — SCD2 just opens
+      // the next version)
+      var live = Set.empty[Long]
+      val evs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String, Option[String], Option[String],
+          Option[String], Option[String])]
+      var seq = 0L
+      for (_ <- 1 to 400) {
+        val op = rnd.nextInt(3)
+        if (op == 0 || live.isEmpty) {
+          val id = rnd.nextInt(40).toLong
+          evs += (("f0", seq, "insert", None, Some(id.toString),
+            Some(s"v$seq"), Some(s"w$seq")))
+          live += id
+        } else if (op == 1) {
+          val id = live.toSeq(rnd.nextInt(live.size))
+          val nid = if (rnd.nextInt(4) == 0) rnd.nextInt(40).toLong else id
+          evs += (("f0", seq, "update", Some(id.toString), Some(nid.toString),
+            Some(s"v$seq"), Some(s"w$seq")))
+          live -= id; live += nid
+        } else {
+          val id = live.toSeq(rnd.nextInt(live.size))
+          evs += (("f0", seq, "delete", Some(id.toString), None, None, None))
+          live -= id
+        }
+        seq += 1
+      }
+      val flat = evs.toSeq
+        .toDF("file", "seq", "op", "before_id", "after_id",
+          "after_c2", "after_c3")
+        .withColumn("db", lit("fuzzdb")).withColumn("table", lit("t"))
+      val got = CdcQueries.scd2History(flat).collect()
+        .map(r => (r.getLong(2), r.getInt(3), r.getString(4), r.getString(5),
+          r.getLong(7), if (r.isNullAt(9)) None else Some(r.getLong(9)),
+          r.getBoolean(10))).toSet
+      // independent model: ONE chronological pass with a mutable
+      // open-version map — tombstone closes, upsert closes-then-opens
+      case class Open(ver: Int, c2: String, c3: String, from: Long)
+      var open = Map.empty[Long, Open]
+      var vers = Map.empty[Long, Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, String, String, Long, Option[Long], Boolean)]
+      def close(id: Long, at: Long): Unit = open.get(id).foreach { o =>
+        out += ((id, o.ver, o.c2, o.c3, o.from, Some(at), false))
+        open -= id
+      }
+      for ((_, s, op, bid, aid, c2, c3) <- evs) {
+        if (op == "update" || op == "delete") close(bid.get.toLong, s)
+        if (op == "insert" || op == "update") {
+          val id = aid.get.toLong
+          close(id, s) // re-insert / self-update closes the open version
+          val v = vers.getOrElse(id, 0) + 1
+          vers += id -> v
+          open += id -> Open(v, c2.get, c3.get, s)
+        }
+      }
+      open.foreach { case (id, o) =>
+        out += ((id, o.ver, o.c2, o.c3, o.from, None, true))
+      }
+      assert(got == out.toSet, s"seed=$seed")
+    }
+  }
+
   test("c21 incremental SCD2: per-file folds equal batch c20, state bounded by live keys") {
     val p = graft.cdc.BinlogFixture.materializeDir(
       "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
