@@ -855,6 +855,46 @@ object CdcQueries {
         .orderedRows(col("db"), col("table"), col("id"), col("ver"))
     },
 
+    // c22: POINT-IN-TIME READ over the SCD2 history — the payoff of
+    // keeping versions at all: reconstruct the table state AS OF any
+    // log position by pure predicate (from ≤ P < to), no replay. The
+    // cutoff is mid-log (the max file at seq 750 — expressed
+    // relatively so the oracle needs no path literals). The oracle is
+    // the INDEPENDENT derivation: c9's last-writer argmax over the log
+    // TRUNCATED at the same position — time travel via history must
+    // equal replay-to-position, key for key. Scale shape: the history
+    // scan filters by two comparisons (at real scale, a from/to-sorted
+    // or partitioned history table prunes instead of scanning); no
+    // joins, no window — the SCD2 build already paid them.
+    QueryDef("c22_time_travel",
+      s"""WITH snap AS (SELECT * FROM read_parquet('$StateOracleSnapshot/*.parquet')),
+         |mx AS (SELECT MAX(file) AS f FROM snap),
+         |cut AS (SELECT s.* FROM snap s CROSS JOIN mx
+         |        WHERE s.file < mx.f OR (s.file = mx.f AND s.seq <= 750)),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM cut WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM cut WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, c2, c3
+         |FROM last WHERE rn = 1 AND keep = 1
+         |ORDER BY db, "table", id""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      val flat = flattenImages(CdcJob.parse(s, p))
+      writeSnapshotIfStale(StateOracleSnapshot, d) {
+        flat.write.mode("overwrite").parquet(StateOracleSnapshot)
+      }
+      val mx = flat.agg(max(col("file")).as("mxf"))
+      scd2AsOf(scd2History(flat).crossJoin(broadcast(mx)),
+        col("mxf"), lit(750L))
+        .orderedRows(col("db"), col("table"), col("id"))
+    },
+
     // c11: EXACTLY-ONCE streaming parquet sink — the CDC event LAKE:
     // the binlog stream lands as parquet via foreachBatch with
     // epoch-keyed OVERWRITE directories, the standard idempotent-sink
@@ -1236,6 +1276,18 @@ object CdcQueries {
         col("file"), col("seq"), col("ver"))
     (newState, closed)
   }
+
+  /** c22: the AS-OF filter over an SCD2 history frame carrying cutoff
+    * columns — a version is live at P = (pf, ps) iff its from-stamp ≤ P
+    * and its to-stamp (if any) > P. Returns the c9-shaped table state. */
+  def scd2AsOf(hist: DataFrame, pf: org.apache.spark.sql.Column,
+      ps: org.apache.spark.sql.Column): DataFrame =
+    hist
+      .filter(col("from_file") < pf ||
+        (col("from_file") === pf && col("from_seq") <= ps))
+      .filter(col("to_file").isNull || col("to_file") > pf ||
+        (col("to_file") === pf && col("to_seq") > ps))
+      .select(col("db"), col("table"), col("id"), col("c2"), col("c3"))
 
   /** The current (open) versions of a [[scd2Merge]] state, in c20's
     * output schema. */

@@ -3154,6 +3154,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("c22 time travel: AS-OF reads over the history equal replay-to-position at every cutoff") {
+    import org.apache.spark.sql.functions._
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val flat = CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p))
+    val hist = CdcQueries.scd2History(flat).localCheckpoint()
+    val files = flat.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (pf <- files; ps <- Seq(0L, 123L, 750L, 1400L, 5000L)) {
+      val asOf = canon(CdcQueries.scd2AsOf(hist, lit(pf), lit(ps)))
+      val replay = canon(CdcQueries.materializeFromFlat(
+        flat.filter(col("file") < pf ||
+          (col("file") === pf && col("seq") <= ps))))
+      assert(asOf == replay, s"cutoff=($pf, $ps)")
+    }
+  }
+
   test("c21 incremental SCD2: per-file folds equal batch c20, state bounded by live keys") {
     val p = graft.cdc.BinlogFixture.materializeDir(
       "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
