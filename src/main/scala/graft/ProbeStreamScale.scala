@@ -33,6 +33,43 @@ object ProbeStreamScale {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // c21-shape: per-file micro-batches folding SCD2 open-version
+    // state; closed versions are OUTPUT (append-only), not state —
+    // the bound claim is openState == live keys however long the log.
+    def runScd2Fold(parts: Int): (Long, Long, Double, Int) = {
+      val p = graft.cdc.BinlogFixture.materializeDir(
+        s"probe_scale_$parts", parts, 1500,
+        graft.cdc.BinlogFixture.stressStream)
+      var state: Option[DataFrame] = None
+      var closed = 0L
+      var batches = 0
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_probe_scd2_cp").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.CdcStream.events(spark, p, maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (ns, cl) = graft.queries.CdcQueries.scd2Merge(
+            state, graft.queries.CdcQueries.flattenImages(batch))
+          state = Some(ns.localCheckpoint())
+          closed += cl.count()
+          batches += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (state.get.count(), closed, wall, batches)
+    }
+    def scd2Loop(): Unit =
+      for (parts <- Seq(2, 20)) {
+        val (open, closedN, wall, n) = runScd2Fold(parts)
+        println(f"scd2-fold files=$parts%-3d openState=$open%6d " +
+          f"closedEmitted=$closedN%8d wall=$wall%6.1fs batches=$n%3d " +
+          f"wall/batch=${wall / n}%5.2fs")
+      }
+    if (args.contains("scd2only")) { scd2Loop(); spark.stop(); return }
+
     val src = "/root/testdata/sf0.1"
     val dir10 = "/tmp/graft_sf1_stream"
     if (!new java.io.File(s"$dir10/events.parquet").exists()) {
@@ -220,6 +257,7 @@ object ProbeStreamScale {
       val (live, total, wall, n) = runCdcFold(parts)
       println(f"cdc-fold files=$parts%-3d live=$live%6d stateRows=$total%7d wall=$wall%6.1fs batches=$n%3d wall/batch=${wall / n}%5.2fs")
     }
+    scd2Loop()
     spark.stop()
   }
 }
