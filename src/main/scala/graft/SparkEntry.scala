@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{CdcQueries, CorpusPipeline, DedupOps, EventOps,
-  MultimodalOps, Relational, SimilarityOps, SourceOps, StorageOps,
-  StreamingQueries, TextAnalysis, TextOps}
+  GraphOps, MultimodalOps, Relational, SimilarityOps, SourceOps,
+  StorageOps, StreamingQueries, TextAnalysis, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-surface modules in
@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.defs ++ EventOps.defs ++ StreamingQueries.defs ++
       TextOps.defs ++ CdcQueries.defs ++ TextAnalysis.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs ++
-      CorpusPipeline.defs ++ StorageOps.defs ++ SourceOps.defs
+      CorpusPipeline.defs ++ StorageOps.defs ++ SourceOps.defs ++
+      GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

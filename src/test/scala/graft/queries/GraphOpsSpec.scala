@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** g1/g2 graph analytics: hand-graph ground truth, a naive all-triples
+  * differential on random graphs, and the property the fixed-point
+  * design exists for — bit-identical results under different
+  * partitionings (float PageRank cannot promise this on a cluster).
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def edgeDf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  /** Driver-side mirror of the scaled-integer PageRank recurrence. */
+  private def naivePagerank(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    val n = deg.size
+    val init = 1000000000000L / n
+    val base = init * 15 / 100
+    var r = deg.keys.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (u, ins) =>
+        u -> ins.map { case (v, _) => r(v) / deg(v) }.sum
+      }
+      r = deg.keys.map(u => u -> (base + 85 * contrib.getOrElse(u, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  private def naiveTriangles(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val edges = es.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tri = for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if edges((i, j)) && edges((j, k)) && edges((i, k))
+    } yield Seq(i, j, k)
+    tri.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("pagerank matches the driver-side integer recurrence on a hand graph") {
+    // triangle {1,2,3} + pendant 4-5 chain off node 3
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = GraphOps.pagerank(edgeDf(es), iters = 5, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = naivePagerank(es, 5)
+    assert(got.map(g => g._1 -> g._3).toMap === want)
+    // degrees carried through correctly
+    assert(got.find(_._1 == 3L).get._2 === 3L)
+    // highest-degree node holds the top rank on this graph
+    assert(got.head._1 === 3L)
+  }
+
+  test("pagerank is bit-identical across partitionings (the fixed-point point)") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val base = GraphOps.pagerank(edgeDf(es), 5, 100).collect().toSeq
+    val repart = GraphOps.pagerank(edgeDf(es).repartition(7), 5, 100).collect().toSeq
+    val single = GraphOps.pagerank(edgeDf(es).coalesce(1), 5, 100).collect().toSeq
+    assert(base === repart)
+    assert(base === single)
+    // and equal to the sequential recurrence — same integers, any order
+    val want = naivePagerank(es, 5)
+    assert(base.map(r => r.getLong(0) -> r.getLong(2)).toMap === want)
+  }
+
+  test("pagerank rank mass stays within floor-loss of the scale") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val ranks = GraphOps.pagerank(edgeDf(es), 5, 1000).collect().map(_.getLong(2))
+    val total = ranks.sum
+    // every floor division loses < 1 unit per node per term; with
+    // SCALE = 1e12 the drift is bounded far under 1% of the mass
+    assert(total <= 1000000000000L)
+    assert(total > 990000000000L)
+  }
+
+  test("triangle counts: K4, path, and empty graphs") {
+    // K4: 4 triangles, each node in 3
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val gotK4 = GraphOps.triangleCounts(edgeDf(k4), 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotK4 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // path graph: no triangles → empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(GraphOps.triangleCounts(edgeDf(path), 100).count() === 0L)
+    // triangle-free nodes absent, not zero-counted
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val gotMixed = GraphOps.triangleCounts(edgeDf(mixed), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotMixed === Set(1L, 2L, 3L))
+  }
+
+  test("triangle counts equal naive all-triples on random graphs") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(250)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val got = GraphOps.triangleCounts(edgeDf(es), 1000)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === naiveTriangles(es), s"seed=$seed")
+    }
+  }
+
+  test("driver fast path equals the distributed loop exactly (g1 and g2)") {
+    val rnd = new scala.util.Random(23)
+    val es = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val prFast = GraphOps.pagerank(edgeDf(es), 5, 1000).collect().toSeq
+    val prDist = GraphOps.pagerank(edgeDf(es), 5, 1000, smallGraphLimit = 0).collect().toSeq
+    assert(prFast === prDist)
+    val triFast = GraphOps.triangleCounts(edgeDf(es), 1000).collect().toSeq
+    val triDist = GraphOps.triangleCounts(edgeDf(es), 1000, smallGraphLimit = 0).collect().toSeq
+    assert(triFast === triDist)
+  }
+
+  test("co-purchase edges are canonical and distinct") {
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 10L), (2L, 20L), (2L, 10L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.coPurchaseEdges(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 20L))) // dup line collapsed; both orders yield the same edge
+    got.foreach { case (s, d) => assert(s < d) }
+  }
+
+  test("pagerank on an empty edge set returns an empty typed frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = GraphOps.pagerank(empty, 5, 10)
+    assert(out.columns.toSeq === Seq("node", "degree", "rank_scaled"))
+    assert(out.count() === 0L)
+  }
+}
