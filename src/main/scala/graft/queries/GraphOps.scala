@@ -341,25 +341,30 @@ object GraphOps {
       .toDF("node", "deg", "triangles")
   }
 
-  /** Shared oracle CTE prefix: the co-purchase edge list. */
+  /** Shared oracle CTE prefix: the co-purchase edge list.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    * reference, and the 5-iteration PageRank chain (each rK references
+    * sym/deg/n) re-expands the 10M-row self-join combinatorially — a
+    * measured runaway (>2.5 CPU-hours at the 10× corpus) that the
+    * hints collapse to one execution per CTE. */
   private val edgeCte =
-    """WITH pairs AS (
+    """WITH pairs AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |  WHERE a.l_partkey < b.l_partkey),
-      |deg AS (
+      |deg AS MATERIALIZED (
       |  SELECT node, COUNT(*) AS deg FROM (
       |    SELECT src AS node FROM pairs
       |    UNION ALL SELECT dst AS node FROM pairs) t GROUP BY node)""".stripMargin
 
   private def pagerankSql(iters: Int, k: Int): String = {
     val sym =
-      """sym AS (
+      """sym AS MATERIALIZED (
         |  SELECT p.src, p.dst, d.deg AS srcdeg FROM (
         |    SELECT src, dst FROM pairs
         |    UNION ALL SELECT dst AS src, src AS dst FROM pairs) p
         |  JOIN deg d ON d.node = p.src),
-        |n AS (SELECT COUNT(*) AS n FROM deg),
+        |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
         |r0 AS (SELECT node, (1000000000000 // (SELECT n FROM n)) AS r FROM deg)""".stripMargin
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
@@ -379,7 +384,7 @@ object GraphOps {
 
   private def triangleSql(k: Int): String =
     s"""$edgeCte,
-       |o AS (
+       |o AS MATERIALIZED (
        |  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND p.src < p.dst)
        |              THEN p.src ELSE p.dst END AS u,
        |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND p.src < p.dst)
@@ -389,7 +394,7 @@ object GraphOps {
        |  FROM pairs p
        |  JOIN deg ds ON ds.node = p.src
        |  JOIN deg dd ON dd.node = p.dst),
-       |tri AS (
+       |tri AS MATERIALIZED (
        |  SELECT a.u, a.v, b.v AS w
        |  FROM o a JOIN o b ON a.u = b.u
        |  JOIN o c ON c.u = a.v AND c.v = b.v
