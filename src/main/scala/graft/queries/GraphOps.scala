@@ -128,22 +128,8 @@ object GraphOps {
     // symmetric directed edges carrying the SOURCE degree (the only
     // degree a contribution needs), partitioned by src once for the
     // iterated join, cached: the m-row side never moves again.
-    val sym = e0.select(col("src"), col("dst"))
-      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "srcDeg"), "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val init = Scale / n
-    val base = init * 15 / 100
-    var ranks = deg.select(col("node"), lit(init).as("r"))
-    for (_ <- 1 to iters) {
-      // ranks (N rows) broadcast into the cached m-row side: zero
-      // exchange on the join, one agg shuffle per iteration — the
-      // minimum movement an iterative rank update has.
-      ranks = sym.join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(expr(s"$base + (85 * SUM(r DIV srcDeg)) DIV 100").as("r"))
-    }
+    val sym = symEdges(e0, deg).persist(StorageLevel.MEMORY_AND_DISK)
+    val ranks = distributedRankLoop(sym, deg, n, iters)
     val out = ranks.join(deg, "node")
       .select(col("node"), col("deg").as("degree"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
@@ -155,6 +141,32 @@ object GraphOps {
     deg.unpersist(blocking = false)
     e0.unpersist(blocking = false)
     out
+  }
+
+  /** Symmetric directed edge frame with source degree attached,
+    * hash-partitioned by src (built once, cached by the caller). */
+  private[graft] def symEdges(e0: DataFrame, deg: DataFrame): DataFrame =
+    e0.select(col("src"), col("dst"))
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "srcDeg"), "src")
+      .repartition(col("src"))
+
+  /** The distributed rank recurrence as a LAZY plan (no driver
+    * actions) — separated so the plan spec can assert the movement
+    * contract: ranks (N rows) broadcast into the cached m-row side,
+    * zero exchange on the join, ONE agg shuffle per iteration — the
+    * minimum movement an iterative rank update has. */
+  private[graft] def distributedRankLoop(sym: DataFrame, deg: DataFrame,
+      n: Long, iters: Int): DataFrame = {
+    val init = Scale / n
+    val base = init * 15 / 100
+    var ranks = deg.select(col("node"), lit(init).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = sym.join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"$base + (85 * SUM(r DIV srcDeg)) DIV 100").as("r"))
+    }
+    ranks
   }
 
   /** Sorted distinct endpoints of `es` — primitive sort + in-place

@@ -128,6 +128,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(triFast === triDist)
   }
 
+  test("distributed rank loop plan: one agg shuffle per iteration, joins broadcast") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // static plan (AQE off) so exchange counts are inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(31)
+      val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val edges = edgeDf(es)
+      val deg = GraphOps.degrees(edges)
+      def planFor(iters: Int) = GraphOps.distributedRankLoop(
+        GraphOps.symEdges(edges, deg), deg, n = 40, iters = iters)
+        .queryExecution.executedPlan
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }.length
+      // movement contract, self-calibrated against the static build
+      // shuffles: each extra iteration adds exactly ONE shuffle (the
+      // agg) — the broadcast join contributes none.
+      assert(shuffles(planFor(5)) - shuffles(planFor(1)) === 4,
+        s"per-iteration shuffle growth != 1:\n${planFor(5)}")
+      // every join is a broadcast — the m-row side never re-exchanges
+      val p5 = planFor(5)
+      val broadcasts = p5.collect { case e: BroadcastExchangeExec => e }
+      val smj = p5.collect { case j: SortMergeJoinExec => j }
+      assert(broadcasts.nonEmpty && smj.isEmpty, s"plan has sort-merge joins:\n$p5")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("co-purchase edges are canonical and distinct") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (1L, 10L), (2L, 20L), (2L, 10L), (3L, 30L))
