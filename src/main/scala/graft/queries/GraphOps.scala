@@ -220,6 +220,230 @@ object GraphOps {
       .toDF("node", "degree", "rank_scaled")
   }
 
+  /** Multi-source BFS hop distances (g3): distance from the nearest of
+    * the `seeds` highest-degree nodes (ties → smaller id — the same
+    * deterministic hub rule both engines derive), bounded at `maxHops`.
+    * Returns every reached (node, dist); unreached nodes are absent on
+    * both sides. All-integer and frontier-monotone, so any execution
+    * order produces the identical distance map.
+    *
+    * Scale shape (the g1 movement contract applied to traversal): the
+    * symmetric edge frame is built ONCE, hash-partitioned by src and
+    * cached — each round exchanges only the ≤N-row distance frame
+    * (broadcast into the cached m-row side) plus ONE min-agg shuffle.
+    * Each round's distance frame is persisted so the two references a
+    * BFS round makes (frontier filter + the union) share one cached
+    * copy instead of doubling the plan per round.
+    */
+  def bfsHops(edges: DataFrame, seeds: Int, maxHops: Int,
+      smallGraphLimit: Long = 1L << 24): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def empty() = {
+      import org.apache.spark.sql.types._
+      edges.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("node", LongType),
+          StructField("dist", LongType))))
+    }
+    smallEdges(edges, smallGraphLimit) match {
+      case Some(es) if es.isEmpty => return empty()
+      case Some(es) => return driverBfs(edges.sparkSession, es, seeds, maxHops)
+      case None =>
+    }
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = degrees(e0).persist(StorageLevel.MEMORY_AND_DISK)
+    if (deg.isEmpty) {
+      deg.unpersist(blocking = false); e0.unpersist(blocking = false)
+      return empty()
+    }
+    val sym = e0.select(col("src"), col("dst"))
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedDf = deg.orderBy(col("deg").desc, col("node")).limit(seeds)
+      .select(col("node"), lit(0L).as("dist"))
+    var dist = seedDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame](dist)
+    for (i <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (i - 1))
+        .withColumnRenamed("node", "src")
+      val expanded = sym.join(broadcast(frontier), "src")
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionAll(expanded)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += dist
+    }
+    val out = dist.orderBy(col("node")).localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    sym.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver twin of the BFS recurrence — CSR queue BFS, same hub-seed
+    * rule, same integers. */
+  private[graft] def driverBfs(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], seeds: Int, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val nodes = nodeIndex(es)
+    @inline def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    es.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
+    // CSR symmetric adjacency
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
+    val nbr = new Array[Int](es.length * 2)
+    val fill = off.clone()
+    es.foreach { case (a, b) =>
+      val (ia, ib) = (idx(a), idx(b))
+      nbr(fill(ia)) = ib; fill(ia) += 1
+      nbr(fill(ib)) = ia; fill(ib) += 1
+    }
+    val seedIdx = Array.range(0, n)
+      .sortBy(u => (-deg(u), nodes(u))).take(seeds)
+    val dist = Array.fill(n)(-1L)
+    var frontier = seedIdx.filter(u => dist(u) < 0)
+    frontier.foreach(u => dist(u) = 0L)
+    var d = 0L
+    while (d < maxHops && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+      frontier.foreach { u =>
+        var e = off(u)
+        while (e < off(u + 1)) {
+          val v = nbr(e)
+          if (dist(v) < 0) { dist(v) = d + 1; next += v }
+          e += 1
+        }
+      }
+      frontier = next.toArray
+      d += 1
+    }
+    nodes.indices.collect { case u if dist(u) >= 0 => (nodes(u), dist(u)) }
+      .sortBy(_._1)
+      .toDF("node", "dist")
+  }
+
+  /** Common-neighbor link prediction (g4): for each of the `queries`
+    * highest-degree nodes, the top-`k` NON-adjacent candidates ranked
+    * by shared-neighbor count (cn DESC, candidate ASC — a total order,
+    * so top-k is deterministic). The classic "who should connect next"
+    * serving query; counts are exact integers.
+    *
+    * Scale shape: this is a11's serving contract applied to graphs —
+    * the ≤`queries`-row hub frame pushes INTO the edge scan (semi-join
+    * on src), two-hop paths are one equi-join on the cached
+    * src-partitioned frame, counts one map-side-combined agg at
+    * (query, candidate) grain, adjacency removal an anti-join at the
+    * same grain, and the per-query top-k a window over ≤N-row groups.
+    * The full wedge explosion (every center × its neighbor pairs — the
+    * deg² hub bomb) never happens: expansion is bounded by
+    * Σ_{v∈N(q)} deg(v) over the query hubs only.
+    */
+  def commonNeighbors(edges: DataFrame, queries: Int, k: Int,
+      smallGraphLimit: Long = 1L << 24): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def empty() = {
+      import org.apache.spark.sql.types._
+      edges.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("query_node", LongType),
+          StructField("candidate", LongType),
+          StructField("common_neighbors", LongType),
+          StructField("rk", LongType))))
+    }
+    smallEdges(edges, smallGraphLimit) match {
+      case Some(es) if es.isEmpty => return empty()
+      case Some(es) =>
+        return driverCommonNeighbors(edges.sparkSession, es, queries, k)
+      case None =>
+    }
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = degrees(e0)
+    val sym = e0.select(col("src"), col("dst"))
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs = deg.orderBy(col("deg").desc, col("node")).limit(queries)
+      .select(col("node").as("q"))
+    // two-hop paths q -> v -> w, w != q; the hub frame broadcasts into
+    // the first hop, the second hop joins on the cached src partitioning
+    val hop1 = sym.join(broadcast(hubs), col("src") === col("q"))
+      .select(col("q"), col("dst").as("v"))
+    val paths = hop1.join(sym.withColumnRenamed("src", "v"), "v")
+      .filter(col("dst") =!= col("q"))
+      .groupBy(col("q"), col("dst").as("w"))
+      .agg(count(lit(1)).as("cn"))
+    // drop candidates already adjacent to the query hub
+    val nonAdj = paths.join(
+      sym.select(col("src").as("q"), col("dst").as("w")),
+      Seq("q", "w"), "left_anti")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("cn").desc, col("w"))
+    val out = nonAdj
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q").as("query_node"), col("w").as("candidate"),
+        col("cn").as("common_neighbors"), col("rk"))
+      .orderBy(col("query_node"), col("rk"))
+      .localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver twin of the common-neighbor serving query. */
+  private[graft] def driverCommonNeighbors(
+      spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], queries: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val nodes = nodeIndex(es)
+    @inline def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    es.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
+    val nbr = new Array[Int](es.length * 2)
+    val fill = off.clone()
+    es.foreach { case (a, b) =>
+      val (ia, ib) = (idx(a), idx(b))
+      nbr(fill(ia)) = ib; fill(ia) += 1
+      nbr(fill(ib)) = ia; fill(ib) += 1
+    }
+    val hubIdx = Array.range(0, n)
+      .sortBy(u => (-deg(u), nodes(u))).take(queries)
+    val rows = hubIdx.flatMap { q =>
+      val cn = new scala.collection.mutable.LongMap[Long]()
+      var e = off(q)
+      while (e < off(q + 1)) {
+        val v = nbr(e)
+        var f = off(v)
+        while (f < off(v + 1)) {
+          val w = nbr(f)
+          if (w != q) cn(w.toLong) = cn.getOrElse(w.toLong, 0L) + 1L
+          f += 1
+        }
+        e += 1
+      }
+      // remove already-adjacent candidates
+      var g = off(q)
+      while (g < off(q + 1)) { cn.remove(nbr(g).toLong); g += 1 }
+      cn.toSeq
+        .map { case (w, c) => (nodes(w.toInt), c) }
+        .sortBy { case (w, c) => (-c, w) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((w, c), r) => (nodes(q), w, c, (r + 1).toLong) }
+    }
+    rows.sortBy { case (q, _, _, r) => (q, r) }
+      .toSeq.toDF("query_node", "candidate", "common_neighbors", "rk")
+  }
+
   /** Per-node triangle counts via (degree, id) edge orientation.
     * Returns (node, deg, triangles) top-`k` by count; triangle-free
     * nodes are absent. Same fast-path contract as [[pagerank]]: the
@@ -420,6 +644,62 @@ object GraphOps {
        |FROM pern p JOIN deg d ON d.node = p.node
        |ORDER BY triangles DESC, p.node LIMIT $k""".stripMargin
 
+  /** Symmetric edge CTE shared by the traversal/serving oracles. */
+  private val symCte =
+    """sym AS MATERIALIZED (
+      |  SELECT src, dst FROM pairs
+      |  UNION ALL SELECT dst AS src, src AS dst FROM pairs)""".stripMargin
+
+  private def bfsSql(seeds: Int, maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      // every step is MATERIALIZED: d(i) references d(i-1) twice
+      // (carry + frontier expansion) and plain CTEs would re-inline
+      // the whole chain combinatorially (the g1 runaway lesson)
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + 1 AS dist
+         |    FROM d${i - 1} p JOIN sym e ON e.src = p.node
+         |    WHERE p.dist = ${i - 1}) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCte,
+       |$symCte,
+       |seeds AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT $seeds),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$steps
+       |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
+  }
+
+  private def commonNeighborsSql(queries: Int, k: Int): String =
+    s"""$edgeCte,
+       |$symCte,
+       |hubs AS MATERIALIZED (
+       |  SELECT node FROM deg ORDER BY deg DESC, node LIMIT $queries),
+       |paths AS MATERIALIZED (
+       |  -- hubs joins FIRST: materialized CTEs carry no stats, so with
+       |  -- sym syntactically first DuckDB executes sym ⋈ sym (~287M
+       |  -- rows at sf0.1, measured 70-122 s) before the 20-hub filter;
+       |  -- hub-first collapses the same query to 0.7 s, results equal
+       |  SELECT h.node AS q, e2.dst AS w, COUNT(*) AS cn
+       |  FROM hubs h
+       |  JOIN sym e1 ON e1.src = h.node
+       |  JOIN sym e2 ON e2.src = e1.dst
+       |  WHERE e2.dst <> h.node
+       |  GROUP BY h.node, e2.dst),
+       |nonadj AS (
+       |  SELECT p.q, p.w, p.cn FROM paths p
+       |  LEFT JOIN sym s ON s.src = p.q AND s.dst = p.w
+       |  WHERE s.src IS NULL),
+       |ranked AS (
+       |  SELECT q, w, cn,
+       |         ROW_NUMBER() OVER (PARTITION BY q ORDER BY cn DESC, w) AS rk
+       |  FROM nonadj)
+       |SELECT q AS query_node, w AS candidate, cn AS common_neighbors, rk
+       |FROM ranked WHERE rk <= $k
+       |ORDER BY query_node, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("g1_pagerank", pagerankSql(iters = 5, k = 100)) { (s, d) =>
@@ -428,6 +708,16 @@ object GraphOps {
 
     QueryDef("g2_triangle_count", triangleSql(k = 100)) { (s, d) =>
       triangleCounts(coPurchaseEdges(Tables.lineitem(s, d)), k = 100)
+    },
+
+    QueryDef("g3_bfs_hops", bfsSql(seeds = 3, maxHops = 6)) { (s, d) =>
+      bfsHops(coPurchaseEdges(Tables.lineitem(s, d)), seeds = 3, maxHops = 6)
+    },
+
+    QueryDef("g4_common_neighbors",
+      commonNeighborsSql(queries = 20, k = 5)) { (s, d) =>
+      commonNeighbors(coPurchaseEdges(Tables.lineitem(s, d)),
+        queries = 20, k = 5)
     }
   )
 }

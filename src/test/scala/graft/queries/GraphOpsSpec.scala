@@ -167,6 +167,116 @@ class GraphOpsSpec extends AnyFunSuite {
     got.foreach { case (s, d) => assert(s < d) }
   }
 
+  /** Sequential BFS mirror: same hub-seed rule, same hop bound. */
+  private def naiveBfs(es: Seq[(Long, Long)], seeds: Int,
+      maxHops: Int): Map[Long, Long] = {
+    val sym = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = sym.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val deg = adj.map { case (n, xs) => n -> xs.size.toLong }
+    val seedNodes = deg.toSeq.sortBy { case (n, dg) => (-dg, n) }
+      .take(seeds).map(_._1)
+    var dist = seedNodes.map(_ -> 0L).toMap
+    var frontier = seedNodes
+    var d = 0L
+    while (d < maxHops && frontier.nonEmpty) {
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .distinct.filterNot(dist.contains)
+      next.foreach(v => dist += v -> (d + 1))
+      frontier = next
+      d += 1
+    }
+    dist
+  }
+
+  /** Sequential common-neighbor mirror with the same tie rule. */
+  private def naiveCommonNeighbors(es: Seq[(Long, Long)], queries: Int,
+      k: Int): Seq[(Long, Long, Long, Long)] = {
+    val sym = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = sym.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val deg = adj.map { case (n, xs) => n -> xs.size.toLong }
+    val hubs = deg.toSeq.sortBy { case (n, dg) => (-dg, n) }
+      .take(queries).map(_._1)
+    hubs.sorted.flatMap { q =>
+      val counts = adj(q).toSeq.flatMap(v => adj(v).toSeq)
+        .filter(w => w != q && !adj(q)(w))
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(k).zipWithIndex
+        .map { case ((w, c), r) => (q, w, c, (r + 1).toLong) }
+    }
+  }
+
+  test("bfs hops: hand graph ground truth and hop bound") {
+    // hub 1 (deg 4) seeds; chain off node 5 tests increasing hops
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L))
+    val got = GraphOps.bfsHops(edgeDf(es), seeds = 1, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 3L))
+    // maxHops bound honored: 8..11 unreached, absent
+    assert(!got.contains(8L))
+  }
+
+  test("bfs hops equal the sequential BFS on random graphs (multi-seed)") {
+    for (seed <- Seq(5, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val got = GraphOps.bfsHops(edgeDf(es), seeds = 3, maxHops = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === naiveBfs(es, 3, 6), s"seed=$seed")
+    }
+  }
+
+  test("bfs driver fast path equals the distributed loop exactly") {
+    val rnd = new scala.util.Random(41)
+    val es = Seq.fill(200)((rnd.nextInt(45).toLong, rnd.nextInt(45).toLong))
+      .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val fast = GraphOps.bfsHops(edgeDf(es), 3, 6).collect().toSeq
+    val dist = GraphOps.bfsHops(edgeDf(es), 3, 6, smallGraphLimit = 0)
+      .collect().toSeq
+    assert(fast === dist)
+    // and invariant under partitioning
+    val repart = GraphOps.bfsHops(edgeDf(es).repartition(7), 3, 6,
+      smallGraphLimit = 0).collect().toSeq
+    assert(fast === repart)
+  }
+
+  test("common neighbors: hand graph — adjacency excluded, ties by id") {
+    // q=1 is the hub; 6 and 7 each share neighbors with 1 but are not
+    // adjacent to it; 2 IS adjacent so it must never appear.
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (6L, 3L), (6L, 4L), (7L, 4L), (7L, 5L), (2L, 3L))
+    val got = GraphOps.commonNeighbors(edgeDf(es), queries = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._1 == 1L))
+    val byCand = got.map(r => r._2 -> r._3).toMap
+    assert(byCand === Map(6L -> 2L, 7L -> 2L)) // 2,3,4,5 adjacent → absent
+    // tie on cn=2 broken by candidate id: 6 ranks before 7
+    assert(got.sortBy(_._4).map(_._2).toSeq === Seq(6L, 7L))
+  }
+
+  test("common neighbors equal the sequential mirror on random graphs") {
+    for (seed <- Seq(13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(260)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val got = GraphOps.commonNeighbors(edgeDf(es), queries = 8, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got === naiveCommonNeighbors(es, 8, 4), s"seed=$seed")
+    }
+  }
+
+  test("common neighbors driver fast path equals the distributed plan") {
+    val rnd = new scala.util.Random(37)
+    val es = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val fast = GraphOps.commonNeighbors(edgeDf(es), 10, 5).collect().toSeq
+    val dist = GraphOps.commonNeighbors(edgeDf(es), 10, 5, smallGraphLimit = 0)
+      .collect().toSeq
+    assert(fast === dist)
+  }
+
   test("pagerank on an empty edge set returns an empty typed frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
