@@ -415,8 +415,54 @@ object CorpusPipeline {
         |ORDER BY source""".stripMargin) { (s, d) =>
       datasetCard(Tables.documents(s, d))
         .orderedSmall(col("source")) // sources + 1 rows
+    },
+
+    // p7: LEAKAGE-SAFE train/val/test split — the composition the
+    // split (t10) and near-dup clustering (d4) exist FOR: a doc's
+    // split is decided by its near-dup COMPONENT representative, not
+    // its own id, so two near-duplicates can never straddle
+    // train/test (the eval-contamination leak t8 scrubs after the
+    // fact is prevented by construction here). Representative = d4's
+    // min-doc_id cluster label, the doc's own id when unclustered;
+    // the split rule is t10's Knuth-hash bucketing applied to the
+    // representative — pure expression, no driver state. Scale
+    // shape: the cluster frame is PAIRS-sized (tiny next to the
+    // corpus); the corpus pays one left join on doc_id plus the
+    // row-wise hash — no new corpus-wide shuffle beyond the join,
+    // and the leak-freedom is structural (rep is constant within a
+    // component), not a post-hoc audit.
+    QueryDef("p7_leakage_safe_split",
+      DedupOps.ComponentsCte +
+        """,
+          |comp AS (SELECT u AS doc_id, MIN(m) AS rep FROM walk GROUP BY u),
+          |assigned AS (
+          |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+          |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+          |SELECT doc_id, rep,
+          |  CASE WHEN (rep * 2654435761) % 1000 < 800 THEN 'train'
+          |       WHEN (rep * 2654435761) % 1000 < 900 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM assigned ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      leakageSafeSplit(docs,
+        DedupOps.clusterPairs(DedupOps.minhashPairs(docs).select("ia", "ib")))
     }
   )
+
+  /** p7's assignment over any (doc_id) corpus frame and a
+    * (doc_id, cluster_id) component labeling — exposed for the
+    * zero-cross-split-pair spec. */
+  private[queries] def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+      clusters: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rep = docs.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("cluster_id", "rep"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    val mix = pmod(col("rep") * lit(2654435761L), lit(1000L))
+    rep.select(col("doc_id"), col("rep"),
+        when(mix < 800, "train").when(mix < 900, "val").otherwise("test")
+          .as("split"))
+      .orderedRows(col("doc_id"))
+  }
 
   /** The p6 card aggregation over any (doc_id, text, lang, source,
     * n_chars) frame — exposed for the one-scan plan spec. */

@@ -678,7 +678,7 @@ object DedupOps {
   /** Shared recursive-CTE prefix for the component oracles (d4/d5):
     * exact shingle-Jaccard pairs → undirected edges → min-label
     * reachability walk. */
-  private val ComponentsCte: String =
+  private[queries] val ComponentsCte: String =
     """WITH RECURSIVE
       |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') toks FROM documents),
       |shx AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),

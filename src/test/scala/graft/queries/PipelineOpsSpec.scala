@@ -33,6 +33,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("p7 leakage-safe split: clusters never straddle splits; singletons = t10 rule") {
+    import spark.implicits._
+    def bucket(id: Long): String = {
+      val m = (id * 2654435761L) % 1000L
+      if (m < 800) "train" else if (m < 900) "val" else "test"
+    }
+    // find two ids whose OWN buckets differ, then cluster them: the
+    // guard must override the per-doc rule for the non-representative
+    val a = (1L to 500L).find(i => bucket(i) == "train").get
+    val b = (1L to 500L).find(i => i != a && bucket(i) == "test").get
+    val c = (1L to 500L).find(i => bucket(i) == "val").get // singleton
+    val docs = Seq(a, b, c).toDF("doc_id")
+    val clusters = Seq((a, math.min(a, b)), (b, math.min(a, b)))
+      .toDF("doc_id", "cluster_id")
+    val got = CorpusPipeline.leakageSafeSplit(docs, clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val rep = math.min(a, b)
+    assert(got(a) === (rep, bucket(rep)))
+    assert(got(b) === (rep, bucket(rep))) // naive rule said "test" — overridden
+    assert(bucket(b) !== bucket(rep), "fixture must exercise the override")
+    assert(got(c) === (c, bucket(c))) // singleton keeps its own bucket
+  }
+
+  test("p7 on the real corpus: zero near-dup pairs straddle a split boundary") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = DedupOps.minhashPairs(docs).select("ia", "ib")
+    val split = CorpusPipeline.leakageSafeSplit(docs,
+      DedupOps.clusterPairs(pairs))
+    val sa = split.select(col("doc_id").as("ia"), col("split").as("sa"))
+    val sb = split.select(col("doc_id").as("ib"), col("split").as("sb"))
+    val crossers = pairs.join(sa, "ia").join(sb, "ib")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossers === 0L)
+    // and the guard is not vacuous: some clustered doc's own-id bucket
+    // differs from its assigned split on this corpus
+    val overridden = split.filter(col("rep") =!= col("doc_id"))
+      .filter(
+        when(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 800, "train")
+          .when(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 900, "val")
+          .otherwise("test") =!= col("split")).count()
+    assert(overridden > 0L, "corpus fixture never exercises the override")
+  }
+
   test("d2 SimHash: planted near-identical docs collide at distance<=3") {
     import spark.implicits._
     // 1-token edit in a 400-token doc: bit-flip count stays small
