@@ -39,6 +39,18 @@ object ProbeGraph {
     t("edge build (warm)") {
       println(s"[probe]   edges=${GraphOps.coPurchaseEdges(li).count()}")
     }
+    t("edge build JOIN twin (cold)") {
+      println(s"[probe]   edges=${GraphOps.coPurchaseEdgesJoin(li).count()}")
+    }
+    t("edge build JOIN twin (warm)") {
+      println(s"[probe]   edges=${GraphOps.coPurchaseEdgesJoin(li).count()}")
+    }
+    t("agg == join edge sets") {
+      val j = GraphOps.coPurchaseEdgesJoin(li)
+      val g = GraphOps.coPurchaseEdges(li)
+      val d1 = j.exceptAll(g).count(); val d2 = g.exceptAll(j).count()
+      println(s"[probe]   except=$d1/$d2")
+    }
     for (pass <- 1 to 3) {
       t(s"g1 entry pass $pass") {
         GraphOps.pagerank(GraphOps.coPurchaseEdges(li), 5, 100).count()
@@ -60,6 +72,24 @@ object ProbeGraph {
     t("fp driverPagerank 2") { GraphOps.driverPagerank(spark, es, 5, 100).count() }
     t("fp driverTriangles") { GraphOps.driverTriangles(spark, es, 100).count() }
     t("fp driverTriangles 2") { GraphOps.driverTriangles(spark, es, 100).count() }
+    t("fp driverBfs") { GraphOps.driverBfs(spark, es, 3, 6).count() }
+    t("fp driverBfs 2") { GraphOps.driverBfs(spark, es, 3, 6).count() }
+    t("fp driverCommonNeighbors") {
+      GraphOps.driverCommonNeighbors(spark, es, 20, 5).count()
+    }
+    t("fp driverCommonNeighbors 2") {
+      GraphOps.driverCommonNeighbors(spark, es, 20, 5).count()
+    }
+    for (pass <- 1 to 3) {
+      t(s"g3 entry pass $pass") {
+        GraphOps.bfsHops(GraphOps.coPurchaseEdges(li), 3, 6).count()
+      }
+    }
+    for (pass <- 1 to 3) {
+      t(s"g4 entry pass $pass") {
+        GraphOps.commonNeighbors(GraphOps.coPurchaseEdges(li), 20, 5).count()
+      }
+    }
     spark.stop()
   }
 }

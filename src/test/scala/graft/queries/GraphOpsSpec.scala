@@ -167,6 +167,23 @@ class GraphOpsSpec extends AnyFunSuite {
     got.foreach { case (s, d) => assert(s < d) }
   }
 
+  test("aggregate-form edge build equals the self-join twin on random baskets") {
+    import spark.implicits._
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      // 80 orders × 1..7 lines, parts drawn with repeats inside orders
+      val li = (1 to 80).flatMap { ok =>
+        Seq.fill(1 + rnd.nextInt(7))((ok.toLong, (1 + rnd.nextInt(40)).toLong))
+      }.toDF("l_orderkey", "l_partkey")
+      val agg = GraphOps.coPurchaseEdges(li)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val join = GraphOps.coPurchaseEdgesJoin(li)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(agg === join, s"seed=$seed")
+      assert(agg.size === GraphOps.coPurchaseEdges(li).count())
+    }
+  }
+
   /** Sequential BFS mirror: same hub-seed rule, same hop bound. */
   private def naiveBfs(es: Seq[(Long, Long)], seeds: Int,
       maxHops: Int): Map[Long, Long] = {
