@@ -817,6 +817,104 @@ object DedupOps {
        |WHERE d <= 3 ORDER BY ia, ib""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // d9: persisted LSH band index + incremental delta fold (the a12
+  // two-table layout for text): bands(doc_id, b, h) — the small join
+  // surface — and sets(doc_id, sh) — the verify payload — both
+  // bucketed by doc_id so the candidate→sets attach is shuffle-free
+  // on the index side. One generation per ingest tier (base/delta).
+  // ---------------------------------------------------------------
+
+  private val LshWarehouse =
+    System.getProperty("java.io.tmpdir") + "/graft_lsh_index"
+  private val lshIndexSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The d9 corpus split (a12's convention): standing corpus vs the
+    * "daily" ingest batch (¼ of docs). */
+  private def lshBaseFilter = col("doc_id") % 4 =!= 3
+
+  private def writeLshGeneration(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, suffix: String): Unit = {
+    val banded = bandedSigs(docs, 8, 4)
+    banded.select("doc_id", "b", "h")
+      .write.mode("overwrite")
+      .option("path", s"$LshWarehouse/bands_$suffix")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"graft_lsh_bands_$suffix")
+    banded.filter(col("b") === 0).select("doc_id", "sh")
+      .write.mode("overwrite")
+      .option("path", s"$LshWarehouse/sets_$suffix")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"graft_lsh_sets_$suffix")
+  }
+
+  /** Build the BASE index once per corpus dir. */
+  def ensureLshIndexBase(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    synchronized {
+      if (lshIndexSf.get("base") == d &&
+        s.catalog.tableExists("graft_lsh_bands_base") &&
+        s.catalog.tableExists("graft_lsh_sets_base")) return
+      lshIndexSf.remove("base")
+      writeLshGeneration(s, Tables.documents(s, d).filter(lshBaseFilter), "base")
+      lshIndexSf.put("base", d)
+    }
+
+  /** Fold one ingest batch into the DELTA generation — reads and
+    * writes ONLY delta rows; the base tables stay untouched
+    * (spec-pinned by file snapshot). Idempotent per corpus. */
+  def foldLshDelta(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    synchronized {
+      if (lshIndexSf.get("delta") == d &&
+        s.catalog.tableExists("graft_lsh_bands_delta") &&
+        s.catalog.tableExists("graft_lsh_sets_delta")) return
+      lshIndexSf.remove("delta")
+      writeLshGeneration(s, Tables.documents(s, d).filter(!lshBaseFilter), "delta")
+      lshIndexSf.put("delta", d)
+    }
+
+  /** Serve the incremental near-dup question from the persisted
+    * index: DELTA band rows probe base ∪ delta (candidate volume
+    * scales with the batch), candidates dedupe at pair grain BEFORE
+    * the verify joins, sets attach bucket-aligned, exact Jaccard
+    * verify via the codegen'd sorted merge. Output = every ≥0.8 pair
+    * with at least one delta endpoint, canonical (ia < ib). */
+  def lshServeDelta(s: org.apache.spark.sql.SparkSession,
+      tau: Double = 0.8): DataFrame = {
+    graft.functions.SortedIntersectSize.register(s)
+    import graft.functions.SortedIntersectSize.sorted_intersect_size
+    val bandsAll = s.table("graft_lsh_bands_base")
+      .unionByName(s.table("graft_lsh_bands_delta"))
+    val bandsDelta = s.table("graft_lsh_bands_delta")
+    val cand = bandsDelta.select(col("doc_id").as("da"), col("b"), col("h"))
+      .join(bandsAll.select(col("doc_id").as("db"), col("b"), col("h"))
+        .hint("shuffle_hash"), Seq("b", "h"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("ia"),
+        greatest(col("da"), col("db")).as("ib"))
+      .distinct()
+    val sets = s.table("graft_lsh_sets_base")
+      .unionByName(s.table("graft_lsh_sets_delta"))
+    cand
+      .join(sets.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
+      .join(sets.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+      .withColumn("inter", sorted_intersect_size(col("sa"), col("sb")))
+      .withColumn("j", col("inter") * lit(1.0) /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))
+      .orderedRows(col("ia"), col("ib"))
+  }
+
+  /** d9's oracle: the exact pair SQL restricted to pairs with at
+    * least one DELTA endpoint (doc_id % 4 == 3 — the ingest batch). */
+  private val DeltaPairsSql: String = {
+    val guard = "WHERE i*1.0/(ca.c + cb.c - i) >= 0.8"
+    require(TextOps.JaccardPairsSql.contains(guard))
+    TextOps.JaccardPairsSql.replace(guard,
+      guard + " AND (ia % 4 = 3 OR ib % 4 = 3)")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // d1 shares the exact operator's oracle: 100% recall at τ=0.8
     // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
@@ -838,6 +936,27 @@ object DedupOps {
     // the Hamming-≤3 pairs from the raw text (SimhashOracleSql).
     QueryDef("d2_simhash_neardup", SimhashOracleSql) { (s, d) =>
       simhashPairs(Tables.documents(s, d))
+    },
+
+    // d9: INCREMENTAL near-dup screening from a PERSISTED band index
+    // — a12's index-as-a-table lifecycle applied to text dedup (d6
+    // covers the exact-hash incremental case; this is its NEAR-dup
+    // sibling, the "is today's crawl a near-duplicate of anything we
+    // already hold?" question a daily-ingest deployment asks). The
+    // standing corpus' band rows and shingle sets live in bucketed
+    // tables built ONCE; each ingest batch folds ONLY its own rows
+    // into a delta generation (base files never read for the fold,
+    // never rewritten — spec-pinned by file snapshot); serving joins
+    // the DELTA band rows against base ∪ delta, so candidate volume
+    // scales with the batch, not the corpus, and the sets attach
+    // bucket-aligned (w1's lever — no index-side shuffle). Banding =
+    // d1's 8×4 (recalls every ≥0.8 pair at the measured SFs — the
+    // shared-oracle evidence), verify = the exact codegen'd sorted
+    // merge; split rule doc_id % 4 == 3 (a12's convention).
+    QueryDef("d9_lsh_delta_neardup", DeltaPairsSql) { (s, d) =>
+      ensureLshIndexBase(s, d)
+      foldLshDelta(s, d)
+      lshServeDelta(s)
     },
 
     // Fuzzy decontamination (see fuzzyDecontaminate): eval = the

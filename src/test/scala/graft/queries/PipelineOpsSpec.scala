@@ -604,6 +604,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(served == exact)
   }
 
+  test("d9: delta fold never touches the base LSH index; serve equals monolithic pairs") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = "/root/testdata/sf0.01"
+    DedupOps.ensureLshIndexBase(spark, d)
+    def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val p = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_lsh_index", sub)
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    }
+    val baseBands = snapshot("bands_base")
+    val baseSets = snapshot("sets_base")
+    assert(baseBands.nonEmpty && baseSets.nonEmpty)
+    DedupOps.foldLshDelta(spark, d)
+    assert(snapshot("bands_base") == baseBands,
+      "delta fold must not rewrite the base band index")
+    assert(snapshot("sets_base") == baseSets,
+      "delta fold must not rewrite the base shingle sets")
+    assert(snapshot("bands_delta").nonEmpty)
+    // serving the incremental question from the persisted index
+    // equals the MONOLITHIC operator restricted to delta-crossing
+    // pairs — one missing index row anywhere would break this
+    val served = DedupOps.lshServeDelta(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mono = DedupOps.minhashPairs(graft.Tables.documents(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 % 4 == 3 || p._2 % 4 == 3).toSet
+    assert(served == mono)
+    assert(served.nonEmpty, "fixture must exercise delta-crossing pairs")
+    // re-fold on the same corpus is a no-op (idempotent per batch)
+    val deltaBefore = snapshot("bands_delta")
+    DedupOps.foldLshDelta(spark, d)
+    assert(snapshot("bands_delta") == deltaBefore)
+  }
+
   test("s25: an epoch replay overwrites its own delta generation (exactly-once)") {
     import spark.implicits._
     val dir = java.nio.file.Files
