@@ -235,15 +235,61 @@ object CdcJob {
     * catalog broadcast; ONE hash exchange on (db, table, key) + one
     * sort feeding both windows — per-key history is key-parallel at
     * any log size. */
-  def scd2(events: DataFrame, catalog: DataFrame): DataFrame = {
+  def scd2(events: DataFrame, catalog: DataFrame,
+      evolved: Option[SchemaEvolve.Timelines] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cat = broadcast(catalog
-      .withColumn("key_ords", expr(
-        "transform(filter(cols, c -> array_contains(key_cols, c.name))," +
-          " c -> c.ord)"))
-      .filter(size(col("key_ords")) > 0)
-      .select(col("db"), col("table"), col("key_ords")))
-    val ev = events.join(cat, Seq("db", "table"))
+    // Key ordinals per event. Static: one broadcast-joined ordinal
+    // list per table. Evolved (--evolve-schema): an ALTER that shifts
+    // or renames columns mid-log moves the KEY's position too — the
+    // same defect class c15 fixes for rendering would otherwise
+    // corrupt every version chain after the ALTER (rows key on
+    // whatever column now sits at the old ordinal). Resolution
+    // matches SqlRender's semantics exactly: the key NAMES from the
+    // catalog are looked up in the position-resolved column list at
+    // each event's (file, seq); an event where no key name resolves
+    // (e.g. before a key-column rename) is keyless THERE and excluded
+    // — same name-match rule the rendered WHERE clauses apply.
+    val ev = evolved match {
+      case None =>
+        val cat = broadcast(catalog
+          .withColumn("key_ords", expr(
+            "transform(filter(cols, c -> array_contains(key_cols, c.name))," +
+              " c -> c.ord)"))
+          .filter(size(col("key_ords")) > 0)
+          .select(col("db"), col("table"), col("key_ords")))
+        events.join(cat, Seq("db", "table"))
+      case Some(tl) =>
+        // both lookups are bounded dims (the SchemaEvolve contract):
+        // shipping them inside the resolver closure is the broadcast
+        // analogue for a position-ranged lookup a join can't express
+        val catRows = catalog
+          .select(col("db"), col("table"), col("cols"), col("key_cols"))
+          .collect()
+        val keyByTable: Map[(String, String), Set[String]] = catRows.map { r =>
+          (r.getString(0), r.getString(1)) ->
+            r.getSeq[String](3).toSet
+        }.toMap
+        val colsByTable: Map[(String, String), Seq[(Int, String)]] = catRows.map { r =>
+          (r.getString(0), r.getString(1)) ->
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(c => (c.getInt(0), c.getString(1)))
+        }.toMap
+        val resolve = udf((db: String, table: String, file: String, seq: Long) => {
+          val kc = keyByTable.getOrElse((db, table), Set.empty)
+          if (kc.isEmpty) null
+          else {
+            val cols = tl.get((db, table))
+              .map(tv => SchemaEvolve.colsAt(tv, file, seq))
+              .getOrElse(colsByTable.getOrElse((db, table), Nil))
+            val ords = cols.collect { case (o, n) if kc(n) => o }
+            if (ords.isEmpty) null else ords
+          }
+        })
+        events
+          .withColumn("key_ords",
+            resolve(col("db"), col("table"), col("file"), col("seq")))
+          .filter(col("key_ords").isNotNull)
+    }
     def keyOf(ords: String, vals: String) = expr(
       s"transform(key_ords, o -> element_at(map_from_arrays($ords, $vals), o))")
     val acts = ev.select(col("db"), col("table"), col("file"), col("seq"),

@@ -341,7 +341,7 @@ object CdcMain {
     // the event lake so per-table consumers prune directories
     outScd2.foreach { dir =>
       import org.apache.spark.sql.functions.col
-      CdcJob.scd2(shared, catalog)
+      CdcJob.scd2(shared, catalog, evolved)
         .withColumn("p_db", col("db")).withColumn("p_table", col("table"))
         .write.mode("overwrite").partitionBy("p_db", "p_table").parquet(dir)
     }

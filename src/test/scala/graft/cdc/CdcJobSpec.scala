@@ -467,6 +467,71 @@ class CdcJobSpec extends AnyFunSuite {
       "DELETE FROM `appdb`.`ev2` WHERE `id`=6 LIMIT 1;")
   }
 
+  test("scd2 under schema evolution: key ordinals follow the ALTER; flagless mis-keys") {
+    import spark.implicits._
+    def ddl(at: Long, sec: Int, stmt: String): String =
+      s"""# at $at
+         |#260812  5:00:0$sec server id 1  end_log_pos ${at + 70} CRC32 0x0badcafe \tQuery\tthread_id=5\texec_time=0\terror_code=0
+         |use `appdb`/*!*/;
+         |SET TIMESTAMP=176491080$sec/*!*/;
+         |$stmt
+         |/*!*/;
+         |""".stripMargin
+    def ins(at: Long, sec: Int, vals: Seq[String]): String =
+      s"""# at $at
+         |#260812  5:00:0$sec server id 1  end_log_pos ${at + 100} CRC32 0x0badcafe \tWrite_rows: table id 301 flags: STMT_END_F
+         |### INSERT INTO `appdb`.`ev3`
+         |### SET
+         |""".stripMargin +
+        vals.zipWithIndex.map { case (v, i) =>
+          s"###   @${i + 1}=$v /* INT nullable=1 is_null=0 */\n" }.mkString
+    def upd(at: Long, sec: Int, before: Seq[String], after: Seq[String]): String =
+      s"""# at $at
+         |#260812  5:00:0$sec server id 1  end_log_pos ${at + 100} CRC32 0x0badcafe \tUpdate_rows: table id 301 flags: STMT_END_F
+         |### UPDATE `appdb`.`ev3`
+         |### WHERE
+         |""".stripMargin +
+        before.zipWithIndex.map { case (v, i) =>
+          s"###   @${i + 1}=$v /* INT nullable=1 is_null=0 */\n" }.mkString +
+        "### SET\n" +
+        after.zipWithIndex.map { case (v, i) =>
+          s"###   @${i + 1}=$v /* INT nullable=1 is_null=0 */\n" }.mkString
+    // insert id=1 → ALTER ADD c0 FIRST (id shifts ord 1 → 2) →
+    // update the same business row (c0=9, id=1, a: 'x' → 'y')
+    val text =
+      ins(100, 0, Seq("1", "'x'")) +
+      ddl(200, 1, "alter table ev3 add column c0 int first") +
+      upd(270, 2, Seq("9", "1", "'x'"), Seq("9", "1", "'y'"))
+    val path = write("scd2_evolve.txt", text)
+    val cat = Catalog.resolve(
+      Seq(("appdb", "ev3", "id", 1, "PRI"), ("appdb", "ev3", "a", 2, ""))
+        .toDF("table_schema", "table_name", "column_name",
+          "ordinal_position", "column_key"),
+      Seq(("appdb", "ev3", "PRIMARY", 0, "id"))
+        .toDF("table_schema", "table_name", "index_name",
+          "non_unique", "column_name"))
+    val parsed = CdcJob.parse(spark, path, includeDdl = true)
+    val tl = graft.cdc.SchemaEvolve.timelines(parsed, cat)
+    // EVOLVED: one key ("1"), two versions chained across the ALTER
+    val ev = CdcJob.scd2(parsed, cat, Some(tl))
+      .collect().map(r => (r.getSeq[String](2), r.getInt(3), r.getBoolean(10)))
+      .sortBy(t => (t._1.mkString, t._2)).toSeq
+    assert(ev == Seq(
+      (Seq("1"), 1, false), // 'x' image, closed by the update
+      (Seq("1"), 2, true)   // 'y' image, current
+    ), s"evolved got $ev")
+    // FLAGLESS: the static ordinal (1) keys the post-ALTER row on c0
+    // — the chain breaks into two keys, both left "current" (exactly
+    // the c15 defect class, reproduced so the fix is observable)
+    val st = CdcJob.scd2(parsed, cat)
+      .collect().map(r => (r.getSeq[String](2), r.getInt(3), r.getBoolean(10)))
+      .sortBy(t => (t._1.mkString, t._2)).toSeq
+    assert(st == Seq(
+      (Seq("1"), 1, true),  // the insert, never closed
+      (Seq("9"), 1, true)   // the update keyed on c0's value
+    ), s"static got $st")
+  }
+
   test("schema evolution fuzz: random ALTER sequences match an independent fold") {
     import spark.implicits._
     // three seeded random evolution scenarios: ADD (tail/FIRST/AFTER
