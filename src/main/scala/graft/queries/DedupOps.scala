@@ -880,12 +880,21 @@ object DedupOps {
     * verify via the codegen'd sorted merge. Output = every ≥0.8 pair
     * with at least one delta endpoint, canonical (ia < ib). */
   def lshServeDelta(s: org.apache.spark.sql.SparkSession,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8): DataFrame =
+    lshServeFrom(s,
+      s.table("graft_lsh_bands_base"), s.table("graft_lsh_bands_delta"),
+      s.table("graft_lsh_sets_base")
+        .unionByName(s.table("graft_lsh_sets_delta")), tau)
+
+  /** The serve kernel over EXPLICIT persisted band/set frames —
+    * shared by the batch-delta form (d9) and the streaming
+    * epoch-delta form (s26). */
+  private def lshServeFrom(s: org.apache.spark.sql.SparkSession,
+      bandsBase: DataFrame, bandsDelta: DataFrame, sets: DataFrame,
+      tau: Double): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
     import graft.functions.SortedIntersectSize.sorted_intersect_size
-    val bandsAll = s.table("graft_lsh_bands_base")
-      .unionByName(s.table("graft_lsh_bands_delta"))
-    val bandsDelta = s.table("graft_lsh_bands_delta")
+    val bandsAll = bandsBase.unionByName(bandsDelta)
     val cand = bandsDelta.select(col("doc_id").as("da"), col("b"), col("h"))
       .join(bandsAll.select(col("doc_id").as("db"), col("b"), col("h"))
         .hint("shuffle_hash"), Seq("b", "h"))
@@ -893,8 +902,6 @@ object DedupOps {
       .select(least(col("da"), col("db")).as("ia"),
         greatest(col("da"), col("db")).as("ib"))
       .distinct()
-    val sets = s.table("graft_lsh_sets_base")
-      .unionByName(s.table("graft_lsh_sets_delta"))
     cand
       .join(sets.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
       .join(sets.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
@@ -904,6 +911,58 @@ object DedupOps {
       .filter(col("j") >= tau)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("j"))
       .orderedRows(col("ia"), col("ib"))
+  }
+
+  /** One micro-batch's epoch fold (s26): band + set rows for THIS
+    * batch only, into the epoch's own directory — a replayed epoch
+    * OVERWRITES its own directory (c11's exactly-once recipe). */
+  private[queries] def foldLshDeltaEpoch(batch: DataFrame, dir: String): Unit = {
+    val banded = bandedSigs(batch, 8, 4)
+    banded.select("doc_id", "b", "h")
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    banded.filter(col("b") === 0).select("doc_id", "sh")
+      .write.mode("overwrite").parquet(s"$dir/sets")
+  }
+
+  /** s26: d9's deployment shape completed streaming-side (the s25
+    * pattern for text): each arriving micro-batch of documents folds
+    * into its own EPOCH-KEYED delta generation inside foreachBatch —
+    * the checkpoint pins batch→epoch, a replay overwrites its own
+    * directory — the base generation is never read or rewritten, and
+    * the incremental near-dup question is served over base ∪ every
+    * epoch. At 100 TB the standing index sits still while crawl
+    * epochs accumulate; compaction folds old epochs into base
+    * offline (a13's lever). */
+  def lshIndexStreamServe(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int = 4, tau: Double = 0.8): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    ensureLshIndexBase(s, d)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lsh_stream_cp").toString
+    val rows = Tables.documents(s, d).filter(!lshBaseFilter)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)](graft.Enc.longStr)
+      .collect().sortBy(_._1)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldLshDeltaEpoch(batch, s"$streamDir/epoch=$epoch")
+      }
+      .start()
+    try {
+      rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+        .foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    lshServeFrom(s,
+      s.table("graft_lsh_bands_base"),
+      s.read.parquet(s"$streamDir/epoch=*/bands"),
+      s.table("graft_lsh_sets_base")
+        .unionByName(s.read.parquet(s"$streamDir/epoch=*/sets")), tau)
   }
 
   /** d9's oracle: the exact pair SQL restricted to pairs with at
@@ -957,6 +1016,13 @@ object DedupOps {
       ensureLshIndexBase(s, d)
       foldLshDelta(s, d)
       lshServeDelta(s)
+    },
+
+    // s26: d9's STREAMING half (doc at lshIndexStreamServe) — the
+    // same exact oracle: one missing or duplicated band/set row from
+    // any crawl epoch breaks the hash.
+    QueryDef("s26_lsh_index_stream", DeltaPairsSql) { (s, d) =>
+      lshIndexStreamServe(s, d)
     },
 
     // Fuzzy decontamination (see fuzzyDecontaminate): eval = the

@@ -640,6 +640,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snapshot("bands_delta") == deltaBefore)
   }
 
+  test("s26: stream-maintained LSH index serves the batch answer; epoch replay idempotent") {
+    import spark.implicits._
+    // stream == batch: the epoch-accumulated index must answer the
+    // incremental near-dup question identically to d9's one-shot fold
+    val d = "/root/testdata/sf0.01"
+    DedupOps.ensureLshIndexBase(spark, d)
+    DedupOps.foldLshDelta(spark, d)
+    val batch = DedupOps.lshServeDelta(spark)
+      .collect().map(_.toSeq).toSeq
+    val streamed = DedupOps.lshIndexStreamServe(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // epoch replay: same batch re-folded into the same epoch dir
+    // leaves identical rows (the c11 overwrite recipe)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s26_spec").toString + "/epoch=0"
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    DedupOps.foldLshDeltaEpoch(docs, dir)
+    val first = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    DedupOps.foldLshDeltaEpoch(docs, dir)
+    val second = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(second == first)
+    assert(spark.read.parquet(s"$dir/sets").count() == 2)
+  }
+
   test("s25: an epoch replay overwrites its own delta generation (exactly-once)") {
     import spark.implicits._
     val dir = java.nio.file.Files
