@@ -507,7 +507,22 @@ object Bench {
     // artifacts kept only the tail and truncated the verdict away.
     // Persist the complete JSON to a committed repo file so the bench
     // outcome is always readable without a re-run.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A subset run (SPARK_GRAFT_ONLY) must NEVER overwrite the
+    // committed full-suite artifact: r14 ended with a 2-query sentinel
+    // probe committed as bench_full.json while the real run sat
+    // uncommitted. If this run timed fewer entries than the driver
+    // surface and no explicit output path was given, divert to
+    // bench_partial.json and say so.
+    val fullRun = defs.size == SparkEntry.allDefs.size
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (fullRun) "bench_full.json"
+      else {
+        System.err.println(s"bench: subset run (${defs.size}/" +
+          s"${SparkEntry.allDefs.size} entries) — writing bench_partial.json, " +
+          "NOT bench_full.json")
+        "bench_partial.json"
+      }
+    }
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case e: java.io.IOException =>

@@ -169,8 +169,8 @@ object CorpusPipeline {
         |         ELSE 100 END),
         |assigned AS (
         |  SELECT source,
-        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |    CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'val'
         |         ELSE 'test' END AS split, n_tok
         |  FROM mixed)
         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -190,7 +190,7 @@ object CorpusPipeline {
           gatedRaw.select(col("doc_id"), lower(col("text")).as("text")),
           evalSlice)
         .select("doc_id")
-      val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      val mix = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L))
       deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .filter(pmod(col("doc_id"), lit(100)) <
           when(col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), 25)
@@ -239,8 +239,8 @@ object CorpusPipeline {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1),
         |assigned AS (
         |  SELECT source,
-        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |    CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'val'
         |         ELSE 'test' END AS split, n_tok
         |  FROM fresh)
         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -252,7 +252,7 @@ object CorpusPipeline {
         .select("doc_id", "source", "n_tok", "h")
       val baseKeys = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
         .select(md5(col("text")).as("h"))
-      val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      val mix = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L))
       DedupOps.bloomDeltaDedup(baseKeys, gated, "h", "doc_id")
         .withColumn("split",
           when(mix < 800, "train").when(mix < 900, "val").otherwise("test"))
@@ -284,7 +284,7 @@ object CorpusPipeline {
         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1),
         |o AS (SELECT doc_id, source, n_tok,
         |        CAST(COALESCE(SUM(n_tok + 1) OVER (
-        |          ORDER BY (doc_id * 2654435761) % 1048576, doc_id
+        |          ORDER BY ((doc_id & 2147483647) * 2654435761) % 1048576, doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |          AS tok_start
         |      FROM dd),
@@ -306,7 +306,7 @@ object CorpusPipeline {
         .withColumn("rn", row_number().over(wDedup))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("n_tok"), col("source"))
-        .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1048576L)))
+        .withColumn("h", pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1048576L)))
         .orderBy(col("h"), col("doc_id"))
         .select("doc_id", "n_tok", "source")
         .as[(Long, Long, String)](graft.Enc.longLongStr)
@@ -366,8 +366,8 @@ object CorpusPipeline {
       val P = 1000000007L
       s"""WITH hs AS (
          |  SELECT doc_id, j.j AS j,
-         |    (((doc_id*2654435761 + j.j*40503 + 7) % $P) *
-         |     ((doc_id*2654435761 + j.j*40503 + 7) % $P) % $P * 1000003 + j.j) % $P AS h
+         |    ((((doc_id & 2147483647)*2654435761 + j.j*40503 + 7) % $P) *
+         |     (((doc_id & 2147483647)*2654435761 + j.j*40503 + 7) % $P) % $P * 1000003 + j.j) % $P AS h
          |  FROM documents, UNNEST(generate_series(0, 8)) AS j(j)),
          |s8 AS (SELECT doc_id, j AS shard8 FROM
          |       (SELECT doc_id, j, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, j DESC) rn
@@ -382,7 +382,7 @@ object CorpusPipeline {
     }) { (s, d) =>
       val P = 1000000007L
       def hExpr(j: Int): org.apache.spark.sql.Column = {
-        val x = (col("doc_id") * lit(2654435761L) + lit(j * 40503L + 7L)) % P
+        val x = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L) + lit(j * 40503L + 7L)) % P
         (x * x % P * lit(1000003L) + lit(j.toLong)) % P
       }
       def shardOf(n: Int) =
@@ -439,8 +439,8 @@ object CorpusPipeline {
           |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
           |SELECT doc_id, rep,
-          |  CASE WHEN (rep * 2654435761) % 1000 < 800 THEN 'train'
-          |       WHEN (rep * 2654435761) % 1000 < 900 THEN 'val'
+          |  CASE WHEN ((rep & 2147483647) * 2654435761) % 1000 < 800 THEN 'train'
+          |       WHEN ((rep & 2147483647) * 2654435761) % 1000 < 900 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM assigned ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -457,7 +457,7 @@ object CorpusPipeline {
     val rep = docs.select(col("doc_id"))
       .join(clusters.withColumnRenamed("cluster_id", "rep"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-    val mix = pmod(col("rep") * lit(2654435761L), lit(1000L))
+    val mix = pmod(col("rep").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L))
     rep.select(col("doc_id"), col("rep"),
         when(mix < 800, "train").when(mix < 900, "val").otherwise("test")
           .as("split"))

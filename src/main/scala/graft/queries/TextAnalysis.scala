@@ -524,16 +524,19 @@ object TextAnalysis {
     // mix-sampling keeps doc_id % 100 < rate; splitting on the raw
     // modulus would systematically starve the val/test tails of
     // sampled sources). Pure per-row arithmetic: no shuffle, no
-    // driver state, splittable across any partitioning — the product
-    // stays within int64 for any realistic id space, and both engines
-    // evaluate the expression bit-identically.
+    // driver state, splittable across any partitioning — the id is
+    // masked to 31 bits before the multiply so the product stays
+    // within int64 over the ENTIRE Long id domain — Spark (non-ANSI)
+    // would silently wrap where DuckDB raises on overflow, so without
+    // the mask the engines diverge for ids >= ~3.47e9 (within reach
+    // of a 100 TB corpus); masked, both evaluate bit-identically.
     QueryDef("t10_split_assign",
       """SELECT doc_id, source,
-        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |  CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 800 THEN 'train'
+        |       WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      val mix = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           when(mix < 800, "train").when(mix < 900, "val").otherwise("test")
@@ -847,12 +850,12 @@ object TextAnalysis {
     // key is total.
     QueryDef("t15_epoch_order",
       """SELECT doc_id,
-        |  ROW_NUMBER() OVER (ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS pos
+        |  ROW_NUMBER() OVER (ORDER BY ((doc_id & 2147483647) * 2654435761) % 1048576, doc_id) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val sorted = Tables.documents(s, d)
         .select(col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(1048576L)).as("h"))
+          pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1048576L)).as("h"))
         .orderBy(col("h"), col("doc_id"))
         .select(col("doc_id"))
         .as[Long]
@@ -881,7 +884,7 @@ object TextAnalysis {
     QueryDef("t16_token_blocks",
       """WITH d AS (SELECT doc_id,
         |             CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok,
-        |             (doc_id * 2654435761) % 1048576 AS h
+        |             ((doc_id & 2147483647) * 2654435761) % 1048576 AS h
         |           FROM documents),
         |o AS (SELECT doc_id, n_tok,
         |        ROW_NUMBER() OVER w AS pos,
@@ -897,7 +900,7 @@ object TextAnalysis {
       val sorted = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
-          pmod(col("doc_id") * lit(2654435761L), lit(1048576L)).as("h"))
+          pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1048576L)).as("h"))
         .orderBy(col("h"), col("doc_id"))
         .select("doc_id", "n_tok")
         .as[(Long, Long)](graft.Enc.longLong)
@@ -938,11 +941,11 @@ object TextAnalysis {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
         |         ROW_NUMBER() OVER (PARTITION BY source
-        |           ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS rn
+        |           ORDER BY ((doc_id & 2147483647) * 2654435761) % 1048576, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("source")
-        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)),
+        .orderBy(pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1048576L)),
           col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"))
@@ -1225,12 +1228,12 @@ object TextAnalysis {
         |bi AS (SELECT doc_id, toks[CAST(u.i + 1 AS INT)] AS w1,
         |              toks[CAST(u.i + 2 AS INT)] AS w2
         |       FROM docs, UNNEST(range(LEN(toks) - 1)) u(i)),
-        |tr AS (SELECT * FROM bi WHERE (doc_id * 2654435761) % 1000 < 800),
+        |tr AS (SELECT * FROM bi WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < 800),
         |cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM tr GROUP BY 1, 2),
         |cc AS (SELECT w1, COUNT(*) AS c1 FROM tr GROUP BY 1),
         |v AS (SELECT COUNT(DISTINCT tok) AS vs FROM
         |      (SELECT UNNEST(toks) AS tok FROM docs
-        |       WHERE (doc_id * 2654435761) % 1000 < 800)),
+        |       WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < 800)),
         |dbi AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3),
         |sc AS (SELECT doc_id, m,
         |         ln((COALESCE(cb.c2, 0) + 1.0)
@@ -1250,7 +1253,7 @@ object TextAnalysis {
     * the fluency-separation spec. Train split = t10's rule. */
   private[queries] def bigramPpl(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val inTrain = pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 800
+    val inTrain = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)) < 800
     val toks = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
     val bi = toks
       .select(col("doc_id"),

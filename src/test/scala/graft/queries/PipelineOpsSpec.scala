@@ -33,10 +33,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("split rule is total over the Long id domain (no wrap/overflow divergence)") {
+    // Before r15 the rule was (id * 2654435761) % 1000 — Spark
+    // (non-ANSI) silently wraps the Long product for id >= ~3.47e9
+    // while DuckDB raises a BIGINT-overflow error: the engines
+    // diverge exactly at the id scale a 100 TB corpus reaches. The
+    // masked form ((id & 0x7fffffff) * 2654435761) tops out at
+    // ~5.7e18 < Long.MaxValue, so BOTH engines evaluate it exactly.
+    import spark.implicits._
+    val hugeIds = Seq(3470000000L, Long.MaxValue, Long.MaxValue - 12345L,
+      4294967296L, 1L << 62)
+    val got = CorpusPipeline.leakageSafeSplit(
+        hugeIds.toDF("doc_id"), Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    hugeIds.foreach { id =>
+      val m = java.lang.Math.floorMod((id & 2147483647L) * 2654435761L, 1000L)
+      val want = if (m < 800) "train" else if (m < 900) "val" else "test"
+      assert(got(id) === want, s"id=$id")
+    }
+    // and the mask never fires at the generated-corpus id scale: the
+    // masked and unmasked rules agree on every real doc_id, so every
+    // committed oracle hash is unaffected by the r15 change
+    val docs = graft.Tables.documents(spark, sf)
+    val diverging = docs.filter(
+      pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)) =!=
+        pmod(col("doc_id") * lit(2654435761L), lit(1000L))).count()
+    assert(diverging === 0L)
+  }
+
   test("p7 leakage-safe split: clusters never straddle splits; singletons = t10 rule") {
     import spark.implicits._
     def bucket(id: Long): String = {
-      val m = (id * 2654435761L) % 1000L
+      val m = java.lang.Math.floorMod((id & 2147483647L) * 2654435761L, 1000L)
       if (m < 800) "train" else if (m < 900) "val" else "test"
     }
     // find two ids whose OWN buckets differ, then cluster them: the
@@ -70,8 +98,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     // differs from its assigned split on this corpus
     val overridden = split.filter(col("rep") =!= col("doc_id"))
       .filter(
-        when(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 800, "train")
-          .when(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 900, "val")
+        when(pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)) < 800, "train")
+          .when(pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)) < 900, "val")
           .otherwise("test") =!= col("split")).count()
     assert(overridden > 0L, "corpus fixture never exercises the override")
   }
@@ -931,7 +959,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val cont = TextAnalysis.decontaminate(
       clean0.select(col("doc_id"), lower(col("text")).as("text")), evalSlice)
       .select("doc_id")
-    val mix = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val mix = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L))
     val naive = clean0.join(broadcast(cont), Seq("doc_id"), "left_anti")
       .filter(pmod(col("doc_id"), lit(100)) <
         when(col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), 25)
