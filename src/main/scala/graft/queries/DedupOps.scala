@@ -825,8 +825,13 @@ object DedupOps {
   // on the index side. One generation per ingest tier (base/delta).
   // ---------------------------------------------------------------
 
-  private val LshWarehouse =
-    System.getProperty("java.io.tmpdir") + "/graft_lsh_index"
+  // Process-private root (ADVICE r14): the in-process coherence guard
+  // below is JVM-local, so the on-disk generations must be too —
+  // concurrent processes on one host each get their own index tree,
+  // deleted at exit.
+  private lazy val LshWarehouse = graft.TmpDirs.processRoot("graft_lsh_index")
+  /** exposed for the base-never-rewritten file-snapshot spec */
+  private[graft] def lshWarehousePath: String = LshWarehouse
   private val lshIndexSf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -938,14 +943,22 @@ object DedupOps {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     ensureLshIndexBase(s, d)
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft_lsh_stream").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_lsh_stream_cp").toString
+    // scratch dirs are process-private and deleted at JVM exit
+    // (ADVICE r14: the per-invocation temp dirs used to accumulate)
+    val streamDir = graft.TmpDirs.scratch("graft_lsh_stream")
+    val ckpt = graft.TmpDirs.scratch("graft_lsh_stream_cp")
     val rows = Tables.documents(s, d).filter(!lshBaseFilter)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)](graft.Enc.longStr)
       .collect().sortBy(_._1)
+    // Empty-delta guard (ADVICE r14): with no delta docs, no epoch
+    // directory would exist and the epoch=*/bands glob below would
+    // throw instead of serving the (correct) empty delta. Write one
+    // empty epoch so the read is total.
+    if (rows.isEmpty)
+      foldLshDeltaEpoch(
+        Tables.documents(s, d).select(col("doc_id"), col("text")).limit(0),
+        s"$streamDir/epoch=0")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val in = MemoryStream[(Long, String)]
     val q = in.toDF().toDF("doc_id", "text")

@@ -396,8 +396,12 @@ object SimilarityOps {
   // side broadcasts, so the index never moves at all.
   // ---------------------------------------------------------------
 
-  private val AnnWarehouse =
-    System.getProperty("java.io.tmpdir") + "/graft_ann_index"
+  // Process-private root (ADVICE r14, same defect as the LSH index):
+  // the coherence guard below is JVM-local, so the on-disk
+  // generations are too; deleted at exit.
+  private lazy val AnnWarehouse = graft.TmpDirs.processRoot("graft_ann_index")
+  /** exposed for the base-never-rewritten file-snapshot spec */
+  private[graft] def annWarehousePath: String = AnnWarehouse
   private val annIndexSf =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -551,10 +555,9 @@ object SimilarityOps {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     ensureAnnIndexBase(s, d, nBands, bandBits)
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft_ann_stream").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_ann_stream_cp").toString
+    // process-private, deleted at JVM exit (ADVICE r14)
+    val streamDir = graft.TmpDirs.scratch("graft_ann_stream")
+    val ckpt = graft.TmpDirs.scratch("graft_ann_stream_cp")
     // the ingest feed: the delta split arrives in vec_id order across
     // nBatches micro-batches (the finite-replay stand-in every
     // s-scenario uses; a deployment points readStream at its drop dir)
@@ -562,6 +565,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .collect().sortBy(_._1)
+    // empty-delta guard, as in lshIndexStreamServe: keep the
+    // epoch=* glob total when no delta vectors exist
+    if (rows.isEmpty)
+      foldAnnDeltaEpoch(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).limit(0),
+        s"$streamDir/epoch=0", nBands, bandBits)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val in = MemoryStream[(Long, Array[Float])]
     val q = in.toDF().toDF("vec_id", "embedding")

@@ -608,8 +608,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.01"
     SimilarityOps.ensureAnnIndexBase(spark, d)
     def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
-      val p = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_ann_index", sub)
+      val p = Paths.get(SimilarityOps.annWarehousePath, sub)
       Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
         .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
     }
@@ -638,8 +637,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.01"
     DedupOps.ensureLshIndexBase(spark, d)
     def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
-      val p = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_lsh_index", sub)
+      val p = Paths.get(DedupOps.lshWarehousePath, sub)
       Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
         .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
     }
