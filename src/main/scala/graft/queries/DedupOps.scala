@@ -918,6 +918,41 @@ object DedupOps {
       .orderedRows(col("ia"), col("ib"))
   }
 
+  /** The takedown rule for d11 (the ANN a14 rule applied to text):
+    * every tenth document is retracted. */
+  private def lshTombFilter = col("doc_id") % 10 === 6
+
+  /** Fold the retraction batch into the tombstone generation — a tiny
+    * (doc_id) table; base and delta band/set files stay untouched. */
+  def foldLshTombstones(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    synchronized {
+      if (lshIndexSf.get("tombs") == d &&
+        s.catalog.tableExists("graft_lsh_tombs")) return
+      lshIndexSf.remove("tombs")
+      Tables.documents(s, d).filter(lshTombFilter).select("doc_id")
+        .write.mode("overwrite")
+        .option("path", s"$LshWarehouse/tombs")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_lsh_tombs")
+      lshIndexSf.put("tombs", d)
+    }
+
+  /** d11: the incremental near-dup question AFTER retractions — a
+    * retracted document must stop matching (either endpoint). The
+    * tombstone table broadcasts into anti-joins on the band and set
+    * frames; no standing generation is rewritten (a14's recipe for
+    * text). */
+  def lshServeDeltaWithTombstones(s: org.apache.spark.sql.SparkSession,
+      tau: Double = 0.8): DataFrame = {
+    val tombs = broadcast(s.table("graft_lsh_tombs"))
+    lshServeFrom(s,
+      s.table("graft_lsh_bands_base").join(tombs, Seq("doc_id"), "left_anti"),
+      s.table("graft_lsh_bands_delta").join(tombs, Seq("doc_id"), "left_anti"),
+      s.table("graft_lsh_sets_base")
+        .unionByName(s.table("graft_lsh_sets_delta"))
+        .join(tombs, Seq("doc_id"), "left_anti"), tau)
+  }
+
   /** One micro-batch's epoch fold (s26): band + set rows for THIS
     * batch only, into the epoch's own directory — a replayed epoch
     * OVERWRITES its own directory (c11's exactly-once recipe). */
@@ -987,6 +1022,15 @@ object DedupOps {
       guard + " AND (ia % 4 = 3 OR ib % 4 = 3)")
   }
 
+  /** d11's oracle: the delta-crossing pairs with every retracted
+    * endpoint (doc_id % 10 = 6, the lshTombFilter rule) excluded. */
+  private val DeltaPairsLiveSql: String = {
+    val guard = "AND (ia % 4 = 3 OR ib % 4 = 3)"
+    require(DeltaPairsSql.contains(guard))
+    DeltaPairsSql.replace(guard,
+      guard + " AND ia % 10 <> 6 AND ib % 10 <> 6")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // d1 shares the exact operator's oracle: 100% recall at τ=0.8
     // (asserted in PipelineOpsSpec) + exact verification ⇒ identical
@@ -1036,6 +1080,17 @@ object DedupOps {
     // any crawl epoch breaks the hash.
     QueryDef("s26_lsh_index_stream", DeltaPairsSql) { (s, d) =>
       lshIndexStreamServe(s, d)
+    },
+
+    // d11: RETRACTIONS against the persisted near-dup index (a14's
+    // tombstone recipe for text — takedowns must stop matching
+    // without rewriting the standing band/set generations). Exact
+    // oracle: the delta-crossing pairs with both endpoints live.
+    QueryDef("d11_lsh_delta_deletes", DeltaPairsLiveSql) { (s, d) =>
+      ensureLshIndexBase(s, d)
+      foldLshDelta(s, d)
+      foldLshTombstones(s, d)
+      lshServeDeltaWithTombstones(s)
     },
 
     // Fuzzy decontamination (see fuzzyDecontaminate): eval = the

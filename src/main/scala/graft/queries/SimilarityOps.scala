@@ -528,6 +528,95 @@ object SimilarityOps {
       annIndexSf.put("compact", d)
     }
 
+  // ---------------------------------------------------------------
+  // Deletes/tombstones (r15): a production corpus index must RETRACT
+  // vectors (takedowns, GDPR) without rewriting the standing
+  // generations. The recipe is the CDC one (c9/c21) applied to the
+  // index lifecycle: retractions land in a third, tombstone
+  // generation — a tiny (vec_id) table — and serving anti-joins it
+  // (broadcast: the tombstone set is takedown-sized, never
+  // corpus-sized, so the index side still never shuffles).
+  // Compaction is where the drop becomes PHYSICAL: the compacted
+  // generation is (base ∪ delta) ⟕̸ tombstones, after which the
+  // tombstone table can be truncated — a15 serves from the compacted
+  // generation alone against the same exact oracle, and the spec
+  // checks the compacted files contain zero retracted ids.
+  // ---------------------------------------------------------------
+
+  /** The takedown rule for a14/a15: every tenth vector is retracted
+    * (hits both base and delta residents, and query vec_id 6 — a
+    * deleted vector must stop being servable as a query too). */
+  private def annTombFilter = col("vec_id") % 10 === 6
+
+  /** Fold the retraction batch into the tombstone generation — only
+    * the tombstone table is written; base and delta stay untouched
+    * (same file-snapshot contract as the delta fold). */
+  def foldAnnTombstones(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    synchronized {
+      if (annIndexSf.get("tombs") == d &&
+        s.catalog.tableExists("graft_ann_tombs")) return
+      annIndexSf.remove("tombs")
+      Tables.embeddings(s, d).filter(annTombFilter).select("vec_id")
+        .write.mode("overwrite")
+        .option("path", s"$AnnWarehouse/tombs")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable("graft_ann_tombs")
+      annIndexSf.put("tombs", d)
+    }
+
+  /** a14: serve exact top-k from base ∪ delta MINUS the tombstones —
+    * the logical delete. The tombstone table broadcasts into two
+    * anti-joins on the index side; no generation is rewritten. */
+  def annServeWithTombstones(s: org.apache.spark.sql.SparkSession,
+      nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 24, bandBits: Int = 2): DataFrame = {
+    val tombs = broadcast(s.table("graft_ann_tombs"))
+    annServeFrom(s,
+      s.table("graft_ann_bands_base")
+        .unionByName(s.table("graft_ann_bands_delta"))
+        .join(tombs, Seq("vec_id"), "left_anti"),
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.table("graft_ann_vecs_delta"))
+        .join(tombs, Seq("vec_id"), "left_anti"),
+      nQueries, k, nBands, bandBits)
+  }
+
+  /** a15: compaction with PHYSICAL deletes — fold base ∪ delta minus
+    * the tombstones into one new generation. After this runs, the
+    * retracted vectors exist in no servable file (spec-pinned) and
+    * serving needs no anti-join at all. */
+  def compactAnnIndexWithDeletes(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    synchronized {
+      if (annIndexSf.get("compactdel") == d &&
+        s.catalog.tableExists("graft_ann_bands_compactdel")) return
+      annIndexSf.remove("compactdel")
+      val tombs = broadcast(s.table("graft_ann_tombs"))
+      s.table("graft_ann_bands_base")
+        .unionByName(s.table("graft_ann_bands_delta"))
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite")
+        .option("path", s"$AnnWarehouse/bands_compactdel")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable("graft_ann_bands_compactdel")
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.table("graft_ann_vecs_delta"))
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite")
+        .option("path", s"$AnnWarehouse/vecs_compactdel")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable("graft_ann_vecs_compactdel")
+      annIndexSf.put("compactdel", d)
+    }
+
+  /** Serve from the delete-compacted generation alone (a15). */
+  def annServeCompactedDeletes(s: org.apache.spark.sql.SparkSession,
+      nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 24, bandBits: Int = 2): DataFrame =
+    annServeFrom(s,
+      s.table("graft_ann_bands_compactdel"),
+      s.table("graft_ann_vecs_compactdel"),
+      nQueries, k, nBands, bandBits)
+
   /** One streamed ingest batch → one EPOCH-KEYED delta generation
     * (the c11 exactly-once recipe: a replayed epoch OVERWRITES its own
     * directory instead of appending duplicates — idempotence
@@ -599,6 +688,23 @@ object SimilarityOps {
       |  SELECT a.vec_id qid, b.vec_id cid,
       |         CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE) sim
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+      |  FROM scored)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, ROUND(sim,5) AS sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** a14/a15's oracle: exact top-5 over the LIVE corpus — every
+    * retracted vector (vec_id % 10 = 6, the annTombFilter rule)
+    * excluded from BOTH sides: deleted vectors must stop appearing as
+    * results and as servable queries. 9 queries × 5 = 45 rows. */
+  private val ExactTop5LiveOracleSql =
+    """WITH live AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 6),
+      |scored AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |         CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE) sim
+      |  FROM live a JOIN live b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
       |ranked AS (
       |  SELECT qid, cid, sim,
       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
@@ -752,6 +858,33 @@ object SimilarityOps {
       compactAnnIndex(s, d)
       annServeFrom(s, s.table("graft_ann_bands_compact"),
         s.table("graft_ann_vecs_compact"), 10, 5, 24, 2)
+    },
+
+    // a14: RETRACTIONS in the index lifecycle (the piece a12/a13 left
+    // out — takedowns/GDPR): tombstones land in their own tiny
+    // generation, serving anti-joins it broadcast-side (the standing
+    // generations are still never read for the fold, never
+    // rewritten). Oracle = exact top-5 over the live corpus, both
+    // endpoints filtered — a deleted vector surviving as a result OR
+    // as a query breaks the hash.
+    QueryDef("a14_ann_index_delete", ExactTop5LiveOracleSql) { (s, d) =>
+      ensureAnnIndexBase(s, d)
+      foldAnnDelta(s, d)
+      foldAnnTombstones(s, d)
+      annServeWithTombstones(s)
+    },
+
+    // a15: compaction makes the delete PHYSICAL — the compacted
+    // generation is (base ∪ delta) minus tombstones, serving needs no
+    // anti-join, and the retracted ids exist in no servable file
+    // (file-level spec). Same live oracle as a14: logical and
+    // physical deletes must serve identically.
+    QueryDef("a15_ann_compact_deletes", ExactTop5LiveOracleSql) { (s, d) =>
+      ensureAnnIndexBase(s, d)
+      foldAnnDelta(s, d)
+      foldAnnTombstones(s, d)
+      compactAnnIndexWithDeletes(s, d)
+      annServeCompactedDeletes(s)
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every

@@ -631,6 +631,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(served == exact)
   }
 
+  test("a14/a15: tombstones serve correctly and compaction drops them physically") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = "/root/testdata/sf0.01"
+    SimilarityOps.ensureAnnIndexBase(spark, d)
+    SimilarityOps.foldAnnDelta(spark, d)
+    def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val p = Paths.get(SimilarityOps.annWarehousePath, sub)
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    }
+    val baseBands = snapshot("bands_base")
+    val deltaBands = snapshot("bands_delta")
+    // the tombstone fold writes ONLY the tombstone generation
+    SimilarityOps.foldAnnTombstones(spark, d)
+    assert(snapshot("bands_base") == baseBands,
+      "tombstone fold must not rewrite the base index")
+    assert(snapshot("bands_delta") == deltaBands,
+      "tombstone fold must not rewrite the delta generation")
+    // logical delete (anti-join) ≡ physical delete (compacted) ≡
+    // exact top-k over the live corpus
+    SimilarityOps.compactAnnIndexWithDeletes(spark, d)
+    val logical = SimilarityOps.annServeWithTombstones(spark)
+      .collect().map(_.toSeq).toSeq
+    val physical = SimilarityOps.annServeCompactedDeletes(spark)
+      .collect().map(_.toSeq).toSeq
+    assert(logical == physical)
+    val exact = SimilarityOps.annExact(
+        graft.Tables.embeddings(spark, d).filter(col("vec_id") % 10 =!= 6))
+      .collect().map(_.toSeq).toSeq
+    assert(logical == exact)
+    // the drop is PHYSICAL: no retracted id survives in any compacted
+    // file, and the delete actually had something to do
+    val nTombs = spark.table("graft_ann_tombs").count()
+    assert(nTombs > 0)
+    val survivors = spark.table("graft_ann_bands_compactdel")
+      .join(spark.table("graft_ann_tombs"), Seq("vec_id"), "left_semi").count() +
+      spark.table("graft_ann_vecs_compactdel")
+        .join(spark.table("graft_ann_tombs"), Seq("vec_id"), "left_semi").count()
+    assert(survivors === 0L)
+  }
+
+  test("d11: retracted docs stop matching; no standing generation rewritten") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = "/root/testdata/sf0.01"
+    DedupOps.ensureLshIndexBase(spark, d)
+    DedupOps.foldLshDelta(spark, d)
+    def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val p = Paths.get(DedupOps.lshWarehousePath, sub)
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    }
+    val baseBands = snapshot("bands_base")
+    val deltaSets = snapshot("sets_delta")
+    DedupOps.foldLshTombstones(spark, d)
+    assert(snapshot("bands_base") == baseBands)
+    assert(snapshot("sets_delta") == deltaSets)
+    val served = DedupOps.lshServeDeltaWithTombstones(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // equals the un-retracted serve minus pairs touching a tombstone
+    val full = DedupOps.lshServeDelta(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filterNot { case (ia, ib, _) =>
+      ia % 10 == 6 || ib % 10 == 6 }
+    assert(served == expected)
+    assert(full.size > served.size,
+      "fixture must actually retract a matching endpoint")
+  }
+
   test("d9: delta fold never touches the base LSH index; serve equals monolithic pairs") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
