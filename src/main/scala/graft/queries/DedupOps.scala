@@ -1013,6 +1013,136 @@ object DedupOps {
         .unionByName(s.read.parquet(s"$streamDir/epoch=*/sets")), tau)
   }
 
+  // ---------------------------------------------------------------
+  // s27: epoch compaction INSIDE the streaming lifecycle. s25/s26
+  // write one delta generation per micro-batch forever — the w4
+  // small-files failure mode: a long-running ingest accumulates
+  // unbounded epoch directories and serving scans degrade. Here every
+  // `compactEvery` epochs the foreachBatch sink folds the accumulated
+  // epoch generations (plus any prior compacted generation) into ONE
+  // compacted generation and drops the folded inputs. Idempotent on
+  // replay: the compacted dir is keyed by the epoch that triggered it
+  // (overwrite = c11's exactly-once recipe), a re-trigger with no new
+  // epochs is a no-op, and serving selects by WATERMARK (the max
+  // compact key, then only epochs above it) — a lingering folded dir
+  // can never double-count. Base generation: still never touched.
+  // ---------------------------------------------------------------
+
+  private def hadoopFs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The newest compacted generation under `dir`: (upToEpoch, path). */
+  private def latestLshCompact(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Long, String)] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) return None
+    fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("compact="))
+      .map(st => (st.getPath.getName.stripPrefix("compact=").toLong,
+        st.getPath.toString))
+      .sortBy(-_._1).headOption
+  }
+
+  /** Live (not yet folded) epoch generations under `dir`. */
+  private def lshEpochGens(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Long, String)] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
+        st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** Fold every epoch generation in (priorCompact, upTo] plus the
+    * prior compacted generation into `compact=upTo`, then delete the
+    * folded inputs. Replay-safe: re-triggering with the same `upTo`
+    * (or with nothing new to fold) returns without writing. */
+  private[queries] def compactLshEpochs(s: org.apache.spark.sql.SparkSession,
+      dir: String, upTo: Long): Unit = {
+    val fs = hadoopFs(s, dir)
+    val prior = latestLshCompact(fs, dir)
+    val lo = prior.map(_._1).getOrElse(-1L)
+    if (lo >= upTo) return // replayed trigger — already compacted
+    val folds = lshEpochGens(fs, dir).filter { case (id, _) => id > lo && id <= upTo }
+    if (folds.isEmpty) return
+    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ folds.map(_._2 + "/bands")
+    val setSrcs = prior.map(_._2 + "/sets").toSeq ++ folds.map(_._2 + "/sets")
+    s.read.parquet(bandSrcs: _*).coalesce(8)
+      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/bands")
+    s.read.parquet(setSrcs: _*).coalesce(8)
+      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/sets")
+    // hygiene only: serving keys off the compact watermark, so a
+    // failed delete here cannot double-count
+    folds.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+    prior.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+  }
+
+  /** s27: the s26 streaming ingest with periodic in-lifecycle epoch
+    * compaction — every `compactEvery` micro-batches the sink folds
+    * the accumulated epochs into one generation, so the live
+    * generation count is bounded by `compactEvery` regardless of how
+    * long the ingest runs. Serving = base ∪ compacted ∪ epochs above
+    * the compact watermark; same exact oracle as d9/s26. */
+  def lshIndexStreamCompactServe(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int = 8, compactEvery: Int = 3, tau: Double = 0.8): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    ensureLshIndexBase(s, d)
+    val streamDir = graft.TmpDirs.scratch("graft_lsh_stream_compact")
+    val ckpt = graft.TmpDirs.scratch("graft_lsh_stream_compact_cp")
+    val rows = Tables.documents(s, d).filter(!lshBaseFilter)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)](graft.Enc.longStr)
+      .collect().sortBy(_._1)
+    if (rows.isEmpty) // keep the serve total on an empty delta
+      foldLshDeltaEpoch(
+        Tables.documents(s, d).select(col("doc_id"), col("text")).limit(0),
+        s"$streamDir/epoch=0")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldLshDeltaEpoch(batch, s"$streamDir/epoch=$epoch")
+        if ((epoch + 1) % compactEvery == 0)
+          compactLshEpochs(batch.sparkSession, streamDir, epoch)
+      }
+      .start()
+    try {
+      rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+        .foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    lshServeCompacted(s, streamDir, tau)
+  }
+
+  /** Serve base ∪ (compacted ∪ live epochs above the watermark). */
+  private[queries] def lshServeCompacted(s: org.apache.spark.sql.SparkSession,
+      dir: String, tau: Double): DataFrame = {
+    val fs = hadoopFs(s, dir)
+    val prior = latestLshCompact(fs, dir)
+    val lo = prior.map(_._1).getOrElse(-1L)
+    val eps = lshEpochGens(fs, dir).filter(_._1 > lo)
+    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ eps.map(_._2 + "/bands")
+    val setSrcs = prior.map(_._2 + "/sets").toSeq ++ eps.map(_._2 + "/sets")
+    lshServeFrom(s,
+      s.table("graft_lsh_bands_base"), s.read.parquet(bandSrcs: _*),
+      s.table("graft_lsh_sets_base")
+        .unionByName(s.read.parquet(setSrcs: _*)), tau)
+  }
+
+  /** Live generation count under `dir` — exposed for the
+    * bounded-small-files spec. */
+  private[graft] def lshLiveGenerations(s: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val fs = hadoopFs(s, dir)
+    (latestLshCompact(fs, dir).size + lshEpochGens(fs, dir).size)
+  }
+
   /** d9's oracle: the exact pair SQL restricted to pairs with at
     * least one DELTA endpoint (doc_id % 4 == 3 — the ingest batch). */
   private val DeltaPairsSql: String = {
@@ -1080,6 +1210,17 @@ object DedupOps {
     // any crawl epoch breaks the hash.
     QueryDef("s26_lsh_index_stream", DeltaPairsSql) { (s, d) =>
       lshIndexStreamServe(s, d)
+    },
+
+    // s27: the long-running-ingest completion of s25/s26 — epoch
+    // compaction inside the streaming lifecycle (doc at
+    // lshIndexStreamCompactServe): live generation count stays
+    // bounded by the compaction interval instead of growing one per
+    // micro-batch forever (the w4 small-files failure mode named in
+    // r14). Same exact oracle: folding epochs must lose nothing and
+    // duplicate nothing.
+    QueryDef("s27_lsh_epoch_compact", DeltaPairsSql) { (s, d) =>
+      lshIndexStreamCompactServe(s, d)
     },
 
     // d11: RETRACTIONS against the persisted near-dup index (a14's

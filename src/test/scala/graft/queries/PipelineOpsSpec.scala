@@ -701,6 +701,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       "fixture must actually retract a matching endpoint")
   }
 
+  test("s27: in-stream epoch compaction bounds live generations; serve equals d9") {
+    val d = "/root/testdata/sf0.01"
+    // reach inside: run the stream with a known dir layout by calling
+    // the public entry, then assert via the compaction primitives
+    val served = DedupOps.lshIndexStreamCompactServe(spark, d,
+        nBatches = 8, compactEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    DedupOps.foldLshDelta(spark, d)
+    val batchAnswer = DedupOps.lshServeDelta(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == batchAnswer,
+      "compacting stream epochs must lose nothing and duplicate nothing")
+  }
+
+  test("s27 compaction primitive: replay-safe, watermark-keyed, bounded") {
+    import spark.implicits._
+    val dir = graft.TmpDirs.scratch("s27spec")
+    // six fake epochs of band/set rows through the real fold
+    (0L to 5L).foreach { e =>
+      DedupOps.foldLshDeltaEpoch(
+        Seq((100 + e, s"alpha beta gamma delta epsilon zeta eta theta doc$e word"))
+          .toDF("doc_id", "text"), s"$dir/epoch=$e")
+    }
+    assert(DedupOps.lshLiveGenerations(spark, dir) === 6)
+    DedupOps.compactLshEpochs(spark, dir, 2)
+    // epochs 0-2 folded into compact=2; 3-5 still live
+    assert(DedupOps.lshLiveGenerations(spark, dir) === 4)
+    val afterFirst = spark.read.parquet(s"$dir/compact=2/bands").count()
+    // a REPLAYED trigger is a no-op (no new epochs below the watermark)
+    DedupOps.compactLshEpochs(spark, dir, 2)
+    assert(spark.read.parquet(s"$dir/compact=2/bands").count() === afterFirst)
+    assert(DedupOps.lshLiveGenerations(spark, dir) === 4)
+    // the next tick folds prior compact + epochs 3-5 into compact=5
+    DedupOps.compactLshEpochs(spark, dir, 5)
+    assert(DedupOps.lshLiveGenerations(spark, dir) === 1)
+    // nothing lost across two compactions: 6 docs × 8 bands
+    assert(spark.read.parquet(s"$dir/compact=5/bands")
+      .select("doc_id").distinct().count() === 6)
+  }
+
   test("d9: delta fold never touches the base LSH index; serve equals monolithic pairs") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
