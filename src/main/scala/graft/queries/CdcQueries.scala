@@ -749,6 +749,52 @@ object CdcQueries {
       stateView(state.get).orderedRows(col("db"), col("table"), col("id"))
     },
 
+    // c23: the APPLY SINK (r15 — the gap the reference's whole purpose
+    // points at): the binlog stream's changes applied EXACTLY ONCE to
+    // a LIVE JDBC target (embedded Derby) via the staged, epoch-fenced
+    // transactional merge (doc at [[CdcApply]]), then the state read
+    // BACK from the target over JDBC. SAME ORACLE AS c9: what the
+    // target database holds after the fenced replay must hash-match
+    // DuckDB's materialization of the full log — parse → apply →
+    // read-back, certified end-to-end. Fence/commute/idempotence
+    // properties are spec-pinned (CdcApplySpec: replayed epoch
+    // skipped, reverse-order application converges).
+    QueryDef("c23_cdc_apply",
+      s"""WITH snap AS (SELECT * FROM read_parquet('$StateOracleSnapshot/*.parquet')),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, c2, c3
+         |FROM last WHERE rn = 1 AND keep = 1
+         |ORDER BY db, "table", id""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDir(
+        "stress_v1", 2, 1500, BinlogFixture.stressStream)
+      // ensure the shared snapshot exists whichever of c9/c10/c23 runs
+      // first
+      writeSnapshotIfStale(StateOracleSnapshot, d) {
+        flattenImages(CdcJob.parse(s, p))
+          .write.mode("overwrite").parquet(StateOracleSnapshot)
+      }
+      val url = CdcApply.newTargetUrl()
+      val ckpt = graft.TmpDirs.scratch("graft_c23_cp")
+      val q = graft.streaming.CdcStream.events(s, p, maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          CdcApply.applyBatch(url, "c23", epoch, batch)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      CdcApply.readState(s, url)
+        .orderedRows(col("db"), col("table"), col("id"))
+    },
+
     // c20: SCD TYPE-2 DIMENSION HISTORY (r14) — the OTHER standard
     // consumer of a CDC log besides c9's snapshot: a slowly-changing
     // dimension where every key keeps its FULL version history with
@@ -1313,4 +1359,10 @@ object CdcQueries {
 
   /** The queryable view of [[mergeState]]'s result. */
   def stateView(state: DataFrame): DataFrame = liveRows(state)
+
+  /** One stamped action per (db, table, key) for a single batch —
+    * the in-batch last-writer fold the c23 apply sink stages
+    * (tombstones retained, as in [[mergeState]]). */
+  private[queries] def foldBatchActions(flat: DataFrame): DataFrame =
+    foldState(stampedActions(flat))
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** c23 apply-sink properties the oracle hash can't isolate on its
+  * own: the epoch fence (a replayed batch is skipped), commutativity
+  * (stamped merge converges from any batch order), and read-back
+  * equality with the reference materialization (c9's operator). */
+class CdcApplySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The stress fixture parsed per FILE — two natural "batches". */
+  private lazy val fileBatches = {
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val events = graft.cdc.CdcJob.parse(spark, p)
+    val files = events.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(files.length == 2)
+    files.map(f => events.filter(col("file") === f))
+  }
+
+  private def stateOf(url: String): Set[(String, String, Long, String, String)] =
+    CdcApply.readState(spark, url).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+
+  test("c23: apply in order equals c9 materialization; replayed epoch is fenced") {
+    val url = CdcApply.newTargetUrl()
+    CdcApply.applyBatch(url, "spec1", 0L, fileBatches(0))
+    CdcApply.applyBatch(url, "spec1", 1L, fileBatches(1))
+    val applied = stateOf(url)
+    // the live target equals the reference materialization operator
+    val p = graft.cdc.BinlogFixture.materializeDir(
+      "stress_v1", 2, 1500, graft.cdc.BinlogFixture.stressStream)
+    val mat = CdcQueries.materializeFromFlat(
+        CdcQueries.flattenImages(graft.cdc.CdcJob.parse(spark, p)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(applied == mat)
+    // REPLAY: re-applying an already-committed epoch — even with the
+    // other batch's content — must be a no-op (the fence fires before
+    // any merge statement runs)
+    CdcApply.applyBatch(url, "spec1", 1L, fileBatches(0))
+    assert(stateOf(url) == applied, "replayed epoch must be skipped")
+    CdcApply.applyBatch(url, "spec1", 0L, fileBatches(1))
+    assert(stateOf(url) == applied)
+  }
+
+  test("c23: stamped merge commutes — reverse batch order converges to the same state") {
+    val fwd = CdcApply.newTargetUrl()
+    CdcApply.applyBatch(fwd, "specF", 0L, fileBatches(0))
+    CdcApply.applyBatch(fwd, "specF", 1L, fileBatches(1))
+    val rev = CdcApply.newTargetUrl()
+    CdcApply.applyBatch(rev, "specR", 0L, fileBatches(1))
+    CdcApply.applyBatch(rev, "specR", 1L, fileBatches(0))
+    assert(stateOf(fwd) == stateOf(rev),
+      "out-of-order application must converge (stamps, not arrival order)")
+    assert(stateOf(fwd).nonEmpty)
+  }
+}
