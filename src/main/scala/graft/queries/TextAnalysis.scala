@@ -18,6 +18,84 @@ object TextAnalysis {
   /** BPE-ish word/number/symbol splitter shared by both engines. */
   private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** t13's learned merge table, dumped per corpus for the oracle's
+    * re-encode (the CdcQueries snapshot pattern: SF-agnostic path,
+    * rewritten when the corpus dir changes). */
+  private val BpeMergesSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_bpe_merges_cur"
+  private val bpeSnapshotSf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** t13's DuckDB oracle: re-applies the engine-learned merge table
+    * to the raw corpus — [[bpeEncodeWord]]'s loop as a recursive CTE.
+    * Each recursion step, per still-reducible word: (1) explode
+    * adjacent symbol pairs, (2) inner-join the merge table and keep
+    * the best-priority pair (ranks are unique), (3) select its
+    * left-to-right NON-OVERLAPPING occurrences — consecutive
+    * candidate positions form runs, keep alternate offsets (exactly
+    * bpeMergePair's skip-after-merge), (4) rebuild the symbol list.
+    * A word leaves the recursion when no pair matches the table; its
+    * final state is its unique SHORTEST state (each pass strictly
+    * shrinks the list). Encoding is per DISTINCT word; docs join the
+    * encoded lengths back for the n_bpe sum. */
+  private val BpeEncodeOracleSql: String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT a, b, prio FROM read_parquet('$BpeMergesSnapshot/*.parquet')),
+       |dw AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, ws[CAST(u.i AS INT)] AS w
+       |        FROM dw, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS u(i)),
+       |words AS (SELECT DISTINCT w FROM tok WHERE LEN(w) > 0),
+       |enc(w, syms) AS (
+       |  SELECT w, LIST(SUBSTRING(w, CAST(i AS INT), 1) ORDER BY i) AS syms
+       |  FROM (SELECT w, UNNEST(GENERATE_SERIES(1, LEN(w))) AS i FROM words) t0
+       |  GROUP BY w
+       |  UNION ALL
+       |  SELECT w,
+       |    list_filter(
+       |      list_transform(GENERATE_SERIES(1, LEN(syms)), p ->
+       |        CASE WHEN list_contains(ks, p)
+       |               THEN syms[CAST(p AS INT)] || syms[CAST(p AS INT) + 1]
+       |             WHEN list_contains(ks, p - 1) THEN NULL
+       |             ELSE syms[CAST(p AS INT)] END),
+       |      x -> x IS NOT NULL) AS syms
+       |  FROM (
+       |    SELECT w, syms, LIST(i) AS ks
+       |    FROM (
+       |      SELECT w, syms, i,
+       |             (i - MIN(i) OVER (PARTITION BY w, grp)) % 2 AS par
+       |      FROM (
+       |        SELECT w, syms, i,
+       |               i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+       |        FROM (
+       |          SELECT e.w, e.syms, u.i AS i, mm.prio,
+       |                 MIN(mm.prio) OVER (PARTITION BY e.w) AS best
+       |          FROM enc e,
+       |               UNNEST(GENERATE_SERIES(1, LEN(e.syms) - 1)) AS u(i),
+       |               m mm
+       |          WHERE mm.a = e.syms[CAST(u.i AS INT)]
+       |            AND mm.b = e.syms[CAST(u.i AS INT) + 1]
+       |        ) c WHERE prio = best
+       |      ) r
+       |    ) k WHERE par = 0
+       |    GROUP BY w, syms
+       |  ) s2
+       |),
+       |fin AS (
+       |  SELECT w, syms FROM enc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY LEN(syms)) = 1),
+       |wenc AS (SELECT w, LEN(syms) AS n_syms,
+       |                ARRAY_TO_STRING(syms, '|') AS enc_str FROM fin),
+       |agg AS (
+       |  SELECT t.doc_id, SUM(COALESCE(we.n_syms, 0)) AS n_bpe
+       |  FROM tok t LEFT JOIN wenc we ON we.w = t.w
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(LEN(d.ws) AS BIGINT) AS n_words,
+       |       CAST(a.n_bpe AS BIGINT) AS n_bpe,
+       |       COALESCE(h.enc_str, '') AS head_toks
+       |FROM dw d JOIN agg a USING (doc_id)
+       |LEFT JOIN wenc h ON h.w = d.ws[1]
+       |ORDER BY doc_id""".stripMargin
+
   /** ≤32-token chunk kernel shared by t6 (chunking) and t7 (packing):
     * whitespace-token count with STRING_SPLIT semantics (split on
     * single space; empty text is one empty token) → (chunk_idx,
@@ -692,8 +770,15 @@ object TextAnalysis {
     // map pass with zero shuffle. Deterministic end-to-end: ties in
     // training break lexicographically, encoding is greedy by merge
     // priority — golden-hash pinned, with roundtrip/hand-example/
-    // parallelism specs.
-    QueryDef.noOracle("t13_bpe_tokenize") { (s, d) =>
+    // parallelism specs. r15: the ENCODE gained a full DuckDB oracle —
+    // the learned merge table is a plain (a, b, prio) relation, dumped
+    // as a snapshot, and the oracle RE-APPLIES it to the raw corpus
+    // with a recursive CTE (each step merges every non-overlapping
+    // occurrence of the best-ranked present pair, exactly
+    // bpeEncodeWord's loop) — so the part that touches the corpus at
+    // scale is certified cross-engine; training itself remains
+    // golden + incremental≡recount-differential checked.
+    QueryDef("t13_bpe_tokenize", BpeEncodeOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       // BOUNDED dict: on a web corpus the distinct-word count grows
       // with the data (typos, ids, urls), so an uncapped collect is
@@ -719,6 +804,17 @@ object TextAnalysis {
       // dozen. The trainer stops early-and-clean if the dict
       // exhausts its pairs first (PipelineOpsSpec pins the timing)
       val merges = bpeTrain(wc, nMerges = 8192)
+      // dump the learned merge table for the oracle's re-encode
+      if (bpeSnapshotSf.get(BpeMergesSnapshot) != d) synchronized {
+        if (bpeSnapshotSf.get(BpeMergesSnapshot) != d) {
+          import s.implicits._
+          merges.zipWithIndex
+            .map { case ((a, b), i) => (a, b, i.toLong) }
+            .toDF("a", "b", "prio")
+            .coalesce(1).write.mode("overwrite").parquet(BpeMergesSnapshot)
+          bpeSnapshotSf.put(BpeMergesSnapshot, d)
+        }
+      }
       val rank = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
         rank.put(a + " " + b, Integer.valueOf(i)) }
