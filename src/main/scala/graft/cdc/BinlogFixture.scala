@@ -321,6 +321,80 @@ object BinlogFixture {
     m.toMap
   }
 
+  /** SELF-CONSISTENT DML stream (the c24 flashback-apply fixture): a
+    * real server's row-format binlog records the TRUE before image —
+    * every update/delete targets a row that exists with exactly the
+    * logged values, which is what makes flashback (-B) sound: undoing
+    * a tail by re-applying logged before images reproduces the exact
+    * pre-tail state. (dmlStream/stressStream fabricate WHERE images
+    * for parser adversity — fine for parse/render/materialize tests,
+    * wrong for an undo fixture.) The generator maintains the table
+    * state while emitting: inserts create fresh ids; updates/deletes
+    * pick an existing id deterministically and use its CURRENT values
+    * as the WHERE image; every 5th eligible slot is a PK-MOVE (the
+    * Q3 hard case — undo must restore the old key AND drop the new).
+    * Returned split across `parts` rotated files at event boundaries.
+    * Deterministic: a pure function of (n, parts). */
+  def consistentStreamParts(n: Int, parts: Int): Seq[String] = {
+    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String)]
+    var nextId = 0L
+    val events = Vector.newBuilder[String]
+    var pos = 4L
+    var t = 0L
+    def c(k: Int, v: String, typ: String): String =
+      s"###   @$k=$v /* $typ nullable=1 is_null=${if (v == "NULL") 1 else 0} */\n"
+    for (i <- 0 until n) {
+      val sb = new StringBuilder(340)
+      val stop = pos + 140
+      def header(kind: String): Unit = {
+        sb ++= s"# at $pos\n"
+        sb ++= f"#260812 ${5 + t / 3600}%2d:${(t / 60) % 60}%02d:${t % 60}%02d server id 1  end_log_pos $stop CRC32 0x0badcafe \t$kind: table id 204 flags: STMT_END_F\n"
+        t += 1
+      }
+      def img(id: Long, v: (String, String)): Unit = {
+        sb ++= c(1, id.toString, "INT")
+        sb ++= c(2, v._1, "VARSTRING(160)")
+        sb ++= c(3, v._2, "DOUBLE")
+      }
+      val existing = state.keysIterator.toIndexedSeq
+      val action = if (existing.isEmpty) 0 else i % 5
+      action match {
+        case 0 | 1 => // insert a fresh id
+          val id = nextId; nextId += 1
+          val v = (s"'ins_${i}_$id'", if (i % 3 == 0) "NULL" else s"$i.25")
+          header("Write_rows")
+          sb ++= "### INSERT INTO `testdb`.`t_pk`\n### SET\n"
+          img(id, v)
+          state(id) = v
+        case 2 | 4 => // update an existing row; every 5th slot PK-moves
+          val id = existing(((i * 7) % existing.size + existing.size) % existing.size)
+          val before = state(id)
+          val moved = action == 4
+          val newId = if (moved) { val x = nextId; nextId += 1; x } else id
+          val after = (s"'upd_$i'", if (i % 4 == 0) "NULL" else s"${i % 97}.5")
+          header("Update_rows")
+          sb ++= "### UPDATE `testdb`.`t_pk`\n### WHERE\n"
+          img(id, before)
+          sb ++= "### SET\n"
+          img(newId, after)
+          state.remove(id)
+          state(newId) = after
+        case _ => // delete an existing row — true before image
+          val id = existing(((i * 11) % existing.size + existing.size) % existing.size)
+          val before = state(id)
+          header("Delete_rows")
+          sb ++= "### DELETE FROM `testdb`.`t_pk`\n### WHERE\n"
+          img(id, before)
+          state.remove(id)
+      }
+      pos = stop
+      events += sb.result()
+    }
+    val evs = events.result()
+    val per = (evs.length + parts - 1) / parts
+    evs.grouped(per).map(_.mkString).toSeq
+  }
+
   /** Write a rotated-binlog directory: `parts` files of `perFile`
     * events each (binlogs rotate at fixed size — files are the CDC
     * parallelism unit at any scale). Returns the directory path. */

@@ -116,9 +116,18 @@ object CdcApply {
 
   /** Apply ONE micro-batch of parsed change events exactly once. */
   private[queries] def applyBatch(url: String, jobId: String, epoch: Long,
-      batch: DataFrame): Unit = {
+      batch: DataFrame): Unit =
+    applyActions(url, jobId, epoch,
+      CdcQueries.foldBatchActions(CdcQueries.flattenImages(batch)))
+
+  /** Apply PRE-FOLDED stamped actions (one per key) exactly once —
+    * the shared kernel of the forward apply (c23) and the flashback
+    * compensating batch (c24, which supplies a stamp above every log
+    * stamp so the correction wins the merge). */
+  private[queries] def applyActions(url: String, jobId: String, epoch: Long,
+      actions: DataFrame): Unit = {
     registerDialect
-    val acts = CdcQueries.foldBatchActions(CdcQueries.flattenImages(batch))
+    val acts = actions
       .select(col("db").as("dbname"), col("table").as("tname"),
         col("id").cast("long").as("id"), col("c2"), col("c3"),
         col("keep").as("keep_row"), col("file").as("sfile"),

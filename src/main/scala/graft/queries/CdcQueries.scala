@@ -125,6 +125,12 @@ object CdcQueries {
   private val StateOracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_stateevents_cur"
 
+  /** c24's flattened-image snapshot (the SELF-CONSISTENT fixture —
+    * flashback soundness needs true before images; see
+    * BinlogFixture.consistentStreamParts). */
+  private val FlashOracleSnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_flashevents_cur"
+
   /** c11's streaming parquet sink + its checkpoint. */
   private val SinkPath =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_sink_cur"
@@ -795,6 +801,65 @@ object CdcQueries {
         .orderedRows(col("db"), col("table"), col("id"))
     },
 
+    // c24: FLASHBACK APPLY (r15) — the reference's marquee feature
+    // (-B, log2sql.py:138-160) realized end-to-end on a LIVE target:
+    // after the forward replay, UNDO the last binlog file by applying
+    // ONE compensating batch through the same fenced transactional
+    // merge — for every key the tail touched, restore the before
+    // image of its earliest tail action (or tombstone a key the tail
+    // created), stamped ABOVE every log stamp so the correction wins
+    // (doc at [[flashbackActions]]). The oracle is INDEPENDENT of the
+    // inversion: DuckDB materializes the log TRUNCATED before the
+    // flashbacked file (c22's time-travel derivation) — what the live
+    // database holds after undo must equal what it would have held
+    // had the tail never been applied. Fixture: the SELF-CONSISTENT
+    // stream (true before images — what a real row-format binlog
+    // records, and the property flashback soundness rests on; the
+    // stress fixture fabricates WHERE images for parser adversity,
+    // so undo-by-before-image is only equal to truncated replay on a
+    // consistent log).
+    QueryDef("c24_cdc_flashback_apply",
+      s"""WITH snap0 AS (SELECT * FROM read_parquet('$FlashOracleSnapshot/*.parquet')),
+         |snap AS (SELECT * FROM snap0 WHERE file < (SELECT MAX(file) FROM snap0)),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk, db, "table", before_id AS id,
+         |         NULL AS c2, NULL AS c3, 0 AS keep
+         |  FROM snap WHERE before_id IS NOT NULL AND op IN ('update','delete')
+         |  UNION ALL
+         |  SELECT file, seq, 1, db, "table", after_id, after_c2, after_c3, 1
+         |  FROM snap WHERE after_id IS NOT NULL AND op IN ('insert','update')),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY db, "table", id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts)
+         |SELECT db, "table", CAST(id AS BIGINT) AS id, c2, c3
+         |FROM last WHERE rn = 1 AND keep = 1
+         |ORDER BY db, "table", id""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDirParts("consistent_v1",
+        BinlogFixture.consistentStreamParts(3000, 2))
+      writeSnapshotIfStale(FlashOracleSnapshot, d) {
+        flattenImages(CdcJob.parse(s, p))
+          .write.mode("overwrite").parquet(FlashOracleSnapshot)
+      }
+      val events = CdcJob.parse(s, p)
+      val flat = flattenImages(events)
+      val files = flat.select("file").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: file count
+      val url = CdcApply.newTargetUrl()
+      // forward replay, one fenced batch per binlog file
+      files.zipWithIndex.foreach { case (f, i) =>
+        CdcApply.applyBatch(url, "c24", i.toLong,
+          events.filter(col("file") === f))
+      }
+      // undo the last file: one compensating batch, stamped above
+      // every log stamp ('~' > every fixture file-name byte)
+      CdcApply.applyActions(url, "c24", files.length.toLong,
+        flashbackActions(flat.filter(col("file") === files.last))
+          .withColumn("file", lit("~flashback"))
+          .withColumn("seq", lit(0L))
+          .withColumn("rnk", lit(0)))
+      CdcApply.readState(s, url)
+        .orderedRows(col("db"), col("table"), col("id"))
+    },
+
     // c20: SCD TYPE-2 DIMENSION HISTORY (r14) — the OTHER standard
     // consumer of a CDC log besides c9's snapshot: a slowly-changing
     // dimension where every key keeps its FULL version history with
@@ -1214,7 +1279,13 @@ object CdcQueries {
       imgVal("beforeOrds", "beforeVals", 1).as("before_id"),
       imgVal("afterOrds", "afterVals", 1).as("after_id"),
       imgVal("afterOrds", "afterVals", 2).as("after_c2"),
-      imgVal("afterOrds", "afterVals", 3).as("after_c3"))
+      imgVal("afterOrds", "afterVals", 3).as("after_c3"),
+      // r15: before-image VALUES, for the c24 flashback apply (the
+      // state to RESTORE is the before side of a key's earliest
+      // undone action) — additive columns; every older consumer and
+      // oracle selects by name
+      imgVal("beforeOrds", "beforeVals", 2).as("before_c2"),
+      imgVal("beforeOrds", "beforeVals", 3).as("before_c3"))
 
   /** Upsert/tombstone actions from a flattened batch, each carrying
     * its (file, seq, rnk) last-writer stamp. */
@@ -1365,4 +1436,38 @@ object CdcQueries {
     * (tombstones retained, as in [[mergeState]]). */
   private[queries] def foldBatchActions(flat: DataFrame): DataFrame =
     foldState(stampedActions(flat))
+
+  /** c24: the COMPENSATING batch that returns a live target to its
+    * state from before `tail`'s events were applied — the reference's
+    * flashback (-B), expressed as ONE set-based correction instead of
+    * statement-by-statement reverse replay. For every key the tail
+    * touched: if the key's EARLIEST tail action saw it on the BEFORE
+    * side (it existed at tail start), restore that before image; if
+    * only ever on an AFTER side first (the tail created it),
+    * tombstone it. Within one event the before side precedes the
+    * after (rnk 0 < 1), so a PK-move restores the old key and deletes
+    * the new one, and a same-key update restores its own before
+    * image. One groupBy on the key — batch-sized, like every apply
+    * stage. Output schema = [[foldBatchActions]]'s, with the caller
+    * supplying the stamp columns (a flashback correction applies
+    * LAST, so its stamp must exceed every log stamp). */
+  private[queries] def flashbackActions(tail: DataFrame): DataFrame = {
+    val sided = tail.select(col("db"), col("table"),
+      explode(array(
+        struct(col("before_id").as("id"), lit(0).as("side"),
+          col("before_c2").as("c2"), col("before_c3").as("c3"),
+          col("file"), col("seq"), lit(0).as("rnk")),
+        struct(col("after_id").as("id"), lit(1).as("side"),
+          lit(null).cast("string").as("c2"),
+          lit(null).cast("string").as("c3"),
+          col("file"), col("seq"), lit(1).as("rnk")))).as("a"))
+      .select(col("db"), col("table"), col("a.*"))
+      .filter(col("id").isNotNull)
+    sided.groupBy("db", "table", "id")
+      .agg(min_by(struct(col("side"), col("c2"), col("c3")),
+        struct(col("file"), col("seq"), col("rnk"))).as("m"))
+      .select(col("db"), col("table"), col("id"),
+        col("m.c2").as("c2"), col("m.c3").as("c3"),
+        when(col("m.side") === 0, lit(1)).otherwise(lit(0)).as("keep"))
+  }
 }

@@ -55,6 +55,38 @@ class CdcApplySpec extends AnyFunSuite {
     assert(stateOf(url) == applied)
   }
 
+  test("c24: flashback apply returns the live target to the pre-tail state") {
+    import org.apache.spark.sql.DataFrame
+    val p = graft.cdc.BinlogFixture.materializeDirParts("consistent_v1",
+      graft.cdc.BinlogFixture.consistentStreamParts(3000, 2))
+    val events = graft.cdc.CdcJob.parse(spark, p)
+    val flat = CdcQueries.flattenImages(events)
+    val files = flat.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(files.length == 2)
+    val url = CdcApply.newTargetUrl()
+    files.zipWithIndex.foreach { case (f, i) =>
+      CdcApply.applyBatch(url, "fbspec", i.toLong,
+        events.filter(col("file") === f))
+    }
+    val afterForward = stateOf(url)
+    def mat(fl: DataFrame): Set[(String, String, Long, String, String)] =
+      CdcQueries.materializeFromFlat(fl).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+    assert(afterForward == mat(flat), "forward apply must match c9 first")
+    // undo the last file with ONE compensating batch
+    CdcApply.applyActions(url, "fbspec", files.length.toLong,
+      CdcQueries.flashbackActions(flat.filter(col("file") === files.last))
+        .withColumn("file", lit("~flashback"))
+        .withColumn("seq", lit(0L)).withColumn("rnk", lit(0)))
+    val afterUndo = stateOf(url)
+    val truncated = mat(flat.filter(col("file") === files.head))
+    assert(afterUndo == truncated,
+      "flashback must equal the state had the tail never been applied")
+    assert(afterForward != afterUndo, "fixture must make the undo observable")
+  }
+
   test("c23: stamped merge commutes — reverse batch order converges to the same state") {
     val fwd = CdcApply.newTargetUrl()
     CdcApply.applyBatch(fwd, "specF", 0L, fileBatches(0))
