@@ -681,6 +681,120 @@ object SimilarityOps {
       nQueries, k, nBands, bandBits)
   }
 
+  // ---------------------------------------------------------------
+  // s28: epoch compaction inside the STREAMING ANN lifecycle — the
+  // s27 recipe (DedupOps) applied to s25's epoch generations, which
+  // otherwise accumulate one directory per micro-batch forever (the
+  // w4 small-files failure mode). Same watermark-keyed design: every
+  // `compactEvery` batches the sink folds accumulated epochs plus any
+  // prior compacted generation into compact=<epoch>, drops the folded
+  // inputs, and serving selects the max compact key plus only epochs
+  // above it. Base generation never touched.
+  // ---------------------------------------------------------------
+
+  private def hadoopFs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def latestAnnCompact(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Long, String)] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) return None
+    fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("compact="))
+      .map(st => (st.getPath.getName.stripPrefix("compact=").toLong,
+        st.getPath.toString))
+      .sortBy(-_._1).headOption
+  }
+
+  private def annEpochGens(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Long, String)] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
+        st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** Fold epochs in (priorCompact, upTo] plus the prior compacted
+    * generation into compact=upTo, then delete the folded inputs —
+    * replay-safe exactly as DedupOps.compactLshEpochs. */
+  private[queries] def compactAnnEpochs(s: org.apache.spark.sql.SparkSession,
+      dir: String, upTo: Long): Unit = {
+    val fs = hadoopFs(s, dir)
+    val prior = latestAnnCompact(fs, dir)
+    val lo = prior.map(_._1).getOrElse(-1L)
+    if (lo >= upTo) return
+    val folds = annEpochGens(fs, dir).filter { case (id, _) => id > lo && id <= upTo }
+    if (folds.isEmpty) return
+    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ folds.map(_._2 + "/bands")
+    val vecSrcs = prior.map(_._2 + "/vecs").toSeq ++ folds.map(_._2 + "/vecs")
+    s.read.parquet(bandSrcs: _*).coalesce(8)
+      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/bands")
+    s.read.parquet(vecSrcs: _*).coalesce(8)
+      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/vecs")
+    folds.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+    prior.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+  }
+
+  /** s28: s25's streaming ingest with in-lifecycle epoch compaction —
+    * live generation count bounded by the interval; serving = base ∪
+    * compacted ∪ epochs above the watermark; a1's exact oracle. */
+  def annIndexStreamCompactServe(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int = 8, compactEvery: Int = 3, nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 24, bandBits: Int = 2): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    ensureAnnIndexBase(s, d, nBands, bandBits)
+    val streamDir = graft.TmpDirs.scratch("graft_ann_stream_compact")
+    val ckpt = graft.TmpDirs.scratch("graft_ann_stream_compact_cp")
+    val rows = Tables.embeddings(s, d).filter(!annBaseFilter)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])](graft.Enc.longFloatArr)
+      .collect().sortBy(_._1)
+    if (rows.isEmpty)
+      foldAnnDeltaEpoch(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).limit(0),
+        s"$streamDir/epoch=0", nBands, bandBits)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldAnnDeltaEpoch(batch, s"$streamDir/epoch=$epoch", nBands, bandBits)
+        if ((epoch + 1) % compactEvery == 0)
+          compactAnnEpochs(batch.sparkSession, streamDir, epoch)
+      }
+      .start()
+    try {
+      rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+        .foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val fs = hadoopFs(s, streamDir)
+    val prior = latestAnnCompact(fs, streamDir)
+    val lo = prior.map(_._1).getOrElse(-1L)
+    val eps = annEpochGens(fs, streamDir).filter(_._1 > lo)
+    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ eps.map(_._2 + "/bands")
+    val vecSrcs = prior.map(_._2 + "/vecs").toSeq ++ eps.map(_._2 + "/vecs")
+    annServeFrom(s,
+      s.table("graft_ann_bands_base")
+        .unionByName(s.read.parquet(bandSrcs: _*)),
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.read.parquet(vecSrcs: _*)),
+      nQueries, k, nBands, bandBits)
+  }
+
+  /** Live generation count — exposed for the bounded-files spec. */
+  private[graft] def annLiveGenerations(s: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val fs = hadoopFs(s, dir)
+    latestAnnCompact(fs, dir).size + annEpochGens(fs, dir).size
+  }
+
   /** The exact-top-k oracle — shared by a1 (the exact kernel) and a2
     * (LSH at agreement-grade recall, see a2's def). */
   private val ExactTop5OracleSql =
@@ -846,6 +960,16 @@ object SimilarityOps {
     // missing or duplicated index row from any epoch breaks the hash.
     QueryDef("s25_ann_index_stream", ExactTop5OracleSql) { (s, d) =>
       annIndexStreamServe(s, d)
+    },
+
+    // s28: the long-running-ingest completion of s25 — epoch
+    // compaction INSIDE the streaming lifecycle (the s27 recipe for
+    // the ANN index; doc at annIndexStreamCompactServe): live
+    // generation count bounded by the compaction interval instead of
+    // one directory per micro-batch forever. Same exact oracle:
+    // folding epochs must lose nothing and duplicate nothing.
+    QueryDef("s28_ann_epoch_compact", ExactTop5OracleSql) { (s, d) =>
+      annIndexStreamCompactServe(s, d)
     },
 
     // a13: the index lifecycle's last step — offline compaction (doc

@@ -715,6 +715,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "compacting stream epochs must lose nothing and duplicate nothing")
   }
 
+  test("s28: ANN in-stream epoch compaction bounds generations; serve equals a12") {
+    val d = "/root/testdata/sf0.01"
+    val served = SimilarityOps.annIndexStreamCompactServe(spark, d,
+        nBatches = 8, compactEvery = 3)
+      .collect().map(_.toSeq).toSeq
+    SimilarityOps.foldAnnDelta(spark, d)
+    val batchAnswer = SimilarityOps.annServePersisted(spark)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batchAnswer,
+      "compacting ANN stream epochs must lose nothing and duplicate nothing")
+  }
+
   test("s27 compaction primitive: replay-safe, watermark-keyed, bounded") {
     import spark.implicits._
     val dir = graft.TmpDirs.scratch("s27spec")
