@@ -673,6 +673,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(survivors === 0L)
   }
 
+  test("a14 plan shape: tombstone anti-joins BROADCAST — the index side never shuffles for the delete") {
+    val d = "/root/testdata/sf0.01"
+    SimilarityOps.ensureAnnIndexBase(spark, d)
+    SimilarityOps.foldAnnDelta(spark, d)
+    SimilarityOps.foldAnnTombstones(spark, d)
+    val plan = SimilarityOps.annServeWithTombstones(spark)
+      .queryExecution.executedPlan.toString
+    // the two anti-joins (bands, vecs) against the takedown-sized
+    // tombstone table must be broadcast left-antis: at 100 TB the
+    // standing index cannot pay a shuffle to honor a takedown list
+    val antis = "BroadcastHashJoin .*LeftAnti".r
+      .findAllMatchIn(plan).length
+    assert(antis >= 2, s"expected >=2 broadcast anti-joins, plan:\n$plan")
+    assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"tombstone anti-join must not sort-merge:\n$plan")
+  }
+
   test("d11: retracted docs stop matching; no standing generation rewritten") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
