@@ -29,13 +29,21 @@ private[graft] object TmpDirs {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
+    // Best-effort at exit, and per-DIRECTORY total: Files.walk surfaces
+    // I/O failures as UncheckedIOException (not IOException), and
+    // Spark's own shutdown hooks may be tearing down checkpoint dirs
+    // under these roots concurrently — one failing walk must not kill
+    // the hook thread and leak every remaining registered dir.
     try {
       if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f =>
+            try { java.nio.file.Files.deleteIfExists(f); () }
+            catch { case _: Throwable => () })
+        finally walk.close()
       }
-    } catch { case _: java.io.IOException => () } // best-effort at exit
+    } catch { case _: Throwable => () }
 
   /** A process-private root directory under java.io.tmpdir, created
     * on first use and deleted (recursively) at JVM exit. The same

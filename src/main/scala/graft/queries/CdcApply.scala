@@ -72,6 +72,21 @@ object CdcApply {
     "jdbc:derby:memory:graft_cdc_apply_" +
       s"${ProcessHandle.current().pid()}_${urlCounter.incrementAndGet()};create=true"
 
+  /** Drop an in-memory target database. In-memory Derby retains every
+    * database until an explicit drop or JVM exit, and each bench pass
+    * mints a fresh one — without this, staged+target datasets of every
+    * pass accumulate in driver heap for the JVM's life. Callers must
+    * have MATERIALIZED any frame reading from the target first
+    * (localCheckpoint) — the connection is gone after this. */
+  private[queries] def dropTarget(url: String): Unit = {
+    val dropUrl = url.replace(";create=true", ";drop=true")
+    try { java.sql.DriverManager.getConnection(dropUrl).close() }
+    catch { // 08006 = single-database shutdown completed — the success path
+      case e: java.sql.SQLException if e.getSQLState == "08006" => ()
+      case _: java.sql.SQLException => ()
+    }
+  }
+
   private def withConn[T](url: String)(f: java.sql.Connection => T): T = {
     val c = java.sql.DriverManager.getConnection(url)
     try f(c)
@@ -108,11 +123,12 @@ object CdcApply {
     createIfAbsent(c,
       s"""CREATE TABLE $name(
          |  dbname VARCHAR(64) NOT NULL, tname VARCHAR(64) NOT NULL,
-         |  id BIGINT NOT NULL PRIMARY KEY,
+         |  id BIGINT NOT NULL,
          |  c2 VARCHAR(512), c3 VARCHAR(512),
          |  keep_row INT NOT NULL,
-         |  sfile VARCHAR(64) NOT NULL, sseq BIGINT NOT NULL,
-         |  srnk INT NOT NULL)""".stripMargin)
+         |  sfile VARCHAR(512) NOT NULL, sseq BIGINT NOT NULL,
+         |  srnk INT NOT NULL,
+         |  PRIMARY KEY (dbname, tname, id))""".stripMargin)
 
   /** Apply ONE micro-batch of parsed change events exactly once. */
   private[queries] def applyBatch(url: String, jobId: String, epoch: Long,
@@ -139,14 +155,28 @@ object CdcApply {
     acts.write.mode("overwrite")
       .format("jdbc").option("url", url).option("dbtable", stage)
       .option("createTableColumnTypes",
+        // sfile carries input_file_name()'s FULL URI — 59 chars for
+        // the fixture under /tmp, longer under any relocated tmpdir:
+        // width it like every other free-text column
         "dbname VARCHAR(64), tname VARCHAR(64), c2 VARCHAR(512), " +
-          "c3 VARCHAR(512), sfile VARCHAR(64)")
+          "c3 VARCHAR(512), sfile VARCHAR(512)")
       .save()
-    // distinct tables in this batch — schema-count bounded, not rows
-    val tables = acts.select("dbname", "tname").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1))).sorted
     withConn(url) { c =>
       c.setAutoCommit(false)
+      // distinct tables in this batch — schema-count bounded, not
+      // rows; read from the JUST-WRITTEN staging table so the fold
+      // plan is executed once (the stage write), not twice
+      val tables = {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"""SELECT DISTINCT "dbname", "tname" FROM $stage""")
+          val b = List.newBuilder[(String, String)]
+          while (rs.next()) b += ((rs.getString(1), rs.getString(2)))
+          rs.close()
+          b.result().sorted
+        } finally st.close()
+      }
       ensureFence(c)
       val fenceTaken =
         try { exec(c, s"INSERT INTO applied_epochs VALUES ('$jobId', $epoch)"); true }
@@ -163,8 +193,12 @@ object CdcApply {
         // action supersedes ...
         // the stage table is created by Spark's JDBC writer, which
         // QUOTES identifiers — reference its columns quoted lowercase
+        // target-side dbname/tname predicates: tgtName's sanitized
+        // join is not injective (a_b+c and a+b_c share one name), so
+        // key matching must carry the real names on BOTH sides
         exec(c,
-          s"""DELETE FROM $tgt WHERE EXISTS (
+          s"""DELETE FROM $tgt WHERE dbname = '$db' AND tname = '$tbl'
+             |AND EXISTS (
              |  SELECT 1 FROM $stage s
              |  WHERE s."dbname" = '$db' AND s."tname" = '$tbl'
              |    AND s."id" = $tgt.id
@@ -179,7 +213,8 @@ object CdcApply {
              |       s."keep_row", s."sfile", s."sseq", s."srnk"
              |FROM $stage s
              |WHERE s."dbname" = '$db' AND s."tname" = '$tbl'
-             |  AND NOT EXISTS (SELECT 1 FROM $tgt x WHERE x.id = s."id")""".stripMargin)
+             |  AND NOT EXISTS (SELECT 1 FROM $tgt x WHERE x.id = s."id"
+             |    AND x.dbname = '$db' AND x.tname = '$tbl')""".stripMargin)
       }
       c.commit()
       }

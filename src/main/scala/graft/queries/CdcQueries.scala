@@ -797,8 +797,12 @@ object CdcQueries {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      CdcApply.readState(s, url)
-        .orderedRows(col("db"), col("table"), col("id"))
+      // materialize the read-back (distributed, localCheckpoint) so
+      // the per-run in-memory Derby database can be dropped — bench
+      // passes mint one each and would otherwise accumulate in heap
+      val out = CdcApply.readState(s, url).localCheckpoint(true)
+      CdcApply.dropTarget(url)
+      out.orderedRows(col("db"), col("table"), col("id"))
     },
 
     // c24: FLASHBACK APPLY (r15) — the reference's marquee feature
@@ -856,8 +860,9 @@ object CdcQueries {
           .withColumn("file", lit("~flashback"))
           .withColumn("seq", lit(0L))
           .withColumn("rnk", lit(0)))
-      CdcApply.readState(s, url)
-        .orderedRows(col("db"), col("table"), col("id"))
+      val out = CdcApply.readState(s, url).localCheckpoint(true)
+      CdcApply.dropTarget(url)
+      out.orderedRows(col("db"), col("table"), col("id"))
     },
 
     // c20: SCD TYPE-2 DIMENSION HISTORY (r14) — the OTHER standard

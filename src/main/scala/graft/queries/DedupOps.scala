@@ -1028,59 +1028,12 @@ object DedupOps {
   // can never double-count. Base generation: still never touched.
   // ---------------------------------------------------------------
 
-  private def hadoopFs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-
-  /** The newest compacted generation under `dir`: (upToEpoch, path). */
-  private def latestLshCompact(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(Long, String)] = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(d)) return None
-    fs.listStatus(d).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("compact="))
-      .map(st => (st.getPath.getName.stripPrefix("compact=").toLong,
-        st.getPath.toString))
-      .sortBy(-_._1).headOption
-  }
-
-  /** Live (not yet folded) epoch generations under `dir`. */
-  private def lshEpochGens(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[(Long, String)] = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(d)) return Seq.empty
-    fs.listStatus(d).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
-        st.getPath.toString))
-      .sortBy(_._1)
-  }
-
-  /** Fold every epoch generation in (priorCompact, upTo] plus the
-    * prior compacted generation into `compact=upTo`, then delete the
-    * folded inputs. Replay-safe: re-triggering with the same `upTo`
-    * (or with nothing new to fold) returns without writing. */
+  /** Fold epochs into the watermark-keyed compacted generation —
+    * [[EpochStore.compact]] with this index's leaves; replay- and
+    * crash-safe (commit marker after both leaves; see EpochStore). */
   private[queries] def compactLshEpochs(s: org.apache.spark.sql.SparkSession,
-      dir: String, upTo: Long): Unit = {
-    val fs = hadoopFs(s, dir)
-    val prior = latestLshCompact(fs, dir)
-    val lo = prior.map(_._1).getOrElse(-1L)
-    if (lo >= upTo) return // replayed trigger — already compacted
-    val folds = lshEpochGens(fs, dir).filter { case (id, _) => id > lo && id <= upTo }
-    if (folds.isEmpty) return
-    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ folds.map(_._2 + "/bands")
-    val setSrcs = prior.map(_._2 + "/sets").toSeq ++ folds.map(_._2 + "/sets")
-    s.read.parquet(bandSrcs: _*).coalesce(8)
-      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/bands")
-    s.read.parquet(setSrcs: _*).coalesce(8)
-      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/sets")
-    // hygiene only: serving keys off the compact watermark, so a
-    // failed delete here cannot double-count
-    folds.foreach { case (_, p) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
-    prior.foreach { case (_, p) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
-  }
+      dir: String, upTo: Long): Unit =
+    EpochStore.compact(s, dir, upTo, Seq("bands", "sets"))
 
   /** s27: the s26 streaming ingest with periodic in-lifecycle epoch
     * compaction — every `compactEvery` micro-batches the sink folds
@@ -1122,26 +1075,18 @@ object DedupOps {
 
   /** Serve base ∪ (compacted ∪ live epochs above the watermark). */
   private[queries] def lshServeCompacted(s: org.apache.spark.sql.SparkSession,
-      dir: String, tau: Double): DataFrame = {
-    val fs = hadoopFs(s, dir)
-    val prior = latestLshCompact(fs, dir)
-    val lo = prior.map(_._1).getOrElse(-1L)
-    val eps = lshEpochGens(fs, dir).filter(_._1 > lo)
-    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ eps.map(_._2 + "/bands")
-    val setSrcs = prior.map(_._2 + "/sets").toSeq ++ eps.map(_._2 + "/sets")
+      dir: String, tau: Double): DataFrame =
     lshServeFrom(s,
-      s.table("graft_lsh_bands_base"), s.read.parquet(bandSrcs: _*),
+      s.table("graft_lsh_bands_base"),
+      s.read.parquet(EpochStore.servePaths(s, dir, "bands"): _*),
       s.table("graft_lsh_sets_base")
-        .unionByName(s.read.parquet(setSrcs: _*)), tau)
-  }
+        .unionByName(s.read.parquet(EpochStore.servePaths(s, dir, "sets"): _*)),
+      tau)
 
   /** Live generation count under `dir` — exposed for the
     * bounded-small-files spec. */
   private[graft] def lshLiveGenerations(s: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
-    val fs = hadoopFs(s, dir)
-    (latestLshCompact(fs, dir).size + lshEpochGens(fs, dir).size)
-  }
+      dir: String): Int = EpochStore.liveGenerations(s, dir)
 
   /** d9's oracle: the exact pair SQL restricted to pairs with at
     * least one DELTA endpoint (doc_id % 4 == 3 — the ingest batch). */

@@ -692,54 +692,12 @@ object SimilarityOps {
   // above it. Base generation never touched.
   // ---------------------------------------------------------------
 
-  private def hadoopFs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-
-  private def latestAnnCompact(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(Long, String)] = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(d)) return None
-    fs.listStatus(d).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("compact="))
-      .map(st => (st.getPath.getName.stripPrefix("compact=").toLong,
-        st.getPath.toString))
-      .sortBy(-_._1).headOption
-  }
-
-  private def annEpochGens(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[(Long, String)] = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(d)) return Seq.empty
-    fs.listStatus(d).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
-        st.getPath.toString))
-      .sortBy(_._1)
-  }
-
-  /** Fold epochs in (priorCompact, upTo] plus the prior compacted
-    * generation into compact=upTo, then delete the folded inputs —
-    * replay-safe exactly as DedupOps.compactLshEpochs. */
+  /** Fold epochs into the watermark-keyed compacted generation —
+    * [[EpochStore.compact]] with this index's leaves (shared with
+    * s27's LSH store; replay- and crash-safe via the commit marker). */
   private[queries] def compactAnnEpochs(s: org.apache.spark.sql.SparkSession,
-      dir: String, upTo: Long): Unit = {
-    val fs = hadoopFs(s, dir)
-    val prior = latestAnnCompact(fs, dir)
-    val lo = prior.map(_._1).getOrElse(-1L)
-    if (lo >= upTo) return
-    val folds = annEpochGens(fs, dir).filter { case (id, _) => id > lo && id <= upTo }
-    if (folds.isEmpty) return
-    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ folds.map(_._2 + "/bands")
-    val vecSrcs = prior.map(_._2 + "/vecs").toSeq ++ folds.map(_._2 + "/vecs")
-    s.read.parquet(bandSrcs: _*).coalesce(8)
-      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/bands")
-    s.read.parquet(vecSrcs: _*).coalesce(8)
-      .write.mode("overwrite").parquet(s"$dir/compact=$upTo/vecs")
-    folds.foreach { case (_, p) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
-    prior.foreach { case (_, p) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
-  }
+      dir: String, upTo: Long): Unit =
+    EpochStore.compact(s, dir, upTo, Seq("bands", "vecs"))
 
   /** s28: s25's streaming ingest with in-lifecycle epoch compaction —
     * live generation count bounded by the interval; serving = base ∪
@@ -774,26 +732,19 @@ object SimilarityOps {
       rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
         .foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
     } finally q.stop()
-    val fs = hadoopFs(s, streamDir)
-    val prior = latestAnnCompact(fs, streamDir)
-    val lo = prior.map(_._1).getOrElse(-1L)
-    val eps = annEpochGens(fs, streamDir).filter(_._1 > lo)
-    val bandSrcs = prior.map(_._2 + "/bands").toSeq ++ eps.map(_._2 + "/bands")
-    val vecSrcs = prior.map(_._2 + "/vecs").toSeq ++ eps.map(_._2 + "/vecs")
     annServeFrom(s,
       s.table("graft_ann_bands_base")
-        .unionByName(s.read.parquet(bandSrcs: _*)),
+        .unionByName(s.read.parquet(
+          EpochStore.servePaths(s, streamDir, "bands"): _*)),
       s.table("graft_ann_vecs_base")
-        .unionByName(s.read.parquet(vecSrcs: _*)),
+        .unionByName(s.read.parquet(
+          EpochStore.servePaths(s, streamDir, "vecs"): _*)),
       nQueries, k, nBands, bandBits)
   }
 
   /** Live generation count — exposed for the bounded-files spec. */
   private[graft] def annLiveGenerations(s: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
-    val fs = hadoopFs(s, dir)
-    latestAnnCompact(fs, dir).size + annEpochGens(fs, dir).size
-  }
+      dir: String): Int = EpochStore.liveGenerations(s, dir)
 
   /** The exact-top-k oracle — shared by a1 (the exact kernel) and a2
     * (LSH at agreement-grade recall, see a2's def). */
@@ -990,7 +941,15 @@ object SimilarityOps {
     // generations are still never read for the fold, never
     // rewritten). Oracle = exact top-5 over the live corpus, both
     // endpoints filtered — a deleted vector surviving as a result OR
-    // as a query breaks the hash.
+    // as a query breaks the hash. Coverage note: deletions PROMOTE
+    // full-corpus rank-6+ vectors into the live top-5, so the r13
+    // full-corpus candidate-completeness measurement does not carry
+    // over automatically — the post-delete coverage is re-measured
+    // wherever the engine is gated (the exact-equality oracle at
+    // sf0.001/0.01/0.1 and the 100× corpus, plus the spec's
+    // logical ≡ physical ≡ exact-on-live equality), the same
+    // per-corpus-measured status as the a2/a3/a6 promotions; a new
+    // corpus re-certifies through the same gate before any claim.
     QueryDef("a14_ann_index_delete", ExactTop5LiveOracleSql) { (s, d) =>
       ensureAnnIndexBase(s, d)
       foldAnnDelta(s, d)

@@ -53,6 +53,7 @@ class CdcApplySpec extends AnyFunSuite {
     assert(stateOf(url) == applied, "replayed epoch must be skipped")
     CdcApply.applyBatch(url, "spec1", 0L, fileBatches(1))
     assert(stateOf(url) == applied)
+    CdcApply.dropTarget(url)
   }
 
   test("c24: flashback apply returns the live target to the pre-tail state") {
@@ -85,6 +86,7 @@ class CdcApplySpec extends AnyFunSuite {
     assert(afterUndo == truncated,
       "flashback must equal the state had the tail never been applied")
     assert(afterForward != afterUndo, "fixture must make the undo observable")
+    CdcApply.dropTarget(url)
   }
 
   test("c23: stamped merge commutes — reverse batch order converges to the same state") {
@@ -97,5 +99,6 @@ class CdcApplySpec extends AnyFunSuite {
     assert(stateOf(fwd) == stateOf(rev),
       "out-of-order application must converge (stamps, not arrival order)")
     assert(stateOf(fwd).nonEmpty)
+    CdcApply.dropTarget(fwd); CdcApply.dropTarget(rev)
   }
 }

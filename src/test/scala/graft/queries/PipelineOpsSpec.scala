@@ -744,6 +744,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       "compacting ANN stream epochs must lose nothing and duplicate nothing")
   }
 
+  test("epoch compaction heals a crash-torn compact dir (commit marker)") {
+    import spark.implicits._
+    val dir = graft.TmpDirs.scratch("s27crash")
+    (0L to 3L).foreach { e =>
+      DedupOps.foldLshDeltaEpoch(
+        Seq((200 + e, s"kappa lambda mu nu xi omicron pi rho doc$e word"))
+          .toDF("doc_id", "text"), s"$dir/epoch=$e")
+    }
+    // simulate a crash mid-compaction: compact=2 has its bands leaf
+    // but NOT its sets leaf and NO commit marker — exactly the state
+    // a process death between the two parquet writes leaves behind
+    spark.read.parquet(s"$dir/epoch=0/bands")
+      .write.parquet(s"$dir/compact=2/bands")
+    // the torn dir is INVISIBLE: no generation is served from it
+    assert(DedupOps.lshLiveGenerations(spark, dir) === 4) // the 4 epochs
+    // the replayed trigger must NOT early-return on the torn dir — it
+    // rebuilds every leaf and only then commits
+    DedupOps.compactLshEpochs(spark, dir, 2)
+    assert(DedupOps.lshLiveGenerations(spark, dir) === 2) // compact=2 + epoch=3
+    assert(spark.read.parquet(s"$dir/compact=2/sets").count() > 0,
+      "healed compaction must have rebuilt the missing leaf")
+    assert(spark.read.parquet(s"$dir/compact=2/bands")
+      .select("doc_id").distinct().count() === 3,
+      "healed compaction must carry epochs 0-2, not the torn leftover")
+  }
+
   test("s27 compaction primitive: replay-safe, watermark-keyed, bounded") {
     import spark.implicits._
     val dir = graft.TmpDirs.scratch("s27spec")
