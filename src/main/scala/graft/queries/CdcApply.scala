@@ -221,6 +221,168 @@ object CdcApply {
     }
   }
 
+  /** c25: one fenced micro-batch of an EVOLVING table applied to the
+    * live target, DDL INCLUDED — the piece c23/c24 left out: the
+    * reference's `--include-ddl` output exists so a replay carries
+    * schema changes too, and a long-lived apply target must evolve
+    * WITH the log or every post-ALTER row event loses its new
+    * columns. Derby DDL is transactional, so the ALTER and the DML
+    * merge commit (or roll back) as ONE fenced unit:
+    *
+    *  1. The batch's DDL folds into the accumulated statement list
+    *     (driver state, bounded by the human-DDL contract — c19's
+    *     accumulator) and `SchemaEvolve.foldDdls` rebuilds the
+    *     positioned timeline, so every row event resolves its column
+    *     NAMES against the schema version at ITS log position (the
+    *     c15 decode, applied to the sink side).
+    *  2. Name resolution is DISTRIBUTED: the (tiny) version table
+    *     broadcast-joins the batch, each event picks its version by
+    *     position (last version strictly before it), and per-column
+    *     values lift out of the positional image by resolved name —
+    *     events predating an ALTER simply leave the later columns
+    *     NULL, exactly what the target database would hold had each
+    *     statement been applied at its own time.
+    *  3. Within-batch fold to one action per key (last-writer by
+    *     stamp), distributed stage write, then the fenced driver
+    *     transaction: ADD COLUMN for any timeline column the target
+    *     lacks (diffed against live JDBC metadata — idempotent under
+    *     replay and crash-retry), then the same stamped set-based
+    *     DELETE+INSERT merge as c23, column list widened to the
+    *     evolved schema.
+    *
+    * Returns the updated accumulated-DDL list for the next batch. */
+  private[queries] def applyEvolvedBatch(url: String, jobId: String,
+      epoch: Long, batch: DataFrame, db: String, table: String,
+      baseCols: IndexedSeq[String],
+      ddlsSoFar: Seq[(String, Long, String, String)])
+      : Seq[(String, Long, String, String)] = {
+    registerDialect
+    val spark = batch.sparkSession
+    val batchDdls = batch.filter(col("op") === "ddl")
+      .select("file", "seq", "db", "ddl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val allDdls = ddlsSoFar ++ batchDdls
+    val timeline = graft.cdc.SchemaEvolve
+      .foldDdls(Map((db, table) -> baseCols), allDdls)
+      .getOrElse((db, table), Vector(("", -1L, baseCols)))
+    val valueCols = timeline.last._3.filterNot(_ == "id")
+
+    val versions = spark.createDataFrame(
+      timeline.map { case (f, sq, cols) => (f, sq, cols) })
+      .toDF("vfile", "vseq", "vcols")
+    val dml = batch.filter(col("op").isin("insert", "update", "delete") &&
+      col("db") === db && col("table") === table)
+    // version in effect at each event: last version strictly before
+    // its (file, seq) — the base version ("", -1) matches everything
+    import org.apache.spark.sql.expressions.Window
+    val resolved = dml.join(broadcast(versions),
+        col("vfile") < col("file") ||
+          (col("vfile") === col("file") && col("vseq") < col("seq")))
+      .withColumn("vrn", row_number().over(Window.partitionBy("file", "seq")
+        .orderBy(col("vfile").desc, col("vseq").desc)))
+      .filter(col("vrn") === 1)
+
+    // lift a positional image cell by RESOLVED name (1-based ordinal
+    // into the version's column list)
+    // get(): NULL (not an ANSI error) when the image lacks the column
+    def cell(ords: String, vals: String, name: String) =
+      expr(s"get(filter(arrays_zip($ords, $vals), " +
+        s"x -> element_at(vcols, x.$ords) = '$name'), 0).$vals")
+    def idOf(ords: String, vals: String) =
+      cell(ords, vals, "id").cast("long")
+
+    val tomb = resolved
+      .filter(col("op").isin("update", "delete") && size(col("beforeOrds")) > 0)
+      .select(Seq(idOf("beforeOrds", "beforeVals").as("id"),
+        lit(0).as("keep_row"), col("file").as("sfile"),
+        col("seq").as("sseq"), lit(0).as("srnk")) ++
+        valueCols.map(c => lit(null).cast("string").as(c)): _*)
+    val ups = resolved
+      .filter(col("op").isin("insert", "update") && size(col("afterOrds")) > 0)
+      .select(Seq(idOf("afterOrds", "afterVals").as("id"),
+        lit(1).as("keep_row"), col("file").as("sfile"),
+        col("seq").as("sseq"), lit(1).as("srnk")) ++
+        valueCols.map(c => cell("afterOrds", "afterVals", c).as(c)): _*)
+    // within-batch fold: ONE action per key, last-writer by stamp
+    val actions = tomb.unionByName(ups).filter(col("id").isNotNull)
+      .withColumn("arn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("sfile").desc, col("sseq").desc, col("srnk").desc)))
+      .filter(col("arn") === 1).drop("arn")
+
+    val stage = s"stage_ev_$jobId"
+    actions.write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", stage)
+      .option("createTableColumnTypes",
+        ("sfile VARCHAR(512)" +: valueCols.map(c => s"$c VARCHAR(512)"))
+          .mkString(", "))
+      .save()
+
+    withConn(url) { c =>
+      c.setAutoCommit(false)
+      ensureFence(c)
+      val fenceTaken =
+        try { exec(c, s"INSERT INTO applied_epochs VALUES ('$jobId', $epoch)"); true }
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "23505" =>
+            c.rollback() // epoch already committed — the fence fires
+            false
+        }
+      if (fenceTaken) {
+        val tgt = tgtName(db, table)
+        createIfAbsent(c,
+          s"""CREATE TABLE $tgt(
+             |  id BIGINT NOT NULL, keep_row INT NOT NULL,
+             |  sfile VARCHAR(512) NOT NULL, sseq BIGINT NOT NULL,
+             |  srnk INT NOT NULL, PRIMARY KEY (id))""".stripMargin)
+        // evolve the TARGET: add every timeline column it lacks, by
+        // live metadata diff — idempotent under replay and crash-retry
+        val present = {
+          val rs = c.getMetaData.getColumns(null, "APP", tgt.toUpperCase, null)
+          val b = Set.newBuilder[String]
+          while (rs.next()) b += rs.getString("COLUMN_NAME").toUpperCase
+          rs.close(); b.result()
+        }
+        valueCols.filterNot(v => present.contains(v.toUpperCase)).foreach {
+          v => exec(c, s"ALTER TABLE $tgt ADD COLUMN $v VARCHAR(512)")
+        }
+        exec(c,
+          s"""DELETE FROM $tgt WHERE EXISTS (
+             |  SELECT 1 FROM $stage s WHERE s."id" = $tgt.id
+             |    AND (s."sfile" > $tgt.sfile OR (s."sfile" = $tgt.sfile
+             |      AND (s."sseq" > $tgt.sseq OR (s."sseq" = $tgt.sseq
+             |        AND s."srnk" >= $tgt.srnk)))))""".stripMargin)
+        val colList = Seq("id", "keep_row", "sfile", "sseq", "srnk") ++ valueCols
+        exec(c,
+          s"""INSERT INTO $tgt (${colList.mkString(", ")})
+             |SELECT ${colList.map(n => s"""s."$n"""").mkString(", ")}
+             |FROM $stage s
+             |WHERE NOT EXISTS (SELECT 1 FROM $tgt x WHERE x.id = s."id")""".stripMargin)
+        c.commit()
+      }
+    }
+    allDdls
+  }
+
+  /** The evolved table's live state read BACK from the target,
+    * UNPIVOTED to (id, colname, value) — a STABLE three-column shape
+    * whatever the schema grew into, so the driver compare needs no
+    * per-fixture column list. Column names come from the live JDBC
+    * metadata (Derby uppercases unquoted identifiers; fold back). */
+  private[queries] def readEvolvedState(s: SparkSession, url: String,
+      db: String, table: String): DataFrame = {
+    val meta = Set("ID", "KEEP_ROW", "SFILE", "SSEQ", "SRNK")
+    val df = s.read.format("jdbc")
+      .option("url", url).option("dbtable", tgtName(db, table).toUpperCase)
+      .load()
+    val valueCols = df.columns.filterNot(c => meta.contains(c.toUpperCase))
+    df.filter(col("KEEP_ROW") === 1)
+      .unpivot(Array(col("ID").as("id")), valueCols.map(col),
+        "colname", "value")
+      .filter(col("value").isNotNull)
+      .select(col("id"), lower(col("colname")).as("colname"), col("value"))
+  }
+
   /** The applied state, read BACK from the live target over JDBC —
     * live rows only (tombstones are storage, not state). */
   private[queries] def readState(s: SparkSession, url: String): DataFrame = {

@@ -131,6 +131,12 @@ object CdcQueries {
   private val FlashOracleSnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_flashevents_cur"
 
+  /** c25's raw-event snapshot: the evolve fixture WITH positional
+    * images (ords/vals arrays), so the oracle can re-derive the final
+    * evolved state name-by-name from the log alone. */
+  private val EvolveApplySnapshot =
+    System.getProperty("java.io.tmpdir") + "/graft_cdc_evolveapply_snap"
+
   /** c11's streaming parquet sink + its checkpoint. */
   private val SinkPath =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_sink_cur"
@@ -863,6 +869,81 @@ object CdcQueries {
       val out = CdcApply.readState(s, url).localCheckpoint(true)
       CdcApply.dropTarget(url)
       out.orderedRows(col("db"), col("table"), col("id"))
+    },
+
+    // c25: EVOLVE APPLY (late r15) — DDL carried THROUGH the apply
+    // sink to the live target: c23/c24 replay DML against a fixed
+    // schema, but the reference's --include-ddl output exists so a
+    // replay carries schema changes too. The evolve fixture's ALTERs
+    // execute against the live Derby target INSIDE the same fenced
+    // transaction as the batch's DML merge (Derby DDL is
+    // transactional), each row event resolves its column names
+    // against the positioned schema version at ITS log position
+    // (c15's decode applied to the sink side, name resolution
+    // distributed via a broadcast version table), and rows that
+    // predate an ALTER leave the later columns NULL — exactly what
+    // the target would hold had every statement been applied at its
+    // own time. Read-back UNPIVOTS the evolved table to a stable
+    // (id, colname, value) shape. The oracle re-derives that state
+    // INDEPENDENTLY from the raw positional images: last action per
+    // key (c9's argmax), each surviving cell named by which ALTER
+    // introduced its ordinal strictly before the event — so one
+    // mis-versioned, mis-merged, or un-ALTERed cell anywhere breaks
+    // the hash. Doc at [[CdcApply.applyEvolvedBatch]].
+    QueryDef("c25_evolve_apply",
+      s"""WITH ev AS (SELECT * FROM read_parquet('$EvolveApplySnapshot/*.parquet')),
+         |adds AS (SELECT file, seq,
+         |    regexp_extract(ddl, 'add column ([A-Za-z0-9_]+)', 1) AS c,
+         |    ROW_NUMBER() OVER (ORDER BY file, seq) + 2 AS ord
+         |  FROM ev WHERE op = 'ddl' AND ddl LIKE '%add column%'),
+         |dml AS (SELECT * FROM ev
+         |        WHERE op IN ('insert','update','delete')
+         |          AND db = 'appdb' AND "table" = 'evolve'),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk,
+         |         CAST(beforeVals[list_position(beforeOrds, 1)] AS BIGINT) AS id,
+         |         NULL AS ords, NULL AS vals, 0 AS keep
+         |  FROM dml WHERE op IN ('update','delete') AND len(beforeOrds) > 0
+         |  UNION ALL
+         |  SELECT file, seq, 1,
+         |         CAST(afterVals[list_position(afterOrds, 1)] AS BIGINT),
+         |         afterOrds, afterVals, 1
+         |  FROM dml WHERE op IN ('insert','update') AND len(afterOrds) > 0),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts),
+         |live AS (SELECT * FROM last WHERE rn = 1 AND keep = 1),
+         |cells AS (SELECT file, seq, id,
+         |            unnest(ords) AS ord, unnest(vals) AS val FROM live),
+         |named AS (SELECT c.id, c.val,
+         |    CASE WHEN c.ord = 2 THEN 'a'
+         |         ELSE (SELECT a.c FROM adds a WHERE a.ord = c.ord
+         |               AND (a.file < c.file
+         |                    OR (a.file = c.file AND a.seq < c.seq)))
+         |    END AS colname
+         |  FROM cells c WHERE c.ord >= 2)
+         |SELECT id, colname, val AS value FROM named
+         |ORDER BY id, colname""".stripMargin) { (s, d) =>
+      val p = BinlogFixture.materializeDirParts("evolve_stream_v1",
+        BinlogFixture.evolveStreamParts(700, 4))
+      val events = CdcJob.parse(s, p, includeDdl = true)
+      writeSnapshotIfStale(EvolveApplySnapshot, d) {
+        events.select("file", "seq", "db", "table", "op", "ddl",
+          "beforeOrds", "beforeVals", "afterOrds", "afterVals")
+          .write.mode("overwrite").parquet(EvolveApplySnapshot)
+      }
+      val files = events.select("file").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: file count
+      val url = CdcApply.newTargetUrl()
+      var ddls: Seq[(String, Long, String, String)] = Nil
+      files.zipWithIndex.foreach { case (f, i) =>
+        ddls = CdcApply.applyEvolvedBatch(url, "c25", i.toLong,
+          events.filter(col("file") === f), "appdb", "evolve",
+          IndexedSeq("id", "a"), ddls)
+      }
+      val out = CdcApply.readEvolvedState(s, url, "appdb", "evolve")
+        .localCheckpoint(true)
+      CdcApply.dropTarget(url)
+      out.orderedRows(col("id"), col("colname"))
     },
 
     // c20: SCD TYPE-2 DIMENSION HISTORY (r14) — the OTHER standard

@@ -89,6 +89,75 @@ class CdcApplySpec extends AnyFunSuite {
     CdcApply.dropTarget(url)
   }
 
+  test("c25: evolved apply == sequential interpreter; ALTER fenced with its batch; replay is a no-op") {
+    val p = graft.cdc.BinlogFixture.materializeDirParts("evolve_apply_spec_v1",
+      graft.cdc.BinlogFixture.evolveStreamParts(70, 2))
+    val events = graft.cdc.CdcJob.parse(spark, p, includeDdl = true)
+    val files = events.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(files.length == 2)
+    val url = CdcApply.newTargetUrl()
+    var ddls: Seq[(String, Long, String, String)] = Nil
+    files.zipWithIndex.foreach { case (f, i) =>
+      ddls = CdcApply.applyEvolvedBatch(url, "evspec", i.toLong,
+        events.filter(col("file") === f), "appdb", "evolve",
+        IndexedSeq("id", "a"), ddls)
+    }
+    val applied = CdcApply.readEvolvedState(spark, url, "appdb", "evolve")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    // independent twin: a SEQUENTIAL interpreter over the sorted log —
+    // one schema vector mutated in event order, one row map. DDL
+    // events carry db="" (the `use` context rides inside the ddl
+    // text), so select by op, not db.
+    val evs = events
+      .select("file", "seq", "op", "ddl", "table",
+        "beforeOrds", "beforeVals", "afterOrds", "afterVals")
+      .collect().sortBy(r => (r.getString(0), r.getLong(1)))
+    var cols = Vector("id", "a")
+    val state = scala.collection.mutable.Map.empty[Long, Map[String, String]]
+    val add = "alter table evolve add column ([A-Za-z0-9_]+)".r
+    evs.foreach { r =>
+      val op = r.getString(2)
+      if (op == "ddl") {
+        add.findFirstMatchIn(Option(r.getString(3)).getOrElse(""))
+          .foreach(m => cols :+= m.group(1))
+      } else if (r.getString(4) == "evolve") {
+        val bo = r.getSeq[Int](5); val bv = r.getSeq[String](6)
+        val ao = r.getSeq[Int](7); val av = r.getSeq[String](8)
+        if ((op == "update" || op == "delete") && bo.nonEmpty)
+          state.remove(bv(bo.indexOf(1)).toLong)
+        if ((op == "insert" || op == "update") && ao.nonEmpty)
+          state(av(ao.indexOf(1)).toLong) =
+            ao.zip(av).map { case (o, v) => cols(o - 1) -> v }.toMap
+      }
+    }
+    val expected = state.iterator.flatMap { case (id, m) =>
+      m.iterator.filter(_._1 != "id").map { case (n, v) => (id, n, v) }
+    }.toSet
+    assert(applied == expected, "live target must equal the sequential replay")
+    // non-vacuity of the evolution semantics: added columns are
+    // populated, and some live row predates a later ALTER (carries
+    // fewer extras than the final schema)
+    val finalExtras = cols.count(_.startsWith("extra_"))
+    assert(finalExtras > 0, "fixture must evolve")
+    val extrasPerId = applied.groupBy(_._1)
+      .map { case (id, s) => id -> s.count(_._2.startsWith("extra_")) }
+    assert(extrasPerId.values.exists(_ > 0),
+      "post-ALTER rows must carry added columns")
+    assert(extrasPerId.values.exists(_ < finalExtras),
+      "some live row must predate a later ALTER (NULL in its columns)")
+    // replay an already-committed epoch — even with the OTHER batch's
+    // content: fence fires, no merge, no double-ALTER
+    CdcApply.applyEvolvedBatch(url, "evspec", 1L,
+      events.filter(col("file") === files.head), "appdb", "evolve",
+      IndexedSeq("id", "a"), ddls)
+    val replayed = CdcApply.readEvolvedState(spark, url, "appdb", "evolve")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(replayed == applied, "replayed epoch must be skipped")
+    CdcApply.dropTarget(url)
+  }
+
   test("c23: stamped merge commutes — reverse batch order converges to the same state") {
     val fwd = CdcApply.newTargetUrl()
     CdcApply.applyBatch(fwd, "specF", 0L, fileBatches(0))
