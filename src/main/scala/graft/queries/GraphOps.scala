@@ -58,6 +58,17 @@ object GraphOps {
     * 0). The oracle keeps the self-join form — cross-engine
     * agreement between the two constructions is part of the check. */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame =
+    coPurchaseEdgesWeighted(lineitem).select("src", "dst")
+
+  /** [[coPurchaseEdges]] with the CO-OCCURRENCE WEIGHT kept: w = the
+    * number of distinct orders containing the pair (collect_set
+    * dedups parts within an order, so each order credits a pair at
+    * most once). The groupBy replaces the unweighted form's distinct
+    * — same exchange, one count on top — and thresholding w yields
+    * the co-purchase BACKBONE graph (g5): the ≥2-order edges are the
+    * non-chance relationships, under which the one-giant-hairball
+    * co-occurrence graph fragments into real clusters. */
+  def coPurchaseEdgesWeighted(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(expr(
@@ -66,7 +77,7 @@ object GraphOps {
           |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
   // ---------------------------------------------------------------
   // Persisted edge table (r15): the four graph entries share ONE
@@ -90,7 +101,10 @@ object GraphOps {
       if (edgeTableSf.get("edges") == d &&
         s.catalog.tableExists("graft_graph_edges")) return
       edgeTableSf.remove("edges")
-      coPurchaseEdges(Tables.lineitem(s, d))
+      // persisted WITH the co-occurrence weight: one table serves the
+      // unweighted consumers (g1–g4 project it away — parquet column
+      // pruning never reads w) and the thresholded backbone (g5)
+      coPurchaseEdgesWeighted(Tables.lineitem(s, d))
         .write.mode("overwrite")
         .option("path", s"$GraphWarehouse/edges")
         .bucketBy(8, "src").sortBy("src", "dst")
@@ -98,8 +112,16 @@ object GraphOps {
       edgeTableSf.put("edges", d)
     }
 
-  /** The shared persisted edge list for corpus `d`. */
+  /** The shared persisted edge list for corpus `d` — unweighted
+    * (src, dst) view, the g1–g4 contract. */
   def edgeTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    ensureEdgeTable(s, d)
+    s.table("graft_graph_edges").select("src", "dst")
+  }
+
+  /** The same persisted table with the co-occurrence weight (g5). */
+  def weightedEdgeTable(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     ensureEdgeTable(s, d)
     s.table("graft_graph_edges")
   }
@@ -772,6 +794,37 @@ object GraphOps {
        |FROM ranked WHERE rk <= $k
        |ORDER BY query_node, rk""".stripMargin
 
+  /** g5's oracle: weighted pairs from the self-join at DISTINCT
+    * (order, pair) grain (an order credits a pair once — the
+    * collect_set semantics), threshold, then `rounds` unrolled
+    * min-label propagation steps. MATERIALIZED throughout — each
+    * round references its predecessor twice, and DuckDB re-inlines
+    * plain CTEs per reference (the g1 runaway lesson). */
+  private def componentsSql(minW: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS MATERIALIZED (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, COUNT(*) AS w FROM (
+      |      SELECT DISTINCT a.l_orderkey AS ok,
+      |             a.l_partkey AS u, b.l_partkey AS v
+      |      FROM lineitem a JOIN lineitem b
+      |        ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey)
+      |    GROUP BY u, v) WHERE w >= $minW),
+      |edges AS MATERIALIZED (
+      |  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |l0 AS MATERIALIZED (SELECT DISTINCT u, u AS m FROM edges)""".stripMargin
+    for (i <- 1 to rounds) sb ++=
+      s""",
+         |l$i AS MATERIALIZED (SELECT u, MIN(m) AS m FROM (
+         |  SELECT u, m FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT e.u, l.m FROM edges e JOIN l${i - 1} l ON l.u = e.v
+         |) GROUP BY u)""".stripMargin
+    sb ++= s"\nSELECT u AS node, m AS component FROM l$rounds ORDER BY node"
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // All four entries serve from the SHARED persisted edge table
@@ -793,6 +846,33 @@ object GraphOps {
     QueryDef("g4_common_neighbors",
       commonNeighborsSql(queries = 20, k = 5)) { (s, d) =>
       commonNeighbors(edgeTable(s, d), queries = 20, k = 5)
+    },
+
+    // g5: CONNECTED COMPONENTS over the co-purchase BACKBONE (late
+    // r15) — the fifth canonical graph shape. The raw co-occurrence
+    // graph is one giant hairball at every SF (min-label floods it in
+    // 3–4 rounds — measured), so components are computed where they
+    // MEAN something: the w ≥ 2 backbone (pairs co-purchased in at
+    // least two distinct orders — the non-chance relationships),
+    // which fragments into 2,350 components at sf0.1. The weight
+    // rides in the SHARED persisted edge table (one column g1–g4
+    // prune away), so the backbone is a metadata-only filter on the
+    // same bucketed scan. The component kernel is
+    // [[DedupOps.clusterPairs]] — min-label propagation with the
+    // star-contraction fallback and the ≤2²⁰-pair driver union-find
+    // fast path, all spec-equivalent — reused verbatim: dedup
+    // clustering and graph components are the same operator. The
+    // oracle unrolls 16 MATERIALIZED min-label rounds (fixpoint
+    // measured at ≤11 across SFs; an unconverged oracle can only
+    // FAIL the hash, never falsely pass — any label still moving
+    // differs from the engine's true component minimum).
+    QueryDef("g5_connected_components",
+      componentsSql(minW = 2, rounds = 16)) { (s, d) =>
+      DedupOps.clusterPairs(
+        weightedEdgeTable(s, d).filter(col("w") >= 2)
+          .select(col("src").as("ia"), col("dst").as("ib")))
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+        .orderBy("node")
     }
   )
 }

@@ -167,6 +167,31 @@ class GraphOpsSpec extends AnyFunSuite {
     got.foreach { case (s, d) => assert(s < d) }
   }
 
+  test("edge weights count DISTINCT orders; the w>=2 backbone fragments (g5)") {
+    import spark.implicits._
+    // order 1 carries (10,20) with an in-order dup line; orders 2,3
+    // repeat it; (20,30) appears once; (40,50) twice
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 10L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 20L), (4L, 20L), (4L, 30L), (5L, 40L), (5L, 50L), (6L, 40L),
+      (6L, 50L)).toDF("l_orderkey", "l_partkey")
+    val w = GraphOps.coPurchaseEdgesWeighted(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w === Set((10L, 20L, 3L), (20L, 30L, 1L), (40L, 50L, 2L)),
+      "weight = distinct orders; in-order duplicate lines credit once")
+    // unweighted view unchanged: same pairs, weight projected away
+    val unw = GraphOps.coPurchaseEdges(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unw === w.map(t => (t._1, t._2)))
+    // the backbone drops the chance edge, splitting the hairball:
+    // {10,20,30} ∪ {40,50} connected raw; w>=2 severs 30
+    val comps = DedupOps.clusterPairs(
+      GraphOps.coPurchaseEdgesWeighted(li).filter(col("w") >= 2)
+        .select(col("src").as("ia"), col("dst").as("ib")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps === Set((10L, 10L), (20L, 10L), (40L, 40L), (50L, 40L)))
+  }
+
   test("aggregate-form edge build equals the self-join twin on random baskets") {
     import spark.implicits._
     for (seed <- Seq(7, 31)) {
