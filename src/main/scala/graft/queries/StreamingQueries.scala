@@ -602,6 +602,69 @@ object StreamingQueries {
             col("active_buckets"), col("n")))
         .filter(col("w30_start") < lit("2029-01-01").cast("timestamp"))
         .orderedRows(col("w30_start")) // rows scale with the time range
+    },
+
+    // s29: STREAMING UNIFORM SAMPLE with k-bounded state (late r15) —
+    // the sampling family's streaming twin (t5 rate, t17 quota, t23
+    // weighted are batch one-shots; a long-running ingest needs a
+    // standing representative sample for monitoring/eval draws).
+    // Deterministic hash-priority reservoir: keep the k smallest
+    // (xxhash64(event_id), id); bottom-k by a pure row function is
+    // merge-commutative, so the streamed fold equals the batch
+    // bottom-k whatever the feed chunking (split-invariance spec'd in
+    // StreamingOpsSpec) and the entry carries a FULL batch oracle —
+    // DuckDB re-derives xxhash64 of the BIGINT id itself (t23's
+    // hashLong HUGEINT machinery, seed 42) and takes the same
+    // bottom-k. State = the ≤k winners, never the stream.
+    QueryDef("s29_sample_stream", SampleStreamSql(500)) { (s, d) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = MemoryStream[EventRow]
+      var state: Option[DataFrame] = None
+      val ckpt = graft.TmpDirs.scratch("graft_s29_cp")
+      val q = in.toDF()
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = Some(graft.streaming.StreamingOps
+            .sampleFold(state, batch, 500).localCheckpoint())
+        }
+        .start()
+      try {
+        eventFeedAll(s, d, 6).foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      state.get.select("event_id", "user_id", "event_type")
+        .orderedSmall(col("event_id")) // k rows: bounded
     }
   )
+
+  /** s29's oracle: bottom-`k` events by (xxhash64(event_id), id) —
+    * the hashLong single-long path in HUGEINT SQL (t23's derivation,
+    * seed 42, matching Spark's builtin xxhash64 over a BIGINT). */
+  private def SampleStreamSql(k: Int): String = {
+    import SqlHash._
+    val h0 = (BigInt(42) + BigInt(P5) + 8) % BigInt(Mod)
+    s"""WITH d AS (SELECT event_id, user_id, event_type FROM events),
+       |h0 AS (SELECT *,
+       |       ((CAST(event_id AS HUGEINT) % $Mod + $Mod) % $Mod) AS u FROM d),
+       |k1 AS (SELECT event_id, user_id, event_type,
+       |       ${mul64(rotl(mul64("u", P2), 31), P1)} AS k FROM h0),
+       |s1 AS (SELECT event_id, user_id, event_type,
+       |       ${xor64(h0.toString, "k")} AS h FROM k1),
+       |s2 AS (SELECT event_id, user_id, event_type,
+       |       (${mul64(rotl("h", 27), P1)} + $P4) % $Mod AS h FROM s1),
+       |a1 AS (SELECT event_id, user_id, event_type,
+       |       ${mul64(xor64("h", shr("h", 33)), P2)} AS h FROM s2),
+       |a2 AS (SELECT event_id, user_id, event_type,
+       |       ${mul64(xor64("h", shr("h", 29)), P3)} AS h FROM a1),
+       |hh AS (SELECT event_id, user_id, event_type,
+       |       ${xor64("h", shr("h", 32))} AS h FROM a2),
+       |hs AS (SELECT event_id, user_id, event_type,
+       |        CASE WHEN h >= 9223372036854775808 THEN h - $Mod
+       |             ELSE h END AS h FROM hh),
+       |r AS (SELECT event_id, user_id, event_type,
+       |        ROW_NUMBER() OVER (ORDER BY h, event_id) AS rn FROM hs)
+       |SELECT event_id, user_id, event_type FROM r
+       |WHERE rn <= $k ORDER BY event_id""".stripMargin
+  }
 }

@@ -94,6 +94,25 @@ object StreamingOps {
   def deltaDedupStream(delta: DataFrame, base: DataFrame): DataFrame =
     delta.join(base, Seq("key"), "left_anti").dropDuplicates("key")
 
+  /** s29: one micro-batch folded into a streaming UNIFORM k-SAMPLE
+    * with k-BOUNDED state — the sampling family's missing streaming
+    * twin (t5/t17/t23 are batch one-shots). Deterministic reservoir
+    * via HASH-PRIORITY: keep the k smallest (xxhash64(event_id), id)
+    * keys seen so far. Every id's priority is a pure function of the
+    * ROW, so bottom-k is merge-commutative and batch-split-invariant
+    * (the k7/d6 fold property): the streamed sample equals the batch
+    * bottom-k over the whole corpus, under ANY feed chunking — unlike
+    * the classic replace-with-probability reservoir, whose output
+    * depends on arrival order and RNG state and could never carry a
+    * batch oracle. State = the ≤k current winners (orderBy+limit
+    * plans as TakeOrdered over state ∪ batch), never the stream. */
+  def sampleFold(state: Option[DataFrame], batch: DataFrame,
+      k: Int): DataFrame = {
+    val scored = batch.withColumn("h", xxhash64(col("event_id")))
+    state.map(_.unionByName(scored)).getOrElse(scored)
+      .orderBy(col("h"), col("event_id")).limit(k)
+  }
+
   /** S12: stream-stream interval join — attribute each purchase to
     * every view by the same user in the preceding 30 minutes. Both
     * sides derive from ONE events stream (a streaming self-join):

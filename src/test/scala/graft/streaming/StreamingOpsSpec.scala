@@ -120,6 +120,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("s29 sampleFold: split-invariant, equals batch bottom-k, state bounded by k") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val rows = (0L until 400L).map(i =>
+      (i * 37 % 1000, i % 20, s"t${i % 3}")) // ids with gaps, non-monotone
+    val all = rows.toDF("event_id", "user_id", "event_type")
+    val k = 50
+    def fold(chunks: Seq[DataFrame]): Set[(Long, Long, String)] = {
+      var st: Option[DataFrame] = None
+      var maxState = 0L
+      chunks.foreach { c =>
+        st = Some(StreamingOps.sampleFold(st, c, k).localCheckpoint())
+        maxState = math.max(maxState, st.get.count())
+      }
+      assert(maxState <= k, "state must never exceed k rows")
+      st.get.select("event_id", "user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    val batchTopK = all.withColumn("h", xxhash64(col("event_id")))
+      .orderBy(col("h"), col("event_id")).limit(k)
+      .select("event_id", "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batchTopK.size == k)
+    // any chunking — 1, 4, 13 uneven slices — converges to the batch answer
+    for (n <- Seq(1, 4, 13)) {
+      val chunks = rows.grouped(math.max(1, rows.length / n))
+        .map(_.toDF("event_id", "user_id", "event_type")).toSeq
+      assert(fold(chunks) == batchTopK, s"chunking n=$n")
+    }
+    // reversed feed order too: priorities are row-pure, order-free
+    val rev = rows.reverse.grouped(100)
+      .map(_.toDF("event_id", "user_id", "event_type")).toSeq
+    assert(fold(rev) == batchTopK, "reversed arrival")
+  }
+
   test("S6 golden: per-user running counter keeps state across batches") {
     val in = MemoryStream[EventRow]
     val out = runToMemory("s6t",
