@@ -60,7 +60,7 @@ object Bench {
     "s22_chained_windows", "s23_tws_running_stats",
     "s24_dedup_within_watermark", "s25_ann_index_stream",
     "s26_lsh_index_stream", "s27_lsh_epoch_compact",
-    "s28_ann_epoch_compact", "s29_sample_stream",
+    "s28_ann_epoch_compact", "s29_sample_stream", "s30_components_stream",
     "c10_state_stream", "c14_lake_state", "c19_evolve_stream",
     "c23_cdc_apply",
     "c21_scd2_stream")

@@ -794,6 +794,30 @@ object GraphOps {
        |FROM ranked WHERE rk <= $k
        |ORDER BY query_node, rk""".stripMargin
 
+  /** s30: one micro-batch of NEW edges folded into a standing
+    * (node, component) labeling — the graph family's streaming twin
+    * (the index families all have one: s25/s26/s10). STATE-AS-EDGES:
+    * each label row (node, component) is itself an edge from the node
+    * to its component REPRESENTATIVE (the min id), i.e. a spanning
+    * STAR per component — connectivity-equivalent to every edge seen
+    * so far. Components of (state ∪ batch) are therefore the true
+    * components of the full stream, and an edge that bridges two
+    * standing components merges their stars in one fold. State is
+    * NODE-bounded (one row per node ever seen), never edge- or
+    * stream-bounded — the reason to fold stars instead of keeping
+    * edges. Kernel: [[DedupOps.clusterPairs]] (min-label + fallback +
+    * driver fast path), so labels stay the component minimum and the
+    * fold is label-stable across any batch split (spec'd). */
+  def componentsFold(state: Option[DataFrame], batch: DataFrame): DataFrame = {
+    val b = batch.select(col("src").as("ia"), col("dst").as("ib"))
+    val all = state
+      .map(_.select(col("node").as("ia"), col("component").as("ib"))
+        .unionByName(b))
+      .getOrElse(b)
+    DedupOps.clusterPairs(all)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+  }
+
   /** g5's oracle: weighted pairs from the self-join at DISTINCT
     * (order, pair) grain (an order credits a pair once — the
     * collect_set semantics), threshold, then `rounds` unrolled
@@ -873,6 +897,42 @@ object GraphOps {
           .select(col("src").as("ia"), col("dst").as("ib")))
         .select(col("doc_id").as("node"), col("cluster_id").as("component"))
         .orderBy("node")
+    },
+
+    // s30: STREAMING connected components (late r15) — g5 maintained
+    // incrementally over an EDGE STREAM, closing the one family
+    // without a streaming twin. Per micro-batch the fold runs
+    // components over (standing star labels ∪ new edges) — see
+    // [[componentsFold]]: state is one row per node (node-bounded,
+    // never stream-bounded), cross-batch component merges happen in
+    // the fold itself, and the final labeling equals g5's batch
+    // answer over the whole edge set — certified by the SAME oracle.
+    // Feed: the backbone edges in (src, dst) order, 6 chunks (the
+    // driver-side feed is the test harness's deterministic source
+    // stand-in — the eventFeedAll contract; the operator under fold
+    // is distributed and unchanged at any scale).
+    QueryDef("s30_components_stream",
+      componentsSql(minW = 2, rounds = 16)) { (s, d) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val edges = weightedEdgeTable(s, d).filter(col("w") >= 2)
+        .select("src", "dst").orderBy("src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val batches = edges.grouped(math.max(1, (edges.length + 5) / 6)).toSeq
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      var state: Option[DataFrame] = None
+      val ckpt = graft.TmpDirs.scratch("graft_s30_cp")
+      val q = in.toDF().toDF("src", "dst")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = Some(componentsFold(state, batch).localCheckpoint())
+        }
+        .start()
+      try {
+        batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      state.get.orderBy("node")
     }
   )
 }

@@ -192,6 +192,42 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(comps === Set((10L, 10L), (20L, 10L), (40L, 40L), (50L, 40L)))
   }
 
+  test("s30 componentsFold: cross-batch merge, equals batch components, node-bounded state") {
+    import spark.implicits._
+    def fold(chunks: Seq[Seq[(Long, Long)]]): Seq[Set[(Long, Long)]] = {
+      var st: Option[org.apache.spark.sql.DataFrame] = None
+      chunks.map { c =>
+        st = Some(GraphOps.componentsFold(st, c.toDF("src", "dst"))
+          .localCheckpoint())
+        st.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    // batch 1: two separate components {1,2} and {5,6};
+    // batch 2: the bridge 2—5 merges them under min label 1
+    val states = fold(Seq(Seq((1L, 2L), (5L, 6L)), Seq((2L, 5L))))
+    assert(states(0) === Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+    assert(states(1) === Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L)),
+      "a bridging edge must merge standing components")
+    // random graphs: any chunking equals the one-shot batch answer,
+    // and state rows == nodes seen (node-bounded)
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(300)(
+        (1L + rnd.nextInt(80), 1L + rnd.nextInt(80)))
+        .filter(e => e._1 != e._2)
+      val batch = DedupOps.clusterPairs(edges.toDF("ia", "ib"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (n <- Seq(1, 5, 9)) {
+        val chunks = edges.grouped(math.max(1, edges.length / n)).toSeq
+        val finalState = fold(chunks).last
+        assert(finalState === batch, s"seed=$seed chunks=$n")
+        assert(finalState.size ===
+          edges.flatMap(e => Seq(e._1, e._2)).distinct.size,
+          "state = one row per node ever seen")
+      }
+    }
+  }
+
   test("aggregate-form edge build equals the self-join twin on random baskets") {
     import spark.implicits._
     for (seed <- Seq(7, 31)) {
