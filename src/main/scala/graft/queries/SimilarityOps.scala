@@ -581,6 +581,55 @@ object SimilarityOps {
       nQueries, k, nBands, bandBits)
   }
 
+  /** The re-embedding rule for a16: every seventh vector (hitting
+    * base and delta residents, and query vec_ids 2 and 9) arrives
+    * RE-EMBEDDED — deterministically, as the reversed vector, so the
+    * oracle can derive the identical new version with LIST_REVERSE.
+    * Model refreshes and document edits make this the third index
+    * mutation a production lifecycle needs besides add (a12) and
+    * retract (a14). */
+  private def annUpsertFilter = col("vec_id") % 7 === 2
+
+  /** Fold the re-embedding batch into the UPSERT generation — new
+    * band rows and vectors for the re-embedded ids, in their own
+    * tables; base and delta stay untouched (the same file-snapshot
+    * contract as the delta/tombstone folds). An upsert is
+    * delete + add with ONE id set: serving masks the old versions by
+    * anti-join and unions the new generation. */
+  def foldAnnUpserts(s: org.apache.spark.sql.SparkSession, d: String,
+      nBands: Int = 24, bandBits: Int = 2): Unit = synchronized {
+    if (annIndexSf.get("ups") == d &&
+      s.catalog.tableExists("graft_ann_bands_ups") &&
+      s.catalog.tableExists("graft_ann_vecs_ups")) return
+    annIndexSf.remove("ups")
+    writeAnnGeneration(s,
+      Tables.embeddings(s, d).filter(annUpsertFilter)
+        .withColumn("embedding", reverse(col("embedding"))),
+      "ups", nBands, bandBits)
+    annIndexSf.put("ups", d)
+  }
+
+  /** a16: serve exact top-k with the upserts WINNING — old versions
+    * of re-embedded ids are masked by a broadcast anti-join (the a14
+    * move), the new versions union in from the upsert generation.
+    * Queries with upserted ids serve their NEW vectors, because
+    * queries come from the index frames themselves. */
+  def annServeWithUpserts(s: org.apache.spark.sql.SparkSession,
+      nQueries: Int = 10, k: Int = 5,
+      nBands: Int = 24, bandBits: Int = 2): DataFrame = {
+    val upsIds = broadcast(s.table("graft_ann_vecs_ups").select("vec_id"))
+    annServeFrom(s,
+      s.table("graft_ann_bands_base")
+        .unionByName(s.table("graft_ann_bands_delta"))
+        .join(upsIds, Seq("vec_id"), "left_anti")
+        .unionByName(s.table("graft_ann_bands_ups")),
+      s.table("graft_ann_vecs_base")
+        .unionByName(s.table("graft_ann_vecs_delta"))
+        .join(upsIds, Seq("vec_id"), "left_anti")
+        .unionByName(s.table("graft_ann_vecs_ups")),
+      nQueries, k, nBands, bandBits)
+  }
+
   /** a15: compaction with PHYSICAL deletes — fold base ∪ delta minus
     * the tombstones into one new generation. After this runs, the
     * retracted vectors exist in no servable file (spec-pinned) and
@@ -770,6 +819,28 @@ object SimilarityOps {
       |  SELECT a.vec_id qid, b.vec_id cid,
       |         CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE) sim
       |  FROM live a JOIN live b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+      |  FROM scored)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, ROUND(sim,5) AS sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** a16's oracle: exact top-5 over the CURRENT corpus — re-embedded
+    * vectors (vec_id % 7 = 2, the annUpsertFilter rule) replaced by
+    * their new (reversed) versions on BOTH sides: a stale old vector
+    * surviving as a result, or a query served with its old embedding,
+    * breaks the hash. */
+  private val ExactTop5UpsertOracleSql =
+    """WITH cur AS (
+      |  SELECT vec_id,
+      |         CASE WHEN vec_id % 7 = 2 THEN LIST_REVERSE(embedding)
+      |              ELSE embedding END AS embedding
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |         CAST(LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS DOUBLE) sim
+      |  FROM cur a JOIN cur b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
       |ranked AS (
       |  SELECT qid, cid, sim,
       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
@@ -968,6 +1039,23 @@ object SimilarityOps {
       foldAnnTombstones(s, d)
       compactAnnIndexWithDeletes(s, d)
       annServeCompactedDeletes(s)
+    },
+
+    // a16: UPSERTS in the index lifecycle (late r15) — the third
+    // mutation besides add (a12) and retract (a14): model refreshes
+    // and document edits RE-EMBED standing ids. The new versions fold
+    // into their own generation (base/delta byte-untouched); serving
+    // masks the old versions with a broadcast anti-join on the upsert
+    // id set and unions the new generation in — delete + add with one
+    // id set, atomic at serve time. Oracle = exact top-5 over the
+    // corpus with the re-embedded vectors substituted on both sides
+    // (same re-measured candidate-coverage status as a14: certified
+    // by the exact-equality gate at every corpus it runs on).
+    QueryDef("a16_ann_upsert", ExactTop5UpsertOracleSql) { (s, d) =>
+      ensureAnnIndexBase(s, d)
+      foldAnnDelta(s, d)
+      foldAnnUpserts(s, d)
+      annServeWithUpserts(s)
     },
 
     // a4: per-label embedding centroids — the vector-aggregate every

@@ -673,6 +673,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(survivors === 0L)
   }
 
+  test("a16: upsert fold writes only its own generation; new vectors win on both sides") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = "/root/testdata/sf0.01"
+    SimilarityOps.ensureAnnIndexBase(spark, d)
+    SimilarityOps.foldAnnDelta(spark, d)
+    def snapshot(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val p = Paths.get(SimilarityOps.annWarehousePath, sub)
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    }
+    val baseBands = snapshot("bands_base")
+    val deltaBands = snapshot("bands_delta")
+    SimilarityOps.foldAnnUpserts(spark, d)
+    assert(snapshot("bands_base") == baseBands,
+      "upsert fold must not rewrite the base index")
+    assert(snapshot("bands_delta") == deltaBands,
+      "upsert fold must not rewrite the delta generation")
+    // serve == exact top-k over the corpus with the re-embedded
+    // (reversed) vectors substituted — queries included
+    val served = SimilarityOps.annServeWithUpserts(spark)
+      .collect().map(_.toSeq).toSeq
+    val cur = graft.Tables.embeddings(spark, d)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val exact = SimilarityOps.annExact(cur).collect().map(_.toSeq).toSeq
+    assert(served == exact)
+    // non-vacuity: the substitution changed the answer for some query
+    val stale = SimilarityOps.annExact(graft.Tables.embeddings(spark, d))
+      .collect().map(_.toSeq).toSeq
+    assert(served != stale, "re-embedding must be observable in the top-k")
+  }
+
   test("a14 plan shape: tombstone anti-joins BROADCAST — the index side never shuffles for the delete") {
     val d = "/root/testdata/sf0.01"
     SimilarityOps.ensureAnnIndexBase(spark, d)
