@@ -40,6 +40,8 @@ object SourceOps {
     System.getProperty("java.io.tmpdir") + "/graft_src_docs_map"
   private val DirtyCsvPath =
     System.getProperty("java.io.tmpdir") + "/graft_src_dirty_csv"
+  private val BlobPath =
+    System.getProperty("java.io.tmpdir") + "/graft_src_blobs"
 
   /** Path → SF dir currently materialized (success-recorded AFTER the
     * write, like CdcQueries.writeSnapshotIfStale). */
@@ -486,8 +488,57 @@ object SourceOps {
           array_join(array_sort(map_keys(col("attrs"))), ",").as("keys"),
           element_at(col("attrs"), "len").cast("long").as("len"))
         .orderedRows(col("doc_id")) // one row per doc: scales
+    },
+
+    // i12: LOOSE BINARY FILES (late r15) — the multimodal lake's
+    // other ingress: blobs that arrive as FILES (crawl dumps, media
+    // uploads, model checkpoints), not as parquet columns. Spark's
+    // built-in `binaryFile` source lists the directory and reads
+    // (path, length, content) with the scan distributed across
+    // files; the entry audits name, byte length, and an md5 content
+    // digest per blob. The oracle reads THE SAME files with DuckDB's
+    // read_text and re-digests — name, size, and every content byte
+    // certified cross-engine (md5 over identical UTF-8 bytes).
+    QueryDef("i12_binary_source",
+      s"""SELECT string_split(filename, '/')[-1] AS fname,
+         |       CAST(size AS BIGINT) AS nbytes,
+         |       md5(content) AS digest
+         |FROM read_text('$BlobPath/*.bin')
+         |ORDER BY fname""".stripMargin) { (s, d) =>
+      val dir = ensureBlobs(s, d)
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".bin"))
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length").as("nbytes"),
+          md5(col("content")).as("digest"))
+        .orderedSmall(col("fname")) // bounded fixture slice
     }
   )
+
+  /** Materialize the loose-blob fixture: the first 256 documents'
+    * texts as individual .bin files (UTF-8 bytes). Bounded driver-side
+    * write (the BinlogFixture.materialize contract — the fixture is
+    * the stand-in for an upload directory; what the entry certifies
+    * is the distributed binaryFile SOURCE, not this writer). */
+  private def ensureBlobs(s: SparkSession, d: String): String = {
+    writeIfStale(BlobPath, d) {
+      val dir = java.nio.file.Paths.get(BlobPath)
+      if (java.nio.file.Files.exists(dir)) { // drop stale-SF blobs
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .filter(p => p != dir)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(dir)
+      Tables.documents(s, d).filter(col("doc_id") < 256)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            dir.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    BlobPath
+  }
 
   /** i9's fixture: RFC-4180 CSV with KNOWN corruption planted among
     * valid rows — raw text (a CSV writer cannot produce bad lines):
