@@ -62,7 +62,7 @@ object Bench {
     "s26_lsh_index_stream", "s27_lsh_epoch_compact",
     "s28_ann_epoch_compact", "s29_sample_stream", "s30_components_stream",
     "c10_state_stream", "c14_lake_state", "c19_evolve_stream",
-    "c23_cdc_apply",
+    "c23_cdc_apply", "c26_evolve_apply_stream",
     "c21_scd2_stream")
 
   /** Execution-only stand-in for ReusedExchangeExec inside cloned

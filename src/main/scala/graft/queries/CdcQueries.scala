@@ -137,6 +137,44 @@ object CdcQueries {
   private val EvolveApplySnapshot =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_evolveapply_snap"
 
+  /** c25/c26 shared oracle: the final evolved state re-derived
+    * INDEPENDENTLY from the raw positional images — last action per
+    * key, each surviving cell named by which ALTER introduced its
+    * ordinal strictly before the event. */
+  private lazy val EvolveApplyOracleSql =
+    s"""WITH ev AS (SELECT * FROM read_parquet('$EvolveApplySnapshot/*.parquet')),
+         |adds AS (SELECT file, seq,
+         |    regexp_extract(ddl, 'add column ([A-Za-z0-9_]+)', 1) AS c,
+         |    ROW_NUMBER() OVER (ORDER BY file, seq) + 2 AS ord
+         |  FROM ev WHERE op = 'ddl' AND ddl LIKE '%add column%'),
+         |dml AS (SELECT * FROM ev
+         |        WHERE op IN ('insert','update','delete')
+         |          AND db = 'appdb' AND "table" = 'evolve'),
+         |acts AS (
+         |  SELECT file, seq, 0 AS rnk,
+         |         CAST(beforeVals[list_position(beforeOrds, 1)] AS BIGINT) AS id,
+         |         NULL AS ords, NULL AS vals, 0 AS keep
+         |  FROM dml WHERE op IN ('update','delete') AND len(beforeOrds) > 0
+         |  UNION ALL
+         |  SELECT file, seq, 1,
+         |         CAST(afterVals[list_position(afterOrds, 1)] AS BIGINT),
+         |         afterOrds, afterVals, 1
+         |  FROM dml WHERE op IN ('insert','update') AND len(afterOrds) > 0),
+         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts),
+         |live AS (SELECT * FROM last WHERE rn = 1 AND keep = 1),
+         |cells AS (SELECT file, seq, id,
+         |            unnest(ords) AS ord, unnest(vals) AS val FROM live),
+         |named AS (SELECT c.id, c.val,
+         |    CASE WHEN c.ord = 2 THEN 'a'
+         |         ELSE (SELECT a.c FROM adds a WHERE a.ord = c.ord
+         |               AND (a.file < c.file
+         |                    OR (a.file = c.file AND a.seq < c.seq)))
+         |    END AS colname
+         |  FROM cells c WHERE c.ord >= 2)
+         |SELECT id, colname, val AS value FROM named
+         |ORDER BY id, colname""".stripMargin
+
   /** c11's streaming parquet sink + its checkpoint. */
   private val SinkPath =
     System.getProperty("java.io.tmpdir") + "/graft_cdc_sink_cur"
@@ -890,39 +928,7 @@ object CdcQueries {
     // introduced its ordinal strictly before the event — so one
     // mis-versioned, mis-merged, or un-ALTERed cell anywhere breaks
     // the hash. Doc at [[CdcApply.applyEvolvedBatch]].
-    QueryDef("c25_evolve_apply",
-      s"""WITH ev AS (SELECT * FROM read_parquet('$EvolveApplySnapshot/*.parquet')),
-         |adds AS (SELECT file, seq,
-         |    regexp_extract(ddl, 'add column ([A-Za-z0-9_]+)', 1) AS c,
-         |    ROW_NUMBER() OVER (ORDER BY file, seq) + 2 AS ord
-         |  FROM ev WHERE op = 'ddl' AND ddl LIKE '%add column%'),
-         |dml AS (SELECT * FROM ev
-         |        WHERE op IN ('insert','update','delete')
-         |          AND db = 'appdb' AND "table" = 'evolve'),
-         |acts AS (
-         |  SELECT file, seq, 0 AS rnk,
-         |         CAST(beforeVals[list_position(beforeOrds, 1)] AS BIGINT) AS id,
-         |         NULL AS ords, NULL AS vals, 0 AS keep
-         |  FROM dml WHERE op IN ('update','delete') AND len(beforeOrds) > 0
-         |  UNION ALL
-         |  SELECT file, seq, 1,
-         |         CAST(afterVals[list_position(afterOrds, 1)] AS BIGINT),
-         |         afterOrds, afterVals, 1
-         |  FROM dml WHERE op IN ('insert','update') AND len(afterOrds) > 0),
-         |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
-         |           ORDER BY file DESC, seq DESC, rnk DESC) AS rn FROM acts),
-         |live AS (SELECT * FROM last WHERE rn = 1 AND keep = 1),
-         |cells AS (SELECT file, seq, id,
-         |            unnest(ords) AS ord, unnest(vals) AS val FROM live),
-         |named AS (SELECT c.id, c.val,
-         |    CASE WHEN c.ord = 2 THEN 'a'
-         |         ELSE (SELECT a.c FROM adds a WHERE a.ord = c.ord
-         |               AND (a.file < c.file
-         |                    OR (a.file = c.file AND a.seq < c.seq)))
-         |    END AS colname
-         |  FROM cells c WHERE c.ord >= 2)
-         |SELECT id, colname, val AS value FROM named
-         |ORDER BY id, colname""".stripMargin) { (s, d) =>
+    QueryDef("c25_evolve_apply", EvolveApplyOracleSql) { (s, d) =>
       val p = BinlogFixture.materializeDirParts("evolve_stream_v1",
         BinlogFixture.evolveStreamParts(700, 4))
       val events = CdcJob.parse(s, p, includeDdl = true)
@@ -940,6 +946,44 @@ object CdcQueries {
           events.filter(col("file") === f), "appdb", "evolve",
           IndexedSeq("id", "a"), ddls)
       }
+      val out = CdcApply.readEvolvedState(s, url, "appdb", "evolve")
+        .localCheckpoint(true)
+      CdcApply.dropTarget(url)
+      out.orderedRows(col("id"), col("colname"))
+    },
+
+    // c26: the STREAMING form of c25 (the c9→c10 pattern applied to
+    // the evolve-apply loop): a long-running tail of the rotating
+    // binlog directory, one micro-batch per file, each batch's DDL
+    // and DML applied to the live target through the SAME fenced
+    // kernel — the accumulated-DDL driver state (c19's bounded
+    // contract) carries the schema history across micro-batches, so
+    // a column added in batch N versions the decode and the target
+    // ALTER for every later batch. SAME ORACLE AS c25: what the live
+    // database holds after the streamed replay must hash-match
+    // DuckDB's independent materialization of the full evolved log.
+    QueryDef("c26_evolve_apply_stream", EvolveApplyOracleSql) { (s, d) =>
+      val p = BinlogFixture.materializeDirParts("evolve_stream_v1",
+        BinlogFixture.evolveStreamParts(700, 4))
+      writeSnapshotIfStale(EvolveApplySnapshot, d) {
+        CdcJob.parse(s, p, includeDdl = true)
+          .select("file", "seq", "db", "table", "op", "ddl",
+            "beforeOrds", "beforeVals", "afterOrds", "afterVals")
+          .write.mode("overwrite").parquet(EvolveApplySnapshot)
+      }
+      val url = CdcApply.newTargetUrl()
+      var ddls: Seq[(String, Long, String, String)] = Nil
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_c26_cp").toString
+      val q = graft.streaming.CdcStream
+        .events(s, p, includeDdl = true, maxFilesPerTrigger = 1)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          ddls = CdcApply.applyEvolvedBatch(url, "c26", epoch, batch,
+            "appdb", "evolve", IndexedSeq("id", "a"), ddls)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
       val out = CdcApply.readEvolvedState(s, url, "appdb", "evolve")
         .localCheckpoint(true)
       CdcApply.dropTarget(url)
