@@ -148,6 +148,24 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Scratch root on tmpfs when available (r15, guide §6): at bench SF
+    // every scratch consumer — the persisted index warehouses
+    // (ANN/LSH/graph bucketed tables), epoch stores, binlog fixture
+    // files, oracle snapshots, and every streaming checkpoint/state
+    // store (temp checkpoint dirs are created under java.io.tmpdir at
+    // call time) — is file-CREATION-latency bound, not bandwidth bound,
+    // exactly like the shuffle dirs the session already puts on
+    // /dev/shm. A real cluster points java.io.tmpdir at local SSD; this
+    // is an env concern, not a plan property, and SPARK_GRAFT_TMPDIR
+    // overrides (=off keeps the JVM default for A/B).
+    val tmpRoot = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-tmp"
+      else "off")
+    if (tmpRoot != "off") {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tmpRoot)): Unit
+      System.setProperty("java.io.tmpdir", tmpRoot)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default = the machine (the driver runs this un-parameterized on
     // a 32-core box; the per-query sample layout measures the same
@@ -254,8 +272,11 @@ object Bench {
     val sc = spark.sparkContext
 
     /** Per-query executable: prepared-plan clone-and-run when the
-      * builder is action-free, legacy build+count otherwise. */
-    final case class Runnable(name: String, run: () => Long)
+      * builder is action-free, legacy build+count otherwise.
+      * `prepared` records the classification so the post-warm-up
+      * re-preparation pass (below) knows which entries to revisit. */
+    final case class Runnable(name: String, run: () => Long,
+        prepared: Boolean = false)
 
     // Per-block shuffle-partition selection (see baselineShuffle).
     // Prepared plans bake the value at compile time (confFor runs
@@ -318,7 +339,7 @@ object Bench {
       // falls back to legacy whole-function timing.
       freshPlan(plan): Unit
       if (caches || drained != before) legacy(qd)
-      else Runnable(qd.name, () => {
+      else Runnable(qd.name, prepared = true, run = () => {
         val fresh = freshPlan(plan)
         // Without AQE, driver-side RDD DAG construction awaits each
         // broadcast build in turn — on a multi-dim join the builds
@@ -359,7 +380,7 @@ object Bench {
       .map(_.split(',').toSet).getOrElse(Set.empty[String])
     def brokenRunnable(name: String): Runnable =
       Runnable(name, () => throw new IllegalStateException(
-        s"SPARK_GRAFT_BREAK: $name deliberately broken"))
+        s"SPARK_GRAFT_BREAK: $name deliberately broken"), prepared = true)
 
     val defs = SparkEntry.allDefs.filter(qd => only.forall(_(qd.name)))
     val runnables = defs.map { qd =>
@@ -400,8 +421,43 @@ object Bench {
       rs.map(r => r.name -> once(r)).toMap
     warm(scenRunnables)
     val scenPasses = (1 to 2).map(_ => runPassOf(scenRunnables))
-    val (blockA, blockB) = coreRunnables.partition(r => BaselineSet(r.name))
-    warm(blockB); warm(blockA)
+    val (blockA0, blockB0) = coreRunnables.partition(r => BaselineSet(r.name))
+    warm(blockB0); warm(blockA0)
+    // RE-PREPARATION (r15, guide §1.4): builders with ONE-TIME
+    // idempotent side effects (persisted index builds, delta/tombstone
+    // folds, fixture materialization) run Spark jobs on their FIRST
+    // construction only, so the initial prepare() — which runs before
+    // any warm-up — classified them legacy and every timed pass paid
+    // analyze+optimize+plan again (a 0.1–0.6 s/pass prepared-statement
+    // tax on the index-family entries; a14's anti-join-over-unions
+    // optimizes in ~0.2 s alone). After warm-up those builders are
+    // action-free no-ops (guard hit), so a second prepare() classifies
+    // them honestly: the cloned-plan run still re-executes every scan,
+    // broadcast and shuffle (see freshPlan) — only query COMPILATION is
+    // amortized, exactly the methodology the prepared path already
+    // applies to every action-free query. Builders that run jobs on
+    // EVERY construction (driver-built kernels: l3/a1/a3/d4/graph fast
+    // paths) are re-detected and stay legacy — for them the build IS
+    // the query. Scenario entries are never re-prepared (their builders
+    // run whole streaming scenarios).
+    def reprepare(rs: Seq[Runnable]): Seq[Runnable] =
+      if (!prepOn) rs
+      else rs.map { r =>
+        if (r.prepared) r
+        else defs.find(_.name == r.name).fold(r) { qd =>
+          confFor(qd.name)
+          try prepare(qd) catch { case _: Throwable => legacy(qd) }
+        }
+      }
+    val blockA = reprepare(blockA0)
+    val blockB = reprepare(blockB0)
+    locally {
+      val changed = (blockA0 ++ blockB0).zip(blockA ++ blockB)
+        .collect { case (o, n) if !o.prepared && n.prepared => n.name }
+      if (changed.nonEmpty) System.err.println(
+        s"bench: re-prepared after warm-up (${changed.size}): " +
+          changed.mkString(","))
+    }
     // The comparison block takes EXACTLY the DuckDB method's sample
     // count — min of 3 after warm-up (BASELINE.md §3; r6 took
     // min-of-8, which biases the min lower under noise than the

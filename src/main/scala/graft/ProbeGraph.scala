@@ -68,17 +68,19 @@ object ProbeGraph {
       import spark.implicits._
       e0.select(col("src"), col("dst")).as[(Long, Long)].collect()
     }
-    t("fp driverPagerank") { GraphOps.driverPagerank(spark, es, 5, 100).count() }
-    t("fp driverPagerank 2") { GraphOps.driverPagerank(spark, es, 5, 100).count() }
-    t("fp driverTriangles") { GraphOps.driverTriangles(spark, es, 100).count() }
-    t("fp driverTriangles 2") { GraphOps.driverTriangles(spark, es, 100).count() }
-    t("fp driverBfs") { GraphOps.driverBfs(spark, es, 3, 6).count() }
-    t("fp driverBfs 2") { GraphOps.driverBfs(spark, es, 3, 6).count() }
+    val eS = es.map(_._1)
+    val eD = es.map(_._2)
+    t("fp driverPagerank") { GraphOps.driverPagerank(spark, eS, eD, 5, 100).count() }
+    t("fp driverPagerank 2") { GraphOps.driverPagerank(spark, eS, eD, 5, 100).count() }
+    t("fp driverTriangles") { GraphOps.driverTriangles(spark, eS, eD, 100).count() }
+    t("fp driverTriangles 2") { GraphOps.driverTriangles(spark, eS, eD, 100).count() }
+    t("fp driverBfs") { GraphOps.driverBfs(spark, eS, eD, 3, 6).count() }
+    t("fp driverBfs 2") { GraphOps.driverBfs(spark, eS, eD, 3, 6).count() }
     t("fp driverCommonNeighbors") {
-      GraphOps.driverCommonNeighbors(spark, es, 20, 5).count()
+      GraphOps.driverCommonNeighbors(spark, eS, eD, 20, 5).count()
     }
     t("fp driverCommonNeighbors 2") {
-      GraphOps.driverCommonNeighbors(spark, es, 20, 5).count()
+      GraphOps.driverCommonNeighbors(spark, eS, eD, 20, 5).count()
     }
     for (pass <- 1 to 3) {
       t(s"g3 entry pass $pass") {

@@ -403,7 +403,13 @@ object BinlogFixture {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_binlogdir_$name")
     if (!java.nio.file.Files.isDirectory(dir)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_binlogdir")
+      // temp dir on the TARGET's own filesystem: the no-parent form
+      // pins the JVM-startup tmpdir, and Files.move of a non-empty
+      // directory across filesystems throws (a relocated
+      // java.io.tmpdir — e.g. the bench's tmpfs root — hits exactly
+      // that)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        dir.getParent, "graft_binlogdir")
       for (i <- 0 until parts)
         java.nio.file.Files.writeString(
           tmp.resolve(f"binlog.$i%06d.txt"), gen(perFile))
@@ -421,7 +427,8 @@ object BinlogFixture {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_binlogdir_$name")
     if (!java.nio.file.Files.isDirectory(dir)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_binlogdir")
+      val tmp = java.nio.file.Files.createTempDirectory(
+        dir.getParent, "graft_binlogdir") // target filesystem, see above
       val n = contents.size
       contents.zipWithIndex.foreach { case (c, i) =>
         val p = tmp.resolve(f"binlog.$i%06d.txt")
@@ -448,7 +455,8 @@ object BinlogFixture {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_binlog_$name.txt")
     if (!java.nio.file.Files.exists(p)) {
-      val tmp = java.nio.file.Files.createTempFile("graft_binlog", ".tmp")
+      val tmp = java.nio.file.Files.createTempFile(
+        p.getParent, "graft_binlog", ".tmp") // target filesystem, see above
       java.nio.file.Files.writeString(tmp, content)
       try java.nio.file.Files.move(tmp, p)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }

@@ -92,7 +92,7 @@ object CdcQueries {
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_binbinlogdir_v2_$perFile")
     if (!java.nio.file.Files.isDirectory(p)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_binbinlog")
+      val tmp = java.nio.file.Files.createTempDirectory(p.getParent, "graft_binbinlog")
       import graft.sources.BinlogBinaryFixture._
       for (f <- 0 until 2) {
         val events: Seq[Ev] = (0 until perFile).map { i =>
@@ -219,7 +219,7 @@ object CdcQueries {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_binzstd_v1")
     if (!java.nio.file.Files.isDirectory(p)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_binzstd")
+      val tmp = java.nio.file.Files.createTempDirectory(p.getParent, "graft_binzstd")
       import graft.sources.BinlogBinaryFixture._
       var gno = 0
       for (f <- 0 until 2) {
@@ -269,7 +269,7 @@ object CdcQueries {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_binpartial_v1")
     if (!java.nio.file.Files.isDirectory(p)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_binpartial")
+      val tmp = java.nio.file.Files.createTempDirectory(p.getParent, "graft_binpartial")
       import graft.sources.BinlogBinaryFixture._
       def doc(i: Int): J = JObj(Seq(
         "id" -> JInt(i.toLong),
@@ -340,7 +340,7 @@ object CdcQueries {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_bingtid_v1")
     if (!java.nio.file.Files.isDirectory(p)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bingtid")
+      val tmp = java.nio.file.Files.createTempDirectory(p.getParent, "graft_bingtid")
       import graft.sources.BinlogBinaryFixture._
       var gno = 0
       for (f <- 0 until 2) {
@@ -376,7 +376,7 @@ object CdcQueries {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_binwide_v2")
     if (!java.nio.file.Files.isDirectory(p)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_binwide")
+      val tmp = java.nio.file.Files.createTempDirectory(p.getParent, "graft_binwide")
       import graft.sources.BinlogBinaryFixture._
       def doc(k: Int): J = JObj(Seq(
         "user" -> JObj(Seq("id" -> JInt(k.toLong), "name" -> JStr(s"user_$k"))),

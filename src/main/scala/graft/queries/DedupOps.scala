@@ -1438,9 +1438,16 @@ object DedupOps {
       val Thresh = 8
       val segStarts = Array(1, 8, 15, 22, 29, 36, 43, 50, 57)
       val segLens = Array(7, 7, 7, 7, 7, 7, 7, 7, 8)
-      // only the 64-char verify prefix is ever keyed or carried
+      // only the 64-char verify prefix is ever keyed or carried.
+      // fanOut (r15, guide §2.6): the corpus parquet is a single row
+      // group at bench SF, so without it the WHOLE candidate pipeline —
+      // the ±1-band × 9-segment explode, the 145-key/doc pigeonhole
+      // explode, the equi-join probe and the Levenshtein verify —
+      // pipelined onto ONE task while 31 cores idled (measured: the
+      // probe stage was the d8 wall). At real scale the scan already
+      // splits and fanOut is a no-op decision.
       val pre = base.select(col("doc_id"), col("lb"),
-        substring(col("text"), 1, 64).as("p64"))
+        substring(col("text"), 1, 64).as("p64")).fanOut
       val segArr = array(segStarts.indices.map(i =>
         struct(lit(i).as("i"),
           substring(col("p64"), segStarts(i), segLens(i)).as("seg"))): _*)

@@ -143,18 +143,82 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  /** The small-graph probe: collect up to `limit + 1` edges in one
-    * job. `Some(es)` = the WHOLE edge set (≤ limit, safe to fold on
-    * the driver); `None` = over the bound — caller takes the
-    * distributed path. The cap keeps the driver safe at any scale:
-    * a 100 TB graph returns `None` after fetching bound+1 rows, it
-    * never materializes. */
-  private def smallEdges(edges: DataFrame, limit: Long): Option[Array[(Long, Long)]] = {
+  /** The small-graph probe: a cheap count decides the path, then ONE
+    * full-parallelism primitive collect fetches the edge set.
+    * `Some((srcs, dsts))` = the WHOLE edge set (≤ limit, safe to fold
+    * on the driver); `None` = over the bound — caller takes the
+    * distributed path. The cap keeps the driver safe at any scale: a
+    * 100 TB graph answers the count and returns `None`, the edges
+    * never materialize.
+    *
+    * r15 (guide §1.2 per-task / §5 driver): the old form collected
+    * `limit + 1` rows through CollectLimit, whose incremental
+    * partition ramp (1 partition, then 4×…) scanned the table in
+    * 2–3 sequential waves and boxed every edge into a Row + Tuple2 —
+    * at the bench graph (~10⁶ edges) the ramp + boxing was a
+    * measurable slice of every graph entry. The count() is answered
+    * from parquet metadata/column stats in one sub-50 ms job; the
+    * collect drains each partition into primitive long builders
+    * (InternalRow access, no boxing) and runs all partitions at once. */
+  private def smallEdges(edges: DataFrame,
+      limit: Long): Option[(Array[Long], Array[Long])] = {
     if (limit <= 0) return None
     val cap = math.min(limit, Int.MaxValue - 1L).toInt
-    val rows = edges.select(col("src"), col("dst")).limit(cap + 1).collect()
-    if (rows.length > cap) None
-    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    if (edges.count() > cap) return None
+    val parts = edges.select(col("src"), col("dst"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val db = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) {
+          val r = it.next()
+          sb += r.getLong(0)
+          db += r.getLong(1)
+        }
+        Iterator((sb.result(), db.result()))
+      }.collect()
+    val n = parts.iterator.map(_._1.length).sum
+    val srcs = new Array[Long](n)
+    val dsts = new Array[Long](n)
+    var o = 0
+    parts.foreach { case (s, d) =>
+      System.arraycopy(s, 0, srcs, o, s.length)
+      System.arraycopy(d, 0, dsts, o, d.length)
+      o += s.length
+    }
+    Some((srcs, dsts))
+  }
+
+  /** Sorted distinct values of `srcs ++ dsts` — the driver kernels'
+    * node index (lookups are `Arrays.binarySearch`). */
+  private def nodeIndexOf(srcs: Array[Long], dsts: Array[Long]): Array[Long] = {
+    val flat = new Array[Long](srcs.length * 2)
+    System.arraycopy(srcs, 0, flat, 0, srcs.length)
+    System.arraycopy(dsts, 0, flat, srcs.length, dsts.length)
+    java.util.Arrays.parallelSort(flat) // sorted output is order-independent
+    var w = 0
+    var j = 0
+    while (j < flat.length) {
+      if (w == 0 || flat(j) != flat(w - 1)) { flat(w) = flat(j); w += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(flat, w)
+  }
+
+  /** Per-edge endpoint ordinals, computed ONCE (one binary-search pass
+    * over the edge list) and reused by every later kernel pass — the
+    * old per-pass `idx()` lookups re-searched the node index two to
+    * six times per edge. */
+  private def edgeOrdinals(nodes: Array[Long], srcs: Array[Long],
+      dsts: Array[Long]): (Array[Int], Array[Int]) = {
+    val ia = new Array[Int](srcs.length)
+    val ib = new Array[Int](dsts.length)
+    // per-slot pure function of (nodes, srcs, dsts) — parallel fill is
+    // deterministic
+    java.util.stream.IntStream.range(0, srcs.length).parallel().forEach { i =>
+      ia(i) = java.util.Arrays.binarySearch(nodes, srcs(i))
+      ib(i) = java.util.Arrays.binarySearch(nodes, dsts(i))
+    }
+    (ia, ib)
   }
 
   private def emptyRanks(edges: DataFrame): DataFrame = {
@@ -193,8 +257,8 @@ object GraphOps {
     // reuse, so the common small case pays a single pass and zero
     // cache writes; only an over-bound graph falls through to persist.
     smallEdges(edges, smallGraphLimit) match {
-      case Some(es) if es.isEmpty => return emptyRanks(edges)
-      case Some(es) => return driverPagerank(edges.sparkSession, es, iters, k)
+      case Some((s, _)) if s.isEmpty => return emptyRanks(edges)
+      case Some((s, d)) => return driverPagerank(edges.sparkSession, s, d, iters, k)
       case None =>
     }
     val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,39 +315,27 @@ object GraphOps {
     ranks
   }
 
-  /** Sorted distinct endpoints of `es` — primitive sort + in-place
-    * dedup; lookups are `Arrays.binarySearch`. A boxed HashMap here
-    * costs ~450 ns/lookup on this host (measured) × 4m lookups. */
-  private def nodeIndex(es: Array[(Long, Long)]): Array[Long] = {
-    val flat = new Array[Long](es.length * 2)
-    var i = 0
-    es.foreach { case (a, b) => flat(i) = a; i += 1; flat(i) = b; i += 1 }
-    java.util.Arrays.sort(flat)
-    var w = 0
-    var j = 0
-    while (j < flat.length) {
-      if (w == 0 || flat(j) != flat(w - 1)) { flat(w) = flat(j); w += 1 }
-      j += 1
-    }
-    java.util.Arrays.copyOf(flat, w)
-  }
-
-  /** Driver twin of the distributed recurrence — same integers. */
+  /** Driver twin of the distributed recurrence — same integers.
+    * (r15: primitive edge arrays in, endpoint ordinals computed once —
+    * see [[edgeOrdinals]].) */
   private[graft] def driverPagerank(spark: org.apache.spark.sql.SparkSession,
-      es: Array[(Long, Long)], iters: Int, k: Int): DataFrame = {
+      eSrc: Array[Long], eDst: Array[Long], iters: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val nodes = nodeIndex(es)
-    @inline def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val nodes = nodeIndexOf(eSrc, eDst)
     val n = nodes.length
+    val (ia, ib) = edgeOrdinals(nodes, eSrc, eDst)
+    val m = eSrc.length
     val deg = new Array[Long](n)
-    val srcs = new Array[Int](es.length * 2)
-    val dsts = new Array[Int](es.length * 2)
+    val srcs = new Array[Int](m * 2)
+    val dsts = new Array[Int](m * 2)
     var i = 0
-    es.foreach { case (a, b) =>
-      val (ia, ib) = (idx(a), idx(b))
-      deg(ia) += 1; deg(ib) += 1
-      srcs(i) = ia; dsts(i) = ib; i += 1
-      srcs(i) = ib; dsts(i) = ia; i += 1
+    var w = 0
+    while (i < m) {
+      val a = ia(i); val b = ib(i)
+      deg(a) += 1; deg(b) += 1
+      srcs(w) = a; dsts(w) = b; w += 1
+      srcs(w) = b; dsts(w) = a; w += 1
+      i += 1
     }
     val init = Scale / n
     val base = init * 15 / 100
@@ -328,8 +380,8 @@ object GraphOps {
           StructField("dist", LongType))))
     }
     smallEdges(edges, smallGraphLimit) match {
-      case Some(es) if es.isEmpty => return empty()
-      case Some(es) => return driverBfs(edges.sparkSession, es, seeds, maxHops)
+      case Some((s, _)) if s.isEmpty => return empty()
+      case Some((s, d)) => return driverBfs(edges.sparkSession, s, d, seeds, maxHops)
       case None =>
     }
     val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -377,25 +429,30 @@ object GraphOps {
   }
 
   /** Driver twin of the BFS recurrence — CSR queue BFS, same hub-seed
-    * rule, same integers. */
+    * rule, same integers. (r15: primitive edge arrays, one ordinal
+    * pass.) */
   private[graft] def driverBfs(spark: org.apache.spark.sql.SparkSession,
-      es: Array[(Long, Long)], seeds: Int, maxHops: Int): DataFrame = {
+      eSrc: Array[Long], eDst: Array[Long], seeds: Int, maxHops: Int): DataFrame = {
     import spark.implicits._
-    val nodes = nodeIndex(es)
-    @inline def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val nodes = nodeIndexOf(eSrc, eDst)
     val n = nodes.length
+    val (ea, eb) = edgeOrdinals(nodes, eSrc, eDst)
+    val m = eSrc.length
     val deg = new Array[Long](n)
-    es.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
+    var i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
     // CSR symmetric adjacency
     val off = new Array[Int](n + 1)
-    var i = 0
+    i = 0
     while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
-    val nbr = new Array[Int](es.length * 2)
+    val nbr = new Array[Int](m * 2)
     val fill = off.clone()
-    es.foreach { case (a, b) =>
-      val (ia, ib) = (idx(a), idx(b))
+    i = 0
+    while (i < m) {
+      val ia = ea(i); val ib = eb(i)
       nbr(fill(ia)) = ib; fill(ia) += 1
       nbr(fill(ib)) = ia; fill(ib) += 1
+      i += 1
     }
     val seedIdx = Array.range(0, n)
       .sortBy(u => (-deg(u), nodes(u))).take(seeds)
@@ -450,9 +507,9 @@ object GraphOps {
           StructField("rk", LongType))))
     }
     smallEdges(edges, smallGraphLimit) match {
-      case Some(es) if es.isEmpty => return empty()
-      case Some(es) =>
-        return driverCommonNeighbors(edges.sparkSession, es, queries, k)
+      case Some((s, _)) if s.isEmpty => return empty()
+      case Some((s, d)) =>
+        return driverCommonNeighbors(edges.sparkSession, s, d, queries, k)
       case None =>
     }
     val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -489,25 +546,30 @@ object GraphOps {
     out
   }
 
-  /** Driver twin of the common-neighbor serving query. */
+  /** Driver twin of the common-neighbor serving query. (r15:
+    * primitive edge arrays, one ordinal pass.) */
   private[graft] def driverCommonNeighbors(
       spark: org.apache.spark.sql.SparkSession,
-      es: Array[(Long, Long)], queries: Int, k: Int): DataFrame = {
+      eSrc: Array[Long], eDst: Array[Long], queries: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val nodes = nodeIndex(es)
-    @inline def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val nodes = nodeIndexOf(eSrc, eDst)
     val n = nodes.length
+    val (ea, eb) = edgeOrdinals(nodes, eSrc, eDst)
+    val m = eSrc.length
     val deg = new Array[Long](n)
-    es.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
-    val off = new Array[Int](n + 1)
     var i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
     while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
-    val nbr = new Array[Int](es.length * 2)
+    val nbr = new Array[Int](m * 2)
     val fill = off.clone()
-    es.foreach { case (a, b) =>
-      val (ia, ib) = (idx(a), idx(b))
+    i = 0
+    while (i < m) {
+      val ia = ea(i); val ib = eb(i)
       nbr(fill(ia)) = ib; fill(ia) += 1
       nbr(fill(ib)) = ia; fill(ib) += 1
+      i += 1
     }
     val hubIdx = Array.range(0, n)
       .sortBy(u => (-deg(u), nodes(u))).take(queries)
@@ -555,8 +617,8 @@ object GraphOps {
           StructField("deg", LongType), StructField("triangles", LongType))))
     }
     smallEdges(edges, smallGraphLimit) match {
-      case Some(es) if es.isEmpty => return empty()
-      case Some(es) => return driverTriangles(edges.sparkSession, es, k)
+      case Some((s, _)) if s.isEmpty => return empty()
+      case Some((s, d)) => return driverTriangles(edges.sparkSession, s, d, k)
       case None =>
     }
     val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -611,35 +673,42 @@ object GraphOps {
     * merges over int arrays are ~100× cheaper and count the SAME
     * triangles (each at its rank-lowest vertex). */
   private[graft] def driverTriangles(spark: org.apache.spark.sql.SparkSession,
-      es: Array[(Long, Long)], k: Int): DataFrame = {
+      eSrc: Array[Long], eDst: Array[Long], k: Int): DataFrame = {
     import spark.implicits._
-    val nodes = nodeIndex(es)
-    @inline def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val nodes = nodeIndexOf(eSrc, eDst)
     val n = nodes.length
+    val (ea, eb) = edgeOrdinals(nodes, eSrc, eDst)
+    val m = eSrc.length
     val deg = new Array[Long](n)
-    es.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
+    var i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
     // orientation rank: position in the (deg, id) total order —
     // identical to the distributed join's (deg, node) comparisons
     val byRank = Array.range(0, n).sortBy(i => (deg(i), nodes(i)))
     val rank = new Array[Int](n)
     byRank.zipWithIndex.foreach { case (i, r) => rank(i) = r }
-    // CSR out-adjacency in rank space: edge (a, b) oriented from the
-    // rank-smaller endpoint; neighbor lists sorted for the merges
+    // per-edge orientation in rank space, computed once: edge (a, b)
+    // oriented from the rank-smaller endpoint
+    val ru = new Array[Int](m)
+    val rv = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val ra = rank(ea(i)); val rb = rank(eb(i))
+      if (ra < rb) { ru(i) = ra; rv(i) = rb } else { ru(i) = rb; rv(i) = ra }
+      i += 1
+    }
+    // CSR out-adjacency in rank space; neighbor lists sorted for the
+    // merges
     val outdeg = new Array[Int](n)
-    es.foreach { case (a, b) =>
-      val (ra, rb) = (rank(idx(a)), rank(idx(b)))
-      outdeg(math.min(ra, rb)) += 1
-    }
+    i = 0
+    while (i < m) { outdeg(ru(i)) += 1; i += 1 }
     val off = new Array[Int](n + 1)
-    var i = 0
+    i = 0
     while (i < n) { off(i + 1) = off(i) + outdeg(i); i += 1 }
-    val nbr = new Array[Int](es.length)
+    val nbr = new Array[Int](m)
     val fill = off.clone()
-    es.foreach { case (a, b) =>
-      val (ra, rb) = (rank(idx(a)), rank(idx(b)))
-      val u = math.min(ra, rb); val v = math.max(ra, rb)
-      nbr(fill(u)) = v; fill(u) += 1
-    }
+    i = 0
+    while (i < m) { nbr(fill(ru(i))) = rv(i); fill(ru(i)) += 1; i += 1 }
     var u = 0
     while (u < n) {
       java.util.Arrays.sort(nbr, off(u), off(u + 1)); u += 1
