@@ -957,11 +957,18 @@ object DedupOps {
     * batch only, into the epoch's own directory — a replayed epoch
     * OVERWRITES its own directory (c11's exactly-once recipe). */
   private[queries] def foldLshDeltaEpoch(batch: DataFrame, dir: String): Unit = {
+    // persist across the two leaf writes (r15): the bands and sets
+    // leaves are separate parquet jobs over the SAME banded frame, and
+    // without the cache each epoch paid the shingle+MinHash kernel
+    // twice; the frame is micro-batch-sized, so MEMORY_ONLY is bounded
     val banded = bandedSigs(batch, 8, 4)
-    banded.select("doc_id", "b", "h")
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    banded.filter(col("b") === 0).select("doc_id", "sh")
-      .write.mode("overwrite").parquet(s"$dir/sets")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      banded.select("doc_id", "b", "h")
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      banded.filter(col("b") === 0).select("doc_id", "sh")
+        .write.mode("overwrite").parquet(s"$dir/sets")
+    } finally banded.unpersist(blocking = false): Unit
   }
 
   /** s26: d9's deployment shape completed streaming-side (the s25

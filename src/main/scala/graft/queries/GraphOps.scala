@@ -709,30 +709,49 @@ object GraphOps {
     val fill = off.clone()
     i = 0
     while (i < m) { nbr(fill(ru(i))) = rv(i); fill(ru(i)) += 1; i += 1 }
-    var u = 0
-    while (u < n) {
-      java.util.Arrays.sort(nbr, off(u), off(u + 1)); u += 1
-    }
+    // disjoint ranges — parallel per-node sort is deterministic
+    java.util.stream.IntStream.range(0, n).parallel()
+      .forEach(u => java.util.Arrays.sort(nbr, off(u), off(u + 1)))
     // for each oriented edge (u, v): common out-neighbors w close a
-    // triangle (u < v < w in rank order — counted exactly once)
+    // triangle (u < v < w in rank order — counted exactly once).
+    // r15: the merge loop was the remaining single-threaded wall of
+    // the entry — chunk the u-range across a bounded worker pool with
+    // PER-CHUNK count arrays merged at the end (a wedge closed in
+    // chunk c increments only c's array, so no write races; integer
+    // sums are commutative, so any chunking yields identical counts).
     val tri = new Array[Long](n)
-    u = 0
-    while (u < n) {
-      var e = off(u)
-      while (e < off(u + 1)) {
-        val v = nbr(e)
-        var p = e + 1 // adj(u) entries > v only: w must outrank v
-        var q = off(v)
-        val pEnd = off(u + 1); val qEnd = off(v + 1)
-        while (p < pEnd && q < qEnd) {
-          val x = nbr(p); val y = nbr(q)
-          if (x == y) { tri(u) += 1; tri(v) += 1; tri(x) += 1; p += 1; q += 1 }
-          else if (x < y) p += 1
-          else q += 1
+    val nChunks = math.min(Runtime.getRuntime.availableProcessors() * 2, 64)
+    val chunkTris = java.util.stream.IntStream.range(0, nChunks).parallel()
+      .mapToObj[Array[Long]] { c =>
+        val local = new Array[Long](n)
+        var u = (n.toLong * c / nChunks).toInt
+        val uEnd = (n.toLong * (c + 1) / nChunks).toInt
+        while (u < uEnd) {
+          var e = off(u)
+          while (e < off(u + 1)) {
+            val v = nbr(e)
+            var p = e + 1 // adj(u) entries > v only: w must outrank v
+            var q = off(v)
+            val pEnd = off(u + 1); val qEnd = off(v + 1)
+            while (p < pEnd && q < qEnd) {
+              val x = nbr(p); val y = nbr(q)
+              if (x == y) {
+                local(u) += 1; local(v) += 1; local(x) += 1; p += 1; q += 1
+              }
+              else if (x < y) p += 1
+              else q += 1
+            }
+            e += 1
+          }
+          u += 1
         }
-        e += 1
-      }
-      u += 1
+        local
+      }.toArray(new java.util.function.IntFunction[Array[Array[Long]]] {
+        def apply(sz: Int): Array[Array[Long]] = new Array[Array[Long]](sz)
+      })
+    chunkTris.foreach { local =>
+      var i2 = 0
+      while (i2 < n) { tri(i2) += local(i2); i2 += 1 }
     }
     byRank.indices.collect { case r if tri(r) > 0 => (nodes(byRank(r)), deg(byRank(r)), tri(r)) }
       .sortBy { case (node, _, t) => (-t, node) }
