@@ -148,19 +148,18 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    // Scratch root on tmpfs when available (r15, guide §6): at bench SF
-    // every scratch consumer — the persisted index warehouses
-    // (ANN/LSH/graph bucketed tables), epoch stores, binlog fixture
-    // files, oracle snapshots, and every streaming checkpoint/state
-    // store (temp checkpoint dirs are created under java.io.tmpdir at
-    // call time) — is file-CREATION-latency bound, not bandwidth bound,
-    // exactly like the shuffle dirs the session already puts on
-    // /dev/shm. A real cluster points java.io.tmpdir at local SSD; this
-    // is an env concern, not a plan property, and SPARK_GRAFT_TMPDIR
-    // overrides (=off keeps the JVM default for A/B).
-    val tmpRoot = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-tmp"
-      else "off")
+    // Scratch root for checkpoints/state stores/index warehouses:
+    // DEFAULT OFF as of r16 (VERDICT r15 item 1). r15 silently pointed
+    // java.io.tmpdir at /dev/shm when present; it helped on the build
+    // host but the driver's own 32-core runs regressed the checkpoint/
+    // state-store/epoch-heavy scenarios 2-3.8x round-over-round with a
+    // 4-9x 32c-vs-8c anti-scaling signature — tmpfs pages competing
+    // with the JVM heap for RAM is host-dependent, the guide's classic
+    // local-mode config twiddle. Opt IN via
+    // SPARK_GRAFT_TMPDIR=/dev/shm/graft-tmp on hosts with headroom; a
+    // real cluster points java.io.tmpdir at local SSD either way. The
+    // resolved setting is recorded in the JSON artifact (ADVICE r15).
+    val tmpRoot = sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "off")
     if (tmpRoot != "off") {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(tmpRoot)): Unit
@@ -197,6 +196,21 @@ object Bench {
     // no behavior change without evidence.
     val baselineShuffle =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BASELINE", shuffleParts)
+    // Scenario-block shuffle/STATE partitions (r16, VERDICT r15 items
+    // 3–4): a stateful micro-batch opens (stores × partitions) state
+    // stores per batch and pays each one a load→update→commit-delta
+    // chain — ProbeStreamFloor measured 4 stores × 8 partitions × 12
+    // batches ≈ 384 store commits on s12, with the commit chain the
+    // per-batch floor. The feeds are ~10⁵ rows total, so partitions
+    // should be sized to STATE VOLUME, not core count: 4 halves the
+    // store fan-out and was the measured sweet spot (s12 wall at 32c:
+    // 8 parts 11.2–12.6 s, 4 parts 7.8–10.8 s, 2 parts ≈ 4 — same-era
+    // interleaved pairs), and 8c numbers hold (see OPTIMIZATION_r16).
+    // Session conf, not a plan property: outputs are partition-count-
+    // invariant (oracles + golden hashes re-checked); a production
+    // stream sizes this to its own state volume.
+    val scenarioShuffle =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_SCENARIO", "4")
     // Shuffle/spill files on tmpfs when available: at bench SF the
     // shuffles are tiny, so file-creation latency (not bandwidth)
     // dominates — RAM-backed local dirs shave it. A real cluster
@@ -285,7 +299,9 @@ object Bench {
     // per run. Runs are strictly sequential — no conf races.
     def confFor(name: String): Unit =
       spark.conf.set("spark.sql.shuffle.partitions",
-        if (BaselineSet(name)) baselineShuffle else shuffleParts)
+        if (BaselineSet(name)) baselineShuffle
+        else if (ScenarioSet(name)) scenarioShuffle
+        else shuffleParts)
 
     def legacy(qd: QueryDef): Runnable =
       Runnable(qd.name, () => { confFor(qd.name); qd.fn(spark, sfDir).count() })
@@ -451,13 +467,14 @@ object Bench {
       }
     val blockA = reprepare(blockA0)
     val blockB = reprepare(blockB0)
-    locally {
-      val changed = (blockA0 ++ blockB0).zip(blockA ++ blockB)
-        .collect { case (o, n) if !o.prepared && n.prepared => n.name }
-      if (changed.nonEmpty) System.err.println(
-        s"bench: re-prepared after warm-up (${changed.size}): " +
-          changed.mkString(","))
-    }
+    // The flipped-entry list goes into the JSON artifact too (ADVICE
+    // r15): per-entry timing mode must be readable from the artifact
+    // alone, not just a stderr log line.
+    val reprepared = (blockA0 ++ blockB0).zip(blockA ++ blockB)
+      .collect { case (o, n) if !o.prepared && n.prepared => n.name }
+    if (reprepared.nonEmpty) System.err.println(
+      s"bench: re-prepared after warm-up (${reprepared.size}): " +
+        reprepared.mkString(","))
     // The comparison block takes EXACTLY the DuckDB method's sample
     // count — min of 3 after warm-up (BASELINE.md §3; r6 took
     // min-of-8, which biases the min lower under noise than the
@@ -558,7 +575,8 @@ object Bench {
     // own run timestamp; tools/bench_duckdb.py stamps its output the
     // same way and tools/pair_ratio.py refuses cross-era pairings.
     val runUtc = java.time.Instant.now().toString
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","run_utc":"$runUtc","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"scenarios":$scens,"scenarios_median":$scensMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate}"""
+    val repreparedJson = reprepared.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","run_utc":"$runUtc","total_whole_function":$wholeFnTotal,"queries":$qs,"queries_median":$qsMedian,"scenarios":$scens,"scenarios_median":$scensMedian,"failed":$failedJson,"failed_whole_function":$wfFailedJson,"layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"sf":"$sfDir","cdc_events_per_sec":$cdcRate,"cpus":$cpus,"tmpdir":"$tmpRoot","reprepared":$repreparedJson}"""
     println(jsonLine)
     // The binding 2× verdict lives in `value`/`total_whole_function` at
     // the FRONT of this (very long) line; two rounds of driver
@@ -585,6 +603,27 @@ object Bench {
       (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case e: java.io.IOException =>
       System.err.println(s"bench_full write failed ($benchOut): $e") }
+    // COMPACT summary as the FINAL stdout line (VERDICT r15 item 2):
+    // the full JSON line above is ~7-14 KB and the driver keeps only a
+    // 2000-byte stdout tail, so since r13 the driver's PERF parsed
+    // nothing (`parsed: null`). This line carries the binding verdict
+    // (value, whole-function continuity total), the per-block sums,
+    // the failure lists, and the self-describing metadata (tmpdir,
+    // flipped-to-prepared entries) in well under 2000 bytes; the
+    // complete per-query maps stay in the full line and in $benchOut.
+    // It deliberately carries NO "queries" map: a truncated per-query
+    // map could be misread as entries dropping out of the suite.
+    val queriesSum = results.collect { case (_, v) if v >= 0 => v }.sum
+    val scenariosSum = scenResults.collect { case (_, v) if v >= 0 => v }.sum
+    def summaryWith(rep: String) = s"""{"metric":"total","value":$total,"unit":"sec","run_utc":"$runUtc","total_whole_function":$wholeFnTotal,"queries_sum":$queriesSum,"scenarios_sum":$scenariosSum,"n_queries":${results.size},"n_scenarios":${scenResults.size},"failed":$failedJson,"failed_whole_function":$wfFailedJson,"cdc_events_per_sec":$cdcRate,"sf":"$sfDir","cpus":$cpus,"tmpdir":"$tmpRoot","layout":"$layout","samples_baseline":$aPasses,"samples_extras":$nPasses,"full_json":"$benchOut","reprepared_n":${reprepared.size},"reprepared":$rep}"""
+    // the whole point is fitting a 2000-byte tail — if the flipped list
+    // ever grows past that, keep the count and drop the names here
+    // (they remain in the full line and the $benchOut file)
+    val summaryLine = {
+      val s0 = summaryWith(repreparedJson)
+      if (s0.length <= 1900) s0 else summaryWith("[]")
+    }
+    println(summaryLine)
     spark.stop()
     if (failed.nonEmpty || wholeFnFailed.nonEmpty) {
       System.err.println(

@@ -43,11 +43,21 @@ object DedupOps {
     * frame: one typed kernel computes the sorted shingle-hash set,
     * its MinHash signature, and emits `bands` rows each carrying the
     * set (for in-stream exact verification) plus the band hash. */
+  /** `spread=false` (r16): the EPOCH folds call this on micro-batch
+    * frames inside foreachBatch — fanning a batch to
+    * defaultParallelism there (a) shredded every epoch leaf into one
+    * tiny parquet file PER CORE (32c wrote 4× the files of 8c — the
+    * measured 1.4–1.6× 32c anti-scaling of s25–s28, guide §6 small
+    * files), and (b) paid fanOut's RDD-fallback second planning pass
+    * per batch (MemoryStream frames have no file leaves). A
+    * micro-batch keeps its source partitioning: 1 slice from the test
+    * feed, the source's own parallelism at production scale — the
+    * file count follows DATA, not core count. */
   private def bandedSigs(docs: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, spread: Boolean = true): DataFrame = {
     val n = bands * rowsPerBand
-    docs.select(col("doc_id"), col("text"))
-      .fanOut // single-row-group scan: spread the MinHash kernel
+    val projected = docs.select(col("doc_id"), col("text"))
+    (if (spread) projected.fanOut else projected)
       .as[(Long, String)](graft.Enc.longStr)
       .flatMap { case (id, text) =>
         val sh = HashOps.shingleHashes(text, 3)
@@ -842,12 +852,19 @@ object DedupOps {
   private def writeLshGeneration(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame, suffix: String): Unit = {
     val banded = bandedSigs(docs, 8, 4)
+    // repartition BY THE BUCKET KEY before each bucketed write (r16,
+    // guide §6): the kernel's 32-task fanOut otherwise leaves one file
+    // per (task, bucket) — measured 254–256 micro-files per table,
+    // re-opened by every serve. Murmur3 alignment with the bucket
+    // assignment yields exactly one file per bucket.
     banded.select("doc_id", "b", "h")
+      .repartition(8, col("doc_id"))
       .write.mode("overwrite")
       .option("path", s"$LshWarehouse/bands_$suffix")
       .bucketBy(8, "doc_id").sortBy("doc_id")
       .saveAsTable(s"graft_lsh_bands_$suffix")
     banded.filter(col("b") === 0).select("doc_id", "sh")
+      .repartition(8, col("doc_id"))
       .write.mode("overwrite")
       .option("path", s"$LshWarehouse/sets_$suffix")
       .bucketBy(8, "doc_id").sortBy("doc_id")
@@ -900,7 +917,18 @@ object DedupOps {
     graft.functions.SortedIntersectSize.register(s)
     import graft.functions.SortedIntersectSize.sorted_intersect_size
     val bandsAll = bandsBase.unionByName(bandsDelta)
+    // fanOut on the PROBE side (r16, VERDICT r15 item 6 — the d8
+    // treatment): at bench SF the whole serve chain (candidate join →
+    // pair-distinct → two set attaches → Jaccard verify → sort) sat
+    // between TinyExchangeElimination Coalesce(1)s and ran as ONE
+    // task. Fanning the delta band frame out re-establishes real
+    // exchanges (the rule never collapses an exchange whose child is
+    // already a shuffle), so the join, the dedup and the verify run
+    // partition-parallel. Slice-guarded as always: at real scale the
+    // delta scan already splits and fanOut is a no-op decision. Same
+    // candidates, same pairs (repartition only).
     val cand = bandsDelta.select(col("doc_id").as("da"), col("b"), col("h"))
+      .fanOut
       .join(bandsAll.select(col("doc_id").as("db"), col("b"), col("h"))
         .hint("shuffle_hash"), Seq("b", "h"))
       .filter(col("da") =!= col("db"))
@@ -930,6 +958,7 @@ object DedupOps {
         s.catalog.tableExists("graft_lsh_tombs")) return
       lshIndexSf.remove("tombs")
       Tables.documents(s, d).filter(lshTombFilter).select("doc_id")
+        .repartition(8, col("doc_id")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$LshWarehouse/tombs")
         .bucketBy(8, "doc_id").sortBy("doc_id")
@@ -960,8 +989,10 @@ object DedupOps {
     // persist across the two leaf writes (r15): the bands and sets
     // leaves are separate parquet jobs over the SAME banded frame, and
     // without the cache each epoch paid the shingle+MinHash kernel
-    // twice; the frame is micro-batch-sized, so MEMORY_ONLY is bounded
-    val banded = bandedSigs(batch, 8, 4)
+    // twice; the frame is micro-batch-sized, so MEMORY_ONLY is bounded.
+    // spread=false (r16): keep the batch's own partitioning so each
+    // epoch leaf is one file per source slice, not one per core.
+    val banded = bandedSigs(batch, 8, 4, spread = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
       banded.select("doc_id", "b", "h")

@@ -105,6 +105,7 @@ object GraphOps {
       // unweighted consumers (g1–g4 project it away — parquet column
       // pruning never reads w) and the thresholded backbone (g5)
       coPurchaseEdgesWeighted(Tables.lineitem(s, d))
+        .repartition(8, col("src")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$GraphWarehouse/edges")
         .bucketBy(8, "src").sortBy("src", "dst")
@@ -164,23 +165,50 @@ object GraphOps {
       limit: Long): Option[(Array[Long], Array[Long])] = {
     if (limit <= 0) return None
     val cap = math.min(limit, Int.MaxValue - 1L).toInt
+    val projected = edges.select(col("src"), col("dst"))
+    // Non-Long edge schema (ADVICE r15): the primitive InternalRow
+    // drain below would silently MISREAD int columns (the old
+    // Row.getLong path threw). The declared queries all feed BIGINT
+    // endpoints; an arbitrary caller frame routes to the distributed
+    // path, which computes correctly for any numeric type.
+    if (projected.schema.fields.exists(
+        _.dataType != org.apache.spark.sql.types.LongType)) return None
     if (edges.count() > cap) return None
-    val parts = edges.select(col("src"), col("dst"))
+    // The collect is bounded ON ITS OWN (ADVICE r15): the count and
+    // the collect are two jobs, so driver safety must not rest on them
+    // seeing the same snapshot (live-appended tables, non-deterministic
+    // frames). Each partition drains at most cap+1 rows — growth
+    // between the two jobs can add at most (cap+1) per partition, not
+    // an unbounded edge set — and any partition hitting the brake, or
+    // a total above cap, answers None before the driver merge copies
+    // anything.
+    val parts = projected
       .queryExecution.toRdd.mapPartitions { it =>
         val sb = new scala.collection.mutable.ArrayBuilder.ofLong
         val db = new scala.collection.mutable.ArrayBuilder.ofLong
-        while (it.hasNext) {
+        var n = 0
+        var over = false
+        while (it.hasNext && !over) {
           val r = it.next()
-          sb += r.getLong(0)
-          db += r.getLong(1)
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new NullPointerException(
+              "null src/dst in graph edge table")
+          if (n > cap) over = true
+          else {
+            sb += r.getLong(0)
+            db += r.getLong(1)
+            n += 1
+          }
         }
-        Iterator((sb.result(), db.result()))
+        Iterator((sb.result(), db.result(), over))
       }.collect()
+    if (parts.exists(_._3)) return None
     val n = parts.iterator.map(_._1.length).sum
+    if (n > cap) return None
     val srcs = new Array[Long](n)
     val dsts = new Array[Long](n)
     var o = 0
-    parts.foreach { case (s, d) =>
+    parts.foreach { case (s, d, _) =>
       System.arraycopy(s, 0, srcs, o, s.length)
       System.arraycopy(d, 0, dsts, o, d.length)
       o += s.length

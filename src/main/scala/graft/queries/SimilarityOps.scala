@@ -63,13 +63,18 @@ object SimilarityOps {
     * for wide vectors / high band counts, where amplifying the vector
     * through the band shuffle dominates; pairs re-attach vectors via
     * `unitWidened`. Same signatures, same candidate set. */
-  def withBandIds(emb: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+  /** `spread=false` (r16): epoch folds run this on micro-batch frames
+    * — see the bandedSigs note in DedupOps (per-core epoch-file
+    * shredding + fanOut's RDD-fallback planning pass on non-file
+    * frames); a micro-batch keeps its source partitioning. */
+  def withBandIds(emb: DataFrame, nBands: Int, bandBits: Int,
+      spread: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val mask = (1L << bandBits) - 1
     val nBits = nBands * bandBits
-    emb.select(col("vec_id"), col("embedding"))
-      .fanOut
+    val projected = emb.select(col("vec_id"), col("embedding"))
+    (if (spread) projected.fanOut else projected)
       .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .flatMap { case (id, e) =>
         val v = new Array[Double](e.length)
@@ -84,11 +89,11 @@ object SimilarityOps {
 
   /** (vec_id, v) with float→double widening — the re-attach side for
     * the IDs-only band form. */
-  def unitWidened(emb: DataFrame): DataFrame = {
+  def unitWidened(emb: DataFrame, spread: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("vec_id"), col("embedding"))
-      .fanOut
+    val projected = emb.select(col("vec_id"), col("embedding"))
+    (if (spread) projected.fanOut else projected)
       .as[(Long, Array[Float])](graft.Enc.longFloatArr)
       .map { case (id, e) =>
         val v = new Array[Double](e.length)
@@ -412,12 +417,24 @@ object SimilarityOps {
 
   private def writeAnnGeneration(s: org.apache.spark.sql.SparkSession, emb: DataFrame,
       suffix: String, nBands: Int, bandBits: Int): Unit = {
+    // repartition BY THE BUCKET KEY before the bucketed write (r16,
+    // guide §6): a bucketed writer emits one file per (task, bucket)
+    // pair, and the kernel's fanOut left 32 writer tasks — measured
+    // 220–256 parquet micro-files PER TABLE at bench SF, re-listed and
+    // re-opened by every serve's broadcast builds (the measured
+    // ~160 ms/build floor). Hash-repartitioning on the bucket column
+    // uses the same Murmur3 family as the bucket assignment, so each
+    // task holds exactly one bucket: 8 files per table. File count now
+    // follows the BUCKET LAYOUT, not the writer's core count; at real
+    // scale the same shuffle is what any bucketed write needs anyway.
     withBandIds(emb, nBands, bandBits)
+      .repartition(8, col("vec_id"))
       .write.mode("overwrite")
       .option("path", s"$AnnWarehouse/bands_$suffix")
       .bucketBy(8, "vec_id").sortBy("vec_id")
       .saveAsTable(s"graft_ann_bands_$suffix")
     unitWidened(emb)
+      .repartition(8, col("vec_id"))
       .write.mode("overwrite")
       .option("path", s"$AnnWarehouse/vecs_$suffix")
       .bucketBy(8, "vec_id").sortBy("vec_id")
@@ -477,21 +494,31 @@ object SimilarityOps {
     import graft.QueryDef.SmallOrdered
     graft.functions.CosineSim.register(s)
     graft.functions.FirstBandMatch.register(s)
+    // FUSED query side (r16, VERDICT r15 item 5): the serve used to
+    // broadcast the query band rows and the query vectors as two
+    // separate builds and re-attach qv with a third join after the
+    // candidate join. One broadcast now carries (qid, qsig, b, h, qv) —
+    // a query's vector rides its ≤ nBands band rows (nQueries is
+    // serve-request-sized by contract, so the widened rows stay tiny) —
+    // which drops one broadcast-build job and one join per serve. The
+    // inner attach is hinted shuffle_hash so it cannot plan a NESTED
+    // broadcast build (that would give the job back). Candidates and
+    // cosine inputs are unchanged: same band equi-join, same
+    // first-band dedupe, same (qv, cv) pairs.
     val q = broadcast(bands.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("sig").as("qsig"),
-        col("b"), col("h")))
+        col("b"), col("h"))
+      .join(vecs.filter(col("vec_id") < nQueries).hint("shuffle_hash")
+        .select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid")))
     val cand = bands.select(col("vec_id").as("cid"), col("sig").as("csig"),
         col("b"), col("h"))
       .join(q, Seq("b", "h"))
       .filter(col("qid") =!= col("cid") &&
         graft.functions.FirstBandMatch.first_band_match(
           col("qsig"), col("csig"), bandBits, nBands) === col("b"))
-      .select("qid", "cid")
-    val qv = broadcast(vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv")))
+      .select("qid", "cid", "qv")
     cand.join(vecs.select(col("vec_id").as("cid"), col("v").as("cv")),
         Seq("cid"))
-      .join(qv, Seq("qid"))
       .select(col("qid"), col("cid"),
         graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("sim_raw"))
       .withColumn("rnk", row_number().over(
@@ -515,12 +542,14 @@ object SimilarityOps {
       annIndexSf.remove("compact")
       s.table("graft_ann_bands_base")
         .unionByName(s.table("graft_ann_bands_delta"))
+        .repartition(8, col("vec_id")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$AnnWarehouse/bands_compact")
         .bucketBy(8, "vec_id").sortBy("vec_id")
         .saveAsTable("graft_ann_bands_compact")
       s.table("graft_ann_vecs_base")
         .unionByName(s.table("graft_ann_vecs_delta"))
+        .repartition(8, col("vec_id")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$AnnWarehouse/vecs_compact")
         .bucketBy(8, "vec_id").sortBy("vec_id")
@@ -557,6 +586,7 @@ object SimilarityOps {
         s.catalog.tableExists("graft_ann_tombs")) return
       annIndexSf.remove("tombs")
       Tables.embeddings(s, d).filter(annTombFilter).select("vec_id")
+        .repartition(8, col("vec_id")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$AnnWarehouse/tombs")
         .bucketBy(8, "vec_id").sortBy("vec_id")
@@ -643,6 +673,7 @@ object SimilarityOps {
       s.table("graft_ann_bands_base")
         .unionByName(s.table("graft_ann_bands_delta"))
         .join(tombs, Seq("vec_id"), "left_anti")
+        .repartition(8, col("vec_id")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$AnnWarehouse/bands_compactdel")
         .bucketBy(8, "vec_id").sortBy("vec_id")
@@ -650,6 +681,7 @@ object SimilarityOps {
       s.table("graft_ann_vecs_base")
         .unionByName(s.table("graft_ann_vecs_delta"))
         .join(tombs, Seq("vec_id"), "left_anti")
+        .repartition(8, col("vec_id")) // one file per bucket (r16, guide §6)
         .write.mode("overwrite")
         .option("path", s"$AnnWarehouse/vecs_compactdel")
         .bucketBy(8, "vec_id").sortBy("vec_id")
@@ -672,9 +704,12 @@ object SimilarityOps {
     * spec-pinned). Base tables untouched, as in [[foldAnnDelta]]. */
   private[queries] def foldAnnDeltaEpoch(batch: DataFrame, dir: String,
       nBands: Int = 24, bandBits: Int = 2): Unit = {
-    withBandIds(batch, nBands, bandBits)
+    // spread=false (r16): keep the micro-batch's own partitioning so
+    // each epoch leaf is one file per source slice, not one per core
+    withBandIds(batch, nBands, bandBits, spread = false)
       .write.mode("overwrite").parquet(s"$dir/bands")
-    unitWidened(batch).write.mode("overwrite").parquet(s"$dir/vecs")
+    unitWidened(batch, spread = false)
+      .write.mode("overwrite").parquet(s"$dir/vecs")
   }
 
   /** s25: STREAMING index maintenance — the a12 fold as a long-running
